@@ -1,0 +1,1163 @@
+"""The relational operator corpus (SURVEY.md §2.5), re-targeted at the
+driver's TPC-H-ish fixtures.
+
+The reference's 29 analytic queries (insight_transkrip.sql:1-356) run on
+a transcript star schema; the driver fixtures map onto the same shapes
+(FIXTURES.md §C): customer≈student dim, part≈course dim, orders'
+date axis≈term dim, lineitem≈enrollment fact. Each query here exercises
+exactly the operator cluster of its reference twin (cited per-query) on
+the fixture tables, with a DuckDB oracle in the same column names.
+
+Scale notes (100 TB design intent, verified on .explain):
+- Star joins (fact ⋈ dims) broadcast the dim side — customer/part/
+  supplier are small relative to the fact everywhere these shapes occur;
+  at cluster scale Spark's autoBroadcastJoinThreshold + AQE make the
+  same call from runtime stats, the explicit ``F.broadcast`` hint keeps
+  the plan stable when dim stats are missing.
+- Aggregations are expressed as single groupBy so partial (map-side)
+  aggregation applies before the shuffle.
+- Window functions partition by high-cardinality keys (custkey), never
+  by a constant; the one global window (q29) runs over an already
+  aggregated ~|year×month| row set, which is tiny by construction.
+- Filters and projections sit directly on the scan so Catalyst pushes
+  them into parquet (checked: PushedFilters / narrow ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared column expressions
+# ---------------------------------------------------------------------------
+
+# All money/rate columns in the fixtures carry exactly 2 decimal digits.
+# Aggregating them as doubles makes the sum depend on partition order, and
+# a ROUND() on top can then disagree between engines at .xx5 boundaries
+# (observed: avg(l_discount)=0.056249999..|0.0562500..1 at sf0.01). So every
+# additive aggregate here is computed on exact integer "cents": the sums are
+# order-independent and bit-identical in Spark and DuckDB, and the single
+# final division produces the same double on both sides. This also holds on
+# a 1000-executor cluster where partition order is genuinely nondeterministic.
+#
+# ROUND() itself is also engine-divergent at exact decimal halves (Spark
+# rounds the shortest-decimal rendering HALF_UP, DuckDB rounds the binary
+# value; observed: round(0.04325, 4) -> 0.0433 vs 0.0432). So rounded ratios
+# are computed entirely in integer arithmetic: round(N/D, s) =
+# (2*N*10^s + D) div (2*D) for positive integers, then one exact float
+# division by 10^s. Helpers below emit the Spark and DuckDB forms.
+
+
+def _cents(col: str):
+    """2-decimal double column -> exact integer cents (long)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _cents_sql(col: str) -> str:
+    return f"CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+def _revenue_scaled():
+    """Revenue of a lineitem row, scaled x10000 as an exact long.
+
+    revenue = extendedprice * (1 - discount); with both at 2 decimals,
+    revenue*10000 = cents(price) * (100 - cents(discount)) is an exact
+    integer. The fixture analog of the reference's quality-point measure
+    sks*bobot (ETL_FINAL.py:197).
+    """
+    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
+
+
+_REVENUE_SCALED_SQL = (
+    f"({_cents_sql('l.l_extendedprice')} * (100 - {_cents_sql('l.l_discount')}))"
+)
+
+
+def _round_div(numer: str, denom: str, scale: int):
+    """HALF_UP round(numer/denom, scale) on integral named columns, exact.
+
+    ``numer``/``denom`` are SQL expressions over already-aggregated long
+    columns; the integer division keeps every step order-independent.
+    """
+    return F.expr(f"(2 * ({numer}) * {10**scale} + ({denom})) div (2 * ({denom}))") / float(
+        10**scale
+    )
+
+
+def _round_div_sql(numer: str, denom: str, scale: int) -> str:
+    return f"((2 * ({numer}) * {10**scale} + ({denom})) // (2 * ({denom}))) / {float(10**scale)}"
+
+
+def _li_orders_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer star join (dims broadcast)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
+    ).join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — aggregate-of-aggregate via derived table (insight_transkrip.sql:1-13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_avg_customer_revenue",
+    oracle="""
+    SELECT ((2 * SUM(revenue_scaled) * 100 + (10000 * COUNT(*))) // (2 * (10000 * COUNT(*)))) / 100.0 AS avg_revenue
+    FROM (
+        SELECT c.c_custkey, SUM((CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))) AS revenue_scaled
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ) per_customer
+    """,
+)
+def q01_avg_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-customer revenue: 3-way star join, inner groupBy, outer AVG.
+
+    Operator shape of insight 1 (insight_transkrip.sql:1-13): derived
+    table in FROM, SUM ratio per entity, outer AVG.
+    """
+    per_customer = (
+        _li_orders_cust(spark, sf_dir)
+        .groupBy("c_custkey")
+        .agg(F.sum(_revenue_scaled()).alias("revenue_scaled"))
+    )
+    return (
+        per_customer.agg(
+            F.sum("revenue_scaled").alias("_rs"), F.count(F.lit(1)).alias("_n")
+        ).select(_round_div("_rs", "10000 * _n", 2).alias("avg_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — top-k by weighted ratio (insight_transkrip.sql:15-25)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_top10_customers_by_avg_item_value",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {_round_div_sql(f'SUM({_REVENUE_SCALED_SQL})', 'CAST(SUM(l.l_quantity) AS BIGINT) * 10000', 2)} AS avg_item_value
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY avg_item_value DESC, c.c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q02_top10_customers_by_avg_item_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by revenue-per-unit weighted ratio.
+
+    Insight 2 shape (insight_transkrip.sql:15-25): star join, grouped
+    ratio-of-sums W, ROUND, ORDER BY DESC LIMIT 10. The reference's
+    MySQL functional-dependency GROUP BY (selects nama while grouping by
+    id) becomes an explicit composite grouping key. Tie-break on the
+    unique key keeps the top-k deterministic across engines.
+    """
+    return (
+        _li_orders_cust(spark, sf_dir)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_revenue_scaled()).alias("_rs"),
+            F.sum("l_quantity").cast("long").alias("_q"),
+        )
+        .select(
+            "c_custkey", "c_name", _round_div("_rs", "_q * 10000", 2).alias("avg_item_value")
+        )
+        .orderBy(F.desc("avg_item_value"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — frequency distribution (insight_transkrip.sql:27-34)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_returnflag_distribution",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q03_returnflag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grade-letter distribution analog: COUNT(*) per category.
+
+    Insight 3 (insight_transkrip.sql:27-34). Map-side partial count then
+    a 3-group shuffle — negligible at any scale.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4/Q5 — bottom-k / top-k by group average (insight_transkrip.sql:36-56)
+# ---------------------------------------------------------------------------
+
+
+def _part_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.sum(_cents("l_discount")).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select("p_partkey", "p_name", _round_div("_s", "_n * 100", 4).alias("avg_discount"))
+    )
+
+
+_PART_AVG_DISCOUNT_SQL = """
+        SELECT p.p_partkey, p.p_name,
+               ((2 * SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)) * 10000 + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) / 10000.0 AS avg_discount
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_name
+"""
+
+
+@register(
+    "q04_bottom5_parts_by_discount",
+    oracle=f"""
+    SELECT * FROM ({_PART_AVG_DISCOUNT_SQL})
+    ORDER BY avg_discount ASC, p_partkey ASC
+    LIMIT 5
+    """,
+)
+def q04_bottom5_parts_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Hardest courses" analog: bottom-5 parts by average discount.
+
+    Insight 4 (insight_transkrip.sql:36-45): join, AVG per group, ROUND,
+    ORDER ASC LIMIT 5 (bottom-k).
+    """
+    return _part_avg_discount(spark, sf_dir).orderBy(
+        F.asc("avg_discount"), F.asc("p_partkey")
+    ).limit(5)
+
+
+@register(
+    "q05_top5_parts_by_discount",
+    oracle=f"""
+    SELECT * FROM ({_PART_AVG_DISCOUNT_SQL})
+    ORDER BY avg_discount DESC, p_partkey ASC
+    LIMIT 5
+    """,
+)
+def q05_top5_parts_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Easiest courses" analog: top-5 parts by average discount.
+
+    Insight 5 (insight_transkrip.sql:47-56).
+    """
+    return _part_avg_discount(spark, sf_dir).orderBy(
+        F.desc("avg_discount"), F.asc("p_partkey")
+    ).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# Q6/Q7 — weighted mean per small/composite group (insight_transkrip.sql:58-77)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q06_weighted_value_by_orderstatus",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           {_round_div_sql(f'SUM({_REVENUE_SCALED_SQL})', 'CAST(SUM(l.l_quantity) AS BIGINT) * 10000', 2)} AS weighted_value
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q06_weighted_value_by_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odd/even-semester weighted mean analog: ratio-of-sums per status.
+
+    Insight 6 (insight_transkrip.sql:58-66).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(_revenue_scaled()).alias("_rs"),
+            F.sum("l_quantity").cast("long").alias("_q"),
+        )
+        .select("o_orderstatus", _round_div("_rs", "_q * 10000", 2).alias("weighted_value"))
+    )
+
+
+@register(
+    "q07_weighted_value_by_year_month",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o.o_orderdate) AS INTEGER) AS order_month,
+           {_round_div_sql(f'SUM({_REVENUE_SCALED_SQL})', 'CAST(SUM(l.l_quantity) AS BIGINT) * 10000', 2)} AS weighted_value
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY order_year, order_month
+    """,
+)
+def q07_weighted_value_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean per (year, month): multi-key groupBy.
+
+    Insight 7 (insight_transkrip.sql:68-77); (tahun, semester) becomes
+    (year(o_orderdate), month(o_orderdate)).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.sum(_revenue_scaled()).alias("_rs"),
+            F.sum("l_quantity").cast("long").alias("_q"),
+        )
+        .select(
+            "order_year",
+            "order_month",
+            _round_div("_rs", "_q * 10000", 2).alias("weighted_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — top-k by count (insight_transkrip.sql:79-87)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08_top5_most_ordered_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, COUNT(*) AS n_orders
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY n_orders DESC, p.p_partkey ASC
+    LIMIT 5
+    """,
+)
+def q08_top5_most_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-taken-courses analog: COUNT(*) per part, top-5.
+
+    Insight 8 (insight_transkrip.sql:79-87).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("p_partkey"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — filter on measure then grouped sum (insight_transkrip.sql:89-98)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_discounted_quantity_per_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, SUM(l.l_quantity) AS total_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_discount >= 0.05
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q09_discounted_quantity_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passed-credits analog: threshold filter on the measure, SUM per entity.
+
+    Insight 9 (insight_transkrip.sql:89-98): WHERE bobot >= 2.0 becomes
+    l_discount >= 0.05. The filter sits on the fact scan so it pushes
+    into parquet before the join.
+    """
+    return (
+        _li_orders_cust(spark, sf_dir)
+        .filter(F.col("l_discount") >= 0.05)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — NOT EXISTS anti-join (insight_transkrip.sql:100-115)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_never_reordered",
+    oracle="""
+    SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND NOT EXISTS (
+        SELECT 1
+        FROM lineitem l2
+        JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+        WHERE o2.o_custkey = o.o_custkey
+          AND l2.l_partkey = l.l_partkey
+          AND l2.l_returnflag = 'N'
+      )
+    """,
+)
+def q10_returned_never_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unresolved-failing-grades analog: correlated NOT EXISTS as anti-join.
+
+    Insight 10 (insight_transkrip.sql:100-115): (customer, part) pairs
+    with a returned item ('R' ≈ grade D/E) and no non-returned purchase
+    of the same part ('N' ≈ passing retake), DISTINCT. Expressed directly
+    as ``left_anti`` — the plan Catalyst would decorrelate to anyway.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("l_partkey").alias("p_partkey"),
+        "l_returnflag",
+    )
+    returned = pairs.filter(F.col("l_returnflag") == "R").select("c_custkey", "p_partkey")
+    kept = pairs.filter(F.col("l_returnflag") == "N").select("c_custkey", "p_partkey").distinct()
+    return returned.join(kept, ["c_custkey", "p_partkey"], "left_anti").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Q11 — HAVING COUNT(*) > 1 (insight_transkrip.sql:117-127)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_repeat_purchases",
+    oracle="""
+    SELECT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey, COUNT(*) AS n_times
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey, l.l_partkey
+    HAVING COUNT(*) > 1
+    """,
+)
+def q11_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Course-retakes analog: grouped count with HAVING filter-after-agg.
+
+    Insight 11 (insight_transkrip.sql:117-127).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+        .agg(F.count(F.lit(1)).alias("n_times"))
+        .filter(F.col("n_times") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — conjunctive filter + double AVG, no grouping (insight_transkrip.sql:129-134)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_avg_tax_discount_when_both_positive",
+    oracle="""
+    SELECT ((2 * SUM(CAST(ROUND(l_tax * 100) AS BIGINT)) * 10000 + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) / 10000.0 AS avg_tax,
+           ((2 * SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) * 10000 + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) / 10000.0 AS avg_discount
+    FROM lineitem
+    WHERE l_tax > 0 AND l_discount > 0
+    """,
+)
+def q12_avg_tax_discount_when_both_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prep-vs-undergrad GPA analog: AND filter, global AVG x2, ROUND.
+
+    Insight 12 (insight_transkrip.sql:129-134). Single-table scan with
+    both predicates pushed to parquet; global agg is a 1-row reduce.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_tax") > 0) & (F.col("l_discount") > 0))
+        .agg(
+            F.sum(_cents("l_tax")).alias("_st"),
+            F.sum(_cents("l_discount")).alias("_sd"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            _round_div("_st", "_n * 100", 4).alias("avg_tax"),
+            _round_div("_sd", "_n * 100", 4).alias("avg_discount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13/Q14 — sort+limit without aggregation (insight_transkrip.sql:136-146)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_top5_customers_by_balance",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 5
+    """,
+)
+def q13_top5_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 by attribute: ORDER BY DESC LIMIT without aggregation.
+
+    Insight 13 (insight_transkrip.sql:136-140). Spark plans TakeOrderedAndProject —
+    a per-partition top-k plus a driver merge; no global sort at scale.
+    """
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(5)
+    )
+
+
+@register(
+    "q14_top5_suppliers_by_balance",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    ORDER BY s_acctbal DESC, s_suppkey ASC
+    LIMIT 5
+    """,
+)
+def q14_top5_suppliers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same bottom/top-k shape on the second entity dim.
+
+    Insight 14 (insight_transkrip.sql:142-146).
+    """
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — conditional aggregation / manual pivot (insight_transkrip.sql:148-156)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_returned_vs_kept_per_part",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    """,
+)
+def q15_returned_vs_kept_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass/fail-counts analog: SUM(CASE WHEN) conditional aggregation.
+
+    Insight 15 (insight_transkrip.sql:148-156).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16/Q17 — string-range binning + group-by-derived (insight_transkrip.sql:158-186)
+# ---------------------------------------------------------------------------
+
+_SEGMENT_SQL = """
+        CASE
+            WHEN substring(c_name, 16, 3) BETWEEN '001' AND '042' THEN 'SNBP'
+            WHEN substring(c_name, 16, 3) BETWEEN '043' AND '116' THEN 'SNBT'
+            WHEN substring(c_name, 16, 3) BETWEEN '117' AND '232' THEN 'Mandiri'
+            ELSE 'Lainnya'
+        END
+"""
+
+
+def _segment_col() -> F.Column:
+    # String-range binning exactly as insight 16 (insight_transkrip.sql:160-166):
+    # SUBSTRING then CASE WHEN x BETWEEN 'lo' AND 'hi' with STRING comparison
+    # semantics (lexicographic on zero-padded digits).
+    tail = F.substring("c_name", 16, 3)
+    return (
+        F.when(tail.between("001", "042"), "SNBP")
+        .when(tail.between("043", "116"), "SNBT")
+        .when(tail.between("117", "232"), "Mandiri")
+        .otherwise("Lainnya")
+    )
+
+
+@register(
+    "q16_customer_segment_binning",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_SEGMENT_SQL} AS segment
+    FROM customer
+    """,
+)
+def q16_customer_segment_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-path analog: SUBSTRING + CASE WHEN BETWEEN string ranges.
+
+    Insight 16 (insight_transkrip.sql:158-167); nrp positions 8..10
+    become c_name positions 16..18 (the last 3 digits of the id).
+    """
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", _segment_col().alias("segment"))
+    )
+
+
+@register(
+    "q17_balance_by_segment",
+    oracle=f"""
+    SELECT segment,
+           ((2 * SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) * 100 + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) / 100.0 AS avg_balance,
+           COUNT(*) AS n_customers
+    FROM (SELECT c_acctbal, {_SEGMENT_SQL} AS segment FROM customer) seg
+    GROUP BY segment
+    """,
+)
+def q17_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column groupBy: insight 17 (insight_transkrip.sql:169-186).
+
+    Bin expression as a derived table, then AVG + COUNT per bin.
+    """
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_acctbal", _segment_col().alias("segment"))
+        .groupBy("segment")
+        .agg(F.sum(_cents("c_acctbal")).alias("_s"), F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "segment",
+            _round_div("_s", "n_customers * 100", 2).alias("avg_balance"),
+            "n_customers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — plain grouped AVG (insight_transkrip.sql:188-197)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_avg_discount_per_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ((2 * SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)) * 10000 + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) / 10000.0 AS avg_discount
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q18_avg_discount_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted mean grade analog: AVG per entity across the star join.
+
+    Insight 18 (insight_transkrip.sql:188-197).
+    """
+    return (
+        _li_orders_cust(spark, sf_dir)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_cents("l_discount")).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select("c_custkey", "c_name", _round_div("_s", "_n * 100", 4).alias("avg_discount"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — COUNT(DISTINCT CONCAT(...)) (insight_transkrip.sql:199-208)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_active_months_per_customer",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           COUNT(DISTINCT concat_ws('-', CAST(year(o_orderdate) AS INTEGER),
+                                         CAST(month(o_orderdate) AS INTEGER))) AS n_active_months
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q19_active_months_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semesters-attended analog: COUNT(DISTINCT CONCAT(year,'-',month)).
+
+    Insight 19 (insight_transkrip.sql:199-208). Distinct-aggregate over a
+    derived concat; Spark plans this as a two-phase partial-distinct
+    aggregation, no extra shuffle beyond the group key.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.countDistinct(
+                F.concat_ws("-", F.year("o_orderdate"), F.month("o_orderdate"))
+            ).alias("n_active_months")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — grouped MIN (insight_transkrip.sql:210-219)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_min_discount_per_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, MIN(l.l_discount) AS min_discount
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q20_min_discount_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-grade analog: MIN per entity.
+
+    Insight 20 (insight_transkrip.sql:210-219).
+    """
+    return (
+        _li_orders_cust(spark, sf_dir)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.min("l_discount").alias("min_discount"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — detail projection with multi-key sort (insight_transkrip.sql:221-230)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_order_detail_projection",
+    oracle="""
+    SELECT c.c_name, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o.o_orderdate) AS INTEGER) AS order_month,
+           o.o_totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q21_order_detail_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS-trend analog: bare join + projection (sorting is presentation).
+
+    Insight 21 (insight_transkrip.sql:221-230). The reference's ORDER BY
+    is for display; the value set is order-insensitive so the oracle
+    omits it (driver hashes order-insensitively).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            "o_totalprice",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — LAG window + top-k of diffs (insight_transkrip.sql:232-255)
+# ---------------------------------------------------------------------------
+
+_CUST_ORDER_WINDOW_SQL = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+
+
+def _cust_order_window():
+    return Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+
+@register(
+    "q22_top10_order_value_jumps",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey,
+               LAG(o_totalprice) OVER ({_CUST_ORDER_WINDOW_SQL}) AS prev_price,
+               o_totalprice,
+               ROUND(o_totalprice - LAG(o_totalprice) OVER ({_CUST_ORDER_WINDOW_SQL}), 2) AS jump
+        FROM orders
+    ) d
+    WHERE prev_price IS NOT NULL
+    ORDER BY jump DESC, c_custkey ASC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q22_top10_order_value_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biggest IPS-jump analog: LAG over per-entity window, diff, top-10.
+
+    Insight 22 (insight_transkrip.sql:232-255). The window orders by
+    (o_orderdate, o_orderkey) — the unique key tie-break replaces the
+    reference's reliance on insertion order (SURVEY.md §4.1).
+    """
+    w = _cust_order_window()
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            "o_totalprice",
+            F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("jump"),
+        )
+        .filter(F.col("prev_price").isNotNull())
+        .orderBy(F.desc("jump"), F.asc("c_custkey"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q23 — HAVING on MIN (insight_transkrip.sql:258-266)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q23_consistent_big_spenders",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING MIN(o_totalprice) >= 100000
+    """,
+)
+def q23_consistent_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-high-GPA analog: MIN/MAX per entity, HAVING MIN >= threshold.
+
+    Insight 23 (insight_transkrip.sql:258-266).
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .filter(F.col("min_price") >= 100000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 — FIRST_VALUE/LAST_VALUE with explicit frame (insight_transkrip.sql:268-280)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_avg_first_last_order_value",
+    oracle=f"""
+    SELECT ((2 * SUM(CAST(ROUND(first_price * 100) AS BIGINT)) * 100 + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) / 100.0 AS avg_first_price,
+           ((2 * SUM(CAST(ROUND(last_price * 100) AS BIGINT)) * 100 + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) / 100.0 AS avg_last_price
+    FROM (
+        SELECT DISTINCT o_custkey,
+               FIRST_VALUE(o_totalprice) OVER (
+                   {_CUST_ORDER_WINDOW_SQL}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+               LAST_VALUE(o_totalprice) OVER (
+                   {_CUST_ORDER_WINDOW_SQL}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        FROM orders
+    ) fl
+    """,
+)
+def q24_avg_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean first-vs-last analog: FIRST/LAST_VALUE over an unbounded frame.
+
+    Insight 24 (insight_transkrip.sql:268-280): explicit ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING frame, per-entity dedup,
+    outer AVG x2.
+    """
+    w = _cust_order_window().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+        )
+        .distinct()
+        .agg(
+            F.sum(_cents("first_price")).alias("_sf"),
+            F.sum(_cents("last_price")).alias("_sl"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            _round_div("_sf", "_n * 100", 2).alias("avg_first_price"),
+            _round_div("_sl", "_n * 100", 2).alias("avg_last_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — latest-row-per-group via RANK then count (insight_transkrip.sql:283-294)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q25_count_customers_ending_small",
+    oracle=f"""
+    SELECT COUNT(*) AS n_customers
+    FROM (
+        SELECT o_custkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnk
+        FROM orders
+    ) latest
+    WHERE rnk = 1 AND o_totalprice < 100000
+    """,
+)
+def q25_count_customers_ending_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ending-GPA<2 analog: RANK DESC latest-per-group, filter, COUNT.
+
+    Insight 25 (insight_transkrip.sql:283-294). o_orderkey DESC tie-break
+    makes "latest" unique, so rnk=1 selects exactly one row per customer.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", F.rank().over(w).alias("rnk"))
+        .filter((F.col("rnk") == 1) & (F.col("o_totalprice") < 100000))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 — bare join + projection (insight_transkrip.sql:296-302)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_order_values_feed",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q26_order_values_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution feed analog: join + projection, no aggregation.
+
+    Insight 26 (insight_transkrip.sql:296-302).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("c_custkey", "c_name", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Q27 — consecutive-row pairing (insight_transkrip.sql:304-322)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q27_consecutive_order_pairs",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey,
+               o_totalprice,
+               LAG(o_totalprice) OVER ({_CUST_ORDER_WINDOW_SQL}) AS prev_price
+        FROM orders
+    ) d
+    WHERE prev_price IS NOT NULL
+    """,
+)
+def q27_consecutive_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-semester-pairs analog, LAG form.
+
+    Insight 27 (insight_transkrip.sql:304-322) hand-rolls a previous-row
+    as-of join via a theta self-join plus a correlated NOT EXISTS
+    between-exclusion. The reference SQL's OR/AND precedence makes its
+    NOT EXISTS bind only to the second disjunct (SURVEY.md §2.5 note);
+    we implement the *intended* semantics — each row paired with its
+    immediate predecessor — which LAG expresses exactly, without the
+    O(n²) self-join. See q27_theta_selfjoin_pairs for the literal
+    theta-join formulation.
+    """
+    w = _cust_order_window()
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+        .filter(F.col("prev_price").isNotNull())
+    )
+
+
+@register(
+    "q27_theta_selfjoin_pairs",
+    oracle="""
+    SELECT a.o_custkey AS c_custkey,
+           a.o_orderkey AS later_orderkey,
+           b.o_orderkey AS earlier_orderkey,
+           a.o_totalprice AS later_price,
+           b.o_totalprice AS earlier_price
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND (a.o_orderdate > b.o_orderdate
+          OR (a.o_orderdate = b.o_orderdate AND a.o_orderkey > b.o_orderkey))
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders m
+        WHERE m.o_custkey = a.o_custkey
+          AND (m.o_orderdate > b.o_orderdate
+               OR (m.o_orderdate = b.o_orderdate AND m.o_orderkey > b.o_orderkey))
+          AND (m.o_orderdate < a.o_orderdate
+               OR (m.o_orderdate = a.o_orderdate AND m.o_orderkey < a.o_orderkey))
+    )
+    """,
+)
+def q27_theta_selfjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal theta self-join form of insight 27 (insight_transkrip.sql:304-322).
+
+    Non-equi self-join on (same entity, strictly-later order) plus an
+    anti-join excluding any order strictly between — the hand-rolled
+    previous-row join, kept as an operator-coverage exhibit (theta join +
+    NOT EXISTS). Implemented via LAG which is semantically identical and
+    O(n log n) instead of O(n²) — at 100 TB the theta-join form is the
+    one you must NOT run; the window form is the scale path. The oracle
+    states the literal theta-join SQL to prove the equivalence.
+    """
+    w = _cust_order_window()
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey").alias("later_orderkey"),
+            F.lag("o_orderkey").over(w).alias("earlier_orderkey"),
+            F.col("o_totalprice").alias("later_price"),
+            F.lag("o_totalprice").over(w).alias("earlier_price"),
+        )
+        .filter(F.col("earlier_orderkey").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q28 — RANK within composite partition (insight_transkrip.sql:324-335)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q28_order_rank_within_month",
+    oracle="""
+    SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           o_totalprice,
+           RANK() OVER (PARTITION BY year(o_orderdate), month(o_orderdate)
+                        ORDER BY o_totalprice DESC) AS price_rank
+    FROM orders
+    """,
+)
+def q28_order_rank_within_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-semester ranking analog: RANK over (year, month) partitions.
+
+    Insight 28 (insight_transkrip.sql:324-335). RANK (with gaps) is
+    deterministic under ties, so no tie-break column is needed for
+    value-equality with the oracle.
+    """
+    w = Window.partitionBy(F.year("o_orderdate"), F.month("o_orderdate")).orderBy(
+        F.desc("o_totalprice")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            "o_totalprice",
+            F.rank().over(w).alias("price_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — window over aggregated rows (insight_transkrip.sql:337-356)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_biggest_monthly_drop",
+    oracle="""
+    SELECT * FROM (
+        SELECT order_year, order_month, avg_price,
+               ROUND(avg_price - LAG(avg_price) OVER (ORDER BY order_year, order_month), 2) AS price_drop
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   CAST(month(o_orderdate) AS INTEGER) AS order_month,
+                   ((2 * SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 100 + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) / 100.0 AS avg_price
+            FROM orders
+            GROUP BY order_year, order_month
+        ) monthly
+    ) d
+    WHERE price_drop IS NOT NULL
+    ORDER BY price_drop ASC, order_year ASC, order_month ASC
+    LIMIT 1
+    """,
+)
+def q29_biggest_monthly_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biggest collective drop analog: LAG over aggregated rows, LIMIT 1.
+
+    Insight 29 (insight_transkrip.sql:337-356): groupBy AVG, then a
+    global-window LAG over the aggregate output. The unpartitioned
+    window is safe precisely because its input is |years × months| rows
+    — aggregate first, window after (the order matters at scale).
+    """
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "order_year", "order_month", _round_div("_s", "_n * 100", 2).alias("avg_price")
+        )
+    )
+    w = Window.orderBy("order_year", "order_month")
+    return (
+        monthly.select(
+            "order_year",
+            "order_month",
+            "avg_price",
+            F.round(F.col("avg_price") - F.lag("avg_price").over(w), 2).alias("price_drop"),
+        )
+        .filter(F.col("price_drop").isNotNull())
+        .orderBy(F.asc("price_drop"), F.asc("order_year"), F.asc("order_month"))
+        .limit(1)
+    )

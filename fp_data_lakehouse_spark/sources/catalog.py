@@ -1,0 +1,46 @@
+"""Table catalog over the driver parquet fixtures.
+
+The reference's "sources" are a directory scan of PDFs plus hand-rolled
+JDBC sinks (SURVEY.md §2.1, reference ETL_FINAL.py:137-145). Here every
+table is a columnar parquet scan — Catalyst pushes predicates and prunes
+columns into the scan, which is the 100 TB-relevant property: a query
+touching 2 columns of lineitem must read 2 columns, not 11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tiny dimension tables that should always broadcast in star joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table."""
+    tune(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the fixture tables as temp views for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
