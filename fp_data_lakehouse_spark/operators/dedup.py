@@ -1,0 +1,351 @@
+"""Deduplication operators over the documents table: exact, n-gram
+Jaccard, MinHash+LSH banding, SimHash — the curation core of a
+training-data pipeline.
+
+Scale design:
+- Exact dedup is a hash groupBy on a fingerprint column (one shuffle of
+  (hash, doc_id) pairs, never of document text).
+- N-gram Jaccard is the exact quadratic-free formulation: explode
+  distinct shingles, self-join on shingle, count per pair — work is
+  proportional to Σ per-shingle df², not |docs|². At 100 TB you cap
+  hyper-frequent shingles (df cutoff) and/or go through MinHash first;
+  here the exact form is the oracle-checked ground truth.
+- MinHash+LSH: deterministic md5-derived base hashes (engine-portable,
+  partition-order independent), k=32 signature, 8 bands × 4 rows;
+  candidates = pairs sharing a band key (a groupBy, not a cross join),
+  then exact-Jaccard verification of candidates only. Precision is
+  exact by construction; recall is probabilistic (pytest measures it
+  against the exact operator).
+- SimHash: 64-bit signature via per-token md5 bit votes; near-dup
+  candidates share one of four 16-bit chunks (banding again), verified
+  by Hamming distance.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared shingling
+# ---------------------------------------------------------------------------
+
+_TOKENS = "split(lower(trim(text)), '\\\\s+')"
+# 3-word shingles, distinct per document (set semantics for Jaccard).
+# NB: guarded with IF because Spark's sequence(1, 0) yields a DESCENDING
+# [1, 0] rather than an empty array.
+_SHINGLES = (
+    f"IF(size({_TOKENS}) >= 3,"
+    f" array_distinct(transform(sequence(1, size({_TOKENS}) - 2),"
+    f" i -> concat_ws(' ', element_at({_TOKENS}, i),"
+    f" element_at({_TOKENS}, i + 1), element_at({_TOKENS}, i + 2)))),"
+    f" array())"
+)
+
+_TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKENS_SQL}) - 1, 1)),"
+    f" i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]))"
+)
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+
+
+_SHINGLE_ROWS_SQL = f"""
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents
+        WHERE len({_TOKENS_SQL}) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd01_exact_dup_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    HAVING COUNT(*) > 1
+    """,
+)
+def dd01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by normalized-text fingerprint; keeps the
+    lowest doc_id per group. Empty result on a dup-free corpus is the
+    correct answer, not a degenerate case."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@register(
+    "dd02_exact_dedup_keep",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dd02_exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-list of exact dedup: one representative (min doc_id) per
+    normalized-text group. groupBy on the 16-byte fingerprint — the
+    shuffle carries (fp, doc_id), not text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+# Threshold 0.5 expressed as an integer predicate (2*common >= union) so
+# no float comparison sits on the decision boundary.
+_JACCARD_NUM, _JACCARD_DEN = 1, 2
+
+
+@register(
+    "dd03_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_id_a = sa.doc_id
+    JOIN sizes sb ON doc_id_b = sb.doc_id
+    WHERE {_JACCARD_DEN} * n_common >= {_JACCARD_NUM} * (sa.n + sb.n - n_common)
+    """,
+)
+def dd03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard >= 0.5 pairs.
+
+    shingle-explode → equi-join on shingle → per-pair intersection count
+    → set-size join → integer-threshold filter. The jaccard column is an
+    exact int/int division (engine-identical doubles, no rounding)."""
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+        .filter(
+            _JACCARD_DEN * F.col("n_common")
+            >= _JACCARD_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (approximate; rows-only driver check + pytest recall)
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime modulus: with a, b < 2^31 and h reduced mod p,
+# a*h + b < 2^62 — no silent 64-bit overflow anywhere in the fold.
+_MINHASH_P = (1 << 31) - 1
+_K = 32  # signature length
+_BANDS = 8  # 8 bands x 4 rows
+_ROWS_PER_BAND = _K // _BANDS
+
+# Fixed permutation parameters: seeded, baked at import → identical on
+# every executor and every run (never derive randomness at task time).
+_rng = random.Random(20240713)
+_PERMS = [(_rng.randrange(1, _MINHASH_P), _rng.randrange(0, _MINHASH_P)) for _ in range(_K)]
+
+
+def _minhash_signature_col() -> F.Column:
+    """k minhash values over the shingle set.
+
+    Base hash: first 15 hex chars of md5 (60 bits, fits a long) — fully
+    deterministic and portable, unlike hash() whose seed/impl is engine
+    internal. Permutations: (a * (h mod p) + b) mod p, p = 2^31 - 1.
+    """
+    base = (
+        "transform(shingles, s ->"
+        f" pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), {_MINHASH_P}))"
+    )
+    mins = ", ".join(
+        f"aggregate({base}, cast({_MINHASH_P} as bigint),"
+        f" (acc, h) -> least(acc, pmod({a} * h + {b}, {_MINHASH_P})))"
+        for a, b in _PERMS
+    )
+    return F.expr(f"array({mins})")
+
+
+@register("dd04_minhash_lsh_pairs")
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4) candidate pairs, verified by exact
+    Jaccard >= 0.5 on the candidate set only.
+
+    Non-SQL-expressible for the driver oracle (no portable SQL twin of
+    the banded self-join); pytest checks precision == exact-operator
+    subset and measures recall. At 100 TB this replaces dd03: the band
+    groupBy shuffles (band_key, doc_id) only, candidate verification
+    touches a vanishing fraction of pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    sig = sh.select("doc_id", "shingles", _minhash_signature_col().alias("sig"))
+
+    # band key: md5 of the band's slice of the signature
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_BANDS - 1}),"
+                f" b -> struct(b as band, md5(concat_ws(',', transform(slice(sig,"
+                f" b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}), x -> cast(x as string)))) as key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification of candidates only
+    sets_a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sets_b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sets_a, "doc_id_a")
+        .join(sets_b, "doc_id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .filter(_JACCARD_DEN * F.col("n_common") >= _JACCARD_NUM * F.col("n_union"))
+    )
+    return verified.select(
+        "doc_id_a",
+        "doc_id_b",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (approximate; rows-only driver check + pytest invariants)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # md5-derived base hashes carry 60 usable bits
+_HAMMING_MAX = 3
+_CHUNKS = 4  # 4 x 15-bit chunks; near-dups must share at least one
+
+
+@register("dd05_simhash_signatures")
+def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document: per-token md5-derived hashes vote
+    ±1 per bit position; the sign vector packs into one long.
+
+    Computed with two nested higher-order folds (tokens × bits) entirely
+    JVM-side. Deterministic across engines/partitions (md5 base)."""
+    docs = load_table(spark, sf_dir, "documents")
+    token_hashes = (
+        f"transform({_TOKENS}, t ->"
+        f" cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    # votes[b] = Σ_t (bit b of h(t) ? 1 : -1); simhash bit b = votes[b] > 0
+    votes = (
+        f"transform(sequence(0, {_SIMHASH_BITS - 1}), b ->"
+        f" aggregate({token_hashes}, 0,"
+        f" (acc, h) -> acc + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1"
+        f" THEN 1 ELSE -1 END))"
+    )
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, {_SIMHASH_BITS - 1}),"
+        f" (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),"
+        f" 0L, (acc, x) -> acc + x)"
+    )
+    return docs.select("doc_id", F.expr(packed).alias("simhash"))
+
+
+@register("dd06_simhash_near_pairs")
+def dd06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of 4 15-bit chunks
+    (pigeonhole guarantees recall for Hamming distance <= 3), verified
+    by exact Hamming <= 3 via bit_count(xor)."""
+    sigs = dd05_simhash_signatures(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_CHUNKS - 1}), c ->"
+                f" struct(c as chunk, pmod(shiftright(simhash, c * 15), 32768) as key))"
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

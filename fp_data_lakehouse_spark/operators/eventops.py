@@ -1,0 +1,165 @@
+"""Event analytics over the events table — the batch twins of the
+Structured Streaming operators in ``streaming/`` (identical semantics;
+the streaming module reuses these aggregation shapes with watermarks).
+
+Timestamps: the fixtures store naive UTC instants; every session this
+package touches is pinned to UTC (session.tune), and outputs expose
+epoch seconds (engine-neutral integers), never local-rendered strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_SESSION_GAP_SEC = 30 * 60
+
+
+@register(
+    "ev01_hourly_tumbling_counts",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100 + (COUNT(*) * 100))
+            // (2 * (COUNT(*) * 100))) / 100.0 AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev01_hourly_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts and mean value per event type, via
+    the real ``window()`` function (same operator Structured Streaming
+    uses); output keyed by the window-start epoch. Exact integer-cents
+    mean (see operators/relational.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_s"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+            (
+                F.expr("(2 * _s * 100 + (n_events * 100)) div (2 * (n_events * 100))") / 100.0
+            ).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "ev02_user_sessions",
+    oracle=f"""
+    WITH ordered AS (
+        -- floor(): Spark unix_timestamp truncates sub-second fractions,
+        -- while a bare DuckDB double->int cast would round-to-nearest
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+               LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > {_SESSION_GAP_SEC}
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT *, CAST(SUM(is_new) OVER
+                   (PARTITION BY user_id ORDER BY ep, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ep) AS session_start_epoch,
+           MAX(ep) - MIN(ep) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def ev02_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: LAG flags session
+    starts, a running sum numbers sessions, one groupBy rolls them up —
+    the classic two-window + one-shuffle formulation (all three steps
+    share the user_id partitioning, so Spark plans a single exchange)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    sessions = (
+        events.select("user_id", "event_id", F.unix_timestamp("ts").alias("ep"))
+        .withColumn("prev_ep", F.lag("ep").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ep").isNull() | (F.col("ep") - F.col("prev_ep") > _SESSION_GAP_SEC),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ep").alias("session_start_epoch"),
+        (F.max("ep") - F.min("ep")).alias("duration_sec"),
+    )
+
+
+@register(
+    "ev03_top_events_per_type_day",
+    oracle="""
+    SELECT event_type, day_epoch, event_id, value, rn FROM (
+        SELECT event_type,
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+               event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY value DESC, event_id ASC) AS rn
+        FROM events
+    ) t WHERE rn <= 3
+    """,
+)
+def ev03_top_events_per_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per (type, day): row_number over a composite
+    partition with a deterministic tie-break."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.date_trunc("day", "ts")).orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        events.select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "ev04_error_rate_by_user_bucket",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def ev04_error_rate_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a derived bucket key; the error/total
+    pair stays integer so any downstream rate is engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,256 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- sim01: brute-force cosine top-k — the exact baseline, oracle-checked
+  against DuckDB with the dot/norm folds written in the identical
+  sequential order on both sides (bit-identical doubles, no rounding).
+- sim02: random-hyperplane LSH ANN — the scale path: bucket by sign
+  bits of fixed projections, rank within buckets only. Approximate →
+  rows-only driver check + pytest recall against sim01.
+- sim03: nearest-centroid assignment (IVF coarse quantizer shape):
+  centroids from the label column, exact assignment.
+
+Scale notes: probes broadcast (they are the small side by definition);
+the embedding table is scanned once per query, never self-joined. The
+per-probe top-k goes through a window over the probe partition — with
+P probes and N vectors the shuffle is the (probe, candidate) pairs
+after bucket pruning, not P×N.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_DIM = 64
+_TOP_K = 10
+_N_PROBES = 5  # probe set: vec_id < 5
+
+# Sequential left folds, identical shape on both engines → identical
+# doubles. (No float reassociation: aggregate() is an ordered fold.)
+_DOT = (
+    "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM = "sqrt(aggregate({v}, cast(0.0 as double), (acc, x) -> acc + x * x))"
+
+_COSINE = f"{_DOT} / ({_NORM.format(v='a')} * {_NORM.format(v='b')})"
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, 65), i -> a[i] * b[i])), (acc, v) -> acc + v)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform({v}, x -> x * x)), (acc, v) -> acc + v))"
+)
+_COSINE_SQL = f"{_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')})"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float32 -> float64 once, up front: fold arithmetic then matches
+    # DuckDB's DOUBLE list math exactly (float->double is value-exact).
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+
+
+@register(
+    "sim01_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS candidate_id,
+               p.vec AS a, c.vec AS b
+        FROM v p JOIN v c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {_N_PROBES}
+    ),
+    scored AS (
+        SELECT probe_id, candidate_id, {_COSINE_SQL} AS cosine
+        FROM pairs
+    )
+    SELECT probe_id, candidate_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY cosine DESC, candidate_id ASC) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {_TOP_K}
+    """,
+)
+def sim01_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for probe vectors (vec_id < 5): broadcast the
+    probes against one scan of the corpus, ordered-fold dot/norms,
+    row_number top-k with a deterministic tie-break."""
+    v = _vectors(spark, sf_dir)
+    probes = v.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("a")
+    )
+    cands = v.select(F.col("vec_id").alias("candidate_id"), F.col("vec").alias("b"))
+    scored = (
+        cands.join(F.broadcast(probes), F.col("candidate_id") != F.col("probe_id"))
+        .withColumn("cosine", F.expr(_COSINE))
+        .select("probe_id", "candidate_id", "cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "candidate_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sign-bit buckets)
+# ---------------------------------------------------------------------------
+
+_LSH_BANDS = 8
+_LSH_BITS = 4  # bits per band -> 16 buckets per band; 8 chances to collide
+# (recall for a neighbor with bit-agreement p is 1-(1-p^4)^8: ~0.83 at
+# p=2/3, ~0.99 at p=0.8 — measured ~0.14 with the 4x6 configuration)
+
+# Fixed hyperplanes baked at import from a seeded RNG: identical on every
+# executor, every run, every engine.
+_rng = random.Random(20240801)
+_PLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_LSH_BANDS * _LSH_BITS)
+]
+
+
+def _band_key_expr(vec_col: str, band: int) -> str:
+    """Sign-bit bucket id of one band: integer in [0, 2^bits)."""
+    bits = []
+    for j in range(_LSH_BITS):
+        plane = _PLANES[band * _LSH_BITS + j]
+        arr = "array(" + ", ".join(f"cast({w!r} as double)" for w in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"IF({dot} > 0, {1 << j}, 0)")
+    return " + ".join(bits)
+
+
+@register("sim02_cosine_topk_lsh")
+def sim02_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH: candidates share a sign-bit
+    bucket with the probe in at least one of 8 bands; exact cosine
+    re-ranking within candidates only.
+
+    At 100 TB the bucket equi-join replaces the P×N cross product with
+    Σ per-bucket |probes|·|candidates|; recall tunes with bands × bits (8×4 here)
+    (pytest measures it against sim01 on the clustered fixture).
+    Approximate — no SQL oracle; the driver records rows-only.
+    """
+    v = _vectors(spark, sf_dir)
+    banded = v.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.expr(_band_key_expr("vec", band)).alias("key"),
+                    )
+                    for band in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    probes = banded.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("a"), "band", "key"
+    )
+    cands = banded.select(
+        F.col("vec_id").alias("candidate_id"), F.col("vec").alias("b"), "band", "key"
+    )
+    pairs = (
+        cands.join(F.broadcast(probes), ["band", "key"])
+        .filter(F.col("candidate_id") != F.col("probe_id"))
+        .select("probe_id", "candidate_id", "a", "b")
+        .dropDuplicates(["probe_id", "candidate_id"])
+    )
+    scored = pairs.withColumn("cosine", F.expr(_COSINE)).select(
+        "probe_id", "candidate_id", "cosine"
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "candidate_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid assignment (IVF coarse quantizer shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim03_label_centroid_assignment",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    grouped AS (
+        SELECT label AS centroid_label, list(vec ORDER BY vec_id) AS vlist, COUNT(*) AS n
+        FROM v GROUP BY label
+    ),
+    centroids AS (
+        SELECT centroid_label,
+               list_transform(range(1, 65),
+                   i -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(vlist, vv -> vv[i])), (acc, x) -> acc + x) / n)
+               AS cvec
+        FROM grouped
+    ),
+    pairs AS (
+        SELECT v.vec_id, v.label, c.centroid_label, v.vec AS a, c.cvec AS b
+        FROM v CROSS JOIN centroids c
+    ),
+    scored AS (
+        SELECT vec_id, label, centroid_label, {_COSINE_SQL} AS cosine FROM pairs
+    )
+    SELECT vec_id, label, centroid_label AS assigned_label, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, centroid_label ASC) AS rn
+        FROM scored
+    ) r WHERE rn = 1
+    """,
+)
+def sim03_label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each vector to its nearest label centroid by cosine — the
+    coarse-quantizer step of an IVF index, exact and oracle-checked.
+
+    Centroid = elementwise mean with a fixed summation order (vec_id) so
+    both engines fold identically; assignment broadcasts the |labels|
+    centroids against one corpus scan.
+    """
+    v = _vectors(spark, sf_dir)
+    # ordered elementwise sum: collect per-label vectors sorted by vec_id,
+    # fold sequentially (deterministic), divide by count.
+    per_label = v.groupBy("label").agg(
+        F.expr("sort_array(collect_list(struct(vec_id, vec)))").alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    centroids = per_label.select(
+        F.col("label").alias("centroid_label"),
+        F.expr(
+            "transform(sequence(1, 64), i -> aggregate(vs, cast(0.0 as double),"
+            " (acc, s) -> acc + element_at(s.vec, i)) / n)"
+        ).alias("cvec"),
+    )
+    scored = (
+        v.select("vec_id", "label", F.col("vec").alias("a"))
+        .crossJoin(F.broadcast(centroids.select("centroid_label", F.col("cvec").alias("b"))))
+        .withColumn("cosine", F.expr(_COSINE))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("centroid_label").alias("assigned_label"), "cosine")
+    )

@@ -1,0 +1,206 @@
+"""Text-analysis operators over the documents table: language ID,
+quality scoring, token counting, fingerprinting (the curation layer a
+training-data pipeline runs before dedup/filtering).
+
+All per-row column expressions — at 100 TB these are embarrassingly
+parallel map work fused into the parquet scan; the only aggregations
+(the corpus rollup) are small-group reduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-hit heuristic + CJK script check)
+# ---------------------------------------------------------------------------
+
+_LANG_ORDER = ("en", "es", "fr", "de")  # deterministic argmax preference
+
+
+@register(
+    "tx01_language_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+             WHEN s_fr >= s_de THEN 'fr'
+             ELSE 'de'
+           END AS pred_lang
+    FROM (
+        SELECT doc_id, lang, text,
+               {X.stopword_hits_sql("en")} AS s_en,
+               {X.stopword_hits_sql("es")} AS s_es,
+               {X.stopword_hits_sql("fr")} AS s_fr,
+               {X.stopword_hits_sql("de")} AS s_de
+        FROM documents
+    ) scored
+    """,
+)
+def tx01_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with a CJK-script fast path.
+
+    The classic cheap lang-ID: count per-language stopword hits over the
+    token stream, argmax with a fixed preference order for ties; han
+    characters short-circuit to 'zh'. Pure map work.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        *[X.stopword_hits(lang).alias(f"s_{lang}") for lang in _LANG_ORDER],
+    )
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_de")), "es")
+        .when(F.col("s_fr") >= F.col("s_de"), "fr")
+        .otherwise("de")
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx02_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST({X.word_count_sql()} AS BIGINT) AS n_words,
+           CAST({X.punct_count_sql()} AS BIGINT) AS n_punct,
+           CAST({X.stopword_hits_sql("en")} AS BIGINT) AS n_stopwords
+    FROM documents
+    """,
+)
+def tx02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, word count, punctuation
+    count, stopword count — the raw inputs of heuristic quality filters
+    (length bounds, punct ratio, stopword ratio). Counts stay integer so
+    the downstream ratios are engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        X.word_count().cast("long").alias("n_words"),
+        X.punct_count().cast("long").alias("n_punct"),
+        X.stopword_hits("en").cast("long").alias("n_stopwords"),
+    )
+
+
+@register(
+    "tx03_quality_filter",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               {X.word_count_sql()} AS n_words,
+               {X.punct_count_sql()} AS n_punct
+        FROM documents
+    ) q
+    WHERE n_chars BETWEEN 100 AND 20000
+      AND n_words >= 20
+      AND n_punct * 10 <= n_chars
+    """,
+)
+def tx03_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-set of a heuristic quality filter: length window, minimum
+    word count, punctuation below 10% of characters. Integer-ratio
+    comparison (n_punct*10 <= n_chars) avoids float division entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        X.word_count().alias("n_words"),
+        X.punct_count().alias("n_punct"),
+    )
+    return q.filter(
+        F.col("n_chars").between(100, 20000)
+        & (F.col("n_words") >= 20)
+        & (F.col("n_punct") * 10 <= F.col("n_chars"))
+    ).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx04_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({X.word_count_sql()} AS BIGINT) AS ws_tokens,
+           CAST({X.bpe_ish_token_count_sql()} AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def tx04_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish proxy (alpha runs / digit runs /
+    single symbols) — the budget-estimation pass of a training pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.word_count().cast("long").alias("ws_tokens"),
+        X.bpe_ish_token_count().cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "tx05_corpus_token_budget",
+    oracle=f"""
+    SELECT source, CAST(SUM({X.word_count_sql()}) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def tx05_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per source: the rollup feeding sampling weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(X.word_count()).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx06_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS md5_fp,
+           CAST({X.rolling_hash_sql()} AS BIGINT) AS rolling_fp
+    FROM documents
+    """,
+)
+def tx06_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two document fingerprints: md5 of normalized text (exact-dup key)
+    and an order-sensitive rolling hash over the token stream (cheap
+    near-identity signature; engine-portable left fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("md5_fp"),
+        X.rolling_hash().cast("long").alias("rolling_fp"),
+    )

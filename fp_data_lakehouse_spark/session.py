@@ -30,6 +30,10 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas interchange (Pandas UDFs, toPandas in tests/bench).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects by default; read as long and normalize in the
+    # catalog (sources/catalog.py) — value-lossless.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

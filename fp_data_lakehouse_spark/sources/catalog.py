@@ -10,6 +10,7 @@ touching 2 columns of lineitem must read 2 columns, not 11.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import tune
 
@@ -31,9 +32,19 @@ BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one fixture table."""
+    """Lazy parquet scan of one fixture table.
+
+    The events table ships TIMESTAMP(NANOS), which the Spark parquet
+    reader only admits as a raw long (nanosAsLong, set in session.tune);
+    normalize it back to a microsecond timestamp here so every consumer
+    sees a plain TimestampType column.
+    """
     tune(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division: nanos ~1.7e18 exceed double precision (2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

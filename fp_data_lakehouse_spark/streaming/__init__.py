@@ -1,0 +1,13 @@
+from .events import (
+    hourly_tumbling_counts_stream,
+    read_events_stream,
+    run_stream_to_memory,
+    sliding_counts_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_tumbling_counts_stream",
+    "sliding_counts_stream",
+    "run_stream_to_memory",
+]

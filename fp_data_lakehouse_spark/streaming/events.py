@@ -1,0 +1,112 @@
+"""Structured Streaming over the events stream.
+
+The reference is batch-only (SURVEY.md §2.6: no streams), so this is
+the extension surface: file-source readStream → watermarked windowed
+aggregations → any sink. The aggregation bodies intentionally mirror
+the batch twins in ``operators/eventops.py`` — same grouping keys, same
+measures — so the streaming results converge to the batch answers once
+all data is ingested (verified in tests/test_streaming.py via a memory
+sink against ev01).
+
+Scale/semantics notes:
+- Watermark bounds state: with a 2-hour watermark and 1-hour windows
+  the state store retains ~3 window generations per key group;
+  late-beyond-watermark events are dropped (the documented policy).
+- File source + checkpointLocation gives exactly-once to transactional
+  sinks; the memory sink in tests is at-least-once and test-only.
+- applyInPandasWithState is the escape hatch for custom state machines
+  (the sessionization twin of ev02); the lag-based batch formulation
+  covers the fixtures, so the stateful variant ships as the documented
+  pattern in ``multimodal``/future rounds rather than a stub here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import tune
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (fixture physical type)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files,
+    normalized to a proper timestamp column (same nanos handling as the
+    batch catalog)."""
+    tune(spark)
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_tumbling_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ev01_hourly_tumbling_counts: 1-hour tumbling
+    windows with a late-data watermark; emits the same schema."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_s"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+            (
+                F.expr("(2 * _s * 100 + (n_events * 100)) div (2 * (n_events * 100))") / 100.0
+            ).alias("avg_value"),
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding-window variant (1-hour windows every 15 minutes): each
+    event contributes to 4 overlapping windows — the standard smoothed
+    rate signal."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, source_dir: str, query_name: str, variant: str = "tumbling"
+):
+    """Test/demo driver: run a windowed aggregation over the file source
+    into a memory sink (complete mode) and block until all available
+    input is processed. Returns the StreamingQuery (caller stops it)."""
+    events = read_events_stream(spark, source_dir)
+    agg = (
+        hourly_tumbling_counts_stream(events)
+        if variant == "tumbling"
+        else sliding_counts_stream(events)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,92 @@
+"""Quality gates for the approximate operators (no SQL oracle exists):
+MinHash-LSH and SimHash against their exact counterparts, LSH-ANN recall
+against brute force, plus determinism across independent runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fp_data_lakehouse_spark.operators.dedup import (
+    dd03_ngram_jaccard_pairs,
+    dd04_minhash_lsh_pairs,
+    dd05_simhash_signatures,
+    dd06_simhash_near_pairs,
+)
+from fp_data_lakehouse_spark.operators.similarity import (
+    sim01_cosine_topk_bruteforce,
+    sim02_cosine_topk_lsh,
+)
+
+from .conftest import SF_ORACLE
+
+
+def _pairs(df):
+    return {(r.doc_id_a, r.doc_id_b) for r in df.select("doc_id_a", "doc_id_b").collect()}
+
+
+def test_minhash_precision_is_exact_subset(spark):
+    """dd04 verifies candidates with exact Jaccard, so every emitted pair
+    must appear in the exact operator's output (precision == 1)."""
+    exact = _pairs(dd03_ngram_jaccard_pairs(spark, SF_ORACLE))
+    approx = _pairs(dd04_minhash_lsh_pairs(spark, SF_ORACLE))
+    assert approx <= exact
+
+
+def test_minhash_recall_on_synthetic_dups(spark):
+    """Recall check on planted near-duplicates: append shuffled-suffix
+    copies of real docs (Jaccard >= 0.5 vs the original by construction)
+    and require LSH to surface most of them."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(20)
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        # near-dup: original text plus a tiny suffix — shingle sets
+        # almost identical
+        F.concat("text", F.lit(" extra tail token")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.unionByName(copies).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        for name in ("region",):  # catalog only touches requested tables
+            pass
+        exact = _pairs(dd03_ngram_jaccard_pairs(spark, tmp))
+        approx = _pairs(dd04_minhash_lsh_pairs(spark, tmp))
+        planted = {(a, b) for (a, b) in exact if int(b) - int(a) == 100000}
+        assert len(planted) >= 15, "fixture should plant >= 15 near-dup pairs"
+        found = planted & approx
+        recall = len(found) / len(planted)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} below floor"
+
+
+def test_simhash_deterministic_and_sane(spark):
+    a = {r.doc_id: r.simhash for r in dd05_simhash_signatures(spark, SF_ORACLE).collect()}
+    b = {r.doc_id: r.simhash for r in dd05_simhash_signatures(spark, SF_ORACLE).collect()}
+    assert a == b  # bit-stable across runs
+    assert len(set(a.values())) > len(a) // 2  # not collapsing
+
+
+def test_simhash_near_pairs_verified(spark):
+    pairs = dd06_simhash_near_pairs(spark, SF_ORACLE)
+    assert pairs.filter(F.col("hamming") > 3).count() == 0
+    sigs = {r.doc_id: r.simhash for r in dd05_simhash_signatures(spark, SF_ORACLE).collect()}
+    for r in pairs.limit(20).collect():
+        assert bin(sigs[r.doc_id_a] ^ sigs[r.doc_id_b]).count("1") == r.hamming
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Hyperplane-LSH top-10 must recover most of the exact top-10 on the
+    clustered embedding fixture."""
+    exact = sim01_cosine_topk_bruteforce(spark, SF_ORACLE)
+    approx = sim02_cosine_topk_lsh(spark, SF_ORACLE)
+    e = {(r.probe_id, r.candidate_id) for r in exact.collect()}
+    a = {(r.probe_id, r.candidate_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
+    # every ANN hit must carry the exact cosine (re-ranking is exact)
+    ec = {(r.probe_id, r.candidate_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.probe_id, r.candidate_id) in ec:
+            assert abs(ec[(r.probe_id, r.candidate_id)] - r.cosine) < 1e-12
