@@ -37,14 +37,20 @@ from .registry import register
 
 _TOKENS = "split(lower(trim(text)), '\\\\s+')"
 # 3-word shingles, distinct per document (set semantics for Jaccard).
-# NB: guarded with IF because Spark's sequence(1, 0) yields a DESCENDING
-# [1, 0] rather than an empty array.
+# The token array is LET-BOUND via a single-element-array transform
+# lambda: a plain column alias gets inlined by CollapseProject /
+# predicate pushdown, re-evaluating split() inside every shingle lambda
+# (O(tokens^2) regex work per row — measured 10 split() copies in the
+# optimized plan); a lambda-bound variable is evaluated exactly once.
+# IF-guarded because Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+# rather than an empty array.
 _SHINGLES = (
-    f"IF(size({_TOKENS}) >= 3,"
-    f" array_distinct(transform(sequence(1, size({_TOKENS}) - 2),"
-    f" i -> concat_ws(' ', element_at({_TOKENS}, i),"
-    f" element_at({_TOKENS}, i + 1), element_at({_TOKENS}, i + 2)))),"
-    f" array())"
+    f"element_at(transform(array({_TOKENS}), toks ->"
+    " IF(size(toks) >= 3,"
+    " array_distinct(transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', element_at(toks, i),"
+    " element_at(toks, i + 1), element_at(toks, i + 2)))),"
+    " array())), 1)"
 )
 
 _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -54,12 +60,27 @@ _SHINGLES_SQL = (
 )
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array) with the tokenization done exactly once
+    per document (see the let-binding note on _SHINGLES).
+
+    The scan is hash-repartitioned by doc_id BEFORE the CPU-heavy
+    shingle/hash expressions: a small parquet input arrives as few scan
+    tasks, which would serialize the per-document work. An explicit
+    partition count keeps AQE from coalescing it back to one task. Cost
+    is one shuffle of the compact (doc_id, text) pairs; on a cluster it
+    also evens out skewed file sizes before the expensive map work."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -199,22 +220,26 @@ _PERMS = [(_rng.randrange(1, _MINHASH_P), _rng.randrange(0, _MINHASH_P)) for _ i
 
 
 def _minhash_signature_col() -> F.Column:
-    """k minhash values over the shingle set.
+    """k minhash values over the shingle set, as ONE fold.
 
     Base hash: first 15 hex chars of md5 (60 bits, fits a long) — fully
     deterministic and portable, unlike hash() whose seed/impl is engine
     internal. Permutations: (a * (h mod p) + b) mod p, p = 2^31 - 1.
+
+    Shape matters: a single aggregate over the base-hash array carrying
+    a k-vector accumulator (zip_with against the literal permutation
+    table) hashes each shingle once. The naive form — k independent
+    aggregates — would re-materialize the md5 transform k times.
     """
-    base = (
+    perms = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in _PERMS)
+    return F.expr(
+        "aggregate("
         "transform(shingles, s ->"
-        f" pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), {_MINHASH_P}))"
+        f" pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), {_MINHASH_P})),"
+        f" array_repeat(cast({_MINHASH_P} as bigint), {_K}),"
+        f" (acc, h) -> zip_with(acc, array({perms}),"
+        f" (m, p) -> least(m, pmod(p.a * h + p.b, {_MINHASH_P}))))"
     )
-    mins = ", ".join(
-        f"aggregate({base}, cast({_MINHASH_P} as bigint),"
-        f" (acc, h) -> least(acc, pmod({a} * h + {b}, {_MINHASH_P})))"
-        for a, b in _PERMS
-    )
-    return F.expr(f"array({mins})")
 
 
 @register("dd04_minhash_lsh_pairs")
@@ -228,10 +253,7 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy shuffles (band_key, doc_id) only, candidate verification
     touches a vanishing fraction of pairs.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    sh = _doc_shingle_sets(spark, sf_dir)
     sig = sh.select("doc_id", "shingles", _minhash_signature_col().alias("sig"))
 
     # band key: md5 of the band's slice of the signature
@@ -291,26 +313,34 @@ def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document: per-token md5-derived hashes vote
     ±1 per bit position; the sign vector packs into one long.
 
-    Computed with two nested higher-order folds (tokens × bits) entirely
-    JVM-side. Deterministic across engines/partitions (md5 base)."""
-    docs = load_table(spark, sf_dir, "documents")
-    token_hashes = (
-        f"transform({_TOKENS}, t ->"
-        f" cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    ONE fold over the token-hash array carrying the 60-long vote vector
+    (zip_with per token), then one zip_with to pack sign bits. Each
+    token is md5-hashed exactly once; the naive per-bit formulation
+    (60 aggregates, each re-deriving the hash array) is 60× the work.
+    Entirely JVM-side, deterministic across engines/partitions."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     # votes[b] = Σ_t (bit b of h(t) ? 1 : -1); simhash bit b = votes[b] > 0
     votes = (
-        f"transform(sequence(0, {_SIMHASH_BITS - 1}), b ->"
-        f" aggregate({token_hashes}, 0,"
-        f" (acc, h) -> acc + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1"
-        f" THEN 1 ELSE -1 END))"
+        "aggregate(hashes,"
+        f" array_repeat(0, {_SIMHASH_BITS}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_BITS - 1}),"
+        " (v, b) -> v + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1"
+        " THEN 1 ELSE -1 END))"
     )
     packed = (
         f"aggregate(zip_with({votes}, sequence(0, {_SIMHASH_BITS - 1}),"
-        f" (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),"
-        f" 0L, (acc, x) -> acc + x)"
+        " (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),"
+        " 0L, (acc, x) -> acc + x)"
     )
-    return docs.select("doc_id", F.expr(packed).alias("simhash"))
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"transform({_TOKENS}, t ->"
+            " cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+        ).alias("hashes"),
+    ).select("doc_id", F.expr(packed).alias("simhash"))
 
 
 @register("dd06_simhash_near_pairs")
