@@ -379,3 +379,128 @@ def dd06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact + LSH scale path)
+# ---------------------------------------------------------------------------
+
+_COSINE_DUP_THRESHOLD = 0.4
+
+
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, unit-norm vector): normalizing once per vector makes the
+    pairwise score a single dot-product fold instead of dot + 2 norms —
+    the norm work moves from O(pairs) to O(vectors)."""
+    from .similarity import _NORM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "element_at(transform(array(cast(embedding as array<double>)),"
+            f" v -> transform(v, x -> x / {_NORM.format(v='v')})), 1)"
+        ).alias("vec"),
+    )
+
+
+_UNIT_SQL = """
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+                        (acc, v) -> acc + v)))
+           AS vec
+    FROM embeddings
+"""
+
+_PAIR_DOT = "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+_PAIR_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, 65), i -> a[i] * b[i])), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "dd07_embedding_neardup_pairs",
+    oracle=f"""
+    WITH u AS ({_UNIT_SQL}),
+    pairs AS (
+        SELECT p.vec_id AS vec_id_a, q.vec_id AS vec_id_b,
+               p.vec AS a, q.vec AS b
+        FROM u p JOIN u q ON p.vec_id < q.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, cosine FROM (
+        SELECT vec_id_a, vec_id_b, {_PAIR_DOT_SQL} AS cosine FROM pairs
+    ) s
+    WHERE cosine >= {_COSINE_DUP_THRESHOLD}
+    """,
+)
+def dd07_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine >= 0.4) over the
+    full corpus: normalize once, broadcast one side, dot-product fold
+    per pair with both engines folding in the same sequential order.
+
+    This is the oracle ground truth; the all-pairs product is O(N^2)
+    and unusable at 100 TB — dd08 is the banded scale path."""
+    u = _unit_vectors(spark, sf_dir)
+    a = u.select(F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("a"))
+    b = u.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("b"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("cosine", F.expr(_PAIR_DOT))
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+@register("dd08_embedding_lsh_neardup")
+def dd08_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: candidate pairs
+    share a sign-bit bucket in >= 1 of 8 bands (same fixed hyperplanes
+    as sim02), then exact-cosine verification of candidates only.
+
+    Precision is exact by construction (every emitted pair is verified);
+    recall is probabilistic — pytest measures it against dd07. At scale
+    the band groupBy-join shuffles (band, key, vec_id) only; the N^2
+    product never materializes. Approximate → rows-only driver check."""
+    from .similarity import _LSH_BANDS, _band_key_expr
+
+    u = _unit_vectors(spark, sf_dir)
+    banded = u.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.expr(_band_key_expr("vec", band)).alias("key"),
+                    )
+                    for band in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b"))
+        .distinct()
+    )
+    sets_a = u.select(F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("a"))
+    sets_b = u.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("b"))
+    return (
+        candidates.join(sets_a, "vec_id_a")
+        .join(sets_b, "vec_id_b")
+        .withColumn("cosine", F.expr(_PAIR_DOT))
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )

@@ -11,6 +11,8 @@ from fp_data_lakehouse_spark.operators.dedup import (
     dd04_minhash_lsh_pairs,
     dd05_simhash_signatures,
     dd06_simhash_near_pairs,
+    dd07_embedding_neardup_pairs,
+    dd08_embedding_lsh_neardup,
 )
 from fp_data_lakehouse_spark.operators.similarity import (
     sim01_cosine_topk_bruteforce,
@@ -74,6 +76,26 @@ def test_simhash_near_pairs_verified(spark):
     sigs = {r.doc_id: r.simhash for r in dd05_simhash_signatures(spark, SF_ORACLE).collect()}
     for r in pairs.limit(20).collect():
         assert bin(sigs[r.doc_id_a] ^ sigs[r.doc_id_b]).count("1") == r.hamming
+
+
+def test_embedding_neardup_lsh_vs_exact(spark):
+    """dd08 verifies candidates with the exact dot product, so precision
+    is 1 by construction; recall against dd07 must clear the analytic
+    floor for 8 bands x 4 sign bits at cosine 0.4 (~0.75 expected)."""
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in dd07_embedding_neardup_pairs(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in dd08_embedding_lsh_neardup(spark, SF_ORACLE).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert len(exact) > 0, "fixture should contain near-dup pairs at 0.4"
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.4, f"embedding-LSH recall {recall:.2f} below floor"
+    for k, c in approx.items():
+        assert abs(exact[k] - c) < 1e-12  # verification uses the exact score
 
 
 def test_ann_recall_vs_bruteforce(spark):
