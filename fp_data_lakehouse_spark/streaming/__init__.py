@@ -4,10 +4,12 @@ from .events import (
     run_stream_to_memory,
     sliding_counts_stream,
 )
+from .stateful import sessionize_stream
 
 __all__ = [
     "read_events_stream",
     "hourly_tumbling_counts_stream",
     "sliding_counts_stream",
     "run_stream_to_memory",
+    "sessionize_stream",
 ]

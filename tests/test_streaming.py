@@ -8,8 +8,15 @@ import tempfile
 
 import pytest
 
-from fp_data_lakehouse_spark.operators.eventops import ev01_hourly_tumbling_counts
-from fp_data_lakehouse_spark.streaming import run_stream_to_memory
+from fp_data_lakehouse_spark.operators.eventops import (
+    ev01_hourly_tumbling_counts,
+    ev02_user_sessions,
+)
+from fp_data_lakehouse_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+)
 
 from .conftest import SF_ORACLE
 
@@ -37,6 +44,57 @@ def test_tumbling_stream_converges_to_batch(spark, events_dir):
         q.stop()
     want = _rows(ev01_hourly_tumbling_counts(spark, SF_ORACLE).collect())
     assert got == want
+
+
+def test_stateful_sessionization_matches_batch_closed_sessions(spark, events_dir):
+    """applyInPandasWithState sessionization must emit exactly the batch
+    operator's sessions, except each user's final session (still open in
+    the state store until the watermark passes — no further batch fires
+    in this single-ingest test, so it stays unemitted)."""
+    events = read_events_stream(spark, events_dir)
+    q = (
+        sessionize_stream(events)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start_epoch, r.n_events, r.duration_sec)
+            for r in spark.sql("SELECT * FROM sessions_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = ev02_user_sessions(spark, SF_ORACLE).collect()
+    last_session_id = {}
+    for r in batch:
+        last_session_id[r.user_id] = max(last_session_id.get(r.user_id, 0), r.session_id)
+    # Two emission paths: sessions closed by the gap rule inside the data
+    # batch, plus final sessions flushed by the event-time timeout in the
+    # no-data batch Spark runs after the watermark advances (watermark =
+    # max event time - 2h; timeout at last_ep + gap).
+    from pyspark.sql import functions as F
+
+    # the fixture stores nanos as int64; the stream's event-time column is
+    # micros, and Spark's watermark tracker truncates to millis
+    max_ms = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .agg(F.max(F.expr("ts div 1000000")))
+        .collect()[0][0]
+    )
+    watermark_ms = max_ms - 2 * 3600 * 1000
+    want = set()
+    for r in batch:
+        key = (r.user_id, r.session_start_epoch, r.n_events, r.duration_sec)
+        if r.session_id != last_session_id[r.user_id]:
+            want.add(key)  # closed by gap within the data batch
+        elif (r.session_start_epoch + r.duration_sec + 30 * 60) * 1000 < watermark_ms:
+            want.add(key)  # final session, flushed by timeout
+    assert got == want
+    assert len(got) > 0
 
 
 def test_sliding_stream_windows_overlap(spark, events_dir):
