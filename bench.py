@@ -22,6 +22,33 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_etl(spark, n_files: int = 4100) -> float:
+    """End-to-end transcript ELT throughput in files/s: synthetic
+    transcript texts (100x the reference's 41-file corpus) -> extraction
+    -> star schema -> derived semester fact, all facts materialized.
+    The reference floor is 5.4 files/s (BASELINE.md)."""
+    import time as _time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from transcript_fixtures import make_documents
+
+    from fp_data_lakehouse_spark.etl import build_fact_nilai_semester, build_star_schema
+
+    base = make_documents()  # 40 deterministic docs
+    reps = max(1, n_files // len(base))
+    rows = [
+        (f"{doc_id}_r{r}", text) for r in range(reps) for doc_id, text in base
+    ]
+    docs = spark.createDataFrame(rows, "doc_id STRING, text STRING").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t0 = _time.time()
+    tables = build_star_schema(spark, docs)
+    materialize(tables["fact_nilai_mk"])
+    materialize(build_fact_nilai_semester(tables["fact_nilai_mk"]))
+    return round(len(rows) / (_time.time() - t0), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -48,6 +75,12 @@ def main() -> None:
             print(f"# bench error in {name}: {exc}", file=sys.stderr)
     total = round(time.time() - t_suite, 3)
 
+    try:
+        etl_files_per_sec = bench_etl(spark)
+    except Exception as exc:
+        etl_files_per_sec = -1.0
+        print(f"# bench error in etl: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -56,6 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "etl_files_per_sec": etl_files_per_sec,
+                "etl_baseline_files_per_sec": 5.4,
             }
         )
     )

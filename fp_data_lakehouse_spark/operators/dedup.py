@@ -438,19 +438,49 @@ _PAIR_DOT_SQL = (
 )
 def dd07_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine >= 0.4) over the
-    full corpus: normalize once, broadcast one side, dot-product fold
-    per pair with both engines folding in the same sequential order.
+    full corpus, as a blocked matrix product: unit-normalize JVM-side
+    (identical sequential fold on both engines), broadcast the full
+    matrix, and score each Arrow batch against it with one numpy GEMM
+    in ``mapInPandas`` — vectorized floating point instead of 2M
+    interpreted dot folds (~40x at sf0.1). GEMM summation order differs
+    from a sequential fold by ~1 ulp; the oracle compare rounds to 6
+    decimals, which absorbs it.
 
     This is the oracle ground truth; the all-pairs product is O(N^2)
-    and unusable at 100 TB — dd08 is the banded scale path."""
+    and unusable at 100 TB (the broadcast side must fit an executor —
+    beyond that you tile both sides into block pairs). dd08 is the
+    banded scale path."""
+    import numpy as np
+    import pandas as pd
+
     u = _unit_vectors(spark, sf_dir)
-    a = u.select(F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("a"))
-    b = u.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("b"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
-        .withColumn("cosine", F.expr(_PAIR_DOT))
-        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
-        .select("vec_id_a", "vec_id_b", "cosine")
+    corpus = u.toPandas()
+    b_ids = spark.sparkContext.broadcast(corpus["vec_id"].to_numpy())
+    b_mat = spark.sparkContext.broadcast(
+        np.vstack(corpus["vec"].to_numpy()).astype(np.float64)
+    )
+
+    def score_blocks(batches):
+        ids_b = b_ids.value
+        mat_b = b_mat.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            ids_a = batch["vec_id"].to_numpy()
+            mat_a = np.vstack(batch["vec"].to_numpy()).astype(np.float64)
+            scores = mat_a @ mat_b.T
+            ai, bj = np.where(scores >= _COSINE_DUP_THRESHOLD)
+            keep = ids_a[ai] < ids_b[bj]
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": ids_a[ai[keep]],
+                    "vec_id_b": ids_b[bj[keep]],
+                    "cosine": scores[ai[keep], bj[keep]],
+                }
+            )
+
+    return u.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        score_blocks, schema="vec_id_a long, vec_id_b long, cosine double"
     )
 
 
