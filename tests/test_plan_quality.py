@@ -1,0 +1,109 @@
+"""Physical-plan regression suite: the 100 TB scale contract.
+
+Correctness tests prove the answers match; these prove the PLANS stay
+the ones designed for scale — broadcast star joins, pruned parquet
+scans, pushed-down filters, no cartesian products, no row-at-a-time
+Python. A regression here is invisible at sf0.001 runtime and fatal at
+100 TB, which is exactly why it's asserted in CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fp_data_lakehouse_spark.operators import REGISTRY
+from fp_data_lakehouse_spark.plans import (
+    count_op,
+    has_op,
+    physical_plan,
+    pushed_filters,
+    read_schemas,
+)
+
+from .conftest import SF_ORACLE
+
+
+def _df(spark, name):
+    return REGISTRY[name].builder(spark, SF_ORACLE)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_forbidden_operators(spark, name):
+    """No query may plan a cartesian product or row-at-a-time Python
+    eval (Arrow-batched ArrowEvalPython / mapInPandas are the sanctioned
+    Python paths)."""
+    plan = physical_plan(_df(spark, name))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_flagship_star_join_broadcasts_dims(spark):
+    """The 3-way star join must broadcast both dimension sides; a
+    shuffle join against customer-sized dims is wrong at any scale."""
+    df = _df(spark, "q02_top10_customers_by_avg_item_value")
+    assert count_op(df, "BroadcastHashJoin") >= 2
+    assert count_op(df, "SortMergeJoin") == 0
+
+
+def test_anti_join_keeps_fact_fact_as_shuffle_join(spark):
+    """q10's NOT-EXISTS anti-join is lineitem-vs-lineitem: the fact-fact
+    side must NOT be broadcast (it scales with the data), while the
+    customer/orders dims still broadcast."""
+    df = _df(spark, "q10_returned_never_reordered")
+    plan = physical_plan(df)
+    anti_lines = [
+        ln for ln in plan.splitlines() if "LeftAnti" in ln and "Join" in ln
+    ]
+    assert anti_lines, "expected an anti-join in the plan"
+    assert all(
+        "SortMergeJoin" in ln or "ShuffledHashJoin" in ln for ln in anti_lines
+    ), f"fact-fact anti-join should not broadcast: {anti_lines}"
+    assert count_op(df, "BroadcastHashJoin") >= 1
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """The returnflag predicate must reach the lineitem scan as a pushed
+    filter, not run post-scan only."""
+    df = _df(spark, "q10_returned_never_reordered")
+    assert "l_returnflag" in pushed_filters(df)
+
+
+def test_column_pruning_on_wide_fact(spark):
+    """q09 touches 3 of lineitem's 11 columns; every scan in the plan
+    must read a strict subset, never the full schema."""
+    df = _df(spark, "q09_discounted_quantity_per_customer")
+    schemas = read_schemas(df)
+    assert schemas, "expected parquet scans with ReadSchema annotations"
+    for s in schemas:
+        assert "l_comment" not in s, f"unpruned lineitem scan: {s}"
+        assert "l_shipinstruct" not in s, f"unpruned lineitem scan: {s}"
+
+
+def test_window_pipeline_shares_one_exchange(spark):
+    """ev02's two windows + final groupBy all partition by user_id; the
+    plan must contain exactly one shuffle for them (plus none after)."""
+    df = _df(spark, "ev02_user_sessions")
+    # hashpartitioning(user_id...) appears in exchange nodes; the plan
+    # must not re-shuffle between the windows and the aggregation.
+    assert count_op(df, "Exchange hashpartitioning") == 1
+
+
+def test_lsh_band_join_is_equi_join(spark):
+    """The MinHash LSH candidate generation must be an equi-join on the
+    band key (shuffle or broadcast hash), never a nested-loop over all
+    pairs — that's the entire point of banding."""
+    df = _df(spark, "dd04_minhash_lsh_pairs")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_exact_dedup_shuffles_fingerprints_not_text(spark):
+    """dd02's exchange must carry (fp, doc_id) only — shuffling document
+    text to dedup it defeats the fingerprint design."""
+    df = _df(spark, "dd02_exact_dedup_keep")
+    plan = physical_plan(df)
+    ex = plan[plan.index("Exchange") :].splitlines()[0] if "Exchange" in plan else ""
+    assert "text" not in ex, f"dedup exchange carries raw text: {ex}"
