@@ -1,0 +1,107 @@
+"""Sink layer: every way data leaves the engine (SURVEY.md §2.1 S3-S5).
+
+The reference's sinks are row-at-a-time JDBC INSERTs plus DROP/CREATE
+DDL (full refresh, ETL_FINAL.py:38-44,220-223); here each becomes a
+bulk, declarative write:
+
+- full refresh      -> overwrite-mode parquet (atomic per directory)
+- incremental load  -> ``merge_upsert`` (the Delta ``MERGE INTO ... WHEN
+  [NOT] MATCHED`` shape, emulated on parquet since this container ships
+  no delta-spark; the API is the Delta call signature so swapping the
+  backend is a one-liner)
+- big-table layout  -> ``write_partitioned`` (partition pruning) and
+  ``write_bucketed`` (shuffle-free co-located joins)
+- JDBC parity       -> thin ``df.write.jdbc`` passthrough
+
+Scale notes: partition columns must be low-cardinality (a directory per
+value); bucket counts should match downstream join parallelism; the
+merge emulation rewrites the whole target (as the reference's full
+refresh did) — Delta/Iceberg make it file-level, the call sites don't
+change.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Plain parquet table write (the reference's full-refresh table
+    load, bulk instead of row-at-a-time)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str, mode: str = "overwrite") -> None:
+    """Hive-style partitioned layout: queries filtering on the partition
+    columns scan only matching directories (partition pruning — the
+    PartitionFilters annotation in the scan, asserted in tests)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *bucket_cols: str,
+    n_buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    WRITE time, so equi-joins and aggregations on those columns read
+    pre-shuffled data — no Exchange in the join plan (asserted in
+    tests). The 100 TB pattern for fact-fact joins that repeat every
+    run: pay the shuffle once at load, never at query."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> None:
+    """MERGE INTO emulation on parquet: WHEN MATCHED THEN UPDATE (update
+    row wins), WHEN NOT MATCHED THEN INSERT — the batch equivalent of
+    the reference's per-row get-or-create (U1, ETL_FINAL.py:128-134).
+
+    Updates must be unique on ``keys`` (enforced — duplicate update rows
+    would make the result order-dependent, the classic MERGE trap).
+    Implemented as target-anti-join-updates ∪ updates, written to a
+    scratch directory then swapped in, so a failed write never corrupts
+    the live table.
+    """
+    dup = updates.groupBy(*keys).count().filter("count > 1").limit(1).count()
+    if dup:
+        raise ValueError(f"updates are not unique on merge keys {keys}")
+
+    if not os.path.exists(target_path):
+        updates.write.parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+    merged = target.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
+
+    tmp = tempfile.mkdtemp(prefix="merge_upsert_", dir=os.path.dirname(target_path.rstrip("/")))
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        swap = target_path.rstrip("/") + ".old"
+        os.rename(target_path, swap)
+        os.rename(tmp, target_path)
+        shutil.rmtree(swap, ignore_errors=True)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    """JDBC sink parity with the reference (S3/S4) — bulk DataFrame
+    write instead of cursor round-trips. Untested here (no database in
+    the container); the call shape is the standard Spark JDBC writer."""
+    df.write.mode(mode).options(**options).jdbc(url, table)
