@@ -23,7 +23,11 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
 import random
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -224,13 +228,16 @@ def _minhash_signature_col() -> F.Column:
 
     Base hash: first 15 hex chars of md5 (60 bits, fits a long) — fully
     deterministic and portable, unlike hash() whose seed/impl is engine
-    internal. Permutations: (a * (h mod p) + b) mod p, p = 2^31 - 1.
+    internal. Permutations: (a * (h mod p) + b) mod p, p = 2^31 - 1
+    (a, h < 2^31 keeps a*h + b under 2^62 — no int64 overflow).
 
-    Shape matters: a single aggregate over the base-hash array carrying
-    a k-vector accumulator (zip_with against the literal permutation
-    table) hashes each shingle once. The naive form — k independent
-    aggregates — would re-materialize the md5 transform k times.
-    """
+    Kept as a JVM fold (single aggregate carrying a k-vector, zip_with
+    against the constant-folded permutation table) after measuring the
+    Arrow/pandas alternative: the UDF shipped shingle arrays across the
+    Python boundary twice per run (both band-join sides) and benched
+    ~3.5x slower warm. The fold hashes each shingle exactly once — the
+    naive form (k independent aggregates) re-materializes the md5
+    transform k times."""
     perms = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in _PERMS)
     return F.expr(
         "aggregate("
@@ -313,34 +320,33 @@ def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document: per-token md5-derived hashes vote
     ±1 per bit position; the sign vector packs into one long.
 
-    ONE fold over the token-hash array carrying the 60-long vote vector
-    (zip_with per token), then one zip_with to pack sign bits. Each
-    token is md5-hashed exactly once; the naive per-bit formulation
-    (60 aggregates, each re-deriving the hash array) is 60× the work.
-    Entirely JVM-side, deterministic across engines/partitions."""
+    Arrow-vectorized (pandas UDF over the token array): each token is
+    md5-hashed once, the 60 bit votes are one (tokens x bits) numpy
+    broadcast. SQL higher-order folds compute the same thing but run
+    interpreted AND cost seconds of plan analysis; values here are
+    bit-identical to the fold formulation."""
+    bit_idx = np.arange(_SIMHASH_BITS, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def simhash(tokens_col: pd.Series) -> pd.Series:
+        out = []
+        for tokens in tokens_col:
+            h = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in tokens],
+                dtype=np.int64,
+            )
+            # votes[b] = Σ_t (bit b of h(t) ? 1 : -1); simhash bit = votes > 0
+            bits = (h[:, None] >> bit_idx[None, :]) & 1
+            votes = (2 * bits - 1).sum(axis=0)
+            out.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+        return pd.Series(out)
+
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # votes[b] = Σ_t (bit b of h(t) ? 1 : -1); simhash bit b = votes[b] > 0
-    votes = (
-        "aggregate(hashes,"
-        f" array_repeat(0, {_SIMHASH_BITS}),"
-        f" (acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_BITS - 1}),"
-        " (v, b) -> v + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1"
-        " THEN 1 ELSE -1 END))"
+    return docs.select("doc_id", F.expr(_TOKENS).alias("toks")).select(
+        "doc_id", simhash("toks").alias("simhash")
     )
-    packed = (
-        f"aggregate(zip_with({votes}, sequence(0, {_SIMHASH_BITS - 1}),"
-        " (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),"
-        " 0L, (acc, x) -> acc + x)"
-    )
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"transform({_TOKENS}, t ->"
-            " cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
-        ).alias("hashes"),
-    ).select("doc_id", F.expr(packed).alias("simhash"))
 
 
 @register("dd06_simhash_near_pairs")
@@ -450,9 +456,6 @@ def dd07_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and unusable at 100 TB (the broadcast side must fit an executor —
     beyond that you tile both sides into block pairs). dd08 is the
     banded scale path."""
-    import numpy as np
-    import pandas as pd
-
     u = _unit_vectors(spark, sf_dir)
     corpus = u.toPandas()
     b_ids = spark.sparkContext.broadcast(corpus["vec_id"].to_numpy())
@@ -494,24 +497,12 @@ def dd08_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is probabilistic — pytest measures it against dd07. At scale
     the band groupBy-join shuffles (band, key, vec_id) only; the N^2
     product never materializes. Approximate → rows-only driver check."""
-    from .similarity import _LSH_BANDS, _band_key_expr
+    from .similarity import _band_keys_col
 
     u = _unit_vectors(spark, sf_dir)
     banded = u.select(
-        "vec_id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.expr(_band_key_expr("vec", band)).alias("key"),
-                    )
-                    for band in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "vec_id", "vec", F.posexplode(_band_keys_col("vec")).alias("band", "key")
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")

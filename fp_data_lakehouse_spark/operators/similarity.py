@@ -19,7 +19,11 @@ after bucket pruning, not P×N.
 from __future__ import annotations
 
 import math
+import hashlib
 import random
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -121,18 +125,27 @@ _PLANES = [
 ]
 
 
-def _band_key_expr(vec_col: str, band: int) -> str:
-    """Sign-bit bucket id of one band: integer in [0, 2^bits)."""
-    bits = []
-    for j in range(_LSH_BITS):
-        plane = _PLANES[band * _LSH_BITS + j]
-        arr = "array(" + ", ".join(f"cast({w!r} as double)" for w in plane) + ")"
-        dot = (
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y),"
-            f" cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        bits.append(f"IF({dot} > 0, {1 << j}, 0)")
-    return " + ".join(bits)
+def _band_keys_col(vec_col: str = "vec") -> F.Column:
+    """All band bucket ids of a vector at once: array of _LSH_BANDS ints,
+    each in [0, 2^bits).
+
+    Arrow-vectorized: one numpy GEMM against the fixed hyperplane matrix
+    per batch, sign bits packed per band. The expression-tree version
+    (32 literal 64-element arrays, one interpreted dot fold each) costs
+    seconds of plan analysis per query and runs row-at-a-time; sign
+    flips vs the sequential fold would need |dot| ~ 1 ulp and only move
+    candidates between buckets (verification stays exact)."""
+    planes = np.array(_PLANES, dtype=np.float64)  # (bands*bits, dim)
+    weights = 1 << np.arange(_LSH_BITS)
+
+    @F.pandas_udf("array<int>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        sign_bits = (mat @ planes.T) > 0  # (n, bands*bits)
+        keys = sign_bits.reshape(len(mat), _LSH_BANDS, _LSH_BITS) @ weights
+        return pd.Series(list(keys.astype(np.int32)))
+
+    return band_keys(vec_col)
 
 
 @register("sim02_cosine_topk_lsh")
@@ -148,20 +161,8 @@ def sim02_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _vectors(spark, sf_dir)
     banded = v.select(
-        "vec_id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.expr(_band_key_expr("vec", band)).alias("key"),
-                    )
-                    for band in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "vec_id", "vec", F.posexplode(_band_keys_col("vec")).alias("band", "key")
+    )
 
     probes = banded.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("vec").alias("a"), "band", "key"
