@@ -444,6 +444,41 @@ def q10_returned_never_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return returned.join(kept, ["c_custkey", "p_partkey"], "left_anti").distinct()
 
 
+@register(
+    "q10b_returned_then_reordered",
+    oracle="""
+    SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1
+        FROM lineitem l2
+        JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+        WHERE o2.o_custkey = o.o_custkey
+          AND l2.l_partkey = l.l_partkey
+          AND l2.l_returnflag = 'N'
+      )
+    """,
+)
+def q10b_returned_then_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join dual of q10 (SURVEY.md §2.6: 'semi is the trivial dual
+    of the anti pattern'): (customer, part) pairs with a returned item
+    AND a later kept purchase of the same part — ``left_semi`` where q10
+    is ``left_anti``, same shuffle keys, so the two plans share shape.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("l_partkey").alias("p_partkey"),
+        "l_returnflag",
+    )
+    returned = pairs.filter(F.col("l_returnflag") == "R").select("c_custkey", "p_partkey")
+    kept = pairs.filter(F.col("l_returnflag") == "N").select("c_custkey", "p_partkey").distinct()
+    return returned.join(kept, ["c_custkey", "p_partkey"], "left_semi").distinct()
+
+
 # ---------------------------------------------------------------------------
 # Q11 — HAVING COUNT(*) > 1 (insight_transkrip.sql:117-127)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,103 @@
+"""Sketch / approximation operators over the events table: cardinality
+estimation (HyperLogLog++) and quantiles, exact and approximate.
+
+The 100 TB rationale: COUNT(DISTINCT) and exact percentiles are the two
+aggregations whose exact forms stop scaling first — exact distinct
+shuffles every key, exact percentiles sort the column. The sketch forms
+(HLL++ via ``approx_count_distinct``, the Greenwald-Khanna/KLL-style
+``approx_percentile``) are one-pass, fixed-memory, mergeable across
+partitions — the map-side-combine shape that keeps working at any
+scale. Both ship next to their exact twins: the exact operator is the
+oracle-checked ground truth, the sketch is the scale path, and pytest
+bounds the sketch error against the exact answer (same pattern as the
+LSH dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.99)
+_HLL_RSD = 0.02  # relative standard deviation target for HLL++
+
+
+@register(
+    "sk01_user_cardinality_exact",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sk01_user_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count per event type — the ground truth the
+    HLL sketch (sk02) is bounded against. Exact distinct expands to a
+    two-phase aggregate (dedup shuffle on (event_type, user_id), then
+    count); at 100 TB that first shuffle is the cost sk02 deletes."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("sk02_user_cardinality_hll")
+def sk02_user_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type at 2% target
+    RSD: one pass, fixed sketch memory per group, partial aggregates
+    merge map-side. Approximate → rows-only driver check; pytest bounds
+    the relative error against sk01."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "sk03_value_quantiles_exact",
+    oracle=f"""
+    SELECT event_type,
+           quantile_cont(value, {_QUANTILES[0]}) AS p25,
+           quantile_cont(value, {_QUANTILES[1]}) AS p50,
+           quantile_cont(value, {_QUANTILES[2]}) AS p75,
+           quantile_cont(value, {_QUANTILES[3]}) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sk03_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles of event value per type. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` implement the same
+    linear interpolation (verified equal at 6 decimals on the
+    fixtures). Exact quantiles buffer the group's values — the cost
+    sk04's mergeable sketch removes."""
+    events = load_table(spark, sf_dir, "events")
+    qs = events.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(name)
+            for q, name in zip(_QUANTILES, ("p25", "p50", "p75", "p99"))
+        ]
+    )
+    return qs
+
+
+@register("sk04_value_quantiles_approx")
+def sk04_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch of the same quantiles (accuracy 10000 ~
+    max rank error 0.01%): bounded memory, mergeable partials.
+    Approximate → rows-only driver check; pytest bounds the error
+    against sk03."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        *[
+            F.expr(f"approx_percentile(value, {q}, 10000)").alias(name)
+            for q, name in zip(_QUANTILES, ("p25", "p50", "p75", "p99"))
+        ]
+    )

@@ -1,0 +1,47 @@
+"""Error bounds for the sketch operators against their exact twins —
+the same gate pattern as the LSH dedup family: exact operator is the
+oracle-checked truth, the sketch must land within its advertised
+tolerance of it."""
+
+from __future__ import annotations
+
+from fp_data_lakehouse_spark.operators.sketches import (
+    sk01_user_cardinality_exact,
+    sk02_user_cardinality_hll,
+    sk03_value_quantiles_exact,
+    sk04_value_quantiles_approx,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_hll_cardinality_within_bound(spark):
+    exact = {r.event_type: r.n_users for r in sk01_user_cardinality_exact(spark, SF_ORACLE).collect()}
+    approx = {r.event_type: r.n_users_approx for r in sk02_user_cardinality_hll(spark, SF_ORACLE).collect()}
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        rel_err = abs(approx[et] - n) / max(n, 1)
+        # 2% target RSD -> 10% is a ~5-sigma bound; a miss means the
+        # sketch config regressed, not bad luck
+        assert rel_err <= 0.10, f"{et}: HLL {approx[et]} vs exact {n} ({rel_err:.2%})"
+
+
+def test_approx_quantiles_within_rank_tolerance(spark):
+    """approx_percentile guarantees a RANK error bound (not a value
+    bound — in a distribution tail a tiny rank slip is a large value
+    gap), so the check is rank-space: the empirical rank of each
+    estimate must sit within 2% of its target quantile."""
+    approx = {r.event_type: r for r in sk04_value_quantiles_approx(spark, SF_ORACLE).collect()}
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    values = {}
+    for r in events.select("event_type", "value").collect():
+        values.setdefault(r.event_type, []).append(r.value)
+    for et, r in approx.items():
+        vs = sorted(values[et])
+        n = len(vs)
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")):
+            est = getattr(r, name)
+            rank = sum(1 for v in vs if v <= est) / n
+            assert abs(rank - q) <= 0.02, f"{et}.{name}: est {est} has rank {rank:.3f}"
+        # monotonicity of the sketch output
+        assert r.p25 <= r.p50 <= r.p75 <= r.p99
