@@ -1,4 +1,5 @@
 from .events import (
+    dedup_events_stream,
     hourly_tumbling_counts_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -10,6 +11,7 @@ __all__ = [
     "read_events_stream",
     "hourly_tumbling_counts_stream",
     "sliding_counts_stream",
+    "dedup_events_stream",
     "run_stream_to_memory",
     "sessionize_stream",
 ]

@@ -90,6 +90,21 @@ def sliding_counts_stream(
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-key ingest: drop re-deliveries of the
+    same event_id arriving within the watermark horizon — the streaming
+    twin of the batch exact-dedup operators (dd01/dd02).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on event_id
+    and evicts entries once the watermark passes them, so state is
+    bounded by the key arrival rate x watermark window, not by stream
+    length — the property that makes at-least-once sources (Kafka
+    replays, file redeliveries) safe to ingest forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, source_dir: str, query_name: str, variant: str = "tumbling"
 ):

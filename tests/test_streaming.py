@@ -13,6 +13,7 @@ from fp_data_lakehouse_spark.operators.eventops import (
     ev02_user_sessions,
 )
 from fp_data_lakehouse_spark.streaming import (
+    dedup_events_stream,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -95,6 +96,35 @@ def test_stateful_sessionization_matches_batch_closed_sessions(spark, events_dir
             want.add(key)  # final session, flushed by timeout
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_dedup_drops_redelivered_file(spark):
+    """An at-least-once source redelivering the whole events file must
+    yield each event_id exactly once downstream."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    tmp = _tf.mkdtemp(prefix="events_dup_")
+    try:
+        _sh.copy(f"{SF_ORACLE}/events.parquet", f"{tmp}/events_a.parquet")
+        _sh.copy(f"{SF_ORACLE}/events.parquet", f"{tmp}/events_b.parquet")
+        events = read_events_stream(spark, tmp)
+        q = (
+            dedup_events_stream(events)
+            .writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_test").collect()[0]
+        finally:
+            q.stop()
+        want = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+        assert got.n == got.d == want
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
 
 
 def test_sliding_stream_windows_overlap(spark, events_dir):
