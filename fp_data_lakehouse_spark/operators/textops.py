@@ -181,6 +181,56 @@ def tx05_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx07_curation_pipeline",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               {X.word_count_sql()} AS n_words,
+               {X.punct_count_sql()} AS n_punct,
+               md5(lower(trim(text))) AS fp
+        FROM documents
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp)
+    SELECT q.doc_id, q.n_chars
+    FROM q JOIN keep ON q.doc_id = keep.doc_id
+    WHERE q.n_chars BETWEEN 100 AND 20000
+      AND q.n_words >= 20
+      AND q.n_punct * 10 <= q.n_chars
+    """,
+)
+def tx07_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep-list a real curation run produces: exact-dedup
+    representatives (min doc_id per fingerprint) that also pass the
+    quality filter — one scan feeds both the fingerprint groupBy and the
+    quality predicates, then a semi-join intersects them. The shape to
+    note at 100 TB: quality filtering is map-only and runs FIRST in the
+    scan, so the dedup shuffle only carries rows that can survive."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        X.word_count().alias("n_words"),
+        X.punct_count().alias("n_punct"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    )
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return (
+        q.filter(
+            F.col("n_chars").between(100, 20000)
+            & (F.col("n_words") >= 20)
+            & (F.col("n_punct") * 10 <= F.col("n_chars"))
+        )
+        .join(keep, "doc_id", "left_semi")
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------
 
