@@ -146,6 +146,83 @@ def ev03_top_events_per_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev06_session_windows",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+               LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+        FROM events
+    ),
+    flagged AS (
+        -- session_window merges windows that overlap OR TOUCH (a gap of
+        -- exactly the window size stays one session — observed at
+        -- sf0.1), so a new session starts only at gap > window size
+        SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > {_SESSION_GAP_SEC}
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT *, CAST(SUM(is_new) OVER
+                   (PARTITION BY user_id ORDER BY ep, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ep) AS session_start_epoch,
+           MAX(ep) + {_SESSION_GAP_SEC} AS session_end_epoch,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def ev06_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` — the same
+    operator Structured Streaming merges state with, here in batch.
+    Input timestamps are truncated to whole seconds so the merge rule
+    (windows overlap = gap strictly under 30 min) is exactly the
+    oracle's integer arithmetic; window end = last event + gap by
+    definition of session windows. Complements ev02, which hand-rolls
+    the same sessions with lag + running sum and numbers them."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("user_id", F.date_trunc("second", "ts").alias("tsec"))
+        .groupBy("user_id", F.session_window("tsec", f"{_SESSION_GAP_SEC} seconds").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("session_start_epoch"),
+            F.unix_timestamp("win.end").alias("session_end_epoch"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "ev07_props_json_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ev07_props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload rollup: extract a field from the JSON
+    props column (``get_json_object`` — evaluated in the scan
+    projection, no UDF) and aggregate it as exact integers. The
+    operator family every event pipeline needs once payloads stop
+    being flat."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+@register(
     "ev04_error_rate_by_user_bucket",
     oracle="""
     SELECT user_id % 10 AS user_bucket,
