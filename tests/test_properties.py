@@ -16,6 +16,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from fp_data_lakehouse_spark.operators.asof import asof_join
+from fp_data_lakehouse_spark.operators.rangejoin import range_join
 from fp_data_lakehouse_spark.operators.skew import salted_join
 
 _settings = settings(
@@ -57,6 +58,32 @@ def test_asof_join_matches_model(spark, l, r):
         for row in asof_join(ldf, rdf, "ts", ["k"], "event_id").collect()
     }
     assert got == _asof_model(left, right)
+
+
+@given(l=_rows, r=_rows, w=st.integers(1, 20))
+@_settings
+def test_range_join_matches_model(spark, l, r, w):
+    """Bucketed range join == brute-force |diff| <= W on random data,
+    including boundary-exact diffs and hot keys."""
+    left = [(k, t, i) for i, (k, t) in enumerate(l)]
+    right = [(k, t, 1000 + i) for i, (k, t) in enumerate(r)]
+    want = {
+        (lk, lid, rid, rt - lt)
+        for lk, lt, lid in left
+        for rk, rt, rid in right
+        if rk == lk and abs(rt - lt) <= w
+    }
+    # ints stand in for micros: wrap them as epoch-micro timestamps
+    schema = "k INT, ts TIMESTAMP, event_id INT"
+    to_df = lambda rows: spark.createDataFrame(
+        [(k, __import__("datetime").datetime.utcfromtimestamp(t / 1e6), i) for k, t, i in rows] or [],
+        schema,
+    )
+    got = {
+        (row.k, row.l_event_id, row.r_event_id, row.diff_us)
+        for row in range_join(to_df(left), to_df(right), "ts", ["k"], w).collect()
+    }
+    assert got == want
 
 
 @given(rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30)), max_size=30))
