@@ -1196,3 +1196,75 @@ def q29_biggest_monthly_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("price_drop"), F.asc("order_year"), F.asc("order_month"))
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q30/Q31 — pivot and set operations (engine-completeness beyond the corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q30_quantity_pivot_by_returnflag",
+    oracle="""
+    SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+           CAST(COALESCE(SUM(CASE WHEN l.l_returnflag = 'A' THEN l.l_quantity END), 0) AS BIGINT) AS qty_A,
+           CAST(COALESCE(SUM(CASE WHEN l.l_returnflag = 'N' THEN l.l_quantity END), 0) AS BIGINT) AS qty_N,
+           CAST(COALESCE(SUM(CASE WHEN l.l_returnflag = 'R' THEN l.l_quantity END), 0) AS BIGINT) AS qty_R
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q30_quantity_pivot_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class ``pivot``: quantity by year with one column per
+    returnflag. The value list is DECLARED (A/N/R), which is the scale
+    requirement — an undeclared pivot runs an extra distinct-values job
+    and breaks when cardinality explodes; a declared one is a plain
+    conditional aggregation (exactly the oracle's CASE columns)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.year("o_orderdate").alias("order_year"), "l_returnflag", "l_quantity")
+        .groupBy("order_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "order_year",
+            F.coalesce(F.col("A"), F.lit(0)).cast("long").alias("qty_A"),
+            F.coalesce(F.col("N"), F.lit(0)).cast("long").alias("qty_N"),
+            F.coalesce(F.col("R"), F.lit(0)).cast("long").alias("qty_R"),
+        )
+    )
+
+
+@register(
+    "q31_set_ops_rich_vs_active",
+    oracle="""
+    SELECT 'both' AS segment, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders
+    ) i
+    UNION ALL
+    SELECT 'rich_only' AS segment, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+    ) e
+    """,
+)
+def q31_set_ops_rich_vs_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations in one plan: INTERSECT and EXCEPT between the
+    high-balance customers and the customers with orders, UNION ALL'd
+    with a segment tag. Catalyst plans intersect/except as left-semi /
+    left-anti joins — the same primitives as q10/q10b, surfaced through
+    the set-operator API."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    active = orders.select(F.col("o_custkey").alias("c_custkey"))
+    both = rich.intersect(active).select(F.lit("both").alias("segment"), "c_custkey")
+    rich_only = rich.exceptAll(active.distinct()).distinct().select(
+        F.lit("rich_only").alias("segment"), "c_custkey"
+    )
+    return both.unionByName(rich_only)
