@@ -1268,3 +1268,36 @@ def q31_set_ops_rich_vs_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rich_only").alias("segment"), "c_custkey"
     )
     return both.unionByName(rich_only)
+
+
+@register(
+    "q32_revenue_rollup",
+    oracle="""
+    SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+           l.l_returnflag AS returnflag,
+           CAST(GROUPING(EXTRACT(year FROM o.o_orderdate)) AS BIGINT) AS g_year,
+           CAST(GROUPING(l.l_returnflag) AS BIGINT) AS g_flag,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY ROLLUP (EXTRACT(year FROM o.o_orderdate), l.l_returnflag)
+    """,
+)
+def q32_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via first-class ``rollup``: per (year,
+    flag), per year, and grand total in ONE pass — Spark expands the
+    grouping sets inside a single shuffle (Expand + one exchange), which
+    at 100 TB replaces three separate jobs over the same input. GROUPING
+    flags disambiguate data NULLs from subtotal rows."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.year("o_orderdate").alias("order_year"), F.col("l_returnflag").alias("returnflag"), "l_quantity")
+        .rollup("order_year", "returnflag")
+        .agg(
+            F.grouping("order_year").cast("long").alias("g_year"),
+            F.grouping("returnflag").cast("long").alias("g_flag"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .select("order_year", "returnflag", "g_year", "g_flag", "total_qty")
+    )
