@@ -100,6 +100,36 @@ def test_lsh_band_join_is_equi_join(spark):
     )
 
 
+def test_asof_join_uses_one_exchange(spark):
+    """The union+window as-of join must cost exactly one shuffle (on the
+    key) — if a second exchange appears, the formulation regressed to
+    a join-shaped plan."""
+    df = _df(spark, "ev05_purchase_click_attribution")
+    assert count_op(df, "Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join_on_buckets(spark):
+    """The interval join must plan as an equi-join on (key, bucket) —
+    never a nested loop over all per-key pairs."""
+    df = _df(spark, "ev08_error_click_proximity")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "_bucket" in plan
+
+
+def test_rollup_expands_in_single_aggregate(spark):
+    """rollup must plan one Expand + aggregation pipeline, not one job
+    per grouping set."""
+    df = _df(spark, "q32_revenue_rollup")
+    assert has_op(df, "Expand")
+
+
+def test_grouped_map_is_arrow_not_row_python(spark):
+    """ag02 must evaluate through the Arrow grouped-map operator."""
+    df = _df(spark, "ag02_event_value_outliers")
+    assert has_op(df, "FlatMapGroupsInPandas")
+
+
 def test_exact_dedup_shuffles_fingerprints_not_text(spark):
     """dd02's exchange must carry (fp, doc_id) only — shuffling document
     text to dedup it defeats the fingerprint design."""
