@@ -1,4 +1,5 @@
 from .events import (
+    attribution_stream,
     dedup_events_stream,
     hourly_tumbling_counts_stream,
     read_events_stream,
@@ -12,6 +13,7 @@ __all__ = [
     "hourly_tumbling_counts_stream",
     "sliding_counts_stream",
     "dedup_events_stream",
+    "attribution_stream",
     "run_stream_to_memory",
     "sessionize_stream",
 ]

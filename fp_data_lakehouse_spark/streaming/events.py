@@ -105,6 +105,51 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def attribution_stream(
+    events: DataFrame, watermark: str = "2 hours", window_sec: int = 300
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks within the preceding ``window_sec`` — the streaming
+    face of the batch range/as-of joins (ev05/ev08).
+
+    Both sides carry watermarks and the join condition bounds
+    click_ts ∈ [purchase_ts - window, purchase_ts], which is what lets
+    Spark evict join state: a buffered click can be dropped once the
+    purchase-side watermark passes its upper usefulness bound. Without
+    the time bound the state store grows with the whole stream."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_sec} SECONDS")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("p_ts").alias("purchase_ep"),
+        "click_id",
+        F.unix_timestamp("c_ts").alias("click_ep"),
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, source_dir: str, query_name: str, variant: str = "tumbling"
 ):

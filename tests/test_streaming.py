@@ -13,6 +13,7 @@ from fp_data_lakehouse_spark.operators.eventops import (
     ev02_user_sessions,
 )
 from fp_data_lakehouse_spark.streaming import (
+    attribution_stream,
     dedup_events_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -125,6 +126,60 @@ def test_stream_dedup_drops_redelivered_file(spark):
         assert got.n == got.d == want
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_join_converges_to_batch(spark, events_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch join's pairs once all input is processed."""
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, events_dir)
+    q = (
+        attribution_stream(events)
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.user_id, r.purchase_ep, r.click_id, r.click_ep)
+            for r in spark.sql("SELECT * FROM attr_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.read.parquet(f"{SF_ORACLE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r.purchase_id, r.user_id, r.purchase_ep, r.click_id, r.click_ep)
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 300 SECONDS")),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_timestamp("p_ts").alias("purchase_ep"),
+            "click_id",
+            F.unix_timestamp("c_ts").alias("click_ep"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
 
 
 def test_sliding_stream_windows_overlap(spark, events_dir):
