@@ -6,6 +6,7 @@ from .events import (
     run_stream_to_memory,
     sliding_counts_stream,
 )
+from .sink import stream_merge_to_table
 from .stateful import sessionize_stream
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "attribution_stream",
     "run_stream_to_memory",
     "sessionize_stream",
+    "stream_merge_to_table",
 ]

@@ -194,3 +194,48 @@ def test_sliding_stream_windows_overlap(spark, events_dir):
     assert total_sliding == 4 * total_events
     # window starts align to the 15-minute slide grid
     assert all(r.win_start_epoch % 900 == 0 for r in rows)
+
+
+def test_foreachbatch_merge_ingest_is_exactly_once_per_key(spark):
+    """File redelivery through the foreachBatch+merge sink must land
+    each event_id in the warehouse exactly once, and a fresh run over a
+    new checkpoint must leave the table unchanged (replay-idempotent)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from fp_data_lakehouse_spark.streaming import read_events_stream, stream_merge_to_table
+
+    tmp = _tf.mkdtemp(prefix="ingest_")
+    try:
+        src = f"{tmp}/src"
+        import os as _os
+
+        _os.makedirs(src)
+        _sh.copy(f"{SF_ORACLE}/events.parquet", f"{src}/a.parquet")
+        _sh.copy(f"{SF_ORACLE}/events.parquet", f"{src}/b.parquet")  # redelivery
+        target = f"{tmp}/warehouse/events"
+        _os.makedirs(f"{tmp}/warehouse")
+
+        q = stream_merge_to_table(
+            read_events_stream(spark, src), target, f"{tmp}/ckpt1"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_distinct = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+        table = spark.read.parquet(target)
+        assert table.count() == n_distinct
+        assert table.select("event_id").distinct().count() == n_distinct
+
+        # full replay with a fresh checkpoint: table must not change
+        q2 = stream_merge_to_table(
+            read_events_stream(spark, src), target, f"{tmp}/ckpt2"
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert spark.read.parquet(target).count() == n_distinct
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
