@@ -17,6 +17,7 @@ from fp_data_lakehouse_spark.operators.dedup import (
 from fp_data_lakehouse_spark.operators.similarity import (
     sim01_cosine_topk_bruteforce,
     sim02_cosine_topk_lsh,
+    sim04_cosine_topk_ivf,
 )
 
 from .conftest import SF_ORACLE
@@ -96,6 +97,25 @@ def test_embedding_neardup_lsh_vs_exact(spark):
     assert recall >= 0.4, f"embedding-LSH recall {recall:.2f} below floor"
     for k, c in approx.items():
         assert abs(exact[k] - c) < 1e-12  # verification uses the exact score
+
+
+def test_ivf_recall_and_exact_scores(spark):
+    """IVF (nprobe=4 of 10 buckets) must clear the recall floor measured
+    for this weakly-clustered fixture, and every hit must carry the
+    exact cosine (re-ranking is exact)."""
+    exact = {
+        (r.probe_id, r.candidate_id): r.cosine
+        for r in sim01_cosine_topk_bruteforce(spark, SF_ORACLE).collect()
+    }
+    ivf = {
+        (r.probe_id, r.candidate_id): r.cosine
+        for r in sim04_cosine_topk_ivf(spark, SF_ORACLE).collect()
+    }
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+    for k, c in ivf.items():
+        if k in exact:
+            assert abs(exact[k] - c) < 1e-12
 
 
 def test_ann_recall_vs_bruteforce(spark):
