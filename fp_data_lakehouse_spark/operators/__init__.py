@@ -12,4 +12,9 @@ for _mod in ("textops", "dedup", "similarity", "eventops", "sketches", "asof", "
     except ImportError:
         pass
 
+try:  # multimodal registry surface lives in its own package
+    __import__("fp_data_lakehouse_spark.multimodal.queries")
+except ImportError:
+    pass
+
 __all__ = ["REGISTRY", "queries", "oracle_sql"]
