@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as X
 from ..sources.catalog import load_table
@@ -227,6 +228,74 @@ def tx07_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(keep, "doc_id", "left_semi")
         .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP_K = 3
+
+
+@register(
+    "tx08_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {_TFIDF_TOP_K}
+    """,
+)
+def tx08_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf.
+
+    The full text-vectorization shuffle diagram at its smallest: term
+    frequencies per (doc, term) — one groupBy; document frequencies per
+    term — a second groupBy over the FIRST aggregate's (already tiny)
+    output, never over raw tokens; idf joined back term-keyed; top-k by
+    window with a deterministic tie-break. N arrives via a broadcast
+    1-row cross join, not a collect. ln(int-ratio) is the only float
+    (bit-identical libm on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
 
 
