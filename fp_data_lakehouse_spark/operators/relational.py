@@ -1301,3 +1301,33 @@ def q32_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("order_year", "returnflag", "g_year", "g_flag", "total_qty")
     )
+
+
+@register(
+    "q33_sql_above_average_balance",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM customer)
+          > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer)
+    """,
+)
+def q33_sql_above_average_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the mean balance, through the ``spark.sql`` entry
+    path (every other registry query uses the DataFrame API; the SQL
+    surface over temp views is part of the engine contract — SURVEY.md
+    §3.3) with two scalar subqueries that Catalyst turns into broadcast
+    one-row joins. The predicate is pure integer arithmetic
+    (bal_cents * N > Σcents) so the above/below boundary cannot drift
+    with float summation order on either engine."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM v_customer
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  * (SELECT COUNT(*) FROM v_customer)
+              > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM v_customer)
+        """
+    )
