@@ -96,3 +96,57 @@ def test_salted_join_matches_plain_on_random_data(spark, rows):
     plain = {tuple(r) for r in fact.join(dim, "k").collect()}
     salted = {tuple(r) for r in salted_join(fact, dim, "k", n_salts=3).collect()}
     assert salted == plain
+
+
+@given(
+    split=st.integers(5, 35),
+    overlap=st.integers(0, 10),
+)
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+def test_incremental_load_converges_for_any_split(spark, tmp_path_factory, split, overlap):
+    """Any 2-batch split of the corpus (with any redelivery overlap)
+    must converge to the full-rebuild warehouse on natural keys."""
+    import shutil
+    import tempfile
+
+    from fp_data_lakehouse_spark.etl import build_star_schema
+    from fp_data_lakehouse_spark.etl.incremental import incremental_load
+    from .transcript_fixtures import make_documents
+
+    docs = make_documents()
+    b1 = docs[:split]
+    b2 = docs[max(0, split - overlap):]
+
+    wh = tempfile.mkdtemp(prefix="incr_prop_")
+    try:
+        for batch in (b1, b2):
+            incremental_load(
+                spark, spark.createDataFrame(batch, "doc_id STRING, text STRING"), wh
+            )
+        fact = spark.read.parquet(f"{wh}/fact_nilai_mk.parquet")
+        dm = spark.read.parquet(f"{wh}/dim_mahasiswa.parquet")
+        dk = spark.read.parquet(f"{wh}/dim_matakuliah.parquet")
+        dn = spark.read.parquet(f"{wh}/dim_nilai.parquet")
+        got = {
+            tuple(r)
+            for r in fact.join(dm.select("id_mahasiswa", "nrp"), "id_mahasiswa")
+            .join(dk.select("id_mk", "kode_mk"), "id_mk")
+            .join(dn.select("id_nilai", "huruf"), "id_nilai")
+            .select("nrp", "kode_mk", "tahun", "semester", "huruf", "sks")
+            .collect()
+        }
+        full = build_star_schema(
+            spark, spark.createDataFrame(docs, "doc_id STRING, text STRING")
+        )
+        want = {
+            tuple(r)
+            for r in full["fact_nilai_mk"]
+            .join(full["dim_mahasiswa"].select("id_mahasiswa", "nrp"), "id_mahasiswa")
+            .join(full["dim_matakuliah"].select("id_mk", "kode_mk"), "id_mk")
+            .join(full["dim_nilai"].select("id_nilai", "huruf"), "id_nilai")
+            .select("nrp", "kode_mk", "tahun", "semester", "huruf", "sks")
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
