@@ -6,7 +6,7 @@ from .registry import REGISTRY, oracle_sql, queries
 
 # Extension modules register on import; keep imports tolerant so a broken
 # extension never takes down the whole corpus surface.
-for _mod in ("textops", "dedup", "similarity", "eventops", "sketches", "asof", "rangejoin", "groupedmap"):
+for _mod in ("textops", "dedup", "similarity", "eventops", "sketches", "asof", "rangejoin", "groupedmap", "sampling"):
     try:
         __import__(f"{__name__}.{_mod}")
     except ImportError:

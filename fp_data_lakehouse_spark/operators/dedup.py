@@ -388,6 +388,109 @@ def dd06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over the near-dup graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node's label converges to the smallest doc_id reachable from it.
+    Returns (doc_id, component_id).
+
+    The iterative-algorithm pattern of this engine: a driver loop of
+    DataFrame joins with a convergence check per round (rounds ~ graph
+    diameter; near-dup graphs are shallow — dup clusters are cliques or
+    short chains). Each round localCheckpoints the labels: it truncates
+    the lineage (otherwise the plan doubles per round) and materializes
+    the loop state, which is what bounds memory at scale. The
+    large-star/small-star variant halves rounds on adversarial graphs;
+    diameter-2 dup graphs don't need it.
+    """
+    # materialize the edge list once: it is referenced by EVERY round's
+    # join, and without the checkpoint each round would re-derive the
+    # (potentially expensive) upstream pair-detection pipeline
+    sym = (
+        edges.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
+        .unionByName(edges.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dd09_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_ROWS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT doc_id_a, doc_id_b FROM pairs
+        JOIN sizes sa ON doc_id_a = sa.doc_id
+        JOIN sizes sb ON doc_id_b = sb.doc_id
+        WHERE {_JACCARD_DEN} * n_common >= {_JACCARD_NUM} * (sa.n + sb.n - n_common)
+    ),
+    sym AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM edges
+    ),
+    reach(src, node) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.node = s.src
+    )
+    SELECT src AS doc_id, MIN(node) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def dd09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components of the exact-Jaccard
+    pair graph (dd03), labeling every clustered document with the
+    smallest doc_id it transitively duplicates — the step that turns
+    pairwise detection into keep/drop decisions (keep component_id,
+    drop the rest). Iterative min-label propagation on the Spark side;
+    the oracle computes the identical closure with a recursive CTE."""
+    edges = dd03_ngram_jaccard_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (exact + LSH scale path)
 # ---------------------------------------------------------------------------
 

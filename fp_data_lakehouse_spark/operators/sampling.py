@@ -1,0 +1,79 @@
+"""Deterministic sampling and dataset splitting — the selection layer of
+a training-data pipeline (tx05's token budgets feed the rates used
+here).
+
+Everything keys off a content-stable hash bucket (md5 of doc_id mod
+10k), NOT ``rand()``: the same document lands in the same split/sample
+on every run, every engine, every cluster size — reproducible dataset
+cuts are a correctness property, not a convenience. Both operators are
+map-only (the predicate fuses into the scan; no shuffle at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_BUCKETS = 10_000
+# train/val/test = 80/10/10 by hash bucket
+_TRAIN_HI = 8_000
+_VAL_HI = 9_000
+
+# per-source sampling rates in buckets/10k (heavier web downsampling —
+# the standard mixture-reweighting move)
+_SOURCE_RATES = {"src0": 2_500, "src1": 9_000, "src2": 10_000, "src3": 7_000, "src4": 5_000}
+_DEFAULT_RATE = 5_000
+
+_BUCKET = f"pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), {_BUCKETS})"
+_BUCKET_SQL = f"(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % {_BUCKETS}"
+
+
+@register(
+    "sp01_train_val_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL} < {_TRAIN_HI} THEN 'train'
+                WHEN {_BUCKET_SQL} < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sp01_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by content-stable hash bucket.
+    Adding documents never moves an existing one between splits (no
+    leakage across runs), unlike any rand()- or row-number-based cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET)
+    return docs.select(
+        "doc_id",
+        F.when(bucket < _TRAIN_HI, "train")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "sp02_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_BUCKET_SQL} < CASE source
+        {' '.join(f"WHEN '{s}' THEN {r}" for s, r in _SOURCE_RATES.items())}
+        ELSE {_DEFAULT_RATE} END
+    """,
+)
+def sp02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted downsample (mixture reweighting): each source
+    keeps its configured fraction of documents, selected by the same
+    stable hash bucket — rerunning, re-sharding or growing the corpus
+    never changes which surviving documents are kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in _SOURCE_RATES.items()],
+        F.lit(_DEFAULT_RATE),
+    )
+    return docs.filter(F.expr(_BUCKET) < rate).select("doc_id", "source")
