@@ -136,3 +136,37 @@ def test_ann_recall_vs_bruteforce(spark):
     for r in approx.collect():
         if (r.probe_id, r.candidate_id) in ec:
             assert abs(ec[(r.probe_id, r.candidate_id)] - r.cosine) < 1e-12
+
+
+def test_dup_clusters_are_transitive_closures(spark):
+    """dd09 must merge chains: plant A~B and B~C near-dups where A~C is
+    NOT a pair by itself — all three must land in one component labeled
+    by the smallest doc_id."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.operators.dedup import (
+        dd03_ngram_jaccard_pairs,
+        dd09_dup_clusters,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mid = base + " lamda mu nu xi omicron pi rho sigma"
+    far = mid + " tau upsilon phi chi psi omega one two"
+    rows = [
+        (1, base, "en", "src0", len(base)),
+        (2, mid, "en", "src0", len(mid)),
+        (3, far, "en", "src0", len(far)),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).write.parquet(f"{tmp}/documents.parquet")
+        pairs = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in dd03_ngram_jaccard_pairs(spark, tmp).collect()
+        }
+        assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs, pairs
+        comps = {r.doc_id: r.component_id for r in dd09_dup_clusters(spark, tmp).collect()}
+        assert comps == {1: 1, 2: 1, 3: 1}
