@@ -239,3 +239,83 @@ def test_foreachbatch_merge_ingest_is_exactly_once_per_key(spark):
         assert spark.read.parquet(target).count() == n_distinct
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
+
+
+def test_transform_with_state_running_totals(spark):
+    """transformWithStateInPandas running totals must carry state across
+    micro-batches: with the input split into two single-file triggers,
+    each user's LAST emission equals the batch aggregate over all
+    events.
+
+    The 4.x state API speaks protobuf between the JVM and the Python
+    driver worker; this container ships a broken google.protobuf, so
+    the test skips where the runtime dependency is absent (the operator
+    itself is environment-gated the same way)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.streaming import read_events_stream
+    from fp_data_lakehouse_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        running_totals_stream,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    tmp = _tf.mkdtemp(prefix="tws_")
+    try:
+        # two files -> two micro-batches (maxFilesPerTrigger=1)
+        full = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        half1 = full.filter(F.col("event_id") % 2 == 0)
+        half2 = full.filter(F.col("event_id") % 2 == 1)
+        half1.coalesce(1).write.parquet(f"{tmp}/src/f1.parquet")
+        half2.coalesce(1).write.parquet(f"{tmp}/src/f2.parquet")
+
+        events = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*")
+        )
+        q = (
+            running_totals_stream(events)
+            .writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            emissions = spark.sql("SELECT * FROM tws_test").collect()
+        finally:
+            q.stop()
+
+        # last emission per user (max n_events is monotone) == batch totals
+        last = {}
+        for r in emissions:
+            if r.user_id not in last or r.n_events > last[r.user_id][0]:
+                last[r.user_id] = (r.n_events, r.value_cents)
+        want = {
+            r.user_id: (r.n, r.cents)
+            for r in full.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .collect()
+        }
+        assert last == want
+        # state really crossed batches: some user must have emitted twice
+        from collections import Counter
+
+        per_user = Counter(r.user_id for r in emissions)
+        assert max(per_user.values()) >= 2
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        _sh.rmtree(tmp, ignore_errors=True)
