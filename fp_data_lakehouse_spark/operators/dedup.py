@@ -260,7 +260,10 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy shuffles (band_key, doc_id) only, candidate verification
     touches a vanishing fraction of pairs.
     """
-    sh = _doc_shingle_sets(spark, sf_dir)
+    # lazy checkpoints: sh feeds the signature AND both verification
+    # sides, bands feeds both self-join sides — without materialization
+    # each consumer re-derives the whole shingle/minhash pipeline
+    sh = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
     sig = sh.select("doc_id", "shingles", _minhash_signature_col().alias("sig"))
 
     # band key: md5 of the band's slice of the signature
@@ -273,7 +276,9 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}), x -> cast(x as string)))) as key))"
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).localCheckpoint(
+        eager=False
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -364,7 +369,9 @@ def dd06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" struct(c as chunk, pmod(shiftright(simhash, c * 15), 32768) as key))"
             )
         ).alias("ck"),
-    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    ).select(
+        "doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    ).localCheckpoint(eager=False)
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
@@ -602,10 +609,10 @@ def dd08_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     product never materializes. Approximate → rows-only driver check."""
     from .similarity import _band_keys_col
 
-    u = _unit_vectors(spark, sf_dir)
+    u = _unit_vectors(spark, sf_dir).localCheckpoint(eager=False)
     banded = u.select(
         "vec_id", "vec", F.posexplode(_band_keys_col("vec")).alias("band", "key")
-    )
+    ).localCheckpoint(eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")

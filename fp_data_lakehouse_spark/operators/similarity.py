@@ -160,9 +160,10 @@ def sim02_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate — no SQL oracle; the driver records rows-only.
     """
     v = _vectors(spark, sf_dir)
+    # lazy checkpoint: probes and candidates both read this subtree
     banded = v.select(
         "vec_id", "vec", F.posexplode(_band_keys_col("vec")).alias("band", "key")
-    )
+    ).localCheckpoint(eager=False)
 
     probes = banded.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("vec").alias("a"), "band", "key"
