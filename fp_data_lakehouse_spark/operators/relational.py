@@ -1331,3 +1331,93 @@ def q33_sql_above_average_balance(spark: SparkSession, sf_dir: str) -> DataFrame
               > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM v_customer)
         """
     )
+
+
+@register(
+    "q34_balance_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def q34_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family windows in one pass: NTILE bucket,
+    percent_rank and cume_dist over a globally ordered window (unique
+    tie-break makes all three deterministic). A single global window is
+    acceptable exactly when the input is entity-sized (customers), and
+    that judgement — not the operator — is the scale decision."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "q35_order_value_stats_by_status",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderstatus,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS p,
+               CAST(length(o_orderpriority) AS BIGINT) + CAST(ROUND(o_totalprice) AS BIGINT) % 7 AS q
+        FROM orders
+    ),
+    s AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+               SUM(p) AS sp, SUM(q) AS sq,
+               SUM(p * p) AS spp, SUM(q * q) AS sqq, SUM(p * q) AS spq
+        FROM x GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, CAST(n AS BIGINT) AS n_orders,
+           sqrt((spp - CAST(sp AS DOUBLE) * sp / n) / (n - 1)) AS price_stddev,
+           (spq - CAST(sp AS DOUBLE) * sq / n)
+             / sqrt((spp - CAST(sp AS DOUBLE) * sp / n)
+                    * (sqq - CAST(sq AS DOUBLE) * sq / n)) AS price_q_corr
+    FROM s
+    """,
+)
+def q35_order_value_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (sample stddev, Pearson correlation) per
+    order status, computed from exact integer sums (the ag01 pattern:
+    cents-scaled sums and sum-of-squares are order-independent longs;
+    floats appear only in the last few ops, identically on both
+    engines). The built-in corr()/stddev() compute the same formula with
+    float partials whose summation order is partition-dependent — fine
+    for analytics, wrong for a bit-stable oracle gate, so the exact-sum
+    form is the one the engine ships."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice")).cast("long").alias("p"),
+        (
+            F.length("o_orderpriority").cast("long")
+            + F.round(F.col("o_totalprice")).cast("long") % 7
+        ).alias("q"),
+    )
+    s = x.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("q")).alias("spq"),
+    )
+    n, sp, sq = F.col("n"), F.col("sp"), F.col("sq")
+    spp, sqq, spq = F.col("spp"), F.col("sqq"), F.col("spq")
+    var_p = (spp - sp.cast("double") * sp / n) / (n - 1)
+    return s.select(
+        "o_orderstatus",
+        n.alias("n_orders"),
+        F.sqrt(var_p).alias("price_stddev"),
+        (
+            (spq - sp.cast("double") * sq / n)
+            / F.sqrt((spp - sp.cast("double") * sp / n) * (sqq - sq.cast("double") * sq / n))
+        ).alias("price_q_corr"),
+    )
