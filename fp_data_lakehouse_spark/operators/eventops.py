@@ -240,3 +240,27 @@ def ev04_error_rate_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "ev09_user_event_profile",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ev09_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed aggregation output: each user's sorted distinct
+    event-type list (collect_set + sort_array — set semantics then a
+    canonical order so the value hashes identically on both engines),
+    plus distinct and total counts."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

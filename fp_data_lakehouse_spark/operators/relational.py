@@ -1421,3 +1421,33 @@ def q35_order_value_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFra
             / F.sqrt((spp - sp.cast("double") * sp / n) * (sqq - sq.cast("double") * sq / n))
         ).alias("price_q_corr"),
     )
+
+
+@register(
+    "q36_calendar_rollup",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q36_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function rollup: year / quarter / ISO day-of-week.
+    Engines disagree on day-of-week numbering (Spark dayofweek is
+    1=Sunday, DuckDB dow is 0=Sunday), so both sides state ISO numbering
+    explicitly — Spark via (dayofweek + 5) % 7 + 1, DuckDB via
+    isodow() — the kind of dialect normalization a multi-engine
+    deployment does once, centrally."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            (((F.dayofweek("o_orderdate") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+        )
+        .groupBy("order_year", "order_quarter", "iso_dow")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
