@@ -635,3 +635,69 @@ def dd08_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
         .select("vec_id_a", "vec_id_b", "cosine")
     )
+
+
+# df cutoff for the production configuration of the exact pair join: a
+# shingle shared by more than this many documents contributes df^2
+# candidate pairs while carrying almost no identity signal (boilerplate,
+# stop-phrase n-grams). SCALE.md documents why this cap is what keeps
+# the Σ df² join bounded at corpus scale.
+_MAX_SHINGLE_DF = 20
+
+
+@register(
+    "dd10_ngram_jaccard_capped",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {_MAX_SHINGLE_DF}
+    ),
+    shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+        FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, n_common
+    FROM pairs
+    JOIN sizes sa ON doc_id_a = sa.doc_id
+    JOIN sizes sb ON doc_id_b = sb.doc_id
+    WHERE {_JACCARD_DEN} * n_common >= {_JACCARD_NUM} * (sa.n + sb.n - n_common)
+    """,
+)
+def dd10_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd03 with the document-frequency cap applied — the configuration
+    that actually runs at corpus scale: shingles appearing in more than
+    20 documents are dropped BEFORE the self-join, so a boilerplate
+    n-gram can never contribute its df² candidate pairs. Denominators
+    (set sizes) stay uncapped, so the threshold still compares true
+    Jaccard — the cap only limits which intersections are COUNTED,
+    which can lose borderline pairs whose overlap is mostly common
+    shingles (the documented, oracle-checked tradeoff vs dd03)."""
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle", "left_semi")
+    a = shr.alias("a")
+    b = shr.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+        .filter(
+            _JACCARD_DEN * F.col("n_common")
+            >= _JACCARD_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select("doc_id_a", "doc_id_b", "n_common")
+    )

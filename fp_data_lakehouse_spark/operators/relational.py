@@ -1451,3 +1451,38 @@ def q36_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_year", "order_quarter", "iso_dow")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "q37_revenue_cube",
+    oracle="""
+    SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+           l.l_returnflag AS returnflag,
+           CAST(GROUPING(EXTRACT(year FROM o.o_orderdate)) AS BIGINT) AS g_year,
+           CAST(GROUPING(l.l_returnflag) AS BIGINT) AS g_flag,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY CUBE (EXTRACT(year FROM o.o_orderdate), l.l_returnflag)
+    """,
+)
+def q37_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE sibling of q32's rollup: all four grouping sets — (year,
+    flag), (year), (flag), () — in one Expand + one shuffle. The
+    flag-only marginals are what rollup's hierarchy omits."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("l_returnflag").alias("returnflag"),
+            "l_quantity",
+        )
+        .cube("order_year", "returnflag")
+        .agg(
+            F.grouping("order_year").cast("long").alias("g_year"),
+            F.grouping("returnflag").cast("long").alias("g_flag"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .select("order_year", "returnflag", "g_year", "g_flag", "total_qty")
+    )
