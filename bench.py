@@ -105,6 +105,31 @@ def main() -> None:
         )
     )
 
+    # The driver captures only the LAST ~2000 chars of stdout; the full
+    # per-query line above exceeds that (80+ entries), so round 1's
+    # BENCH record was truncated mid-object ("parsed": null). Emit a
+    # compact summary as the FINAL line so the tail capture always holds
+    # one complete, parseable JSON object.
+    slowest = sorted(
+        ((n, t) for n, t in timings.items() if t >= 0), key=lambda kv: -kv[1]
+    )[:5]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries": dict(slowest),
+                "n_queries": len(timings),
+                "n_errors": sum(1 for t in timings.values() if t < 0),
+                "timing": "min_of_2_runs",
+                "etl_files_per_sec": etl_files_per_sec,
+                "etl_baseline_files_per_sec": 5.4,
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

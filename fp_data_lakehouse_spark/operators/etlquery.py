@@ -1,0 +1,213 @@
+"""Driver-checkable end-to-end ETL queries (SURVEY.md §2.2-§2.4 on the
+hard signal).
+
+The transcript ETL (extract -> star schema, reference ETL_FINAL.py:128-223)
+normally runs over PDF-derived text fixtures the driver's DuckDB oracle
+cannot see. These queries close that gap: they synthesize transcript
+documents *deterministically from the driver's own tables* (customer x
+orders, via ``format_string``), push them through the real production
+pipeline (``split_valid_invalid`` -> ``extract_students`` /
+``extract_courses`` -> ``build_star_schema``), and return rollups whose
+oracle is computed *directly from the base columns* in DuckDB — no regex
+on the oracle side. A green row therefore certifies the whole chain:
+T1-T11 regex extraction, U1 dim get-or-create, U2 fact uniqueness, and
+the broadcast FK-resolution joins, against an independent reconstruction.
+
+Scale notes: synthesis is pure column expressions + one groupBy(custkey)
+(collect_list of course lines — bounded by orders-per-customer, ~10);
+extraction stays JVM-side (regexp_extract_all); the star build broadcasts
+every dim. Course codes use ``o_orderkey % 1000000`` — collision-free
+while max(o_orderkey) < 1e6 (true through sf0.6 of this generator); above
+that, widen the modulus or the U2 dedup-vs-oracle parity breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+
+_GRADES = ["A", "AB", "B", "BC", "C", "D", "E"]
+
+# DuckDB-side twins of the synthesis formulas (kept adjacent so a change
+# to one side is visibly a change to both).
+_SQL_GRADE = "['A','AB','B','BC','C','D','E'][CAST(o_orderkey % 7 AS INT) + 1]"
+_SQL_BOBOT = (
+    "CASE huruf WHEN 'A' THEN 4.0 WHEN 'AB' THEN 3.5 WHEN 'B' THEN 3.0 "
+    "WHEN 'BC' THEN 2.5 WHEN 'C' THEN 2.0 WHEN 'D' THEN 1.0 ELSE 0.0 END"
+)
+
+
+def synth_transcript_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One transcript document per customer: header fields derived from
+    c_custkey/c_name, one course line per order (code/sks/term/grade all
+    functions of o_orderkey/o_orderdate). Matches every extraction regex
+    in etl/extract.py by construction."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    grade = F.element_at(
+        F.array(*[F.lit(g) for g in _GRADES]), (F.col("o_orderkey") % 7 + 1).cast("int")
+    )
+    course_line = F.format_string(
+        "MK%06d KULIAH UMUM %d %04d/%s/K %s",
+        (F.col("o_orderkey") % 1000000).cast("int"),
+        (F.col("o_orderkey") % 6 + 1).cast("int"),
+        F.year("o_orderdate"),
+        F.when(F.month("o_orderdate") <= 6, F.lit("Gs")).otherwise(F.lit("Gn")),
+        grade,
+    )
+    course_blocks = orders.groupBy("o_custkey").agg(
+        F.concat_ws("\n", F.sort_array(F.collect_list(course_line))).alias("course_block")
+    )
+
+    ck = F.col("c_custkey")
+    header = F.format_string(
+        "NRP / Nama %d / %s SKS Tempuh / SKS Lulus %d / %d IPK %d.%02d Status %s---"
+        "IP Tahap Persiapan : %d.%02d IP Tahap Sarjana : %d.%02d "
+        "Total Sks Tahap Persiapan : %d Total Sks Tahap Sarjana : %d Tahap: Sarjana\n",
+        ck,
+        F.col("c_name"),
+        (ck % 50 + 100).cast("int"),
+        (ck % 50 + 90).cast("int"),
+        (ck % 3 + 1).cast("int"),
+        (ck % 100).cast("int"),
+        F.when(ck % 2 == 0, F.lit("AKTIF")).otherwise(F.lit("LULUS")),
+        (ck % 4).cast("int"),
+        (ck * 7 % 100).cast("int"),
+        (ck % 4).cast("int"),
+        (ck * 13 % 100).cast("int"),
+        (ck % 30 + 10).cast("int"),
+        (ck % 60 + 30).cast("int"),
+    )
+    return (
+        customer.join(course_blocks, customer.c_custkey == course_blocks.o_custkey, "left")
+        .select(
+            F.format_string("cust-%d", ck).alias("doc_id"),
+            F.concat(header, F.coalesce("course_block", F.lit(""))).alias("text"),
+        )
+    )
+
+
+_ET01_SQL = f"""
+WITH course AS (
+    SELECT o_custkey,
+           o_orderkey % 1000000 AS code_num,
+           CAST(o_orderkey % 6 + 1 AS INT) AS sks,
+           {_SQL_GRADE} AS huruf,
+           EXTRACT(year FROM o_orderdate) AS tahun,
+           CASE WHEN EXTRACT(month FROM o_orderdate) <= 6 THEN 0 ELSE 1 END AS sem_idx
+    FROM orders
+), weighted AS (
+    SELECT *, {_SQL_BOBOT} AS bobot FROM course
+)
+SELECT huruf,
+       CAST(bobot AS DOUBLE) AS bobot,
+       COUNT(*) AS n_rows,
+       CAST(SUM(sks) AS BIGINT) AS sum_sks,
+       ROUND(SUM(sks * CAST(bobot AS DOUBLE)), 1) AS quality_points,
+       COUNT(DISTINCT o_custkey) AS n_students,
+       COUNT(DISTINCT code_num) AS n_courses,
+       COUNT(DISTINCT tahun * 2 + sem_idx) AS n_terms
+FROM weighted
+GROUP BY huruf, bobot
+ORDER BY huruf
+"""
+
+
+@register("et01_star_schema_build", oracle=_ET01_SQL)
+def et01_star_schema_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extract -> star-schema build, rolled up per grade letter.
+
+    Exercises T1/T6-T11 (course extraction + casts), U1 (all four dims),
+    U2 (composite-key fact dedup), T9/T10 (grade weight + quality
+    points) end to end; the oracle reconstructs the same numbers from
+    ``orders`` without ever seeing the text. ``quality_points`` sums
+    sks x bobot — multiples of 0.5, exact in double in any partition
+    order, so the comparison is scale- and shuffle-safe.
+    """
+    from ..etl.star import build_star_schema
+
+    docs = synth_transcript_docs(spark, sf_dir)
+    star = build_star_schema(spark, docs)
+    fact = star["fact_nilai_mk"]
+    # fact already carries bobot (T9); take only the letter from the dim.
+    huruf_map = star["dim_nilai"].select("id_nilai", "huruf")
+
+    sem_idx = F.when(F.col("semester") == "Gasal", 0).otherwise(1)
+    return (
+        fact.join(F.broadcast(huruf_map), "id_nilai")
+        .groupBy("huruf", "bobot")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("sks").alias("sum_sks"),
+            F.round(F.sum("bobot_matkul"), 1).alias("quality_points"),
+            F.countDistinct("id_mahasiswa").alias("n_students"),
+            F.countDistinct("id_mk").alias("n_courses"),
+            F.countDistinct(F.col("tahun") * 2 + sem_idx).alias("n_terms"),
+        )
+        .orderBy("huruf")
+    )
+
+
+_ET02_SQL = """
+WITH stu AS (
+    SELECT CASE WHEN c_custkey % 2 = 0 THEN 'AKTIF' ELSE 'LULUS' END AS status,
+           c_custkey % 50 + 100 AS sks_tempuh,
+           c_custkey % 50 + 90 AS sks_lulus,
+           c_custkey % 30 + 10 AS sks_persiapan,
+           c_custkey % 60 + 30 AS sks_sarjana,
+           (c_custkey % 3 + 1) * 100 + c_custkey % 100 AS ipk_cents,
+           (c_custkey % 4) * 100 + c_custkey * 7 % 100 AS ip_persiapan_cents,
+           (c_custkey % 4) * 100 + c_custkey * 13 % 100 AS ip_sarjana_cents
+    FROM customer
+)
+SELECT status,
+       COUNT(*) AS n_students,
+       CAST(SUM(sks_tempuh) AS BIGINT) AS sum_sks_tempuh,
+       CAST(SUM(sks_lulus) AS BIGINT) AS sum_sks_lulus,
+       CAST(SUM(sks_persiapan) AS BIGINT) AS sum_sks_persiapan,
+       CAST(SUM(sks_sarjana) AS BIGINT) AS sum_sks_sarjana,
+       CAST(SUM(ipk_cents) AS BIGINT) / 100.0 AS sum_ipk,
+       CAST(SUM(ip_persiapan_cents) AS BIGINT) / 100.0 AS sum_ip_persiapan,
+       CAST(SUM(ip_sarjana_cents) AS BIGINT) / 100.0 AS sum_ip_sarjana
+FROM stu
+GROUP BY status
+ORDER BY status
+"""
+
+
+@register("et02_student_dim_rollup", oracle=_ET02_SQL)
+def et02_student_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-field extraction (T1-T5) on the hard signal: dim_mahasiswa
+    rolled up per status.
+
+    Every numeric is re-aggregated in integer cents
+    (``round(x*100)``) before summing, so double-precision partition
+    order cannot flip the 6-decimal comparison — the same exact-sum
+    discipline as the q06/q07 weighted aggregates (relational.py:40).
+    """
+    from ..etl.extract import extract_students
+    from ..etl.star import build_dim_mahasiswa
+
+    docs = synth_transcript_docs(spark, sf_dir)
+    dim = build_dim_mahasiswa(extract_students(docs))
+
+    def cents(col: str):
+        return F.sum(F.round(F.col(col) * 100).cast("bigint"))
+
+    return (
+        dim.groupBy("status")
+        .agg(
+            F.count("*").alias("n_students"),
+            F.sum("sks_tempuh").alias("sum_sks_tempuh"),
+            F.sum("sks_lulus").alias("sum_sks_lulus"),
+            F.sum("sks_persiapan").alias("sum_sks_persiapan"),
+            F.sum("sks_sarjana").alias("sum_sks_sarjana"),
+            (cents("ipk") / 100.0).alias("sum_ipk"),
+            (cents("ip_persiapan") / 100.0).alias("sum_ip_persiapan"),
+            (cents("ip_sarjana") / 100.0).alias("sum_ip_sarjana"),
+        )
+        .orderBy("status")
+    )

@@ -1,0 +1,104 @@
+"""Driver-checkable versioned-table lifecycle query (table-format layer
+of SURVEY.md §2.1 S5 on the hard signal).
+
+vt01 runs the whole snapshot lifecycle inside one query — initial load,
+MERGE increment, DELETE, then a change-data-feed read across the
+resulting versions — on a scratch versioned table built from the
+driver's ``orders``. The oracle reconstructs the expected change feed
+purely relationally in DuckDB, so a green row certifies the MERGE
+semantics (matched update / not-matched insert), the delete snapshot,
+and the CDF classification, not just "some rows came back".
+
+All money math is integer cents (``round(x*100)``) so double-precision
+partition order cannot flip comparisons — the repo-wide exact-sum rule.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+
+_SPLIT = "1996-01-01"
+_DELETE_BELOW_ORDERS = 10
+
+_VT01_SQL = f"""
+WITH v1 AS (
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT}'
+    GROUP BY o_custkey
+), v2 AS (
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+), d12 AS (
+    SELECT 'v1_v2' AS step,
+           v2.o_custkey,
+           CASE WHEN v1.o_custkey IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS change_type,
+           v2.n_orders,
+           v2.total_cents
+    FROM v2 LEFT JOIN v1 ON v2.o_custkey = v1.o_custkey
+    WHERE v1.o_custkey IS NULL
+       OR v1.n_orders <> v2.n_orders
+       OR v1.total_cents <> v2.total_cents
+), d23 AS (
+    SELECT 'v2_v3' AS step, o_custkey, 'delete' AS change_type, n_orders, total_cents
+    FROM v2 WHERE n_orders < {_DELETE_BELOW_ORDERS}
+)
+SELECT * FROM d12 UNION ALL SELECT * FROM d23
+"""
+
+
+def _cust_totals(orders: DataFrame) -> DataFrame:
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum(cents).alias("total_cents")
+    )
+
+
+@register("vt01_version_change_feed", oracle=_VT01_SQL)
+def vt01_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table lifecycle: load v1 (orders before {_SPLIT}),
+    MERGE the full-history per-customer totals as v2, DELETE small
+    customers as v3, then return change_feed(v1,v2) ∪ change_feed(v2,v3).
+
+    Customers untouched by the increment must NOT appear in the feed
+    (the null-safe struct diff), inserts/updates carry post-images,
+    deletes carry pre-images — all cross-checked by the oracle's
+    relational reconstruction.
+    """
+    from ..sources.versioned import change_feed, delete_from_version, merge_into_version, write_version
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = tempfile.mkdtemp(prefix="vt01_") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    v1 = write_version(
+        _cust_totals(orders.filter(F.col("o_orderdate") < F.lit(_SPLIT).cast("timestamp"))),
+        table_dir,
+    )
+    v2 = merge_into_version(spark, table_dir, _cust_totals(orders), keys=["o_custkey"])
+    v3 = delete_from_version(spark, table_dir, F.col("n_orders") < _DELETE_BELOW_ORDERS)
+
+    keys = ["o_custkey"]
+    feed12 = change_feed(spark, table_dir, v1, v2, keys).withColumn("step", F.lit("v1_v2"))
+    feed23 = change_feed(spark, table_dir, v2, v3, keys).withColumn("step", F.lit("v2_v3"))
+    return (
+        feed12.unionByName(feed23)
+        .select(
+            "step",
+            "o_custkey",
+            F.col("_change_type").alias("change_type"),
+            "n_orders",
+            "total_cents",
+        )
+    )

@@ -89,13 +89,19 @@ def merge_upsert(
     merged = target.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
 
     tmp = tempfile.mkdtemp(prefix="merge_upsert_", dir=os.path.dirname(target_path.rstrip("/")))
+    swap = target_path.rstrip("/") + ".old"
+    moved = False
     try:
         merged.write.mode("overwrite").parquet(tmp)
-        swap = target_path.rstrip("/") + ".old"
         os.rename(target_path, swap)
+        moved = True
         os.rename(tmp, target_path)
         shutil.rmtree(swap, ignore_errors=True)
     except Exception:
+        # Never leave the live path empty: if the target was already
+        # moved aside, put it back before surfacing the error.
+        if moved and not os.path.exists(target_path):
+            os.rename(swap, target_path)
         shutil.rmtree(tmp, ignore_errors=True)
         raise
 

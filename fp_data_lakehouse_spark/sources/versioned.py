@@ -25,6 +25,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _PTR = "_LATEST"
 _VDIR = re.compile(r"^v(\d{5})$")
@@ -86,6 +87,73 @@ def read_table(spark: SparkSession, table_dir: str, version: int | None = None) 
     if version > committed:
         raise FileNotFoundError(f"version {version} not committed yet in {table_dir}")
     return spark.read.parquet(os.path.join(table_dir, f"v{version:05d}"))
+
+
+def merge_into_version(
+    spark: SparkSession, table_dir: str, updates: DataFrame, keys: list[str]
+) -> int:
+    """MERGE INTO a versioned table: publishes a NEW snapshot holding
+    (previous version WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT of ``updates``) — the Delta ``MERGE`` + transaction-log shape
+    on the snapshot layout, so every increment is also a time-travel
+    point. First merge into an empty table is a plain initial load.
+
+    Updates must be unique on ``keys`` (same MERGE precondition as
+    ``sinks.merge_upsert``); the previous snapshot is never mutated, so
+    a failed merge leaves the table at the old version.
+    """
+    dup = updates.groupBy(*keys).count().filter("count > 1").limit(1).count()
+    if dup:
+        raise ValueError(f"updates are not unique on merge keys {keys}")
+    if latest_version(table_dir) is None:
+        return write_version(updates, table_dir)
+    prev = read_table(spark, table_dir)
+    merged = prev.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
+    return write_version(merged, table_dir)
+
+
+def delete_from_version(spark: SparkSession, table_dir: str, condition) -> int:
+    """DELETE WHERE ``condition`` as a new snapshot (rows NOT matching
+    the condition survive). Returns the new version number."""
+    prev = read_table(spark, table_dir)
+    return write_version(prev.filter(~condition), table_dir)
+
+
+def change_feed(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-feed between two retained snapshots: one row per key
+    whose payload changed, tagged ``_change_type`` in
+    {'insert','update_postimage','delete'} (the Delta CDF vocabulary,
+    minus preimages). Non-key columns carry the post-image for
+    inserts/updates and the pre-image for deletes.
+
+    Implemented as a single full-outer equi-join on the keys with a
+    null-safe struct comparison over the payload — one shuffle, no
+    driver materialization, so diffing two 100 TB snapshots is an
+    ordinary co-partitioned join (and shuffle-free entirely if the
+    snapshots are bucketed on the keys)."""
+    old = read_table(spark, table_dir, from_version)
+    new = read_table(spark, table_dir, to_version)
+    non_keys = [c for c in new.columns if c not in keys]
+    if not non_keys:
+        raise ValueError("change_feed requires at least one non-key column")
+    o = old.select(*keys, F.struct(*non_keys).alias("_old"))
+    n = new.select(*keys, F.struct(*non_keys).alias("_new"))
+    j = o.join(n, keys, "full_outer").filter(~F.col("_old").eqNullSafe(F.col("_new")))
+    img = F.coalesce("_new", "_old")
+    return j.select(
+        *keys,
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update_postimage"))
+        .alias("_change_type"),
+        *[img.getField(c).alias(c) for c in non_keys],
+    )
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:

