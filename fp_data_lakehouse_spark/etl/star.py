@@ -81,16 +81,16 @@ def build_dim_matakuliah(courses: DataFrame) -> DataFrame:
     """One row per course, natural key kode_mk (U1, ETL_FINAL.py:199-204).
 
     The reference keeps the first-seen (nama_mk, sks, tahap) for a code;
-    batch equivalent: min by kode_mk ordering on the remaining columns —
-    deterministic regardless of input partitioning.
+    batch equivalent: the lexicographically-smallest WHOLE ROW per code
+    (min over a struct) — deterministic regardless of input
+    partitioning, and the kept tuple is always one an input row actually
+    contained (independent per-column mins could stitch attributes from
+    different rows of the same code together).
     """
     dedup = (
         courses.groupBy("kode_mk")
-        .agg(
-            F.min("nama_mk").alias("nama_mk"),
-            F.min("sks").alias("sks"),
-            F.min("tahap").alias("tahap"),
-        )
+        .agg(F.min(F.struct("nama_mk", "sks", "tahap")).alias("_row"))
+        .select("kode_mk", "_row.*")
     )
     return _surrogate(dedup, "id_mk", "kode_mk")
 

@@ -249,6 +249,46 @@ def _minhash_signature_col() -> F.Column:
     )
 
 
+# Per-bucket all-pairs cutoff for every banded self-join (dd04, dd06,
+# dd08). A band bucket of B members contributes B^2/2 candidate pairs; on
+# an adversarial corpus (mass-duplicated boilerplate) one bucket can hold
+# the whole corpus and the "candidate" join IS the N^2 product the
+# banding exists to avoid. Above the cap we star-link members to the
+# bucket's minimum id instead: |B|-1 pairs, which keeps every member
+# connected for clustering (the clique is recovered by connected
+# components, dd09-style) while bounding join fan-out to O(cap * rows).
+_MAX_BAND_BUCKET = 64
+
+
+def _bounded_band_pairs(banded: DataFrame, id_col: str, out_a: str, out_b: str) -> DataFrame:
+    """Candidate pairs from (id, band, key) rows with bounded per-bucket
+    fan-out: all-pairs inside buckets of <= _MAX_BAND_BUCKET members,
+    star-to-representative above it (see the cap note). The bucket
+    size/representative window reuses the (band, key) hash partitioning
+    a groupBy would need anyway — one shuffle, no driver state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key")
+    sized = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min(id_col).over(w))
+        .localCheckpoint(eager=False)
+    )
+    small = sized.filter(F.col("_bsz") <= _MAX_BAND_BUCKET)
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b))
+    star = sized.filter(
+        (F.col("_bsz") > _MAX_BAND_BUCKET) & (F.col(id_col) != F.col("_rep"))
+    ).select(F.col("_rep").alias(out_a), F.col(id_col).alias(out_b))
+    return all_pairs.unionByName(star).distinct()
+
+
 @register("dd04_minhash_lsh_pairs")
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4) candidate pairs, verified by exact
@@ -280,18 +320,7 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    candidates = _bounded_band_pairs(bands, "doc_id", "doc_id_a", "doc_id_b")
 
     # exact-Jaccard verification of candidates only
     sets_a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
@@ -359,35 +388,22 @@ def dd06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: candidates share one of 4 15-bit chunks
     (pigeonhole guarantees recall for Hamming distance <= 3), verified
     by exact Hamming <= 3 via bit_count(xor)."""
-    sigs = dd05_simhash_signatures(spark, sf_dir)
+    sigs = dd05_simhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     chunks = sigs.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {_CHUNKS - 1}), c ->"
-                f" struct(c as chunk, pmod(shiftright(simhash, c * 15), 32768) as key))"
+                f" struct(c as band, pmod(shiftright(simhash, c * 15), 32768) as key))"
             )
         ).alias("ck"),
-    ).select(
-        "doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
-    ).localCheckpoint(eager=False)
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    ).select("doc_id", F.col("ck.band").alias("band"), F.col("ck.key").alias("key"))
+    candidates = _bounded_band_pairs(chunks, "doc_id", "doc_id_a", "doc_id_b")
+    sig_a = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("simhash_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("simhash_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("simhash_a"),
-            F.col("b.simhash").alias("simhash_b"),
-        )
-        .distinct()
+        candidates.join(sig_a, "doc_id_a")
+        .join(sig_b, "doc_id_b")
         .withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_id_a", "doc_id_b", "hamming")
@@ -427,6 +443,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -452,7 +469,15 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partial labels are silently WRONG (a >max_iterations-diameter
+        # chain keeps propagating); fail loudly rather than emit them.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds; raise max_iterations (rounds ~ graph diameter)"
+        )
     return labels
 
 
@@ -611,21 +636,9 @@ def dd08_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     u = _unit_vectors(spark, sf_dir).localCheckpoint(eager=False)
     banded = u.select(
-        "vec_id", "vec", F.posexplode(_band_keys_col("vec")).alias("band", "key")
-    ).localCheckpoint(eager=False)
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b"))
-        .distinct()
+        "vec_id", F.posexplode(_band_keys_col("vec")).alias("band", "key")
     )
+    candidates = _bounded_band_pairs(banded, "vec_id", "vec_id_a", "vec_id_b")
     sets_a = u.select(F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("a"))
     sets_b = u.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("b"))
     return (

@@ -97,15 +97,25 @@ def _sessionize_group(
     for ep in eps:
         if n > 0 and ep - last_ep > SESSION_GAP_SEC:
             closed.append(_close(user_id, start_ep, last_ep, n))
-            start_ep, n = ep, 0
+            start_ep, last_ep, n = ep, ep, 0
         elif n == 0:
-            start_ep = ep
-        last_ep = ep
+            start_ep, last_ep = ep, ep
+        else:
+            # Late-but-admitted event (cross-batch, ep may precede the
+            # stored tail): merge into the open session — never rewind
+            # last_ep, or the next on-time event could wrongly split.
+            start_ep = min(start_ep, ep)
+            last_ep = max(last_ep, ep)
         n += 1
 
     state.update((start_ep, last_ep, n))
     # Event-time timeout: fire when the watermark passes the gap horizon.
-    state.setTimeoutTimestamp((last_ep + SESSION_GAP_SEC) * 1000)
+    # Clamped above the current watermark — an admitted event more than
+    # one gap behind it would otherwise produce a timestamp the API
+    # rejects (INVALID_TIMEOUT_TIMESTAMP kills the whole query).
+    state.setTimeoutTimestamp(
+        max((last_ep + SESSION_GAP_SEC) * 1000, state.getCurrentWatermarkMs() + 1)
+    )
 
     yield pd.DataFrame(closed, columns=[f.name for f in SESSION_OUTPUT_SCHEMA])
 

@@ -319,3 +319,70 @@ def test_transform_with_state_running_totals(spark):
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         _sh.rmtree(tmp, ignore_errors=True)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the fold function."""
+
+    hasTimedOut = False
+
+    def __init__(self, tup=None, watermark_ms=0):
+        self._tup = tup
+        self._wm = watermark_ms
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._tup is not None
+
+    @property
+    def get(self):
+        return self._tup
+
+    def update(self, tup):
+        self._tup = tuple(tup)
+
+    def remove(self):
+        self._tup = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def test_sessionize_group_late_event_no_rewind_no_split():
+    """ADVICE round-1 (medium): a late-but-admitted event must neither
+    rewind the open session's tail (which wrongly split it on the next
+    on-time event) nor produce a timeout timestamp below the watermark
+    (which raises INVALID_TIMEOUT_TIMESTAMP and kills the query)."""
+    import pandas as pd
+
+    from fp_data_lakehouse_spark.streaming.stateful import _sessionize_group
+
+    wm_ms = 10_000_000  # watermark already way past the session tail
+    state = _FakeState(tup=(1000, 2000, 3), watermark_ms=wm_ms)
+    # ep=100 is ~32min before the stored tail; ep=2900 is on-time (900s
+    # after tail, inside the 30-min gap). The old fold rewound last_ep to
+    # 100 and then split at 2900.
+    out = list(_sessionize_group((7,), iter([pd.DataFrame({"ep": [100, 2900]})]), state))
+    closed = pd.concat(out)
+    assert len(closed) == 0, "open session must not be split by a late event"
+    assert state.get == (100, 2900, 5)  # start widened, tail advanced, count up
+    # clamp: last_ep+gap = 4700s -> 4.7e6 ms < watermark; must be wm+1
+    assert state.timeout_ms == wm_ms + 1
+
+
+def test_sessionize_group_timeout_unclamped_when_ahead_of_watermark():
+    import pandas as pd
+
+    from fp_data_lakehouse_spark.streaming.stateful import (
+        SESSION_GAP_SEC,
+        _sessionize_group,
+    )
+
+    state = _FakeState(tup=None, watermark_ms=0)
+    list(_sessionize_group((7,), iter([pd.DataFrame({"ep": [5000]})]), state))
+    assert state.get == (5000, 5000, 1)
+    assert state.timeout_ms == (5000 + SESSION_GAP_SEC) * 1000
