@@ -23,6 +23,7 @@ for _mod in (
     "sampling",
     "etlquery",
     "versionquery",
+    "curation",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

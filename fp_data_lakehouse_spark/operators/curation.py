@@ -1,0 +1,223 @@
+"""Corpus-curation operators that COMPOSE the primitive families:
+cross-split decontamination (dedup x sampling), corpus-relative quality
+gating (textops x histogram quantile), and funnel analysis (event
+sequencing) — the glue queries a real training-data pipeline runs
+between the primitive stages.
+
+Scale notes per operator at the definition site; none of them joins on
+anything wider than (shingle) / (score bucket) / (user_id), and the only
+global ordering is over a <=1001-row histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as X
+from ..sources.catalog import load_table
+from .dedup import _SHINGLE_ROWS_SQL, _shingle_rows
+from .registry import register
+from .sampling import _BUCKET, _BUCKET_SQL, _TRAIN_HI, _VAL_HI
+
+# ---------------------------------------------------------------------------
+# dd11: train/test contamination check (decontamination pass)
+# ---------------------------------------------------------------------------
+
+_DD11_SQL = f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+lab AS (
+    SELECT doc_id, shingle,
+           CASE WHEN {_BUCKET_SQL} < {_TRAIN_HI} THEN 'train'
+                WHEN {_BUCKET_SQL} < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split
+    FROM sh
+),
+te AS (SELECT doc_id, shingle FROM lab WHERE split = 'test'),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM te GROUP BY doc_id),
+h AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM te
+    WHERE shingle IN (SELECT shingle FROM lab WHERE split = 'train')
+    GROUP BY doc_id
+)
+SELECT n.doc_id, n_sh, n_hit,
+       CAST(CASE WHEN 2 * n_hit >= n_sh THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM n JOIN h ON n.doc_id = h.doc_id
+"""
+
+
+@register("dd11_cross_split_contamination", oracle=_DD11_SQL)
+def dd11_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report: for every TEST document (sp01's stable
+    hash split), how many of its 3-gram shingles also occur anywhere in
+    the TRAIN split — the standard eval-leakage check run before
+    training. ``contaminated`` flags docs with a majority of shingles
+    leaked (integer comparison, no float threshold).
+
+    Scale: shingle rows shuffle on (shingle) for the distinct and the
+    semi-join — each test shingle matches at most the one distinct
+    train row, so fan-out is |test shingles|, never df². The split
+    label is a map-side expression on doc_id (no join against an
+    assignment table), identical to sp01 by construction.
+    """
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    bucket = F.expr(_BUCKET)
+    lab = sh.withColumn(
+        "split",
+        F.when(bucket < _TRAIN_HI, "train").when(bucket < _VAL_HI, "val").otherwise("test"),
+    )
+    train_sh = lab.filter(F.col("split") == "train").select("shingle").distinct()
+    te = lab.filter(F.col("split") == "test").select("doc_id", "shingle")
+    n = te.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    h = (
+        te.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return n.join(h, "doc_id").select(
+        "doc_id",
+        "n_sh",
+        "n_hit",
+        F.when(2 * F.col("n_hit") >= F.col("n_sh"), 1).otherwise(0).cast("bigint").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx09: corpus-relative quality gate (histogram quantile)
+# ---------------------------------------------------------------------------
+
+_TX09_SCORE_SQL = (
+    f"CAST({X.stopword_hits_sql('en')} AS BIGINT) * 1000"
+    f" // GREATEST(CAST({X.word_count_sql()} AS BIGINT), 1)"
+)
+
+_TX09_SQL = f"""
+WITH q AS (
+    SELECT doc_id, {_TX09_SCORE_SQL} AS score_u FROM documents
+),
+h AS (SELECT score_u, COUNT(*) AS c FROM q GROUP BY score_u),
+cum AS (
+    SELECT score_u, SUM(c) OVER (ORDER BY score_u) AS cum,
+           (SELECT COUNT(*) FROM q) AS n
+    FROM h
+),
+cut AS (SELECT MIN(score_u) AS cut FROM cum WHERE cum * 4 >= n)
+SELECT doc_id, score_u FROM q, cut WHERE score_u >= cut
+"""
+
+
+@register("tx09_quality_percentile_gate", oracle=_TX09_SQL)
+def tx09_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-RELATIVE quality gate: keep documents whose stopword
+    density (integer milli-ratio — a naturalness proxy) is at or above
+    the corpus's 25th-percentile score bucket. Unlike tx03's absolute
+    thresholds, the cut adapts to the corpus.
+
+    The quantile is a histogram quantile in exact integer arithmetic:
+    per-score counts (<=1001 distinct milli-ratios), one cumulative
+    window over that tiny histogram, cutoff = smallest score with
+    cum*4 >= n (ceil-free integer form of P25). No sort of the corpus,
+    no TakeOrdered of N/4 rows to the driver, no float percentile whose
+    interpolation could disagree between engines — the same plan at
+    100 TB: full-corpus groupBy(score) + a 1001-row window + a
+    broadcast-scalar filter fused into the rescan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.select(
+            "doc_id",
+            (X.stopword_hits("en").cast("bigint") * 1000).alias("sw_milli"),
+            F.greatest(X.word_count().cast("bigint"), F.lit(1)).alias("w"),
+        )
+        .select("doc_id", F.expr("sw_milli div w").alias("score_u"))
+        .localCheckpoint(eager=False)  # feeds histogram AND final filter
+    )
+    hist = q.groupBy("score_u").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = q.agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("score_u").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cut = (
+        cum.crossJoin(F.broadcast(n_tot))
+        .filter(F.col("cum") * 4 >= F.col("n"))
+        .agg(F.min("score_u").alias("cut"))
+    )
+    return (
+        q.crossJoin(F.broadcast(cut))
+        .filter(F.col("score_u") >= F.col("cut"))
+        .select("doc_id", "score_u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev10: strict-order funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_EV10_SQL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+    SELECT '1_view' AS stage, user_id FROM s1
+    UNION ALL SELECT '2_click', user_id FROM s2
+    UNION ALL SELECT '3_purchase', user_id FROM s3
+) u GROUP BY stage
+"""
+
+
+@register("ev10_conversion_funnel", oracle=_EV10_SQL)
+def ev10_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel: users with a view, then a click
+    AFTER their first view, then a purchase AFTER that first qualifying
+    click. Classic sequential-pattern query no single groupBy expresses
+    (stage k's threshold depends on stage k-1's result).
+
+    Three per-user aggregates chained by equi-join on user_id + a time
+    predicate: every join is key-co-partitioned (one shuffle key
+    throughout, reused stage to stage), per-user fan-out is the user's
+    own event count, and the final rollup is a 3-group reduce. No
+    windows over the full event log, no per-user collect_list.
+    """
+    events = load_table(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    staged = (
+        s1.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(s2.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(s3.select(F.lit("3_purchase").alias("stage"), "user_id"))
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

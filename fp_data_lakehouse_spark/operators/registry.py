@@ -79,6 +79,9 @@ DRIVER_PRIORITY: list[str] = [
     "et01_star_schema_build",
     "et02_student_dim_rollup",
     "vt01_version_change_feed",
+    "dd11_cross_split_contamination",
+    "tx09_quality_percentile_gate",
+    "ev10_conversion_funnel",
 ]
 
 

@@ -90,7 +90,11 @@ def read_table(spark: SparkSession, table_dir: str, version: int | None = None) 
 
 
 def merge_into_version(
-    spark: SparkSession, table_dir: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    merge_schema: bool = False,
 ) -> int:
     """MERGE INTO a versioned table: publishes a NEW snapshot holding
     (previous version WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
@@ -101,6 +105,11 @@ def merge_into_version(
     Updates must be unique on ``keys`` (same MERGE precondition as
     ``sinks.merge_upsert``); the previous snapshot is never mutated, so
     a failed merge leaves the table at the old version.
+
+    ``merge_schema=True`` is Delta's ``mergeSchema`` for MERGE: columns
+    present on only one side are added to the new snapshot (null-filled
+    on the other side). Off by default so an accidental column rename
+    fails loudly instead of forking the schema.
     """
     dup = updates.groupBy(*keys).count().filter("count > 1").limit(1).count()
     if dup:
@@ -108,7 +117,12 @@ def merge_into_version(
     if latest_version(table_dir) is None:
         return write_version(updates, table_dir)
     prev = read_table(spark, table_dir)
-    merged = prev.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
+    # allowMissingColumns null-fills BOTH directions: columns new in
+    # updates appear (null for surviving old rows), columns absent from
+    # updates persist (null for the new rows).
+    merged = prev.join(updates.select(*keys), keys, "left_anti").unionByName(
+        updates, allowMissingColumns=merge_schema
+    )
     return write_version(merged, table_dir)
 
 

@@ -157,3 +157,19 @@ def test_merge_batches_equal_full_rebuild(spark, batches):
         assert latest_version(f"{d}/t") == len(batches)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_schema_evolution(spark, tdir):
+    merge_into_version(spark, tdir, _kv(spark, [(1, 10), (2, 20)]), ["id"])
+    evolved = spark.createDataFrame(
+        [(2, 99, "b"), (3, 30, "c")], "id BIGINT, v BIGINT, tag STRING"
+    )
+    # without opt-in, a schema change fails loudly
+    with pytest.raises(Exception):
+        merge_into_version(spark, tdir, evolved, ["id"])
+    assert latest_version(tdir) == 1  # failed merge left the table alone
+    merge_into_version(spark, tdir, evolved, ["id"], merge_schema=True)
+    got = {(r.id, r.v, r.tag) for r in read_table(spark, tdir).collect()}
+    assert got == {(1, 10, None), (2, 99, "b"), (3, 30, "c")}
+    # old snapshot still reads with its own (narrower) schema
+    assert read_table(spark, tdir, version=1).columns == ["id", "v"]
