@@ -10,6 +10,7 @@ shuffle + compute, not just plan construction.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -82,6 +83,13 @@ def main() -> None:
                 print(f"# bench error in {name}: {exc}", file=sys.stderr)
                 break
         timings[name] = round(best, 3)
+        # Release this query's (lazy) localCheckpoint blocks before the
+        # next one runs: the Python references die here, but the JVM
+        # frees ContextCleaner-tracked blocks only after a GC — 80+
+        # queries of retained blocks otherwise crowd the block manager
+        # and inflate every later query's time.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     total = round(time.time() - t_suite, 3)
 
     try:

@@ -164,9 +164,16 @@ def build_star_schema(spark: SparkSession, docs: DataFrame) -> dict[str, DataFra
     SURVEY.md §3.1, minus the per-row N+1 round-trips)."""
     from .extract import extract_courses, extract_students
 
-    students = extract_students(docs)
-    courses = extract_courses(docs).join(
-        students.select("doc_id"), "doc_id", "left_semi"
+    # Lazy checkpoints: four dims + the fact each trigger their own job
+    # (broadcast builds), and every one would otherwise re-run the regex
+    # extraction over the full document text. Materializing the
+    # extracted frames (far smaller than the raw text) makes extraction
+    # a once-per-build cost.
+    students = extract_students(docs).localCheckpoint(eager=False)
+    courses = (
+        extract_courses(docs)
+        .join(students.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
     )  # courses only from accepted documents (reject path drops the whole file)
 
     dim_nilai = build_dim_nilai(spark, courses)

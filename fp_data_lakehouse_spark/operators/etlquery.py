@@ -129,7 +129,9 @@ def et01_star_schema_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..etl.star import build_star_schema
 
-    docs = synth_transcript_docs(spark, sf_dir)
+    # lazy checkpoint: the star build fans out into several jobs, each
+    # of which would re-run the synthesis join+groupBy otherwise
+    docs = synth_transcript_docs(spark, sf_dir).localCheckpoint(eager=False)
     star = build_star_schema(spark, docs)
     fact = star["fact_nilai_mk"]
     # fact already carries bobot (T9); take only the letter from the dim.
