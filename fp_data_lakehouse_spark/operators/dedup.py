@@ -714,3 +714,78 @@ def dd10_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id_a", "doc_id_b", "n_common")
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup (fixed-size token chunks)
+# ---------------------------------------------------------------------------
+
+# Non-overlapping 10-token segments: the chunk-granular analog of exact
+# substring dedup (the RefinedWeb/C4 move of dropping repeated spans, not
+# whole documents). Chunks are md5-fingerprinted BEFORE the shuffle so the
+# exchange carries 32-byte hashes, never text — same design as dd01/dd02.
+_SEG_K = 10
+
+
+@register(
+    "dd12_duplicated_segments",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w,
+               generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS pos
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_h
+        FROM tok
+        GROUP BY doc_id, (pos - 1) // {_SEG_K}
+    ),
+    shared AS (
+        SELECT chunk_h FROM chunks GROUP BY chunk_h
+        HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN s.chunk_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_segments
+    FROM chunks c LEFT JOIN shared s USING (chunk_h)
+    GROUP BY c.doc_id
+    """,
+)
+def dd12_duplicated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-segment census: split each document into
+    non-overlapping 10-token chunks, flag chunks that appear (exactly) in
+    more than one distinct document, report per-doc totals.
+
+    Chunking is a zero-shuffle map (slice over the token array inside one
+    projection); the only exchanges hash 32-byte chunk fingerprints — at
+    100 TB the text itself never moves. Cross-doc sharing uses
+    COUNT(DISTINCT doc_id) > 1 so a phrase repeated inside one document
+    does not mark that document as externally duplicated.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(lower(trim(text)), '\\\\s+')) / 10.0) as int) - 1),"
+                f" i -> md5(array_join(slice(split(lower(trim(text)), '\\\\s+'), i * {_SEG_K} + 1, {_SEG_K}), ' ')))"
+            )
+        ).alias("chunk_h"),
+    ).localCheckpoint(eager=False)
+    shared = (
+        chunks.groupBy("chunk_h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("chunk_h")
+    )
+    return (
+        chunks.join(shared.withColumn("is_shared", F.lit(1)), "chunk_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).cast("long").alias("dup_segments"),
+        )
+    )

@@ -264,3 +264,48 @@ def ev09_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "ev11_weekly_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', c.cohort_week, a.active_week) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+    FROM cohort c JOIN activity a USING (user_id)
+    GROUP BY c.cohort_week, datediff('day', c.cohort_week, a.active_week) // 7
+    """,
+)
+def ev11_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event; for each (cohort_week, week_offset) the count of cohort
+    members still active that week.
+
+    Two aggregations over the same user_id partitioning (first-event
+    cohort, distinct active weeks) joined user-keyed, then a small
+    (weeks × offsets) rollup — the user-keyed join reuses one hash
+    partitioning, and the final groupBy output is tiny at any corpus
+    size, so nothing here grows with 100 TB except the first scan."""
+    events = load_table(spark, sf_dir, "events")
+    cohort = events.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(active_week, cohort_week) div 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

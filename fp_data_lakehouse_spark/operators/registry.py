@@ -82,6 +82,11 @@ DRIVER_PRIORITY: list[str] = [
     "dd11_cross_split_contamination",
     "tx09_quality_percentile_gate",
     "ev10_conversion_funnel",
+    "dd12_duplicated_segments",
+    "sp03_language_rebalance",
+    "ev11_weekly_retention",
+    "tx10_context_packing",
+    "tx11_pii_scrub",
 ]
 
 

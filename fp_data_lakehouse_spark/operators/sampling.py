@@ -77,3 +77,39 @@ def sp02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DEFAULT_RATE),
     )
     return docs.filter(F.expr(_BUCKET) < rate).select("doc_id", "source")
+
+
+@register(
+    "sp03_language_rebalance",
+    oracle=f"""
+    WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    rate AS (
+        SELECT lang, ({_BUCKETS} * (SELECT MIN(c) FROM cnt)) // c AS r
+        FROM cnt
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rate USING (lang)
+    WHERE {_BUCKET_SQL} < r
+    """,
+)
+def sp03_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the language mixture by downsampling every language to
+    (approximately) the size of the smallest one — the standard move
+    before training on a multilingual corpus dominated by one language.
+
+    Per-language keep-rates are computed from a 5-row aggregate and
+    broadcast back; selection reuses the content-stable hash bucket, so
+    the surviving set is reproducible across runs, engines, and corpus
+    growth. One small groupBy + a broadcast join + a map-side filter —
+    no large shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    min_c = cnt.agg(F.min("c").alias("mc"))
+    rate = cnt.crossJoin(F.broadcast(min_c)).select(
+        "lang", F.expr(f"({_BUCKETS} * mc) div c").alias("r")
+    )
+    return (
+        docs.join(F.broadcast(rate), "lang")
+        .filter(F.expr(_BUCKET) < F.col("r"))
+        .select("doc_id", "lang")
+    )

@@ -323,3 +323,120 @@ def tx06_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim("text"))).alias("md5_fp"),
         X.rolling_hash().cast("long").alias("rolling_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing (sequence packing)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per context window
+
+_PACK_ORDER_SQL = "md5(CAST(doc_id AS VARCHAR))"
+_PACK_ORDER = "md5(cast(doc_id as string))"
+
+
+@register(
+    "tx10_context_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, {_PACK_ORDER_SQL} AS h,
+               CAST({X.word_count_sql()} AS BIGINT) AS toks
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, toks,
+               (SUM(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - toks) // {_PACK_BUDGET} AS bin
+        FROM sized
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM placed
+    GROUP BY source, bin
+    """,
+)
+def tx10_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in a deterministic
+    hash-shuffled order) and chunk the stream into fixed token-budget
+    context windows; a document's bin is the window its first token
+    lands in. Reports per-bin document count and token mass.
+
+    Packing is per-source — the window partitions by source, so at
+    100 TB each source packs independently on its own executors instead
+    of serializing the corpus through one global ordering (the
+    single-partition window that would otherwise be the bottleneck).
+    The md5 order is the reproducible stand-in for the usual random
+    shuffle before packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.expr(_PACK_ORDER).alias("h"),
+        X.word_count().cast("long").alias("toks"),
+    )
+    placed = sized.select(
+        "source",
+        "toks",
+        F.expr(f"(sum(toks) over (partition by source order by h, doc_id"
+               f" rows between unbounded preceding and current row) - toks)"
+               f" div {_PACK_BUDGET}").alias("bin"),
+    )
+    return placed.groupBy("source", F.col("bin").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+# The slim synthetic customer table carries no contact fields, so the
+# PII-laden input is synthesized deterministically from its columns
+# (same fixture-building move as et01's transcript synthesis) — the
+# scrubbing operator itself is the thing under test.
+_RAW_SQL = (
+    "'reach ' || c_name || ' <' || lower(c_mktsegment) || CAST(c_custkey AS VARCHAR)"
+    " || '@example.com> or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " || ' re ' || lower(c_mktsegment)"
+)
+_RAW_SPARK = (
+    "concat('reach ', c_name, ' <', lower(c_mktsegment), cast(c_custkey as string),"
+    " '@example.com> or +1-555-', lpad(cast(c_custkey % 10000 as string), 4, '0'),"
+    " ' re ', lower(c_mktsegment))"
+)
+
+
+@register(
+    "tx11_pii_scrub",
+    oracle=f"""
+    WITH raw AS (SELECT c_custkey, {_RAW_SQL} AS txt FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM raw
+    """,
+)
+def tx11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over free text: replace email addresses and phone
+    numbers with typed placeholders and count the redactions — the
+    compliance pass every training corpus goes through before the
+    tokenizer sees it. Pure per-row regex map work, fused into the scan;
+    zero shuffles at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    raw = cust.select("c_custkey", F.expr(_RAW_SPARK).alias("txt"))
+    return raw.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("txt", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("txt", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+    )
