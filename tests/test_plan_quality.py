@@ -137,3 +137,34 @@ def test_exact_dedup_shuffles_fingerprints_not_text(spark):
     plan = physical_plan(df)
     ex = plan[plan.index("Exchange") :].splitlines()[0] if "Exchange" in plan else ""
     assert "text" not in ex, f"dedup exchange carries raw text: {ex}"
+
+
+def test_segment_dedup_shuffles_fingerprints_not_text(spark):
+    """dd12's exchanges must carry md5 chunk hashes, never document
+    text (the chunking projection happens before any shuffle)."""
+    df = _df(spark, "dd12_duplicated_segments")
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, f"segment-dedup exchange carries raw text: {line}"
+
+
+def test_language_rebalance_broadcasts_rates(spark):
+    """sp03's per-language rate table (|langs| rows) must broadcast —
+    a shuffle join against a 5-row side is the wrong plan at any scale."""
+    df = _df(spark, "sp03_language_rebalance")
+    assert has_op(df, "BroadcastHashJoin")
+
+
+def test_context_packing_partitions_by_source(spark):
+    """tx10's cumulative-sum window must partition by source (parallel
+    per-source packing), not run as a single-partition global window."""
+    df = _df(spark, "tx10_context_packing")
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, "packing serializes through one partition"
+
+
+def test_pii_scrub_is_map_only(spark):
+    """tx11 is pure per-row regex work — no exchange anywhere."""
+    df = _df(spark, "tx11_pii_scrub")
+    assert not has_op(df, "Exchange")
