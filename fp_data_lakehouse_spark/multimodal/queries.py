@@ -71,3 +71,70 @@ def mm02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = _as_media(docs).select("media_id", "kind", "payload", "mime", "meta")
     return decode_and_featurize(media, codec="fake")
+
+
+_FRAME_BYTES = 256  # fake codec: fixed-size frames
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "mm03_frame_sample",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+               octet_length(encode(text)) AS nb,
+               hex(encode(text)) AS hx
+        FROM documents
+    ),
+    f AS (
+        SELECT media_ref, nb, hx,
+               UNNEST(range(0, CAST((nb + {_FRAME_BYTES - 1}) // {_FRAME_BYTES} AS BIGINT),
+                            {_FRAME_STRIDE})) AS frame_idx
+        FROM m WHERE nb > 0
+    )
+    SELECT media_ref,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(LEAST({_FRAME_BYTES}, nb - frame_idx * {_FRAME_BYTES}) AS BIGINT) AS n_bytes,
+           upper(substring(hx, frame_idx * {_FRAME_BYTES} * 2 + 1, 16)) AS head_hex
+    FROM f
+    """,
+)
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: the fake
+    codec treats the payload as consecutive 256-byte frames
+    and keeps every 4th (the decimation step of a video
+    ingestion pipeline), emitting one row per sampled frame with its
+    byte length and 8-byte head. The Arrow plumbing is the real thing —
+    ``mapInPandas`` receives binary batches, explodes them to variable
+    per-row frame counts, and never shuttles payload bytes through
+    Python objects row-at-a-time; swap the slicing body for a real
+    decoder (pyav/ffmpeg) and nothing else changes. Because the fake
+    codec is pure byte arithmetic, the output is fully oracle-checkable
+    (DuckDB slices the hex encoding) — the plumbing gets a hard driver
+    signal, unlike a stubbed NotImplementedError."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = _as_media(docs).select("media_ref", "payload")
+
+    def sample_frames(batches):
+        for batch in batches:
+            refs, idxs, sizes, heads = [], [], [], []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                n_frames = (len(payload) + _FRAME_BYTES - 1) // _FRAME_BYTES
+                for i in range(0, n_frames, _FRAME_STRIDE):
+                    chunk = payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    refs.append(ref)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    heads.append(chunk[:8].hex().upper())
+            yield pd.DataFrame(
+                {"media_ref": refs, "frame_idx": idxs, "n_bytes": sizes, "head_hex": heads}
+            )
+
+    return media.mapInPandas(
+        sample_frames,
+        schema="media_ref string, frame_idx long, n_bytes long, head_hex string",
+    )

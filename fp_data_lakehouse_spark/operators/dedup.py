@@ -789,3 +789,56 @@ def dd12_duplicated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).cast("long").alias("dup_segments"),
         )
     )
+
+
+@register(
+    "dd13_neardup_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_ROWS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT doc_id_a, doc_id_b FROM pairs
+        JOIN sizes sa ON doc_id_a = sa.doc_id
+        JOIN sizes sb ON doc_id_b = sb.doc_id
+        WHERE {_JACCARD_DEN} * n_common >= {_JACCARD_NUM} * (sa.n + sb.n - n_common)
+    ),
+    sym AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM edges
+    ),
+    reach(src, node) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.node = s.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(node) AS component_id FROM reach GROUP BY src)
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+    """,
+)
+def dd13_neardup_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup deduplication: the corpus minus every
+    non-representative member of a near-dup cluster (dd09's connected
+    components over the exact-Jaccard pair graph; the kept
+    representative is the smallest doc_id in each cluster). This is the
+    keep/drop decision the pairwise (dd03/dd10) and cluster (dd09)
+    operators exist to feed — the operator a training pipeline actually
+    runs before tokenization.
+
+    The drop set is |clustered docs - clusters| rows (tiny relative to
+    the corpus), so the final step is a left-anti join against a small
+    side that AQE turns into a broadcast; the heavy lifting is dd09's
+    banded pair detection, unchanged. At 100 TB the same shape holds:
+    survivors = corpus ANTI-JOIN drop-list, never a corpus-wide
+    shuffle of text."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dd09_dup_clusters(spark, sf_dir)
+    drops = labels.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id", "source")

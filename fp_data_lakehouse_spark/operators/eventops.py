@@ -309,3 +309,48 @@ def ev11_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "ev12_interevent_gaps",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+               LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, ep - prev_ep AS gap
+        FROM ordered WHERE prev_ep IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS total_gap_sec,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_sec,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap_sec
+    FROM gaps GROUP BY user_id
+    """,
+)
+def ev12_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event cadence: LAG over (user_id, ts, event_id)
+    yields integer-second gaps; one groupBy rolls up count, total, max
+    and mean gap. The window and the aggregate share the user_id hash
+    partitioning, so the whole query is ONE shuffle; the mean is a
+    single integer/integer IEEE division (no summation-order drift).
+    Feeds engagement features and bot filtering (max_gap / cadence)."""
+    events = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", ep.alias("ep"), F.lag(ep).over(w).alias("prev_ep"))
+        .filter(F.col("prev_ep").isNotNull())
+        .select("user_id", (F.col("ep") - F.col("prev_ep")).alias("gap"))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("total_gap_sec"),
+        F.max("gap").alias("max_gap_sec"),
+        (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("avg_gap_sec"),
+    )

@@ -87,6 +87,11 @@ DRIVER_PRIORITY: list[str] = [
     "ev11_weekly_retention",
     "tx10_context_packing",
     "tx11_pii_scrub",
+    "q38_above_nation_avg_balance",
+    "sp04_temporal_split",
+    "ev12_interevent_gaps",
+    "dd13_neardup_dedup_keep",
+    "mm03_frame_sample",
 ]
 
 

@@ -1486,3 +1486,38 @@ def q37_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("order_year", "returnflag", "g_year", "g_flag", "total_qty")
     )
+
+
+@register(
+    "q38_above_nation_avg_balance",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q38_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their OWN nation's mean balance — the correlated
+    scalar-subquery pattern (q33's global version made per-group).
+    Written as correlated SQL so Catalyst's decorrelation rewrites it:
+    the per-row subplan becomes one 25-row aggregate joined back on
+    c_nationkey (broadcast at any scale — |nations| is constant). The
+    comparison is integer cents x group count vs group cents sum, so the
+    above/below boundary cannot drift with float summation order on
+    either engine at any scale factor."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_q38")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM v_customer_q38 c
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  * (SELECT COUNT(*) FROM v_customer_q38 c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM v_customer_q38 c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

@@ -113,3 +113,51 @@ def sp03_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_BUCKET) < F.col("r"))
         .select("doc_id", "lang")
     )
+
+
+# temporal split: 80/10/10 of the observed time span
+_SPAN_TRAIN, _SPAN_VAL = 8, 9
+
+
+@register(
+    "sp04_temporal_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+               MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS mx
+        FROM events
+    )
+    SELECT event_id,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     <= mn + ((mx - mn) * {_SPAN_TRAIN}) // 10 THEN 'train'
+                WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     <= mn + ((mx - mn) * {_SPAN_VAL}) // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM events, b
+    """,
+)
+def sp04_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/val/test split: train on the first 80% of the
+    observed time span, validate on the next 10%, test on the most
+    recent 10% — the leakage-free split for forecasting-style training
+    (a hash split like sp01 would leak future events into train).
+
+    The bounds are one global MIN/MAX aggregate (map-side combine, a
+    1-row result) broadcast back; assignment is then a map-only integer
+    comparison fused into the scan. Integer-epoch arithmetic keeps the
+    boundary identical across engines."""
+    events = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts").cast("long")
+    bounds = events.agg(F.min(ep).alias("mn"), F.max(ep).alias("mx"))
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            F.when(
+                ep <= F.col("mn") + F.expr(f"((mx - mn) * {_SPAN_TRAIN}) div 10"), "train"
+            )
+            .when(ep <= F.col("mn") + F.expr(f"((mx - mn) * {_SPAN_VAL}) div 10"), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

@@ -168,3 +168,43 @@ def test_pii_scrub_is_map_only(spark):
     """tx11 is pure per-row regex work — no exchange anywhere."""
     df = _df(spark, "tx11_pii_scrub")
     assert not has_op(df, "Exchange")
+
+
+def test_correlated_subquery_decorrelates_to_broadcast_aggs(spark):
+    """q38's correlated scalar subqueries must rewrite to per-nation
+    aggregates broadcast back — a per-row subplan (or a shuffle join
+    against a 25-row side) is the wrong plan at any scale."""
+    df = _df(spark, "q38_above_nation_avg_balance")
+    assert count_op(df, "BroadcastHashJoin") >= 2
+    assert not has_op(df, "SortMergeJoin")
+
+
+def test_temporal_split_broadcasts_bounds(spark):
+    """sp04's min/max bounds are a 1-row aggregate: they must broadcast
+    (partial min/max map-side, then IdentityBroadcast), and assignment
+    must stay map-only — no shuffle of the events table itself."""
+    df = _df(spark, "sp04_temporal_split")
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan, "events must not shuffle"
+
+
+def test_interevent_gaps_share_one_exchange(spark):
+    """ev12's LAG window and final groupBy both key on user_id — the
+    plan must carry exactly one hash exchange for both."""
+    df = _df(spark, "ev12_interevent_gaps")
+    assert count_op(df, "Exchange hashpartitioning") == 1
+
+
+def test_neardup_keep_is_anti_join(spark):
+    """dd13's survivor selection must plan as corpus ANTI-JOIN drop-list
+    (AQE broadcasts the tiny drop side at runtime) — never a corpus-wide
+    text shuffle or product."""
+    plan = physical_plan(_df(spark, "dd13_neardup_dedup_keep"))
+    assert "LeftAnti" in plan
+
+
+def test_frame_sample_is_arrow_map(spark):
+    """mm03's fake codec must run through Arrow-batched MapInPandas —
+    the plumbing a real decoder would drop into."""
+    assert has_op(_df(spark, "mm03_frame_sample"), "MapInPandas")
