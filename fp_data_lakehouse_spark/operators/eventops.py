@@ -354,3 +354,149 @@ def ev12_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap").alias("max_gap_sec"),
         (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("avg_gap_sec"),
     )
+
+
+@register(
+    "ev13_hourly_anomaly_zscore",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, hour_epoch, n_events,
+               SUM(n_events) OVER w AS s,
+               SUM(n_events * n_events) OVER w AS ss,
+               COUNT(*) OVER w AS n
+        FROM counts
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, hour_epoch, n_events,
+           CAST(n_events * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z
+    FROM stats
+    WHERE n * ss - s * s > 0
+      AND n_events * n - s > 0
+      AND (n_events * n - s) * (n_events * n - s) >= 4 * (n * ss - s * s)
+    """,
+)
+def ev13_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-spike detection: hourly event counts per type, flagged
+    when the count sits >= 2 standard deviations above that type's own
+    hourly mean. The z >= 2 cut is evaluated as an INTEGER comparison
+    ((c*n - s)^2 >= 4*(n*ss - s^2), c*n > s) so the anomaly boundary
+    cannot drift with float summation order on any engine; z itself is
+    two double ops from the same exact integers.
+
+    Two cheap exchanges over pre-aggregated data: the raw scan reduces
+    map-side to |types x hours| rows, then the stats window repartitions
+    that tiny frame by type. Hours with zero events are absent by
+    construction (count grid, not a gap-filled one — ev14 is the
+    gap-filling operator)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    stats = counts.select(
+        "*",
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    num = F.col("n_events") * F.col("n") - F.col("s")
+    den2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        stats.filter((den2 > 0) & (num > 0) & (num * num >= 4 * den2))
+        .select(
+            "event_type",
+            "hour_epoch",
+            "n_events",
+            (num.cast("double") / F.sqrt(den2.cast("double"))).alias("z"),
+        )
+    )
+
+
+@register(
+    "ev14_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(epoch(UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR))) AS BIGINT)
+                   AS hour_epoch
+        FROM bounds
+    ),
+    obs AS (
+        SELECT user_id, hour_epoch, value AS obs_value FROM (
+            SELECT user_id,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) x WHERE rn = 1
+    )
+    SELECT g.user_id, g.hour_epoch,
+           LAST_VALUE(o.obs_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           CAST(o.obs_value IS NULL AS BOOLEAN) AS filled
+    FROM grid g LEFT JOIN obs o USING (user_id, hour_epoch)
+    """,
+)
+def ev14_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with last-observation-carried-forward: an
+    hourly grid per user (their first to last active hour via
+    ``sequence()`` + explode), the latest observed value in each hour
+    (max_by on the (ts, event_id) total order), and LOCF for silent
+    hours (`last(ignorenulls)` running window). `filled` marks carried
+    rows. This is the densification step feature stores and forecasting
+    pipelines run before training.
+
+    Shuffle budget: one exchange for the per-user bounds, one on
+    (user_id, hour_epoch) shared by the observation aggregate and the
+    grid-obs join (Catalyst co-partitions both sides; at fixture scale
+    AQE broadcasts the grid instead), then the fill window re-keys the
+    joined frame on user_id. Grid fan-out is |users x active-span-hours|
+    rows of (long, long, double). Carried values are untouched doubles —
+    no arithmetic, no drift."""
+    events = load_table(spark, sf_dir, "events")
+    hour_ep = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    bounds = events.groupBy("user_id").agg(
+        F.min(hour_ep).alias("h0"), F.max(hour_ep).alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hour_epoch"),
+    )
+    obs = events.groupBy("user_id", hour_ep.alias("hour_epoch")).agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("obs_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour_epoch"], "left")
+        .select(
+            "user_id",
+            "hour_epoch",
+            F.last("obs_value", ignorenulls=True).over(w).alias("value"),
+            F.col("obs_value").isNull().alias("filled"),
+        )
+    )

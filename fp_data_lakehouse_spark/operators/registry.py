@@ -92,6 +92,12 @@ DRIVER_PRIORITY: list[str] = [
     "ev12_interevent_gaps",
     "dd13_neardup_dedup_keep",
     "mm03_frame_sample",
+    "sp05_kfold_assignment",
+    "dd14_latest_per_key",
+    "ev13_hourly_anomaly_zscore",
+    "ev14_gapfill_locf",
+    "tx12_bigram_topk",
+    "q39_grouping_sets_revenue",
 ]
 
 

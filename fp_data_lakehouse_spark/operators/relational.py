@@ -1521,3 +1521,56 @@ def q38_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@register(
+    "q39_grouping_sets_revenue",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS BIGINT) AS g_year,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS (
+        (CAST(EXTRACT(year FROM o_orderdate) AS INT)),
+        (o_orderstatus),
+        (CAST(EXTRACT(year FROM o_orderdate) AS INT), o_orderpriority)
+    )
+    """,
+)
+def q39_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous rollup in ONE pass: total order value and count by
+    (year), by (status), and by (year, priority) via GROUPING SETS,
+    with GROUPING() flags disambiguating which set each output row
+    belongs to (NULL group values are ambiguous on their own). The
+    cube (q37) materializes the full lattice; grouping sets names just
+    the marginals a dashboard actually reads — at 100 TB that's the
+    difference between 3 aggregates and 2^k.
+
+    Spark expands the sets with one Expand node feeding a single
+    hash aggregate (partial map-side, one shuffle) — the same cost
+    shape as a single groupBy, not one scan per set. Integer-cents
+    sums keep every total partition-order independent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q39")
+    return spark.sql(
+        """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS BIGINT) AS g_year,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+               COUNT(*) AS n_orders
+        FROM v_orders_q39
+        GROUP BY GROUPING SETS (
+            (CAST(EXTRACT(year FROM o_orderdate) AS INT)),
+            (o_orderstatus),
+            (CAST(EXTRACT(year FROM o_orderdate) AS INT), o_orderpriority)
+        )
+        """
+    )

@@ -161,3 +161,31 @@ def sp04_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+_K_FOLDS = 5
+
+
+@register(
+    "sp05_kfold_assignment",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_BUCKET_SQL} % {_K_FOLDS} AS BIGINT) AS fold,
+           CAST({_BUCKET_SQL} % {_K_FOLDS} = 0 AS BOOLEAN) AS holdout
+    FROM documents
+    """,
+)
+def sp05_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) from the same
+    content-stable hash bucket as sp01 — fold membership survives corpus
+    growth and engine changes, and the ``holdout`` flag marks fold 0 as
+    the current evaluation slice. Map-only: the modulus fuses into the
+    scan, no shuffle at any scale; training a fold is then a plain
+    ``fold != i`` predicate pushed to parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (F.expr(_BUCKET) % _K_FOLDS).cast("long")
+    return docs.select(
+        "doc_id",
+        fold.alias("fold"),
+        (fold == 0).alias("holdout"),
+    )

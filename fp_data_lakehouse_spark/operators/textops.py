@@ -440,3 +440,73 @@ def tx11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("txt", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all("txt", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
     )
+
+
+_BIGRAM_TOP_K = 20
+
+
+@register(
+    "tx12_bigram_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(2, len(t) + 1),
+                                     i -> t[i - 1] || ' ' || t[i])) AS bigram
+        FROM toks
+    ),
+    counts AS (
+        SELECT bigram,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM bigrams GROUP BY bigram
+    )
+    SELECT bigram, n_occurrences, n_docs, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS rnk
+        FROM counts
+    ) r WHERE rnk <= {_BIGRAM_TOP_K}
+    """,
+)
+def tx12_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams with occurrence and document
+    frequency — the n-gram census behind boilerplate detection and
+    contamination screens (a bigram in half the corpus is template
+    text, not signal). Bigrams come from ``zip_with`` over the token
+    array and its shift — no self-join, no Python.
+
+    One groupBy over (bigram, doc) pre-aggregates map-side before the
+    distinct-doc rollup, so the wide shuffle carries (bigram, doc_id)
+    pairs once each; the final top-k sorts |distinct bigrams| counted
+    rows, and the global window ranks a frame that small on one
+    partition by design (rank 20 cutoff, deterministic bigram
+    tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    per_doc = bigrams.groupBy("bigram", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = per_doc.groupBy("bigram").agg(
+        F.sum("c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BIGRAM_TOP_K)
+        .select("bigram", "n_occurrences", "n_docs", "rnk")
+    )

@@ -208,3 +208,50 @@ def test_frame_sample_is_arrow_map(spark):
     """mm03's fake codec must run through Arrow-batched MapInPandas —
     the plumbing a real decoder would drop into."""
     assert has_op(_df(spark, "mm03_frame_sample"), "MapInPandas")
+
+
+def test_kfold_is_map_only(spark):
+    """sp05's fold modulus fuses into the scan — no exchange anywhere."""
+    assert not has_op(_df(spark, "sp05_kfold_assignment"), "Exchange")
+
+
+def test_latest_per_key_single_exchange(spark):
+    """dd14's row_number window is the only shuffle: one hash exchange
+    on the key, nothing else."""
+    df = _df(spark, "dd14_latest_per_key")
+    assert count_op(df, "Exchange hashpartitioning") == 1
+    assert not has_op(df, "SortMergeJoin")
+
+
+def test_anomaly_zscore_shuffles_preaggregated_only(spark):
+    """ev13 reduces raw events map-side first: two exchanges total
+    (hour-count groupBy, then the per-type stats window over the tiny
+    counted frame), no joins."""
+    df = _df(spark, "ev13_hourly_anomaly_zscore")
+    assert count_op(df, "Exchange hashpartitioning") == 2
+    assert not has_op(df, "Join")
+
+
+def test_gapfill_no_product(spark):
+    """ev14's grid and observations meet in an equi-join (broadcast at
+    fixture scale, co-partitioned SMJ beyond) — never a per-user
+    cartesian of grid x events."""
+    df = _df(spark, "ev14_gapfill_locf")
+    assert not has_op(df, "CartesianProduct")
+    assert count_op(df, "Exchange hashpartitioning") <= 3
+    assert has_op(df, "Window")
+
+
+def test_bigram_shuffles_are_aggregates(spark):
+    """tx12 shuffles (bigram, doc) pre-aggregates, then |bigrams| counted
+    rows — exactly two hash exchanges; the top-k window sorts only the
+    final counts frame."""
+    assert count_op(_df(spark, "tx12_bigram_topk"), "Exchange hashpartitioning") == 2
+
+
+def test_grouping_sets_single_pass(spark):
+    """q39's three grouping sets must plan as ONE Expand feeding ONE
+    hash-aggregate shuffle — not one scan per set."""
+    df = _df(spark, "q39_grouping_sets_revenue")
+    assert has_op(df, "Expand")
+    assert count_op(df, "Exchange hashpartitioning") == 1
