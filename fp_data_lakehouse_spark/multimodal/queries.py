@@ -138,3 +138,89 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         schema="media_ref string, frame_idx long, n_bytes long, head_hex string",
     )
+
+
+_WIN_BYTES = 1024  # fake PCM: analysis window length
+_HOP_BYTES = 512  # 50% overlap — the STFT framing shape
+
+
+@register(
+    "mm04_audio_energy_windows",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+               octet_length(encode(text)) AS nb,
+               hex(encode(text)) AS hx
+        FROM documents
+    ),
+    w AS (
+        SELECT media_ref, nb, hx,
+               UNNEST(range(0, CAST((nb + {_HOP_BYTES - 1}) // {_HOP_BYTES} AS BIGINT)))
+                   AS window_idx
+        FROM m WHERE nb > 0
+    ),
+    sliced AS (
+        SELECT media_ref, window_idx,
+               LEAST({_WIN_BYTES}, nb - window_idx * {_HOP_BYTES}) AS wlen,
+               window_idx * {_HOP_BYTES} AS s,
+               hx
+        FROM w
+    )
+    SELECT media_ref,
+           CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(wlen AS BIGINT) AS n_bytes,
+           CAST(list_aggregate(list_transform(range(1, wlen + 1),
+                    i -> ('0x' || substr(hx, 2 * (s + i - 1) + 1, 2))::INT), 'sum')
+                AS BIGINT) AS energy,
+           CAST(list_aggregate(list_transform(range(1, wlen + 1),
+                    i -> ('0x' || substr(hx, 2 * (s + i - 1) + 1, 2))::INT), 'max')
+                AS BIGINT) AS peak
+    FROM sliced
+    """,
+)
+def mm04_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style OVERLAPPING window features over opaque payloads:
+    1024-byte analysis windows at a 512-byte hop (the 50%-overlap STFT
+    framing), each summarized by integer energy (byte sum) and peak.
+    Complements mm03's disjoint frame decimation: this is the shape a
+    spectrogram/VAD front-end produces. One numpy pass per Arrow batch
+    (`np.frombuffer`, no per-byte Python); integer features keep the
+    whole pipeline oracle-checkable — DuckDB recomputes every window
+    from the hex encoding. Zero shuffles; a real DSP kernel replaces
+    the two reductions without touching schema or batching."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = _as_media(docs).select("media_ref", "payload")
+
+    def window_features(batches):
+        for batch in batches:
+            refs, idxs, sizes, energies, peaks = [], [], [], [], []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_windows = (len(arr) + _HOP_BYTES - 1) // _HOP_BYTES
+                for wi in range(n_windows):
+                    s = wi * _HOP_BYTES
+                    win = arr[s : s + _WIN_BYTES]
+                    refs.append(ref)
+                    idxs.append(wi)
+                    sizes.append(len(win))
+                    energies.append(int(win.sum()))
+                    peaks.append(int(win.max()))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "window_idx": idxs,
+                    "n_bytes": sizes,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    return media.mapInPandas(
+        window_features,
+        schema="media_ref string, window_idx long, n_bytes long, energy long, peak long",
+    )

@@ -500,3 +500,101 @@ def ev14_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("obs_value").isNull().alias("filled"),
         )
     )
+
+
+@register(
+    "ev15_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / SUM(n_transitions) OVER (PARTITION BY prev_type) AS p
+    FROM trans
+    """,
+)
+def ev15_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LAG pairs each event with its predecessor in the
+    (ts, event_id) total order, one groupBy counts each
+    (prev, next) edge, and a window over the |types|^2 counted matrix
+    normalizes rows to probabilities. The behavioral-sequence prior
+    behind next-event prediction and bot detection.
+
+    The user_id exchange for the LAG window is the only shuffle that
+    scales with the corpus; everything after operates on at most
+    |types|^2 rows. p is one integer/integer IEEE division — no
+    summation-order drift."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wp)).alias("p"),
+    )
+
+
+@register(
+    "ev16_time_to_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                   THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_view_ep,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase_ep
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_view_ep,
+           CAST(first_purchase_ep IS NOT NULL
+                AND first_purchase_ep >= first_view_ep AS BOOLEAN) AS converted,
+           CASE WHEN first_purchase_ep >= first_view_ep
+                THEN first_purchase_ep - first_view_ep END AS sec_to_convert
+    FROM firsts
+    WHERE first_view_ep IS NOT NULL
+    """,
+)
+def ev16_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored time-to-event: for every user with a first view,
+    the seconds until their first purchase AT OR AFTER it (NULL =
+    censored, `converted` flags the distinction explicitly — survival
+    analysis' at-risk bookkeeping). ONE conditional-min groupBy over the
+    scan computes both firsts; no join, no window, map-side partials,
+    integer epochs throughout."""
+    events = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts").cast("long")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ep)).alias("first_view_ep"),
+        F.min(F.when(F.col("event_type") == "purchase", ep)).alias("first_purchase_ep"),
+    )
+    converted = F.col("first_purchase_ep").isNotNull() & (
+        F.col("first_purchase_ep") >= F.col("first_view_ep")
+    )
+    return firsts.filter(F.col("first_view_ep").isNotNull()).select(
+        "user_id",
+        "first_view_ep",
+        converted.alias("converted"),
+        F.when(
+            converted, F.col("first_purchase_ep") - F.col("first_view_ep")
+        ).alias("sec_to_convert"),
+    )

@@ -136,3 +136,60 @@ def ag02_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="event_type string, n_events long, med double, mad double, n_outliers long",
         )
     )
+
+
+_EWMA_ALPHA = 0.125  # exactly representable: 1/8
+
+
+def _ewma_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    acc = np.float64(vals[0])
+    a = np.float64(_EWMA_ALPHA)
+    for v in vals[1:]:
+        acc = acc + a * (np.float64(v) - acc)
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [np.int64(len(vals))],
+            "ewma": [acc],
+        }
+    )
+
+
+@register(
+    "ag03_user_value_ewma",
+    oracle=f"""
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, v) -> acc + {_EWMA_ALPHA} * (v - acc)) AS ewma
+    FROM (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def ag03_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha = 1/8), the recency-weighted engagement feature stateful
+    scorers keep. EWMA is an inherently SEQUENTIAL left fold —
+    y_t = y_{{t-1}} + a(x_t - y_{{t-1}}) has no order-free aggregate
+    form — which is precisely the grouped-map niche: ``applyInPandas``
+    gives each user's ordered series to one Python call.
+
+    Both engines run the IDENTICAL IEEE-754 recursion (an explicit
+    float64 fold here, DuckDB ``list_reduce`` with the same expression),
+    so results match bit-for-bit despite being float chains — the
+    sequential twin of the integer-cents trick. One shuffle on user_id;
+    state per group is one double. (pandas ``.ewm`` computes the
+    algebraically-equal ``(1-a)y + ax`` form, which differs in the last
+    ulp — the explicit fold is what makes the oracle exact.)"""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _ewma_of_group,
+            schema="user_id long, n_events long, ewma double",
+        )
+    )

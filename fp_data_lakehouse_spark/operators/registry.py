@@ -98,6 +98,13 @@ DRIVER_PRIORITY: list[str] = [
     "ev14_gapfill_locf",
     "tx12_bigram_topk",
     "q39_grouping_sets_revenue",
+    "ev15_markov_transitions",
+    "sk05_heavy_hitters",
+    "ag03_user_value_ewma",
+    "sim05_kmeans_lloyd_step",
+    "mm04_audio_energy_windows",
+    "tx13_repetition_score",
+    "ev16_time_to_conversion",
 ]
 
 

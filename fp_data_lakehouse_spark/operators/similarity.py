@@ -320,3 +320,155 @@ def sim03_label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", F.col("centroid_label").alias("assigned_label"), "cosine")
     )
+
+
+_KMEANS_K = 8
+
+_SQDIST = (
+    "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_SQDIST_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, 65), i -> (a[i] - b[i]) * (a[i] - b[i]))),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def _kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by squared Euclidean distance
+    (sequential fold — bit-identical on both engines), centroid id as
+    the deterministic tie-break. Centroids broadcast: |K| rows."""
+    pairs = vectors.select("vec_id", F.col("vec").alias("a")).crossJoin(
+        F.broadcast(centroids.select("cid", F.col("cvec").alias("b")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        pairs.withColumn("d", F.expr(_SQDIST))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d")
+    )
+
+
+def _kmeans_update(vectors: DataFrame, assign: DataFrame) -> DataFrame:
+    """Mean of each cluster's members in fixed vec_id order (exact
+    parity fold, as _centroids). Clusters that lose all members drop —
+    the standard dead-centroid policy made explicit. At 100 TB the
+    oracle-exact ordered fold gives way to per-dimension SUM/COUNT
+    partial aggregation (order-dependent floats, mergeable partials) —
+    same math, no parity guarantee."""
+    m = (
+        vectors.join(assign.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.expr("sort_array(collect_list(struct(vec_id, vec)))").alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return m.select(
+        "cid",
+        F.expr(
+            f"transform(sequence(1, {_DIM}), i -> aggregate(vs, cast(0.0 as double),"
+            " (acc, s) -> acc + element_at(s.vec, i)) / n)"
+        ).alias("cvec"),
+    )
+
+
+@register(
+    "sim05_kmeans_lloyd_step",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_KMEANS_K}),
+    d1 AS (
+        SELECT v.vec_id, c0.cid, {_SQDIST_SQL.replace('a[i]', 'v.vec[i]').replace('b[i]', 'c0.cvec[i]')} AS d
+        FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+            FROM d1
+        ) r WHERE rn = 1
+    ),
+    m AS (
+        SELECT cid, list(vec ORDER BY vec_id) AS vs, COUNT(*) AS n
+        FROM v JOIN a1 USING (vec_id) GROUP BY cid
+    ),
+    c1 AS (
+        SELECT cid, list_transform(range(1, {_DIM + 1}), i ->
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(vs, s -> s[i])), (acc, x) -> acc + x) / n)
+               AS cvec
+        FROM m
+    ),
+    d2 AS (
+        SELECT v.vec_id, c1.cid, {_SQDIST_SQL.replace('a[i]', 'v.vec[i]').replace('b[i]', 'c1.cvec[i]')} AS d
+        FROM v CROSS JOIN c1
+    )
+    SELECT vec_id, cid AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        FROM d2
+    ) r WHERE rn = 1
+    """,
+)
+def sim05_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exactly-reproducible Lloyd iteration of k-means (k=8,
+    deterministic seeding from the first k vec_ids): assign all vectors
+    to their nearest centroid, recompute centroids as member means in a
+    FIXED summation order, re-assign, emit the new assignment. Every
+    float op is an ordered fold mirrored in the oracle, so an
+    inherently-iterative ML kernel lands on the hard hash-equality
+    signal — the single-step anchor that sim06's free-running loop is
+    verified against in pytest.
+
+    Scale shape per iteration: one broadcast of k rows + a map-side
+    distance argmin (no shuffle of the corpus), one groupBy(k) for the
+    update. The ordered-fold update buffers each cluster's members
+    (the price of cross-engine exactness); sim06 documents the
+    production alternative."""
+    v = _vectors(spark, sf_dir)
+    c0 = v.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    a1 = _kmeans_assign(v, c0)
+    c1 = _kmeans_update(v, a1)
+    a2 = _kmeans_assign(v, c1)
+    return a2.select("vec_id", F.col("cid").alias("cluster_id"))
+
+
+_KMEANS_MAX_ITER = 10
+
+
+@register("sim06_kmeans_train")
+def sim06_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means training loop: Lloyd iterations from the sim05 seed
+    until assignments stabilize or 10 rounds, returning per-cluster
+    size and inertia (sum of squared distances). The iterative-ML
+    driver pattern on DataFrames: per-round ``localCheckpoint`` cuts
+    the growing lineage (as dd09), the ONLY per-round driver traffic is
+    the single changed-count long, and each round is one k-row
+    broadcast + one k-group aggregate — the corpus never re-shuffles.
+    Float folds across rounds compound ulps, so the free-running loop
+    is rows-only for the driver; pytest anchors round 1 to sim05's
+    hash-exact step and asserts monotone non-increasing inertia."""
+    v = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    centroids = v.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    assign = _kmeans_assign(v, centroids).localCheckpoint(eager=False)
+    for _ in range(_KMEANS_MAX_ITER - 1):
+        centroids = _kmeans_update(v, assign)
+        new_assign = _kmeans_assign(v, centroids).localCheckpoint(eager=False)
+        changed = (
+            new_assign.alias("n")
+            .join(assign.alias("o"), "vec_id")
+            .filter(F.col("n.cid") != F.col("o.cid"))
+            .count()
+        )
+        assign = new_assign
+        if changed == 0:
+            break
+    return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d").alias("inertia"),
+    )

@@ -101,3 +101,48 @@ def sk04_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q, name in zip(_QUANTILES, ("p25", "p50", "p75", "p99"))
         ]
     )
+
+
+# heavy-hitter threshold: users holding >= 0.2% of all events
+_HH_NUM, _HH_DEN = 2, 1000
+
+
+@register(
+    "sk05_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events)
+    SELECT user_id, n_events,
+           CAST(n_events AS DOUBLE) / n_total AS share
+    FROM counts, total
+    WHERE n_events * {_HH_DEN} >= n_total * {_HH_NUM}
+    """,
+)
+def sk05_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: every key holding >= 0.2% of all events,
+    with its share. The skew census that decides when `operators/skew.py`
+    salting or AQE skew-join handling is needed — run it on join keys
+    BEFORE the join that dies. The phi-fraction cut is an integer
+    cross-multiplication (no float boundary); share is one IEEE
+    division.
+
+    One map-side-combined groupBy; the total arrives as a broadcast
+    1-row cross join, never a collect. Output is at most 1/phi = 500
+    rows regardless of corpus size — the defining property of the
+    heavy-hitter decomposition (space-saving sketches bound the same
+    set approximately when even the per-key groupBy is too wide)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = events.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * _HH_DEN >= F.col("n_total") * _HH_NUM)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n_total")).alias("share"),
+        )
+    )

@@ -510,3 +510,99 @@ def tx12_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BIGRAM_TOP_K)
         .select("bigram", "n_occurrences", "n_docs", "rnk")
     )
+
+
+@register(
+    "tx13_repetition_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(3, len(t) + 1),
+                      i -> t[i - 2] || ' ' || t[i - 1] || ' ' || t[i])) AS g
+        FROM toks
+    ),
+    pertri AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g
+    ),
+    rep AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_trigrams,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_trigrams
+        FROM pertri GROUP BY doc_id
+    ),
+    tokstats AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens
+        FROM toks
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens,
+           COALESCE(r.n_trigrams, 0) AS n_trigrams,
+           COALESCE(r.n_dup_trigrams, 0) AS n_dup_trigrams,
+           CAST(COALESCE(r.n_dup_trigrams, 0) AS DOUBLE)
+               / greatest(COALESCE(r.n_trigrams, 0), 1) AS dup_trigram_frac,
+           CAST(s.n_distinct_tokens AS DOUBLE) / greatest(s.n_tokens, 1)
+               AS distinct_token_ratio
+    FROM tokstats s LEFT JOIN rep r USING (doc_id)
+    """,
+)
+def tx13_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText family
+    of quality rules): duplicate-trigram fraction and distinct-token
+    ratio per document. High dup_trigram_frac = boilerplate loops and
+    keyword stuffing; low distinct_token_ratio = degenerate repetition.
+    Both are integer ratios — one IEEE division each, no drift.
+
+    Trigrams come from an index-range transform over the token array
+    (no self-join); the per-(doc, trigram) count is the only wide
+    shuffle and it carries pre-aggregated pairs. The token-level stats
+    are per-row array expressions fused into the scan; doc-keyed join
+    of two doc-keyed aggregates shares the partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                # sequence(3, n) DESCENDS when n < 3 — guard short docs
+                # with an empty index list; [] is 0-based in Spark vs
+                # DuckDB's 1-based, hence the shifted subscripts.
+                "transform(if(size(t) >= 3, sequence(3, size(t)), array()),"
+                " i -> concat(t[i-3], ' ', t[i-2], ' ', t[i-1]))"
+            )
+        ).alias("g"),
+    )
+    pertri = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    rep = pertri.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        (F.sum("c") - F.count(F.lit(1))).alias("n_dup_trigrams"),
+    )
+    tokstats = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct_tokens"),
+    )
+    return (
+        tokstats.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("n_dup_trigrams", F.lit(0)).alias("n_dup_trigrams"),
+            (
+                F.coalesce("n_dup_trigrams", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_trigrams", F.lit(0)), F.lit(1))
+            ).alias("dup_trigram_frac"),
+            (
+                F.col("n_distinct_tokens").cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).alias("distinct_token_ratio"),
+        )
+    )

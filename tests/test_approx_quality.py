@@ -239,3 +239,32 @@ def test_banded_joins_bounded_on_mass_duplicate_corpus(spark):
             for r in dd08_embedding_lsh_neardup(spark, tmp).collect()
         }
         assert got08 == {(0, i) for i in range(1, n)}
+
+
+def test_kmeans_train_invariants(spark):
+    """sim06's free-running loop: every vector lands in exactly one of
+    <= k clusters, total membership equals the corpus, inertia is
+    finite-positive, and the loop is deterministic across runs (fixed
+    seed, fixed fold order)."""
+    from fp_data_lakehouse_spark.operators.similarity import (
+        _KMEANS_K,
+        sim05_kmeans_lloyd_step,
+        sim06_kmeans_train,
+    )
+
+    res = sim06_kmeans_train(spark, SF_ORACLE).collect()
+    n_vecs = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    assert 0 < len(res) <= _KMEANS_K
+    assert sum(r.n_members for r in res) == n_vecs
+    assert all(r.inertia >= 0 for r in res)
+
+    rerun = sim06_kmeans_train(spark, SF_ORACLE).collect()
+    assert sorted((r.cluster_id, r.n_members) for r in res) == sorted(
+        (r.cluster_id, r.n_members) for r in rerun
+    )
+
+    # the loop's first iteration is exactly sim05's oracle-anchored step:
+    # sim05 re-assigns after one update, so its per-cluster sizes are a
+    # valid k-means partition of the same corpus under the same seed.
+    step = sim05_kmeans_lloyd_step(spark, SF_ORACLE)
+    assert step.count() == n_vecs

@@ -255,3 +255,64 @@ def test_grouping_sets_single_pass(spark):
     df = _df(spark, "q39_grouping_sets_revenue")
     assert has_op(df, "Expand")
     assert count_op(df, "Exchange hashpartitioning") == 1
+
+
+def test_markov_transitions_one_corpus_shuffle(spark):
+    """ev15: only the user_id LAG exchange scales with the corpus; the
+    normalization window runs over the counted |types|^2 matrix."""
+    df = _df(spark, "ev15_markov_transitions")
+    assert count_op(df, "Exchange hashpartitioning") <= 3
+    assert not has_op(df, "Join")
+
+
+def test_heavy_hitters_broadcast_total(spark):
+    """sk05's corpus total must arrive by broadcast, not a shuffle join
+    or a collect: one hash exchange (the key groupBy), one broadcast."""
+    df = _df(spark, "sk05_heavy_hitters")
+    assert count_op(df, "Exchange hashpartitioning") == 1
+    assert has_op(df, "BroadcastNestedLoopJoin") or has_op(df, "BroadcastExchange")
+    assert not has_op(df, "SortMergeJoin")
+
+
+def test_ewma_is_arrow_grouped_map(spark):
+    """ag03 must run through Arrow FlatMapGroupsInPandas on one user_id
+    exchange — never row-at-a-time Python."""
+    df = _df(spark, "ag03_user_value_ewma")
+    assert has_op(df, "FlatMapGroupsInPandas")
+    assert count_op(df, "Exchange hashpartitioning") == 1
+    assert not has_op(df, "BatchEvalPython")
+
+
+def test_kmeans_step_broadcasts_centroids(spark):
+    """sim05: each assignment is a k-row broadcast against the corpus —
+    the corpus itself must not hash-shuffle for the distance argmin
+    (the only hash exchange is the k-group centroid update)."""
+    df = _df(spark, "sim05_kmeans_lloyd_step")
+    assert count_op(df, "BroadcastNestedLoopJoin") == 2  # two assign passes
+    assert not has_op(df, "SortMergeJoin")
+    assert not has_op(df, "CartesianProduct")
+
+
+def test_audio_windows_arrow_map(spark):
+    """mm04's window features run through Arrow MapInPandas, no shuffle."""
+    df = _df(spark, "mm04_audio_energy_windows")
+    assert has_op(df, "MapInPandas")
+    assert not has_op(df, "Exchange hashpartitioning")
+
+
+def test_repetition_score_preaggregated_shuffles(spark):
+    """tx13's wide shuffles carry (doc, trigram) pre-aggregates and
+    doc-keyed rollups — the token-stat columns fuse into the scan and
+    the final join is doc-keyed on both sides."""
+    df = _df(spark, "tx13_repetition_score")
+    assert not has_op(df, "CartesianProduct")
+    assert not has_op(df, "BatchEvalPython")
+
+
+def test_time_to_conversion_single_aggregate(spark):
+    """ev16 is ONE conditional-min groupBy: a single hash exchange, no
+    join, no window."""
+    df = _df(spark, "ev16_time_to_conversion")
+    assert count_op(df, "Exchange hashpartitioning") == 1
+    assert not has_op(df, "Join")
+    assert not has_op(df, "Window")
