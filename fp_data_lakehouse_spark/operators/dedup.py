@@ -881,3 +881,101 @@ def dd14_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "dd15_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_id_a = sa.doc_id
+    JOIN sizes sb ON doc_id_b = sb.doc_id
+    WHERE {_JACCARD_DEN} * n_common >= {_JACCARD_NUM} * (sa.n + sb.n - n_common)
+    """,
+)
+def dd15_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd03's EXACT Jaccard >= 0.5 pairs through prefix-filtered
+    candidate generation (the ppjoin family): under a global rarest-first
+    shingle order, two sets with J >= t MUST share a shingle in their
+    first (n - ceil(t*n) + 1) shingles (pigeonhole on the overlap lower
+    bound o >= ceil(t*n)), so only PREFIX shingles generate candidates
+    and the verification recount runs per surviving pair. Same oracle as
+    dd03 — the pruning is LOSSLESS, unlike dd10's df cap (which trades
+    recall) or dd04's LSH (probabilistic).
+
+    At scale this shrinks the quadratic term from sum(df^2) over ALL
+    shingles to sum(df_prefix^2): high-df boilerplate shingles are
+    precisely the ones rarest-first ordering pushes OUT of prefixes, so
+    hot buckets self-suppress. Candidate verification joins the compact
+    (doc -> shingle set) arrays and intersects JVM-side — the pair
+    recount never re-shuffles shingle rows."""
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wn = Window.partitionBy("doc_id")
+    # prefix length = n - ceil(t*n) + 1 with t = NUM/DEN (ceil via
+    # integer arithmetic; t = 1/2 -> n div 2 + 1)
+    prefix_len = F.col("n") - F.expr(
+        f"(n * {_JACCARD_NUM} + {_JACCARD_DEN - 1}) div {_JACCARD_DEN}"
+    ) + 1
+    prefix = (
+        sh.join(df_counts, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(wd).alias("pos"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    candidates = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    sets = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
+    sa = sets.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+        .filter(
+            _JACCARD_DEN * F.col("n_common")
+            >= _JACCARD_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

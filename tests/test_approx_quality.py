@@ -268,3 +268,22 @@ def test_kmeans_train_invariants(spark):
     # valid k-means partition of the same corpus under the same seed.
     step = sim05_kmeans_lloyd_step(spark, SF_ORACLE)
     assert step.count() == n_vecs
+
+
+def test_prefix_filter_is_lossless(spark):
+    """dd15 (prefix-filtered candidates) must emit EXACTLY dd03's pairs —
+    prefix filtering is a pruning theorem, not an approximation."""
+    from fp_data_lakehouse_spark.operators.dedup import (
+        dd03_ngram_jaccard_pairs,
+        dd15_prefix_filter_jaccard,
+    )
+
+    exact = {
+        (r.doc_id_a, r.doc_id_b, r.n_common)
+        for r in dd03_ngram_jaccard_pairs(spark, SF_ORACLE).collect()
+    }
+    pruned = {
+        (r.doc_id_a, r.doc_id_b, r.n_common)
+        for r in dd15_prefix_filter_jaccard(spark, SF_ORACLE).collect()
+    }
+    assert pruned == exact

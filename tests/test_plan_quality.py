@@ -316,3 +316,13 @@ def test_time_to_conversion_single_aggregate(spark):
     assert count_op(df, "Exchange hashpartitioning") == 1
     assert not has_op(df, "Join")
     assert not has_op(df, "Window")
+
+
+def test_prefix_filter_no_product_and_banded_joins(spark):
+    """dd15's candidate generation must be an equi-join on (prefix)
+    shingles and the verification an equi-join on doc ids — no cartesian
+    anywhere, no row-Python."""
+    df = _df(spark, "dd15_prefix_filter_jaccard")
+    assert not has_op(df, "CartesianProduct")
+    assert not has_op(df, "BroadcastNestedLoopJoin")
+    assert not has_op(df, "BatchEvalPython")
