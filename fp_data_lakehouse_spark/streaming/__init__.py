@@ -1,6 +1,7 @@
 from .events import (
     attribution_stream,
     dedup_events_stream,
+    enriched_stream,
     hourly_tumbling_counts_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -15,6 +16,7 @@ __all__ = [
     "sliding_counts_stream",
     "dedup_events_stream",
     "attribution_stream",
+    "enriched_stream",
     "run_stream_to_memory",
     "sessionize_stream",
     "stream_merge_to_table",

@@ -170,3 +170,27 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     return q
+
+
+def enriched_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each streaming event decorated
+    with its user's dimension attributes (segment, region) — the
+    streaming face of the batch star join, and the remaining canonical
+    Structured Streaming join shape next to stream-stream
+    (attribution_stream).
+
+    The static side needs NO watermark and holds NO join state: Spark
+    re-plans the join per micro-batch, so the dimension is broadcast
+    fresh each batch (picking up slowly-changing-dim updates between
+    batches for free). Stateless inner/left joins are allowed on a
+    static right side; output stays append-mode compatible."""
+    dim = F.broadcast(user_dim)
+    return events.join(dim, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        "segment",
+        "region",
+    )

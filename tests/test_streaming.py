@@ -386,3 +386,42 @@ def test_sessionize_group_timeout_unclamped_when_ahead_of_watermark():
     list(_sessionize_group((7,), iter([pd.DataFrame({"ep": [5000]})]), state))
     assert state.get == (5000, 5000, 1)
     assert state.timeout_ms == (5000 + SESSION_GAP_SEC) * 1000
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, events_dir):
+    """Stream-static enrichment must produce exactly the batch join's
+    rows (stateless per-batch join, no watermark needed on either side)."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.streaming import enriched_stream
+
+    user_dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "power").otherwise("casual").alias("segment"),
+        F.concat(F.lit("region-"), (F.col("id") % 5).cast("string")).alias("region"),
+    )
+    events = read_events_stream(spark, events_dir)
+    q = (
+        enriched_stream(events, user_dim)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.event_id, r.user_id, r.segment, r.region)
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        )
+    finally:
+        q.stop()
+
+    batch_events = spark.read.parquet(f"{events_dir}/events.parquet")
+    want = sorted(
+        (r.event_id, r.user_id, r.segment, r.region)
+        for r in batch_events.join(F.broadcast(user_dim), "user_id", "left")
+        .select("event_id", "user_id", "segment", "region")
+        .collect()
+    )
+    assert got == want
