@@ -1574,3 +1574,101 @@ def q39_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q40_unpivot_lineitem_measures",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS quantity,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS extendedprice,
+               CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS discount,
+               CAST(SUM(CAST(ROUND(l_tax * 100) AS BIGINT)) AS BIGINT) AS tax
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, total_cents FROM (
+        SELECT l_returnflag, 'quantity' AS measure, quantity AS total_cents FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', extendedprice FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'discount', discount FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'tax', tax FROM agg
+    )
+    """,
+)
+def q40_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT/melt) of the four lineitem money
+    measures into (measure, total_cents) rows per return flag.
+
+    Scale note: the unpivot runs AFTER the aggregation, not before —
+    melting the raw fact first would 4x the shuffle volume for an
+    identical result, so the plan aggregates the wide row (one shuffle
+    of |groups| rows, map-side partial agg) and reshapes only the tiny
+    aggregated table. Integer-cents sums keep values partition-order
+    independent (relational.py exact-sum rule)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        *[
+            F.sum(_cents(f"l_{m}")).alias(m)
+            for m in ("quantity", "extendedprice", "discount", "tax")
+        ]
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="total_cents",
+    )
+
+
+@register(
+    "q41_nation_customer_supplier_census",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ), s AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_name,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers,
+           COALESCE(c.n_customers, 0) - COALESCE(s.n_suppliers, 0) AS customer_surplus
+    FROM nation n
+    FULL OUTER JOIN c ON n.n_nationkey = c.nationkey
+    FULL OUTER JOIN s ON n.n_nationkey = s.nationkey
+    """,
+)
+def q41_nation_customer_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier census via FULL OUTER joins with
+    COALESCE(0) null-repair — the outer-join surface the reference
+    corpus never exercises (SURVEY §2.6 notes only inner/anti appear).
+
+    Both inputs are pre-aggregated to |nations| rows before joining, so
+    the outer join is a 25-row reconciliation regardless of fact-table
+    scale; the counts themselves are single-shuffle partial aggregates."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    out = (
+        nation.join(c, nation["n_nationkey"] == c["nationkey"], "full_outer")
+        .drop("nationkey")
+        .join(s, nation["n_nationkey"] == s["nationkey"], "full_outer")
+    )
+    n_cust = F.coalesce("n_customers", F.lit(0))
+    n_supp = F.coalesce("n_suppliers", F.lit(0))
+    return out.select(
+        "n_name",
+        n_cust.alias("n_customers"),
+        n_supp.alias("n_suppliers"),
+        (n_cust - n_supp).alias("customer_surplus"),
+    )
