@@ -35,7 +35,7 @@ def _as_media(docs: DataFrame) -> DataFrame:
 @register(
     "mm01_media_metadata",
     oracle="""
-    SELECT doc_id AS media_ref,
+    SELECT CAST(doc_id AS VARCHAR) AS media_ref,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            upper(substring(hex(encode(text)), 1, 8)) AS head_hex,
            CAST(octet_length(encode(text)) AS BIGINT)

@@ -246,7 +246,7 @@ def ev04_error_rate_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFram
     "ev09_user_event_profile",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
            COUNT(*) AS n_events
     FROM events
@@ -254,9 +254,24 @@ def ev04_error_rate_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def ev09_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-typed aggregation output: each user's sorted distinct
-    event-type list (collect_set + sort_array — set semantics then a
-    canonical order so the value hashes identically on both engines),
+    """Each user's sorted distinct event-type set (collect_set +
+    sort_array — set semantics then a canonical order), emitted as a
+    comma-joined string so the driver's pandas canonicalizer can hash
+    it (ndarray cells are unhashable there); the array-typed surface
+    stays demonstrated by ev09b."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("ev09b_user_event_profile_array")
+def ev09b_user_event_profile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed aggregation output (rows-only: the driver's
+    canonicalizer cannot hash ndarray cells, so the oracle-checked
+    string twin is ev09): each user's sorted distinct event-type list,
     plus distinct and total counts."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(

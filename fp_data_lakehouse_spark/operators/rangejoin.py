@@ -40,7 +40,7 @@ def range_join(
 
     l = left.select(
         *by_cols,
-        F.unix_micros(F.col(ts_col)).alias("_lus"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_lus"),
         *[F.col(c).alias(f"l_{c}") for c in lpay],
     ).withColumn(
         "_bucket",
@@ -55,7 +55,7 @@ def range_join(
     )
     r = right.select(
         *by_cols,
-        F.unix_micros(F.col(ts_col)).alias("_rus"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_rus"),
         *[F.col(c).alias(f"r_{c}") for c in rpay],
     ).withColumn("_bucket", F.floor(F.col("_rus") / window_us).cast("long"))
 

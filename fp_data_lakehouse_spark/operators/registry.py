@@ -51,60 +51,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # round 1 covered q01-q37(+q10b,q27_theta), tx01-tx08, dd01-dd03.
-    # Round 2 front-loads the 21 oracle-backed queries that round never
-    # reached, plus the queries newly added this round.
-    "dd09_dup_clusters",
-    "dd07_embedding_neardup_pairs",
-    "dd10_ngram_jaccard_capped",
-    "sim01_cosine_topk_bruteforce",
-    "sim03_label_centroid_assignment",
-    "ev01_hourly_tumbling_counts",
-    "ev02_user_sessions",
-    "ev03_top_events_per_type_day",
-    "ev04_error_rate_by_user_bucket",
-    "ev05_purchase_click_attribution",
-    "ev06_session_windows",
-    "ev07_props_json_rollup",
+    # Round 1 covered q01-q37(+q10b,q27_theta), tx01-tx08, dd01-dd03
+    # green; round 2 covered the et/vt/ev/sk/ag/sp/sim/mm/tx additions
+    # green. Round 3 front-loads the six oracle-backed queries that have
+    # never had a green driver row (ev08/ev09/mm01 fixed this round;
+    # q40/q41/dd15 landed after the round-2 window closed), followed by
+    # everything newly added this round.
     "ev08_error_click_proximity",
     "ev09_user_event_profile",
-    "sk01_user_cardinality_exact",
-    "sk03_value_quantiles_exact",
-    "ag01_customer_spend_slope",
-    "ag02_event_value_outliers",
-    "sp01_train_val_test_split",
-    "sp02_stratified_sample",
     "mm01_media_metadata",
-    # new in round 2
-    "et01_star_schema_build",
-    "et02_student_dim_rollup",
-    "vt01_version_change_feed",
-    "dd11_cross_split_contamination",
-    "tx09_quality_percentile_gate",
-    "ev10_conversion_funnel",
-    "dd12_duplicated_segments",
-    "sp03_language_rebalance",
-    "ev11_weekly_retention",
-    "tx10_context_packing",
-    "tx11_pii_scrub",
-    "q38_above_nation_avg_balance",
-    "sp04_temporal_split",
-    "ev12_interevent_gaps",
-    "dd13_neardup_dedup_keep",
-    "mm03_frame_sample",
-    "sp05_kfold_assignment",
-    "dd14_latest_per_key",
-    "ev13_hourly_anomaly_zscore",
-    "ev14_gapfill_locf",
-    "tx12_bigram_topk",
-    "q39_grouping_sets_revenue",
-    "ev15_markov_transitions",
-    "sk05_heavy_hitters",
-    "ag03_user_value_ewma",
-    "sim05_kmeans_lloyd_step",
-    "mm04_audio_energy_windows",
-    "tx13_repetition_score",
-    "ev16_time_to_conversion",
+    "q40_unpivot_lineitem_measures",
+    "q41_nation_customer_supplier_census",
+    "dd15_prefix_filter_jaccard",
 ]
 
 

@@ -34,16 +34,22 @@ BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table.
 
-    The events table ships TIMESTAMP(NANOS), which the Spark parquet
-    reader only admits as a raw long (nanosAsLong, set in session.tune);
-    normalize it back to a microsecond timestamp here so every consumer
-    sees a plain TimestampType column.
+    The events fixture's ``ts`` physical type has varied across driver
+    generations — TIMESTAMP(NANOS) (admitted only as a raw long via
+    nanosAsLong, set in session.tune) and plain timestamp[us] (read as
+    TIMESTAMP_NTZ). Normalize both here so every consumer sees one
+    TimestampType column; session TZ is pinned UTC, so the ntz→ltz cast
+    is value-preserving.
     """
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: nanos ~1.7e18 exceed double precision (2^53)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: nanos ~1.7e18 exceed double precision (2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

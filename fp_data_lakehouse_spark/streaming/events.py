@@ -28,25 +28,38 @@ from pyspark.sql import types as T
 
 from ..session import tune
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (fixture physical type)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files,
-    normalized to a proper timestamp column (same nanos handling as the
-    batch catalog)."""
+    normalized to a proper TimestampType column.
+
+    The fixture's ``ts`` physical type has varied across driver
+    generations (TIMESTAMP(NANOS) → long via nanosAsLong; timestamp[us]
+    → TIMESTAMP_NTZ), and readStream needs the schema declared up
+    front — so sniff the actual type from a batch read of the same
+    directory (metadata-only, no scan) and dispatch exactly like
+    ``sources.catalog.load_table`` does for batch."""
     tune(spark)
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(spark.read.parquet(source_dir).dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = spark.readStream.schema(_event_schema(T.LongType())).parquet(source_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        raw = spark.readStream.schema(_event_schema(T.TimestampNTZType())).parquet(source_dir)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark.readStream.schema(_event_schema(T.TimestampType())).parquet(source_dir)
 
 
 def hourly_tumbling_counts_stream(

@@ -80,11 +80,14 @@ def test_stateful_sessionization_matches_batch_closed_sessions(spark, events_dir
     # max event time - 2h; timeout at last_ep + gap).
     from pyspark.sql import functions as F
 
-    # the fixture stores nanos as int64; the stream's event-time column is
-    # micros, and Spark's watermark tracker truncates to millis
+    # the stream's event-time column is micros, and Spark's watermark
+    # tracker truncates to millis; read via the catalog so the fixture's
+    # physical ts type (nanos-long or timestamp) is normalized first
+    from fp_data_lakehouse_spark.sources.catalog import load_table
+
     max_ms = (
-        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
-        .agg(F.max(F.expr("ts div 1000000")))
+        load_table(spark, SF_ORACLE, "events")
+        .agg(F.max(F.expr("unix_millis(ts)")))
         .collect()[0][0]
     )
     watermark_ms = max_ms - 2 * 3600 * 1000
@@ -150,9 +153,9 @@ def test_stream_stream_join_converges_to_batch(spark, events_dir):
     finally:
         q.stop()
 
-    batch = spark.read.parquet(f"{SF_ORACLE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from fp_data_lakehouse_spark.sources.catalog import load_table
+
+    batch = load_table(spark, SF_ORACLE, "events")
     p = batch.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
     )
