@@ -29,16 +29,20 @@ def asof_join(
     ts_col: str,
     by_cols: list[str],
     tiebreak_col: str,
+    how: str = "inner",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right[ts_col] <= left[ts_col]`` sharing ``by_cols`` (inner: left
-    rows with no prior right row are dropped).
+    ``right[ts_col] <= left[ts_col]`` sharing ``by_cols``. ``inner``
+    drops left rows with no prior right row; ``left`` keeps them with
+    null right columns (ASOF LEFT JOIN).
 
     ``tiebreak_col`` must exist on both sides; it makes the pick
     deterministic when several right rows share a timestamp (highest
     wins). Output columns: by_cols, then left columns prefixed ``l_``,
     then matched right columns prefixed ``r_``.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
     lpay = [c for c in left.columns if c not in by_cols]
     rpay = [c for c in right.columns if c not in by_cols]
 
@@ -64,10 +68,11 @@ def asof_join(
         .orderBy("_ts", "_side", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-        .filter((F.col("_side") == 1) & F.col("_m").isNotNull())
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
     )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
     out = matched.select(
         *by_cols,
         *[F.col(f"_l.{c}").alias(f"l_{c}") for c in lpay],
@@ -111,4 +116,50 @@ def ev05_purchase_click_attribution(spark, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("click_id"),
         F.unix_timestamp("r_ts").alias("click_ep"),
         (F.unix_timestamp("l_ts") - F.unix_timestamp("r_ts")).alias("gap_sec"),
+    )
+
+
+@register(
+    "ev17_asof_click_before_purchase",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts, epoch_us(ts) AS purchase_us
+               FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.purchase_id,
+           p.user_id,
+           p.purchase_us,
+           c.click_id,
+           p.purchase_us - epoch_us(c.ts) AS staleness_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def ev17_asof_click_before_purchase(spark, sf_dir: str) -> DataFrame:
+    """ASOF **LEFT** join (ev05's outer dual): every purchase, annotated
+    with the user's most recent click at-or-before it or nulls when no
+    click precedes — the variant a feature pipeline needs when absent
+    history is itself the feature. Equal-timestamp clicks collapse to
+    the max event_id first so both engines' tie-breaks agree; oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    joined = asof_join(purchases, clicks, "ts", ["user_id"], "event_id", how="left")
+    return joined.select(
+        F.col("l_event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("l_ts")).alias("purchase_us"),
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_micros(F.col("l_ts")) - F.unix_micros(F.col("r_ts"))).alias(
+            "staleness_us"
+        ),
     )

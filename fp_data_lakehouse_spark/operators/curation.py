@@ -221,3 +221,68 @@ def ev10_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s3.select(F.lit("3_purchase").alias("stage"), "user_id"))
     )
     return staged.groupBy("stage").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# tx14: boilerplate n-gram scrub (frequent-shingle ratio per document)
+# ---------------------------------------------------------------------------
+
+# A shingle is boilerplate within its source when it appears in >= 5 of
+# that source's documents — the C4/RefinedWeb-style repeated-template
+# signal, at shingle granularity because the fixture's documents are
+# newline-free word streams.
+_TX14_DF_MIN = 5
+
+_TX14_SQL = f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+ss AS (
+    SELECT sh.doc_id, d.source, sh.shingle
+    FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+),
+df AS (
+    SELECT source, shingle, CAST(COUNT(*) AS BIGINT) AS df
+    FROM ss GROUP BY source, shingle
+)
+SELECT ss.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df.df >= {_TX14_DF_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       CAST(SUM(CASE WHEN df.df >= {_TX14_DF_MIN} THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS boilerplate_ratio
+FROM ss JOIN df ON ss.source = df.source AND ss.shingle = df.shingle
+GROUP BY ss.doc_id
+"""
+
+
+@register("tx14_boilerplate_ngram_ratio", oracle=_TX14_SQL)
+def tx14_boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a document's
+    3-gram shingles that are corpus-frequent within its source (df >=
+    5 docs) — the repeated-template signal curation pipelines use to
+    strip navigation chrome, license banners, and mirrored pages before
+    training.
+
+    Two shuffles, both on compact keys: shingle-explode -> groupBy
+    (source, shingle) for document frequency (counts only — shingles
+    are distinct per doc by construction), then the df table joins back
+    to the exploded rows on the same (source, shingle) partitioning
+    Catalyst reuses, and the final per-doc rollup carries three longs.
+    Work is linear in total shingle volume; hot shingles concentrate in
+    the df aggregate (mergeable counts), never in a pair join — this is
+    the frequency-analysis dual of the dd03 Jaccard join, with none of
+    its Σ df² blowup. The ratio is an exact int/int division, identical
+    on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = _shingle_rows(spark, sf_dir).join(docs, "doc_id")
+    df = ss.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    flagged = ss.join(df, ["source", "shingle"])
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") >= _TX14_DF_MIN, 1).otherwise(0)).alias(
+            "n_boilerplate"
+        ),
+        (
+            F.sum(F.when(F.col("df") >= _TX14_DF_MIN, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("boilerplate_ratio"),
+    )

@@ -193,3 +193,53 @@ def ag03_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, n_events long, ewma double",
         )
     )
+
+
+@register(
+    "ag04_winsorized_event_values",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT user_id,
+               MAX(CASE WHEN r = (n + 19) // 20 THEN value END) AS lo,
+               MAX(CASE WHEN r = (19 * n + 19) // 20 THEN value END) AS hi
+        FROM ranked GROUP BY user_id
+    )
+    SELECT k.event_id, k.user_id, k.value,
+           least(greatest(k.value, b.lo), b.hi) AS value_winsorized
+    FROM ranked k JOIN bounds b USING (user_id)
+    """,
+)
+def ag04_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: each user's event values clipped to that
+    user's [p05, p95] — the standard outlier-taming step before features
+    feed a trainer. Quantiles are exact NEAREST-RANK (k = ceil(p*n) via
+    pure integer arithmetic, (19n+19) div 20), not interpolated: the
+    clip bounds are values that exist in the data, so both engines agree
+    exactly with no float-interpolation drift.
+
+    Two window passes over one hash partitioning on user_id (rank, then
+    group max of the two flagged ranks) and a broadcast-sized bounds
+    join — no second shuffle of the event rows; per-group state is two
+    doubles regardless of corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    wg = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("value", "event_id")
+    ranked = events.select("event_id", "user_id", "value").withColumn(
+        "r", F.row_number().over(wo)
+    ).withColumn("n", F.count(F.lit(1)).over(wg))
+    lo = F.max(F.when(F.col("r") == F.expr("(n + 19) div 20"), F.col("value"))).over(wg)
+    hi = F.max(
+        F.when(F.col("r") == F.expr("(19 * n + 19) div 20"), F.col("value"))
+    ).over(wg)
+    return ranked.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.least(F.greatest(F.col("value"), lo), hi).alias("value_winsorized"),
+    )

@@ -107,3 +107,4 @@ def ev08_error_click_proximity(spark, sf_dir: str) -> DataFrame:
         "user_id",
         "diff_us",
     )
+

@@ -63,6 +63,12 @@ DRIVER_PRIORITY: list[str] = [
     "q40_unpivot_lineitem_measures",
     "q41_nation_customer_supplier_census",
     "dd15_prefix_filter_jaccard",
+    # new in round 3
+    "ev17_asof_click_before_purchase",
+    "ag04_winsorized_event_values",
+    "sk06_count_min_heavy_users",
+    "sim07_int8_quantize",
+    "tx14_boilerplate_ngram_ratio",
 ]
 
 

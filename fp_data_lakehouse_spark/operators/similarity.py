@@ -472,3 +472,63 @@ def sim06_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("d").alias("inertia"),
     )
+
+
+@register(
+    "sim07_int8_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) AS max_abs
+        FROM v
+    )
+    SELECT vec_id,
+           CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale,
+           CAST(len(vec) AS INTEGER) AS n_dims,
+           array_to_string(
+               list_transform(vec, x -> CAST(floor(
+                   x * (CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END)
+                   + 0.5) AS BIGINT)), ',') AS q_csv
+    FROM s
+    """,
+)
+def sim07_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — per-vector scale
+    127/max|x|, elements round-half-up to [-127, 127] — the 4x storage
+    and bandwidth compression step every large-scale ANN index applies
+    before sharding vectors (IVF-PQ's simpler cousin; scale stored
+    alongside for dequantization).
+
+    Map-only: no shuffle at any corpus size, whole row stays in one
+    expression pipeline. Both engines run identical IEEE-754 ops
+    (exact float->double widening, one multiply, floor(x+0.5)), so the
+    quantized codes match exactly; they ship as a CSV string because
+    the driver's pandas canonicalizer can't hash array cells (the ev09
+    lesson). The scale guard keeps all-zero vectors at code 0 rather
+    than inf."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    scale = (
+        "CASE WHEN array_max(transform(vec, x -> abs(x))) = 0d THEN 0d"
+        " ELSE cast(127.0 as double) / array_max(transform(vec, x -> abs(x))) END"
+    )
+    # LET-BIND the scale (see _SHINGLES note in dedup.py): referenced
+    # inside the per-element lambda, a plain alias would be inlined and
+    # re-run array_max once per element (O(d^2) per row).
+    q_csv = (
+        f"element_at(transform(array({scale}), s ->"
+        " concat_ws(',', transform(vec, x ->"
+        " cast(cast(floor(x * s + 0.5d) as bigint) as string)))), 1)"
+    )
+    return v.select(
+        "vec_id",
+        F.expr(scale).alias("scale"),
+        F.size("vec").alias("n_dims"),
+        F.expr(q_csv).alias("q_csv"),
+    )

@@ -146,3 +146,75 @@ def sk05_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events").cast("double") / F.col("n_total")).alias("share"),
         )
     )
+
+
+# Count-min sketch geometry: d hash rows x w buckets. md5-derived
+# bucketing (the same engine-portable hash as the sampling/minhash
+# families) makes the WHOLE sketch deterministic, so unlike typical
+# sketch ops it has a full DuckDB oracle — both engines build the
+# identical counter matrix and read the identical estimates.
+_CMS_D = 4
+_CMS_W = 64
+
+_CMS_BUCKET = (
+    "pmod(cast(conv(substring(md5(concat(cast(user_id as string), '#',"
+    " cast(seed as string))), 1, 15), 16, 10) as bigint), {w})"
+).format(w=_CMS_W)
+_CMS_BUCKET_SQL = (
+    "((('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#' ||"
+    " CAST(seed AS VARCHAR)), 1, 15))::BIGINT) % {w})"
+).format(w=_CMS_W)
+
+
+@register(
+    "sk06_count_min_heavy_users",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    ),
+    seeds AS (SELECT unnest(range({_CMS_D})) AS seed),
+    keyed AS (
+        SELECT c.user_id, c.exact_count, s.seed,
+               {_CMS_BUCKET_SQL} AS bucket
+        FROM counts c CROSS JOIN seeds s
+    ),
+    counters AS (
+        SELECT seed, bucket, CAST(SUM(exact_count) AS BIGINT) AS cell
+        FROM keyed GROUP BY seed, bucket
+    )
+    SELECT k.user_id,
+           CAST(MAX(k.exact_count) AS BIGINT) AS exact_count,
+           CAST(MIN(t.cell) AS BIGINT) AS cms_count
+    FROM keyed k JOIN counters t USING (seed, bucket)
+    GROUP BY k.user_id
+    ORDER BY exact_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def sk06_count_min_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x64) read back for the top-20 heaviest
+    users, next to their exact counts — cms_count >= exact_count always,
+    with equality unless the user's buckets all collide.
+
+    The build is the mergeable-partial shape that matters at 100 TB:
+    one map-side-combined groupBy(user_id) reduces the corpus to per-key
+    counts, and the sketch matrix (d x w = 4x64 cells) is derived
+    from that tiny table — the corpus itself is never exploded d-fold.
+    On an unbounded stream the same matrix is maintained incrementally
+    per partition and merged by cell-wise addition."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    keyed = counts.withColumn(
+        "seed", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
+    ).withColumn("bucket", F.expr(_CMS_BUCKET))
+    counters = keyed.groupBy("seed", "bucket").agg(F.sum("exact_count").alias("cell"))
+    return (
+        keyed.join(counters, ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("cell").alias("cms_count"),
+        )
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(20)
+    )

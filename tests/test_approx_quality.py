@@ -287,3 +287,22 @@ def test_prefix_filter_is_lossless(spark):
         for r in dd15_prefix_filter_jaccard(spark, SF_ORACLE).collect()
     }
     assert pruned == exact
+
+
+def test_lsh_dedup_keep_superset_of_exact_path(spark):
+    """dd16 (LSH-edge dedup) must never drop a document the exact path
+    (dd13) keeps: fewer edges only split components, and every split
+    piece's min is >= the parent component's min, so dd16's drop set is
+    contained in dd13's."""
+    from fp_data_lakehouse_spark.operators.dedup import (
+        dd13_neardup_dedup_keep,
+        dd16_minhash_dedup_keep,
+    )
+
+    keep_exact = {r.doc_id for r in dd13_neardup_dedup_keep(spark, SF_ORACLE).collect()}
+    keep_lsh = {r.doc_id for r in dd16_minhash_dedup_keep(spark, SF_ORACLE).collect()}
+    assert keep_exact <= keep_lsh
+    # and it must actually deduplicate at this recall level (the sf0.01
+    # corpus has planted near-dup clusters dd04 finds in full)
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    assert len(keep_lsh) < n_docs

@@ -150,3 +150,25 @@ def test_incremental_load_converges_for_any_split(spark, tmp_path_factory, split
         assert got == want
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@given(l=_rows, r=_rows)
+@_settings
+def test_asof_left_join_matches_model(spark, l, r):
+    """how='left' keeps unmatched left rows with a null right id and
+    agrees with the inner model on every matched row."""
+    left = [(k, t, i) for i, (k, t) in enumerate(l)]
+    right = [(k, t, 1000 + i) for i, (k, t) in enumerate(r)]
+    schema = "k INT, ts INT, event_id INT"
+    ldf = spark.createDataFrame(left or [], schema)
+    rdf = spark.createDataFrame(right or [], schema)
+    got = {
+        (row.k, row.l_event_id, row.r_event_id)
+        for row in asof_join(ldf, rdf, "ts", ["k"], "event_id", how="left").collect()
+    }
+    inner = _asof_model(left, right)
+    matched_left_ids = {lid for _, lid, _ in inner}
+    want = inner | {
+        (lk, lid, None) for lk, _, lid in left if lid not in matched_left_ids
+    }
+    assert got == want

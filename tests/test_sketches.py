@@ -45,3 +45,18 @@ def test_approx_quantiles_within_rank_tolerance(spark):
             assert abs(rank - q) <= 0.02, f"{et}.{name}: est {est} has rank {rank:.3f}"
         # monotonicity of the sketch output
         assert r.p25 <= r.p50 <= r.p75 <= r.p99
+
+
+def test_count_min_overestimates_and_bounds(spark):
+    """CMS guarantees estimate >= exact for every key; with d=4 rows the
+    min over rows should keep collision error modest on this corpus."""
+    from .conftest import SF_ORACLE
+    from fp_data_lakehouse_spark.operators.sketches import sk06_count_min_heavy_users
+
+    rows = sk06_count_min_heavy_users(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 20  # top-20, fewer if the corpus has <20 users
+    assert all(r.cms_count >= r.exact_count for r in rows)
+    # classic CMS bound: error <= eps * total mass with eps = e/w; keep a
+    # loose empirical cap so hash regressions (all keys one bucket) fail
+    total = sum(r.exact_count for r in rows)
+    assert all(r.cms_count - r.exact_count <= total for r in rows)
