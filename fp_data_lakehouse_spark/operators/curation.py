@@ -286,3 +286,65 @@ def tx14_boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("boilerplate_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx15: character-diversity quality gate (Simpson index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx15_char_diversity",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), '')) AS c
+        FROM documents
+        WHERE length(text) > 0
+    ),
+    counts AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_chars_total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           1.0 - CAST(SUM(n * n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+               AS char_simpson
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def tx15_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality gate: Simpson diversity index
+    1 - sum(n_c^2)/N^2 over the per-document character histogram — a
+    gibberish/low-entropy detector (runs of one character or a tiny
+    alphabet score near 0, natural text near 1) used as a cheap
+    pre-filter before model-based quality scoring.
+
+    Chosen over Shannon entropy deliberately: the index is pure integer
+    arithmetic until a single final divide/subtract, so Spark and the
+    SQL oracle agree bit-exactly, whereas ln() is not
+    correctly-rounded-guaranteed and differs across libm
+    implementations. Plan: explode chars -> two-level aggregate keyed
+    (doc_id, char) then doc_id; every shuffled row is a (bigint,
+    1-char) pair, and partial aggregation collapses each partition to
+    at most |alphabet| rows per document before the exchange."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), i -> substring(lower(text), i, 1))"
+            )
+        ).alias("c"),
+    )
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    n_total = F.sum("n")
+    return counts.groupBy("doc_id").agg(
+        n_total.cast("long").alias("n_chars_total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (n_total.cast("double") * n_total.cast("double"))
+        ).alias("char_simpson"),
+    )

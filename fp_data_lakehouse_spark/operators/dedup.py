@@ -32,6 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.catalog import load_table
 from .registry import register
@@ -1024,3 +1025,92 @@ def dd16_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(edges)
     drops = labels.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
     return docs.join(drops, "doc_id", "left_anti").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# dd17: maximal cross-document repeated spans (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per sliding shingle; a span is >= _SPAN_K tokens
+
+_SPAN_SH_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 6, 1)),"
+    " i -> md5(array_to_string(toks[i:i+7], ' ')))"
+)
+
+
+@register(
+    "dd17_repeated_spans",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest({_SPAN_SH_SQL}) AS h,
+               generate_subscripts({_SPAN_SH_SQL}, 1) AS pos
+        FROM tok
+    ),
+    rep AS (
+        SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN rep USING (h)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM isl
+    GROUP BY doc_id, grp
+    """,
+)
+def dd17_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN extraction (the train-set memorization risk
+    surface): every maximal run of token positions whose overlapping
+    8-token shingles each occur verbatim in at least one OTHER document
+    — the operator behind exact-substring deduplication of training
+    corpora (Lee et al. 2021 ask the same question with a suffix array;
+    the shingle-join form is the shuffle-native equivalent).
+
+    Plan shape: one projection builds the per-document shingle array
+    (token array let-bound via the single-element-transform trick, see
+    _SHINGLES), one explode, and every exchange after that moves only
+    (md5, doc_id, pos) triples — the text itself never shuffles.
+    Cross-document repetition is COUNT(DISTINCT doc_id) > 1 so internal
+    self-repetition never flags a span. Runs coalesce into maximal
+    spans with the gaps-and-islands trick (pos - row_number is constant
+    within a consecutive run); the window partitions by doc_id, so
+    state per task is one document's hit list, never the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id",
+        F.expr(
+            f"element_at(transform(array({_TOKENS}), toks ->"
+            f" IF(size(toks) >= {_SPAN_K},"
+            f" transform(sequence(1, size(toks) - {_SPAN_K - 1}),"
+            f" i -> struct(i AS pos, md5(array_join(slice(toks, i, {_SPAN_K}), ' ')) AS h)),"
+            " array())), 1)"
+        ).alias("sh"),
+    )
+    sh = shingled.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.col("s.pos").cast("long").alias("pos"), F.col("s.h").alias("h")
+    ).localCheckpoint(eager=False)
+    rep = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = sh.join(rep, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(_SPAN_K - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    ).drop("grp")

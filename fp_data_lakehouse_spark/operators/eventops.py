@@ -613,3 +613,113 @@ def ev16_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             converted, F.col("first_purchase_ep") - F.col("first_view_ep")
         ).alias("sec_to_convert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev18: interval-overlap join (sessions x errorful hours), bucketed
+# ---------------------------------------------------------------------------
+
+_EV18_MIN_ERRORS = 2  # an hour is "errorful" with >= this many error events
+
+
+@register(
+    "ev18_session_error_hour_overlap",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ep, event_type FROM events
+    ),
+    marks AS (
+        SELECT user_id, ep,
+               CASE WHEN LAG(ep) OVER w IS NULL
+                         OR ep - LAG(ep) OVER w > {_SESSION_GAP_SEC}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_type)
+    ),
+    sessions AS (
+        SELECT user_id,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ep, new_s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id,
+               ep
+        FROM marks
+    ),
+    spans AS (
+        SELECT user_id, session_id, MIN(ep) AS s_start, MAX(ep) AS s_end
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    errhours AS (
+        SELECT ep - ep % 3600 AS h
+        FROM ev WHERE event_type = 'error'
+        GROUP BY 1 HAVING COUNT(*) >= {_EV18_MIN_ERRORS}
+    ),
+    hits AS (
+        SELECT s.user_id, s.session_id, e.h
+        FROM spans s JOIN errhours e
+          ON e.h BETWEEN (s.s_start - s.s_start % 3600)
+                     AND (s.s_end - s.s_end % 3600)
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions_hit,
+           CAST(COUNT(*) AS BIGINT) AS n_session_hour_hits
+    FROM hits
+    GROUP BY user_id
+    """,
+)
+def ev18_session_error_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which user sessions overlap an hour with a
+    system-wide error spike. The oracle states it as the naive
+    inequality join (session span BETWEEN the hour bounds); the Spark
+    plan is the scale form — each session EXPLODES into the hour
+    buckets it covers (bounded by session length / 1h + 1, sessions are
+    gap-capped so this is small) and the overlap becomes a pure
+    equi-join on the hour epoch. No range nested-loop, no cartesian;
+    the errorful-hours side is tiny and broadcast.
+
+    Both interval endpoints are inclusive by construction of the bucket
+    sequence, matching the oracle's BETWEEN over truncated bounds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ep"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_type")
+    marks = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | (F.col("ep") - F.lag("ep").over(w) > _SESSION_GAP_SEC),
+            1,
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", F.desc("new_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        marks.withColumn("session_id", F.sum("new_s").over(ws).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ep").alias("s_start"), F.max("ep").alias("s_end"))
+    )
+    errhours = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy((F.col("ep") - F.col("ep") % 3600).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _EV18_MIN_ERRORS)
+        .select("h")
+    )
+    hours = spans.select(
+        "user_id",
+        "session_id",
+        F.explode(
+            F.sequence(
+                F.col("s_start") - F.col("s_start") % 3600,
+                F.col("s_end") - F.col("s_end") % 3600,
+                F.lit(3600).cast("long"),
+            )
+        ).alias("h"),
+    )
+    hits = hours.join(F.broadcast(errhours), "h")
+    return hits.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions_hit"),
+        F.count(F.lit(1)).alias("n_session_hour_hits"),
+    )

@@ -69,6 +69,10 @@ DRIVER_PRIORITY: list[str] = [
     "sk06_count_min_heavy_users",
     "sim07_int8_quantize",
     "tx14_boilerplate_ngram_ratio",
+    "dd17_repeated_spans",
+    "sp06_priority_sample",
+    "tx15_char_diversity",
+    "ev18_session_error_hour_overlap",
 ]
 
 

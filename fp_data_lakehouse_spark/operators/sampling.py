@@ -189,3 +189,51 @@ def sp05_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.alias("fold"),
         (fold == 0).alias("holdout"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sp06: weighted priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+_SP06_K = 40
+# u ~ Uniform over [1, 2^60]: the first 15 md5 hex digits as an integer,
+# +1 so the priority w/u is always finite.
+_U = f"(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) + 1)"
+_U_SQL = f"((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) + 1)"
+
+
+@register(
+    "sp06_priority_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               CAST(n_chars AS DOUBLE) / CAST({_U_SQL} AS DOUBLE) AS priority
+        FROM documents
+    )
+    ORDER BY priority DESC, doc_id
+    LIMIT {_SP06_K}
+    """,
+)
+def sp06_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each document draws priority
+    w/u with w = n_chars and u a content-stable uniform from its md5 —
+    the k highest priorities form a sample where inclusion probability
+    is proportional to size, yet membership is deterministic and stable
+    across runs and engines (no rand()).
+
+    Exactness across engines: u is an exact integer, w < 2^53, and the
+    priority is ONE int-to-double cast pair plus ONE division — every
+    step IEEE-correctly-rounded, so Spark and the oracle compute
+    bit-identical priorities and select the identical top-k. Scale: the
+    sort is top-k (TakeOrderedAndProject), per-partition heaps + a
+    k-row driver merge, never a global sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    priority = F.col("n_chars").cast("double") / F.expr(_U).cast("double")
+    return (
+        docs.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(_SP06_K)
+        .select("doc_id", "n_chars")
+    )

@@ -326,3 +326,41 @@ def test_prefix_filter_no_product_and_banded_joins(spark):
     assert not has_op(df, "CartesianProduct")
     assert not has_op(df, "BroadcastNestedLoopJoin")
     assert not has_op(df, "BatchEvalPython")
+
+
+def test_overlap_join_is_broadcast_equi_join(spark):
+    """ev18's interval overlap must plan as a broadcast equi-join on the
+    hour epoch — sessions explode into their covered hour buckets, so
+    no BETWEEN-driven nested loop ever appears."""
+    df = _df(spark, "ev18_session_error_hour_overlap")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_priority_sample_is_topk_not_global_sort(spark):
+    """sp06's selection must be TakeOrderedAndProject (per-partition
+    heaps + k-row driver merge), never a full Exchange rangepartitioning
+    sort of the corpus."""
+    df = _df(spark, "sp06_priority_sample")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_repeated_spans_shuffle_fingerprints_not_text(spark):
+    """dd17's exchanges carry (md5, doc_id, pos) triples only; the text
+    column dies at the first projection."""
+    df = _df(spark, "dd17_repeated_spans")
+    plan = physical_plan(df)
+    assert not has_op(df, "CartesianProduct")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all("text" not in ln for ln in exchanges)
+
+
+def test_char_diversity_preaggregates_before_exchange(spark):
+    """tx15's shuffle must move partial (doc_id, char) counts, not raw
+    exploded characters — partial_count before the exchange."""
+    df = _df(spark, "tx15_char_diversity")
+    plan = physical_plan(df)
+    assert "partial_count" in plan or "partial count" in plan.lower()
