@@ -1114,3 +1114,80 @@ def dd17_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + F.lit(_SPAN_K - 1)).alias("span_end"),
         F.count(F.lit(1)).alias("n_shingles"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# dd18: fuzzy near-dup via banded edit distance
+# ---------------------------------------------------------------------------
+
+_EDIT_D = 8       # max edit distance for a near-dup pair
+_LEN_BAND = 9     # band width; > _EDIT_D so a pair spans <= 2 adjacent bands
+
+
+@register(
+    "dd18_edit_distance_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents)
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM t a JOIN t b
+      ON a.doc_id < b.doc_id
+     AND abs(a.L - b.L) <= {_EDIT_D}
+    WHERE levenshtein(a.text, b.text) <= {_EDIT_D}
+    """,
+)
+def dd18_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-duplicate pairs under edit distance (typo-level copies
+    that shingle Jaccard can miss when every shingle is perturbed):
+    all pairs with levenshtein <= 8, found WITHOUT the oracle's
+    inequality join. |len(a) - len(b)| <= d is a lossless levenshtein
+    prefilter, and with length bands wider than d a qualifying pair
+    always shares one of the two adjacent bands each document projects
+    into — so candidates come from a plain equi-join on the band id,
+    deduped, then verified once per pair with the JVM levenshtein.
+
+    Scale: candidate count is sum of per-band sizes squared, governed by
+    the length histogram instead of |docs|^2; the verify step is the
+    only stage that moves text, and a 100 TB run would front it with a
+    cheap fingerprint screen (dd03/dd04) so only band-local survivors
+    reach the quadratic-cost comparator."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("L")
+    )
+    banded = docs.select(
+        "doc_id",
+        "text",
+        "L",
+        F.explode(
+            F.array(
+                (F.col("L") / _LEN_BAND).cast("long"),
+                (F.col("L") / _LEN_BAND).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("text").alias("text_a"),
+        F.col("L").alias("la"),
+        "band",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("text").alias("text_b"),
+        F.col("L").alias("lb"),
+        "band",
+    )
+    cand = (
+        a.join(b, "band")
+        .filter(
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= _EDIT_D)
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return cand.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
+    ).filter(F.col("edit_distance") <= _EDIT_D)

@@ -73,6 +73,8 @@ DRIVER_PRIORITY: list[str] = [
     "sp06_priority_sample",
     "tx15_char_diversity",
     "ev18_session_error_hour_overlap",
+    "vt02_scd2_priority_history",
+    "dd18_edit_distance_pairs",
 ]
 
 

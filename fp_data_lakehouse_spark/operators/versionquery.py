@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .registry import register
 
@@ -101,4 +102,98 @@ def vt01_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_cents",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# vt02: SCD Type-2 dimension history built from an event log
+# ---------------------------------------------------------------------------
+
+_VT02_SQL = """
+WITH seq AS (
+    SELECT o_custkey,
+           o_orderpriority AS priority,
+           CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+           o_orderkey
+    FROM orders
+),
+chg AS (
+    SELECT *,
+           CASE WHEN LAG(priority) OVER w IS NULL
+                     OR LAG(priority) OVER w <> priority
+                THEN 1 ELSE 0 END AS is_chg
+    FROM seq
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY ep, o_orderkey)
+),
+ver AS (
+    SELECT o_custkey, priority, ep,
+           CAST(SUM(is_chg) OVER (PARTITION BY o_custkey ORDER BY ep, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS version_no
+    FROM chg
+),
+hist AS (
+    SELECT o_custkey AS c_custkey, priority, version_no,
+           MIN(ep) AS valid_from_epoch
+    FROM ver
+    GROUP BY o_custkey, priority, version_no
+)
+SELECT c_custkey, priority, version_no, valid_from_epoch,
+       LEAD(valid_from_epoch) OVER (PARTITION BY c_custkey ORDER BY version_no)
+           AS valid_to_epoch,
+       (LEAD(valid_from_epoch) OVER (PARTITION BY c_custkey ORDER BY version_no)
+           IS NULL) AS is_current
+FROM hist
+"""
+
+
+@register("vt02_scd2_priority_history", oracle=_VT02_SQL)
+def vt02_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an append-only event log: each
+    customer's order-priority timeline collapses into versioned history
+    rows with [valid_from, valid_to) intervals and an is_current flag —
+    the transform a lakehouse runs to maintain slowly-changing
+    dimensions from CDC/event streams (the MERGE in vt01 applies such
+    rows; this derives them).
+
+    Change points come from LAG, versions from a running sum, intervals
+    from LEAD over the per-customer version sequence — three window
+    passes and one groupBy ALL partitioned by c_custkey, so Catalyst
+    reuses a single hash exchange for the whole pipeline; per-task
+    state is one customer's order list. Epoch-second output keeps the
+    interval columns engine-neutral."""
+    from ..sources.catalog import load_table
+
+    seq = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_timestamp("o_orderdate").alias("ep"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ep", "o_orderkey")
+    chg = seq.withColumn(
+        "is_chg",
+        F.when(
+            F.lag("priority").over(w).isNull()
+            | (F.lag("priority").over(w) != F.col("priority")),
+            1,
+        ).otherwise(0),
+    )
+    ver = chg.withColumn(
+        "version_no",
+        F.sum("is_chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    hist = ver.groupBy(
+        F.col("o_custkey").alias("c_custkey"), "priority", "version_no"
+    ).agg(F.min("ep").alias("valid_from_epoch"))
+    wv = Window.partitionBy("c_custkey").orderBy("version_no")
+    return hist.select(
+        "c_custkey",
+        "priority",
+        "version_no",
+        "valid_from_epoch",
+        F.lead("valid_from_epoch").over(wv).alias("valid_to_epoch"),
+        F.lead("valid_from_epoch").over(wv).isNull().alias("is_current"),
     )

@@ -48,8 +48,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             # integer division: nanos ~1.7e18 exceed double precision (2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Any remaining TIMESTAMP_NTZ column (events.ts, orders.o_orderdate, ...)
+    # becomes TimestampType: several time functions (unix_micros,
+    # unix_timestamp) reject NTZ, and the UTC session TZ makes the cast
+    # value-preserving.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
