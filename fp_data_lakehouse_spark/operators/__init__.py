@@ -24,6 +24,7 @@ for _mod in (
     "etlquery",
     "versionquery",
     "curation",
+    "dataquality",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

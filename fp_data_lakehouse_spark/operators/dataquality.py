@@ -1,0 +1,120 @@
+"""Data-quality constraint audit over the warehouse tables — the
+validation pass (completeness, uniqueness, range, referential
+integrity) a lakehouse runs before publishing a snapshot, in the spirit
+of Deequ/Great Expectations check suites.
+
+Scale design: every per-table check family computes in ONE pass over
+that table (conditional sums inside a single aggregate — adding a check
+adds a column, not a scan); the referential check is the only join and
+builds on the dimension side being broadcast-small. Output is O(#checks)
+rows regardless of corpus size."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_DQ01_SQL = """
+SELECT 'orders_custkey_null' AS check_name,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_orderkey_dup',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_totalprice_nonpositive',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+UNION ALL
+SELECT 'lineitem_quantity_out_of_range',
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+UNION ALL
+SELECT 'customer_acctbal_null',
+       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+"""
+
+
+@register("dq01_constraint_audit", oracle=_DQ01_SQL)
+def dq01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-audit suite: completeness (null counts), uniqueness
+    (key duplication), range (quantity/discount domains), cross-column
+    temporal sanity (shipped before ordered), and referential integrity
+    (orders -> customer orphans), reported as one (check_name,
+    n_violations) row each.
+
+    The three orders-side scalar checks share one aggregate pass, the
+    two lineitem range checks share another; the orphan check is an
+    anti-join against the broadcast customer dimension and the temporal
+    check a broadcast-ready fact-fact join pruned to two columns per
+    side. A clean audit returns all-zero counts — the healthy-pipeline
+    fast path a scheduler gates a publish on."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, col: F.Column) -> F.Column:
+        return F.sum(F.when(col, 1).otherwise(0)).cast("long").alias(name)
+
+    o = orders.agg(
+        one("orders_custkey_null", F.col("o_custkey").isNull()),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("orders_orderkey_dup"),
+        one("orders_totalprice_nonpositive", F.col("o_totalprice") <= 0),
+    )
+    li = lineitem.agg(
+        one(
+            "lineitem_quantity_out_of_range",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        one(
+            "lineitem_discount_out_of_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+    )
+    orphans = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(customer.select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orders_orphan_custkey"))
+    )
+    ship_before = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("lineitem_ship_before_order"))
+    )
+    cu = customer.agg(one("customer_acctbal_null", F.col("c_acctbal").isNull()))
+
+    def unpivot(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        stack = ", ".join(f"'{c}', {c}" for c in cols)
+        return df.selectExpr(
+            f"stack({len(cols)}, {stack}) AS (check_name, n_violations)"
+        )
+
+    parts = [unpivot(o), unpivot(li), unpivot(orphans), unpivot(ship_before), unpivot(cu)]
+    return reduce(DataFrame.unionAll, parts)

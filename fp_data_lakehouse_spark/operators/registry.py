@@ -75,6 +75,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev18_session_error_hour_overlap",
     "vt02_scd2_priority_history",
     "dd18_edit_distance_pairs",
+    "sim08_int8_mips_topk",
+    "dq01_constraint_audit",
 ]
 
 

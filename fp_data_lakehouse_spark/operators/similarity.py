@@ -532,3 +532,111 @@ def sim07_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vec").alias("n_dims"),
         F.expr(q_csv).alias("q_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim08: max-inner-product search over int8 codes
+# ---------------------------------------------------------------------------
+
+_S8_SCALE = (
+    "CASE WHEN array_max(transform(vec, x -> abs(x))) = 0d THEN 0d"
+    " ELSE cast(127.0 as double) / array_max(transform(vec, x -> abs(x))) END"
+)
+_S8_SCALE_SQL = (
+    "CASE WHEN list_max(list_transform(vec, x -> abs(x))) = 0 THEN 0.0"
+    " ELSE 127.0 / list_max(list_transform(vec, x -> abs(x))) END"
+)
+
+
+@register(
+    "sim08_int8_mips_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               {_S8_SCALE_SQL} AS scale,
+               list_transform(vec, x -> CAST(floor(
+                   x * ({_S8_SCALE_SQL}) + 0.5) AS BIGINT)) AS code
+        FROM v
+    ),
+    scored AS (
+        SELECT p.vec_id AS probe_id,
+               c.vec_id AS candidate_id,
+               CAST(list_sum(list_transform(list_zip(p.code, c.code),
+                    s -> s[1] * s[2])) AS BIGINT) AS int_dot,
+               CAST(list_sum(list_transform(list_zip(p.code, c.code),
+                    s -> s[1] * s[2])) AS DOUBLE)
+                   / (p.scale * c.scale) AS approx_dot
+        FROM q p JOIN q c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {_N_PROBES} AND p.scale > 0 AND c.scale > 0
+    )
+    SELECT probe_id, candidate_id, int_dot, approx_dot, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY approx_dot DESC, candidate_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """,
+)
+def sim08_int8_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate max-inner-product search over sim07's int8 codes:
+    score = integer code dot product dequantized by the two per-vector
+    scales — the memory-bandwidth-bound kernel of a quantized ANN
+    serving tier (4x smaller vectors, integer multiply-adds). Exactness
+    across engines: codes are integers, the dot product is an exact
+    integer, and the dequantization is two IEEE multiplies and one
+    divide — so even this APPROXIMATE operator carries a bit-exact SQL
+    oracle; what is approximated is the float inner product, and pytest
+    bounds that error against the exact sim01 scores.
+
+    Plan: probes broadcast against one corpus scan (same shape as
+    sim01), integer fold per pair, per-probe top-k window. At corpus
+    scale the candidate side would first be cut by an IVF/LSH bucket
+    (sim02/sim04); the quantized kernel is unchanged."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    code_expr = (
+        f"element_at(transform(array({_S8_SCALE}), s ->"
+        " transform(vec, x -> cast(floor(x * s + 0.5d) as bigint))), 1)"
+    )
+    q = v.select(
+        "vec_id",
+        F.expr(_S8_SCALE).alias("scale"),
+        F.expr(code_expr).alias("code"),
+    ).filter(F.col("scale") > 0)
+    probes = q.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("scale").alias("p_scale"),
+        F.col("code").alias("p_code"),
+    )
+    scored = (
+        q.select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("scale").alias("c_scale"),
+            F.col("code").alias("c_code"),
+        )
+        .join(F.broadcast(probes), F.col("candidate_id") != F.col("probe_id"))
+        .withColumn(
+            "int_dot",
+            F.expr(
+                "aggregate(zip_with(p_code, c_code, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn(
+            "approx_dot",
+            F.col("int_dot").cast("double") / (F.col("p_scale") * F.col("c_scale")),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("approx_dot"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "candidate_id", "int_dot", "approx_dot", "rank")
+    )

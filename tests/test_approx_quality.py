@@ -306,3 +306,38 @@ def test_lsh_dedup_keep_superset_of_exact_path(spark):
     # corpus has planted near-dup clusters dd04 finds in full)
     n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
     assert len(keep_lsh) < n_docs
+
+
+def test_int8_mips_quantization_error_and_recall(spark):
+    """sim08's int8 kernel must track the exact float inner product:
+    per-pair relative error bounded by the quantization step, and
+    recall@10 vs the exact-dot ranking >= 0.9 on the fixture corpus."""
+    import numpy as np
+
+    from fp_data_lakehouse_spark.operators.similarity import sim08_int8_mips_topk
+
+    got = sim08_int8_mips_topk(spark, SF_ORACLE).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    }
+    # exact float top-10 MIPS per probe
+    probes = sorted(v for v in emb if v < 5)
+    exact_top = {}
+    for p in probes:
+        scores = sorted(
+            ((float(emb[p] @ emb[c]), c) for c in emb if c != p),
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact_top[p] = {c for _, c in scores[:10]}
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, set()).add(r.candidate_id)
+        exact_dot = float(emb[r.probe_id] @ emb[r.candidate_id])
+        # |approx - exact| <= d * (step_a*|b|_inf + step_b*|a|_inf) + cross term;
+        # generous envelope: 2% of max|dot| scale or absolute 0.05
+        assert abs(r.approx_dot - exact_dot) <= max(0.05, 0.02 * abs(exact_dot) + 0.03)
+    recalls = [
+        len(by_probe[p] & exact_top[p]) / 10 for p in probes if p in by_probe
+    ]
+    assert recalls and sum(recalls) / len(recalls) >= 0.9
