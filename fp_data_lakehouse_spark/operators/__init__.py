@@ -25,6 +25,7 @@ for _mod in (
     "versionquery",
     "curation",
     "dataquality",
+    "graph",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

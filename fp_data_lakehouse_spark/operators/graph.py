@@ -1,0 +1,181 @@
+"""Graph analytics over the warehouse's implicit graphs: PageRank on
+the customer-supplier bipartite graph induced by lineitem (who trades
+with whom). Follows the repo's iterative-ML verification pattern
+(sim05/sim06): ONE power-iteration step is SQL-expressible and carries
+an exact DuckDB oracle; the full iteration registers rows-only with
+pytest invariants (mass conservation, monotone convergence, fixpoint
+consistency with the single step).
+
+Scale: edges shuffle as (node, node) id pairs; each step is one
+groupBy on the destination plus a broadcast of the scalar node count.
+Rank state is one double per node — at 100 TB of lineitem the distinct
+edge set, not the fact table, bounds the iteration working set, and
+each round's lineage is cut with localCheckpoint exactly like
+connected_components."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_DAMP = 0.85
+_TELEPORT = 0.15
+_MAX_ROUNDS = 10  # bounded-round demonstration (sim06's Lloyd cap); the
+# geometric residual after k damped rounds is <= 0.85^k — production
+# raises the cap / tightens the probe threshold, the shape is unchanged
+
+# Undirected bipartite edges, directed both ways for the random walk.
+_EDGES_SQL = """
+    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                    'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+_PR01_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(DISTINCT src) AS n_nodes FROM edges),
+contrib AS (
+    SELECT e.dst AS node_id,
+           list_reduce(list_prepend(0.0, list(1.0 / d.deg ORDER BY e.src)),
+                       (acc, x) -> acc + x) AS s
+    FROM edges e JOIN outdeg d ON e.src = d.src
+    GROUP BY e.dst
+)
+SELECT c.node_id,
+       {_TELEPORT} / n.n_nodes + {_DAMP} * c.s / n.n_nodes AS rank
+FROM contrib c CROSS JOIN n
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def pagerank_step(edges: DataFrame, ranks: DataFrame | None, n_nodes: DataFrame) -> DataFrame:
+    """One damped power-iteration step. ranks=None means the uniform
+    1/N start, for which the incoming mass folds exactly as
+    sum(1/outdeg) in a deterministic src-sorted order (the ag03
+    ordered-fold trick, mirrored by the oracle's list_reduce)."""
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if ranks is None:
+        contrib = (
+            edges.join(outdeg, "src")
+            .groupBy("dst")
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(src, deg))),"
+                    " cast(0.0 as double), (acc, x) -> acc + 1.0 / x.deg)"
+                ).alias("s")
+            )
+        )
+        return contrib.join(F.broadcast(n_nodes)).select(
+            F.col("dst").alias("node_id"),
+            (
+                F.lit(_TELEPORT) / F.col("n_nodes")
+                + F.lit(_DAMP) * F.col("s") / F.col("n_nodes")
+            ).alias("rank"),
+        )
+    # Iterative path: the rank state (one double per node) broadcasts,
+    # so the edge set never reshuffles across rounds and the incoming
+    # mass reduces with a codegen'd map-side-partial sum — the ordered
+    # fold is only needed on pr01's hash-exact oracle surface.
+    contrib = (
+        edges.join(outdeg, "src")
+        .join(F.broadcast(ranks.withColumnRenamed("node_id", "src")), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+    )
+    return contrib.join(F.broadcast(n_nodes)).select(
+        F.col("dst").alias("node_id"),
+        (F.lit(_TELEPORT) / F.col("n_nodes") + F.lit(_DAMP) * F.col("s")).alias("rank"),
+    )
+
+
+@register("pr01_pagerank_step", oracle=_PR01_SQL)
+def pr01_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First PageRank power-iteration step (damping 0.85) from the
+    uniform start on the customer-supplier trade graph — hash-exact
+    against the SQL oracle because the per-destination mass sum folds
+    in a deterministic neighbor order on both engines (every node has
+    outdegree >= 1 here, so no dangling-mass term).
+
+    This is the sim05 move applied to graph analytics: the iterative
+    algorithm's single step sits on the driver's hard signal; pr02
+    iterates the identical operator."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    n_nodes = edges.agg(F.countDistinct("src").alias("n_nodes"))
+    return pagerank_step(edges, None, n_nodes)
+
+
+@register("pr02_pagerank")
+def pr02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank, bounded power iteration (max-delta probe < 1e-6
+    or 10 rounds): per-round lineage cut with localCheckpoint, only a 1-row
+    max-delta crosses to the driver — the connected_components /
+    sim06 iterative shape. Rows-only for the driver (the fixpoint has
+    no finite SQL expression); pytest pins mass conservation (sum of
+    ranks ~ 1 with teleport), agreement of round 1 with pr01, and
+    monotone convergence."""
+    edges = _edges(spark, sf_dir)
+    # Loop-invariant work hoisted and materialized ONCE: the (src, dst,
+    # outdeg) join — the only edge-sized shuffle in the whole query —
+    # and the scalar node count (1 long to the driver, the
+    # incremental.py max-id precedent). Each round is then one
+    # broadcast-join + map-side-partial aggregation over the pinned
+    # edge blocks; rank state (one double per node) broadcasts, the
+    # edge set never reshuffles again.
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    n = edges_deg.agg(F.countDistinct("src")).collect()[0][0]
+    ranks = edges_deg.groupBy("dst").agg(
+        F.sum(1.0 / F.col("deg")).alias("s")
+    ).select(
+        F.col("dst").alias("node_id"),
+        (F.lit(_TELEPORT) / n + F.lit(_DAMP) * F.col("s") / n).alias("rank"),
+    ).localCheckpoint(eager=True)
+    for i in range(1, _MAX_ROUNDS):
+        nxt = (
+            edges_deg.join(F.broadcast(ranks.withColumnRenamed("node_id", "src")), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.lit(_TELEPORT) / n + F.lit(_DAMP) * F.col("s")).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # The convergence probe is its own Spark job, so it samples
+        # every third round — the iteration pays one materialization
+        # per round either way, and the cap bounds the tail.
+        if i % 3 == 0 or i == _MAX_ROUNDS - 1:
+            delta = (
+                nxt.withColumnRenamed("rank", "r2")
+                .join(ranks, "node_id")
+                .agg(F.max(F.abs(F.col("r2") - F.col("rank"))).alias("d"))
+                .collect()[0]
+                .d
+            )
+            if delta is not None and delta < 1e-6:
+                return nxt
+        ranks = nxt
+    return ranks

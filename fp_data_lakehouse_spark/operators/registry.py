@@ -77,6 +77,7 @@ DRIVER_PRIORITY: list[str] = [
     "dd18_edit_distance_pairs",
     "sim08_int8_mips_topk",
     "dq01_constraint_audit",
+    "pr01_pagerank_step",
 ]
 
 

