@@ -224,3 +224,94 @@ def mm04_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_features,
         schema="media_ref string, window_idx long, n_bytes long, energy long, peak long",
     )
+
+
+_MM05_BUDGET = 4096  # cost units (text tokens / media patch tokens) per batch
+
+
+@register(
+    "mm05_multimodal_batch_assembly",
+    oracle=f"""
+    WITH samples AS (
+        SELECT 't' || CAST(doc_id AS VARCHAR) AS sample_id,
+               source, 'text' AS modality,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS cost
+        FROM documents
+        UNION ALL
+        SELECT 'm' || CAST(doc_id AS VARCHAR) AS sample_id,
+               source, 'media' AS modality,
+               64 + CAST(octet_length(encode(text)) AS BIGINT) // 16 AS cost
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, modality, cost,
+               (SUM(cost) OVER (PARTITION BY source
+                    ORDER BY md5(sample_id), sample_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - cost) // {_MM05_BUDGET} AS bin
+        FROM samples
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_text,
+           CAST(SUM(CASE WHEN modality = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_media,
+           CAST(SUM(CASE WHEN modality = 'text' THEN cost ELSE 0 END) AS BIGINT)
+               AS text_cost,
+           CAST(SUM(CASE WHEN modality = 'media' THEN cost ELSE 0 END) AS BIGINT)
+               AS media_cost
+    FROM placed
+    GROUP BY source, bin
+    """,
+)
+def mm05_multimodal_batch_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-batch assembly: text samples (cost = token
+    count) and media samples (cost = 64 + payload bytes / 16 — the
+    patch-token accounting of a vision encoder) interleave in a
+    deterministic hash-shuffled order and pack into fixed-cost batches
+    (tx10's windowed-cumsum move over a cross-modal union); output is
+    the per-batch modality mix a dataloader contract is written
+    against.
+
+    Packing partitions by source, so each source assembles batches
+    independently at scale — no global ordering. The media cost derives
+    from BYTE length of the opaque payload (the mm01 binary path), not
+    string length, which is what a real image/audio column would
+    expose. A mix-ratio CONSTRAINT (e.g. media <= 50% of batch cost)
+    would be a second swap pass over neighboring batches; the
+    accounting columns here are exactly its input."""
+    from ..functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_side = docs.select(
+        F.concat(F.lit("t"), F.col("doc_id").cast("string")).alias("sample_id"),
+        "source",
+        F.lit("text").alias("modality"),
+        X.word_count().cast("long").alias("cost"),
+    )
+    media_side = _as_media(docs).join(
+        docs.select(F.col("doc_id").cast("string").alias("media_ref"), "source"),
+        "media_ref",
+    ).select(
+        F.concat(F.lit("m"), F.col("media_ref")).alias("sample_id"),
+        "source",
+        F.lit("media").alias("modality"),
+        (F.lit(64) + F.expr("length(payload) div 16")).cast("long").alias("cost"),
+    )
+    samples = text_side.unionAll(media_side)
+    placed = samples.select(
+        "source",
+        "modality",
+        "cost",
+        F.expr(
+            f"(sum(cost) over (partition by source order by md5(sample_id), sample_id"
+            f" rows between unbounded preceding and current row) - cost)"
+            f" div {_MM05_BUDGET}"
+        ).alias("bin"),
+    )
+    return placed.groupBy("source", F.col("bin").cast("long").alias("bin")).agg(
+        F.sum(F.when(F.col("modality") == "text", 1).otherwise(0)).cast("long").alias("n_text"),
+        F.sum(F.when(F.col("modality") == "media", 1).otherwise(0)).cast("long").alias("n_media"),
+        F.sum(F.when(F.col("modality") == "text", F.col("cost")).otherwise(0)).cast("long").alias("text_cost"),
+        F.sum(F.when(F.col("modality") == "media", F.col("cost")).otherwise(0)).cast("long").alias("media_cost"),
+    )

@@ -78,6 +78,8 @@ DRIVER_PRIORITY: list[str] = [
     "sim08_int8_mips_topk",
     "dq01_constraint_audit",
     "pr01_pagerank_step",
+    "sp07_mixture_allocation_sample",
+    "mm05_multimodal_batch_assembly",
 ]
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.catalog import load_table
 from .registry import register
@@ -236,4 +237,114 @@ def sp06_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), "doc_id")
         .limit(_SP06_K)
         .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sp07: mixture-weighted budget allocation (largest-remainder method)
+# ---------------------------------------------------------------------------
+
+# Target corpus mixture (weights sum to 1 in thousandths — integers so
+# every allocation step is exact arithmetic).
+_MIX_W = {"src0": 350, "src1": 300, "src2": 200, "src3": 100, "src4": 50}
+_MIX_DEN = 1000
+_BUDGET_FRAC_NUM, _BUDGET_FRAC_DEN = 1, 2  # sample half the corpus
+
+_MIX_CASE_SQL = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in _MIX_W.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "sp07_mixture_allocation_sample",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, COUNT(*) AS avail, {_MIX_CASE_SQL} AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(avail) * {_BUDGET_FRAC_NUM} / {_BUDGET_FRAC_DEN} AS BIGINT)
+            AS budget
+        FROM per_source
+    ),
+    quota AS (
+        SELECT source, avail, tot.budget,
+               (tot.budget * w) // {_MIX_DEN} AS base,
+               (tot.budget * w) % {_MIX_DEN} AS rem
+        FROM per_source CROSS JOIN tot
+    ),
+    alloc AS (
+        SELECT source, avail,
+               base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                           <= budget - SUM(base) OVER ()
+                      THEN 1 ELSE 0 END AS n_alloc
+        FROM quota
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn,
+               a.n_alloc, a.avail
+        FROM documents d JOIN alloc a USING (source)
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE rn <= LEAST(n_alloc, avail)
+    """,
+)
+def sp07_mixture_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus sampling: hit a global document budget
+    (half the corpus) at a target source mixture (35/30/20/10/5%),
+    allocating per-source counts with the largest-remainder method —
+    the data-mixture curation step of an LLM training pipeline
+    (reweighting web/books/code shares before tokenization).
+
+    Every allocation step is integer arithmetic (weights in
+    thousandths, floor quotas, remainder ranking with a deterministic
+    tie-break), so the sample is bit-stable across engines; member
+    selection inside a source is the same content-stable md5 order as
+    sp01. An over-allocated source truncates at availability (no
+    waterfall redistribution — documented choice, the oracle mirrors
+    it). Scale: the allocation math runs on a |sources|-row aggregate
+    that broadcasts back; selection is one per-source window over
+    hash-ranked members."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_expr = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in _MIX_W.items()
+    ) + " ELSE 0 END"
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("avail"))
+    per_source = per_source.withColumn("w", F.expr(w_expr))
+    tot = per_source.agg(
+        (F.sum("avail") * _BUDGET_FRAC_NUM / _BUDGET_FRAC_DEN)
+        .cast("long")
+        .alias("budget")
+    )
+    quota = per_source.join(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        F.expr(f"budget * w div {_MIX_DEN}").alias("base"),
+        ((F.col("budget") * F.col("w")) % _MIX_DEN).alias("rem"),
+        "budget",
+    )
+    wrem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    wtot = Window.partitionBy(F.lit(1))
+    alloc = quota.select(
+        "source",
+        "avail",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(wrem)
+                <= F.col("budget") - F.sum("base").over(wtot),
+                1,
+            ).otherwise(0)
+        ).alias("n_alloc"),
+    )
+    wsel = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.join(F.broadcast(alloc), "source")
+        .withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") <= F.least(F.col("n_alloc"), F.col("avail")))
+        .select("doc_id", "source")
     )
