@@ -364,3 +364,39 @@ def test_char_diversity_preaggregates_before_exchange(spark):
     df = _df(spark, "tx15_char_diversity")
     plan = physical_plan(df)
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_scd2_shares_custkey_exchange(spark):
+    """vt02's LAG change detection, running-sum versioning, groupBy and
+    LEAD interval close are all keyed on the customer — the plan must
+    not exceed the windows' single hashpartitioning on o_custkey plus
+    the post-rename interval window."""
+    df = _df(spark, "vt02_scd2_priority_history")
+    assert count_op(df, "Exchange hashpartitioning") <= 2
+    assert not has_op(df, "CartesianProduct")
+
+
+def test_constraint_audit_one_pass_per_scalar_family(spark):
+    """dq01: the scalar check families fold into single aggregates (no
+    join) and the referential check broadcasts the dimension side —
+    nothing in the audit may plan a nested loop."""
+    df = _df(spark, "dq01_constraint_audit")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_allocation_broadcasts_quota(spark):
+    """sp07's allocation math runs on a |sources|-row aggregate that
+    must come back to the corpus as a broadcast join, never a shuffle
+    of the documents side against a 5-row table."""
+    df = _df(spark, "sp07_mixture_allocation_sample")
+    assert has_op(df, "BroadcastHashJoin")
+
+
+def test_multimodal_packing_partitions_by_source(spark):
+    """mm05's cumulative-cost window must partition by source (per-source
+    batch assembly), not run a global single-partition window."""
+    df = _df(spark, "mm05_multimodal_batch_assembly")
+    plan = physical_plan(df)
+    assert "hashpartitioning(source" in plan
