@@ -172,3 +172,68 @@ def test_asof_left_join_matches_model(spark, l, r):
         (lk, lid, None) for lk, _, lid in left if lid not in matched_left_ids
     }
     assert got == want
+
+
+def test_scd2_history_is_consistent(spark):
+    """vt02's versioned rows must tile each customer's timeline: version
+    numbers consecutive from 1, exactly one open (is_current) interval,
+    each closed interval ending exactly where the next begins, and
+    adjacent versions always changing the tracked attribute."""
+    from fp_data_lakehouse_spark.operators.versionquery import (
+        vt02_scd2_priority_history,
+    )
+
+    from .conftest import SF_ORACLE
+
+    rows = vt02_scd2_priority_history(spark, SF_ORACLE).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.c_custkey, []).append(r)
+    assert by_cust
+    for cust, hist in by_cust.items():
+        hist.sort(key=lambda r: r.version_no)
+        assert [r.version_no for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(1 for r in hist if r.is_current) == 1
+        assert hist[-1].is_current and hist[-1].valid_to_epoch is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to_epoch == b.valid_from_epoch
+            assert a.priority != b.priority
+
+
+def test_mixture_allocation_matches_largest_remainder_model(spark):
+    """sp07's per-source sample counts must equal the largest-remainder
+    allocation recomputed independently in Python, and the total must
+    hit the budget exactly whenever no source truncates."""
+    from collections import Counter
+
+    from fp_data_lakehouse_spark.operators.sampling import (
+        _BUDGET_FRAC_DEN,
+        _BUDGET_FRAC_NUM,
+        _MIX_DEN,
+        _MIX_W,
+        sp07_mixture_allocation_sample,
+    )
+    from fp_data_lakehouse_spark.sources.catalog import load_table
+
+    from .conftest import SF_ORACLE
+
+    got = Counter(
+        r.source for r in sp07_mixture_allocation_sample(spark, SF_ORACLE).collect()
+    )
+    avail = {
+        r.source: r.n
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    budget = sum(avail.values()) * _BUDGET_FRAC_NUM // _BUDGET_FRAC_DEN
+    base = {s: budget * _MIX_W.get(s, 0) // _MIX_DEN for s in avail}
+    rem = {s: budget * _MIX_W.get(s, 0) % _MIX_DEN for s in avail}
+    leftover = budget - sum(base.values())
+    for s in sorted(avail, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    expected = {s: min(base[s], avail[s]) for s in avail}
+    assert dict(got) == {s: n for s, n in expected.items() if n > 0}
+    if all(base[s] <= avail[s] for s in avail):
+        assert sum(got.values()) == budget
