@@ -1213,3 +1213,62 @@ def dd18_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_b",
         F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
     ).filter(F.col("edit_distance") <= _EDIT_D)
+
+
+# ---------------------------------------------------------------------------
+# dd19: semantic dedup within embedding clusters (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _dd19_oracle() -> str:
+    from .similarity import _COSINE_SQL
+
+    return f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    pairs AS (
+        SELECT va.vec_id AS ia, vb.vec_id AS ib, va.vec AS a, vb.vec AS b
+        FROM v va JOIN v vb ON va.label = vb.label AND va.vec_id < vb.vec_id
+    ),
+    drops AS (SELECT DISTINCT ib FROM pairs WHERE {_COSINE_SQL} > {_COSINE_DUP_THRESHOLD})
+    SELECT vec_id, label FROM v WHERE vec_id NOT IN (SELECT ib FROM drops)
+    """
+
+
+@register("dd19_semantic_dedup_keep", oracle=_dd19_oracle())
+def dd19_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within each embedding cluster, drop
+    every vector whose cosine to a lower-id cluster member exceeds the
+    near-dup threshold — semantic deduplication that catches
+    paraphrases exact and shingle dedup cannot see. Clusters here are
+    the fixture's label partition (the role sim03/sim06's quantizer
+    plays on an unlabeled corpus).
+
+    The cluster id turns the quadratic comparison into an equi-join:
+    pairwise work is sum of per-cluster sizes squared, and the SemDeDup
+    recipe scales k with corpus size precisely to keep cluster
+    populations bounded — the global all-pairs problem never appears.
+    Cosines fold in fixed element order (same expression as sim01), so
+    even the float threshold compare is engine-identical; the keep set
+    is one anti-join."""
+    from .similarity import _COSINE
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    pairs = (
+        v.select("label", F.col("vec_id").alias("ia"), F.col("vec").alias("a"))
+        .join(
+            v.select("label", F.col("vec_id").alias("ib"), F.col("vec").alias("b")),
+            "label",
+        )
+        .filter(F.col("ia") < F.col("ib"))
+    )
+    drops = (
+        pairs.withColumn("cosine", F.expr(_COSINE))
+        .filter(F.col("cosine") > _COSINE_DUP_THRESHOLD)
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    return v.join(drops, "vec_id", "left_anti").select("vec_id", "label")

@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "pr01_pagerank_step",
     "sp07_mixture_allocation_sample",
     "mm05_multimodal_batch_assembly",
+    "dd19_semantic_dedup_keep",
 ]
 
 
