@@ -723,3 +723,99 @@ def ev18_session_error_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFra
         F.countDistinct("session_id").alias("n_sessions_hit"),
         F.count(F.lit(1)).alias("n_session_hour_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev19: session path mining (top event-type trigrams)
+# ---------------------------------------------------------------------------
+
+_EV19_TOP = 15
+
+
+@register(
+    "ev19_session_path_trigrams",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ep, event_id, event_type
+        FROM events
+    ),
+    marks AS (
+        SELECT user_id, ep, event_id, event_type,
+               CASE WHEN LAG(ep) OVER w IS NULL
+                         OR ep - LAG(ep) OVER w > {_SESSION_GAP_SEC}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ep, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marks
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               list(event_type ORDER BY ep, event_id) AS seq
+        FROM sess GROUP BY user_id, session_id
+    ),
+    grams AS (
+        SELECT unnest(list_transform(range(1, greatest(len(seq) - 1, 1)),
+                   i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2])) AS path
+        FROM paths WHERE len(seq) >= 3
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT {_EV19_TOP}
+    """,
+)
+def ev19_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the corpus-wide top-15 three-step
+    event-type paths users take INSIDE a session — the sequential
+    pattern census behind funnel discovery (ev15's Markov matrix is the
+    one-step marginal of these counts; this keeps the order-3 joint).
+
+    Sessions reuse the 30-minute-gap construction; each session's
+    ordered event-type list assembles in one user-keyed aggregation
+    (shuffle carries (user, epoch, type), never grows with corpus
+    breadth), trigrams explode from the per-session array with zero
+    additional shuffle, and the final census is one count groupBy plus
+    a TakeOrderedAndProject top-k with a deterministic tie-break —
+    no global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ep"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    marks = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | (F.col("ep") - F.lag("ep").over(w) > _SESSION_GAP_SEC),
+            1,
+        ).otherwise(0),
+    )
+    sess = marks.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ep, event_id, event_type))),"
+            " x -> x.event_type)"
+        ).alias("seq")
+    )
+    grams = paths.filter(F.size("seq") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(seq) - 2),"
+                " i -> concat_ws('>', seq[i-1], seq[i], seq[i+1]))"
+            )
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(_EV19_TOP)
+    )

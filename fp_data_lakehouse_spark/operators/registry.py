@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "sp07_mixture_allocation_sample",
     "mm05_multimodal_batch_assembly",
     "dd19_semantic_dedup_keep",
+    "ev19_session_path_trigrams",
 ]
 
 
