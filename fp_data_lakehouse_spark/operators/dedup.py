@@ -1272,3 +1272,70 @@ def dd19_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return v.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# dd20: asymmetric containment pairs (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+# Containment |A ∩ B| / |A| >= 0.8 as an integer predicate.
+_CONT_NUM, _CONT_DEN = 4, 5
+
+
+@register(
+    "dd20_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT contained_id, container_id, n_common,
+           CAST(n_common AS DOUBLE) / sa.n AS containment
+    FROM pairs JOIN sizes sa ON contained_id = sa.doc_id
+    WHERE {_CONT_DEN} * n_common >= {_CONT_NUM} * sa.n
+    """,
+)
+def dd20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-duplication: pairs where >= 80% of the contained
+    document's shingles appear in the container — the quote/excerpt/
+    boilerplate-wrapper case that symmetric Jaccard misses (a short doc
+    embedded in a long one has low Jaccard but containment ~ 1).
+
+    Same shingle-join skeleton as dd03 with the asymmetric denominator;
+    the threshold is an integer cross-multiplication so no float sits
+    on the decision boundary, and the reported containment is one exact
+    int/int division. Work remains sum of per-shingle df^2 — the df-cap
+    (dd10) and prefix-filter (dd15) escapes apply unchanged at scale."""
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "contained_id").withColumnRenamed("n", "na"),
+            "contained_id",
+        )
+        .filter(_CONT_DEN * F.col("n_common") >= _CONT_NUM * F.col("na"))
+        .select(
+            "contained_id",
+            "container_id",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("na")).alias("containment"),
+        )
+    )

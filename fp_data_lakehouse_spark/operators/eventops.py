@@ -819,3 +819,89 @@ def ev19_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(_EV19_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# ev20: user feature assembly (feature-store pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev20_user_feature_assembly",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(epoch(MAX(ts)) AS BIGINT) AS max_ep FROM events
+    ),
+    ev AS (
+        SELECT user_id, event_type,
+               CAST(epoch(ts) AS BIGINT) AS ep,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id,
+           CAST((b.max_ep - MAX(ep)) // 86400 AS BIGINT) AS recency_days,
+           CAST((MAX(ep) - MIN(ep)) // 86400 AS BIGINT) AS tenure_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT ep // 86400) AS BIGINT) AS active_days,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT)
+               AS purchase_cents,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                          AND ep >= b.max_ep - 7 * 86400 THEN 1 ELSE 0 END) AS BIGINT)
+               AS clicks_7d,
+           CAST(SUM(CASE WHEN ep >= b.max_ep - 30 * 86400 THEN 1 ELSE 0 END) AS BIGINT)
+               AS events_30d
+    FROM ev CROSS JOIN bounds b
+    GROUP BY user_id, b.max_ep
+    """,
+)
+def ev20_user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly: the per-user RFM/activity feature vector
+    (recency, tenure, event and purchase counts, exact integer-cents
+    monetary total, distinct active days, 7- and 30-day recency
+    windows, all anchored to the corpus max timestamp) — the batch
+    features a churn/LTV model trains on.
+
+    ONE pass: every feature is a conditional aggregate inside a single
+    user-keyed groupBy (adding a feature adds a column, not a scan or
+    join); the corpus max timestamp is a 1-row broadcast. Day
+    arithmetic is integer epoch division and money is integer cents —
+    nothing floats, so the oracle matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ep"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(F.max("ep").alias("max_ep"))
+    day = 86400
+    return (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id", "max_ep")
+        .agg(
+            F.expr(f"(max_ep - max(ep)) div {day}").alias("recency_days"),
+            F.expr(f"(max(ep) - min(ep)) div {day}").alias("tenure_days"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.expr(f"ep div {day}")).alias("active_days"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("purchase_cents"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ep") >= F.col("max_ep") - 7 * day),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("clicks_7d"),
+            F.sum(F.when(F.col("ep") >= F.col("max_ep") - 30 * day, 1).otherwise(0))
+            .cast("long")
+            .alias("events_30d"),
+        )
+        .drop("max_ep")
+    )

@@ -82,6 +82,8 @@ DRIVER_PRIORITY: list[str] = [
     "mm05_multimodal_batch_assembly",
     "dd19_semantic_dedup_keep",
     "ev19_session_path_trigrams",
+    "dd20_containment_pairs",
+    "ev20_user_feature_assembly",
 ]
 
 
