@@ -235,7 +235,7 @@ _MM05_BUDGET = 4096  # cost units (text tokens / media patch tokens) per batch
     WITH samples AS (
         SELECT 't' || CAST(doc_id AS VARCHAR) AS sample_id,
                source, 'text' AS modality,
-               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS cost
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS cost
         FROM documents
         UNION ALL
         SELECT 'm' || CAST(doc_id AS VARCHAR) AS sample_id,
