@@ -26,6 +26,7 @@ for _mod in (
     "curation",
     "dataquality",
     "graph",
+    "layout",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

@@ -118,3 +118,88 @@ def dq01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = [unpivot(o), unpivot(li), unpivot(orphans), unpivot(ship_before), unpivot(cu)]
     return reduce(DataFrame.unionAll, parts)
+
+
+# Column-profile spec for the orders table: (column, kind) where kind
+# picks the engine-portable string rendering of min/max. Doubles are
+# profiled as floor(x*100) integer cents — a monotone integer mapping
+# both engines compute bit-identically (raw float-to-string rendering
+# differs between engines; monotone integerization sidesteps it).
+_DQ02_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _dq02_oracle() -> str:
+    parts = []
+    for col, kind in _DQ02_COLS:
+        if kind == "cents":
+            mn = f"CAST(CAST(FLOOR(MIN({col}) * 100) AS BIGINT) AS VARCHAR)"
+            mx = f"CAST(CAST(FLOOR(MAX({col}) * 100) AS BIGINT) AS VARCHAR)"
+        elif kind == "date":
+            mn = f"CAST(CAST(MIN({col}) AS DATE) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({col}) AS DATE) AS VARCHAR)"
+        else:
+            mn = f"CAST(MIN({col}) AS VARCHAR)"
+            mx = f"CAST(MAX({col}) AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{col}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_value,
+                   {mx} AS max_value
+            FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("dq02_column_profile", oracle=_dq02_oracle())
+def dq02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the orders table — row count, null count,
+    distinct cardinality, min/max — one row per column: the statistics
+    pass behind schema-drift alerts, NDV-based join planning, and
+    zone-map construction.
+
+    All six columns profile in ONE aggregate over one scan (Catalyst
+    expands the multi-column DISTINCTs into a single Expand + two-phase
+    aggregate — the corpus is read once however many columns are
+    profiled, unlike the naive per-column loop which scans N times).
+    The wide 1-row result unpivots to the long (column_name, ...) form
+    with a zero-shuffle ``stack``. Min/max of DOUBLE columns report as
+    floor(x*100) integer cents and timestamps as dates, keeping every
+    rendered string bit-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _DQ02_COLS:
+        if kind == "cents":
+            mn = F.floor(F.min(col) * 100).cast("long").cast("string")
+            mx = F.floor(F.max(col) * 100).cast("long").cast("string")
+        elif kind == "date":
+            mn = F.min(col).cast("date").cast("string")
+            mx = F.max(col).cast("date").cast("string")
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs.extend(
+            [
+                (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"{col}__nn"),
+                F.countDistinct(col).cast("long").alias(f"{col}__nd"),
+                mn.alias(f"{col}__mn"),
+                mx.alias(f"{col}__mx"),
+            ]
+        )
+    wide = orders.agg(F.count(F.lit(1)).cast("long").alias("__n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{col}', __n_rows, {col}__nn, {col}__nd, {col}__mn, {col}__mx"
+        for col, _ in _DQ02_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_DQ02_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
+    )

@@ -1339,3 +1339,65 @@ def dd20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common").cast("double") / F.col("na")).alias("containment"),
         )
     )
+
+
+@register(
+    "dd21_canonical_text_dedup",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS norm_hash
+        FROM documents
+    ),
+    groups AS (
+        SELECT norm_hash,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               MIN(doc_id) AS canonical_id
+        FROM canon GROUP BY norm_hash
+    )
+    SELECT c.doc_id, substring(c.norm_hash, 1, 16) AS norm_key,
+           g.group_size,
+           (c.doc_id = g.canonical_id) AS is_canonical
+    FROM canon c JOIN groups g USING (norm_hash)
+    """,
+)
+def dd21_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-first exact dedup: normalize each document
+    (lowercase, strip non-alphanumerics, collapse whitespace) BEFORE
+    fingerprinting, so trivially-reformatted copies — case changes,
+    punctuation variants, whitespace reflows — collapse to one md5
+    group that raw-byte dedup (dd01) misses. Every pipeline's first
+    dedup pass in practice is exactly this normalize-then-hash.
+
+    Per-doc output: 16-hex normalized key, group size, and a
+    deterministic keeper flag (min doc_id per group). Scale shape
+    matches dd01: the normalization is pure column regex in the scan
+    stage, the shuffle carries (hash, doc_id) — never the text — and
+    the group stats come back over the same hash partitioning, so the
+    whole query is one fingerprint exchange regardless of document
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("norm_hash"),
+    )
+    groups = canon.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return canon.join(groups, "norm_hash").select(
+        "doc_id",
+        F.substring("norm_hash", 1, 16).alias("norm_key"),
+        "group_size",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )

@@ -84,6 +84,12 @@ DRIVER_PRIORITY: list[str] = [
     "ev19_session_path_trigrams",
     "dd20_containment_pairs",
     "ev20_user_feature_assembly",
+    "sk07_bloom_join_prune",
+    "sk08_kmv_distinct_users",
+    "dq02_column_profile",
+    "ly01_zorder_layout",
+    "dd21_canonical_text_dedup",
+    "tx16_pmi_collocations",
 ]
 
 

@@ -15,7 +15,7 @@ LSH dedup family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -217,4 +217,208 @@ def sk06_count_min_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "user_id")
         .limit(20)
+    )
+
+# Bloom filter geometry: k hash functions into m bits. md5-derived bit
+# positions (same engine-portable hash as the count-min sketch above)
+# make the filter deterministic, so both engines build the identical
+# bit set and agree on every probe — including the false positives.
+_BLOOM_M = 1024
+_BLOOM_K = 3
+_BLOOM_SEGMENT = "BUILDING"
+
+_BLOOM_POS = (
+    "pmod(cast(conv(substring(md5(concat(cast({key} as string), '#',"
+    " cast({seed} as string))), 1, 15), 16, 10) as bigint), {m})"
+)
+_BLOOM_POS_SQL = (
+    "((('0x' || substring(md5(CAST({key} AS VARCHAR) || '#' ||"
+    " CAST({seed} AS VARCHAR)), 1, 15))::BIGINT) % {m})"
+)
+
+
+@register(
+    "sk07_bloom_join_prune",
+    oracle=f"""
+    WITH bldg AS (
+        SELECT DISTINCT c_custkey FROM customer
+        WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+    ),
+    seeds AS (SELECT unnest(range({_BLOOM_K})) AS seed),
+    bits AS (
+        SELECT list(DISTINCT {_BLOOM_POS_SQL.format(key='c_custkey', seed='seed', m=_BLOOM_M)}) AS bitset
+        FROM bldg CROSS JOIN seeds
+    ),
+    probe AS (
+        SELECT o.o_orderpriority,
+               (b.c_custkey IS NOT NULL) AS is_member,
+               ({' AND '.join('list_contains(bits.bitset, ' + _BLOOM_POS_SQL.format(key='o.o_custkey', seed=str(s), m=_BLOOM_M) + ')' for s in range(_BLOOM_K))}) AS bloom_pass
+        FROM orders o
+        LEFT JOIN bldg b ON o.o_custkey = b.c_custkey
+        CROSS JOIN bits
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+    FROM probe
+    GROUP BY o_orderpriority
+    """,
+)
+def sk07_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: build a k=3, m=1024-bit filter over
+    the BUILDING-segment customer keys, probe every order row map-side,
+    and report per-priority how many rows the filter passes vs the true
+    semi-join membership (false positives = the filter's only error
+    mode; false negatives are impossible and the oracle proves it).
+
+    This is THE scan-pruning pattern for selective fact-dim joins at
+    100 TB: the filter is built from the small side (one tiny distinct
+    + collect into a 1-row bitset), broadcast to every scan task, and
+    each probe is pure column arithmetic — rows that cannot join are
+    dropped before the join shuffle ever sees them (Spark's own
+    runtime-filter / bloom pushdown does exactly this under AQE; here
+    the mechanism is explicit and oracle-checked). The exact member
+    flag rides a broadcast LEFT join against the same tiny dim, so the
+    whole query is one fact scan with zero fact-side shuffles before
+    the 5-group aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    bldg = (
+        customer.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select("c_custkey")
+        .distinct()
+    )
+    seeds = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    bits = (
+        bldg.withColumn("seed", F.explode(seeds))
+        .select(
+            F.expr(
+                _BLOOM_POS.format(key="c_custkey", seed="seed", m=_BLOOM_M)
+            ).alias("pos")
+        )
+        .agg(F.collect_set("pos").alias("bitset"))
+    )
+
+    probe = (
+        orders.join(
+            F.broadcast(bldg.withColumn("is_member", F.lit(True))),
+            orders.o_custkey == bldg.c_custkey,
+            "left",
+        )
+        .crossJoin(F.broadcast(bits))
+        .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+        .withColumn(
+            "bloom_pass",
+            F.lit(True)
+            & (
+                F.array_contains(
+                    "bitset",
+                    F.expr(_BLOOM_POS.format(key="o_custkey", seed="0", m=_BLOOM_M)),
+                )
+            )
+            & (
+                F.array_contains(
+                    "bitset",
+                    F.expr(_BLOOM_POS.format(key="o_custkey", seed="1", m=_BLOOM_M)),
+                )
+            )
+            & (
+                F.array_contains(
+                    "bitset",
+                    F.expr(_BLOOM_POS.format(key="o_custkey", seed="2", m=_BLOOM_M)),
+                )
+            ),
+        )
+    )
+    return probe.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass_bloom"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+    )
+
+
+# KMV (k minimum values) distinct-count sketch: keep the k smallest
+# hash fractions per group; estimate = (k-1) / h_(k). md5-uniform
+# hashing keeps it engine-exact, so unlike a typical sketch it carries
+# a full oracle: both engines pick the identical k-th hash and divide
+# the identical doubles.
+_KMV_K = 64
+_KMV_DENOM = float(16**15)  # md5 15-hex-digit prefix range
+
+_KMV_HASH = (
+    "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+    f" as bigint) / {_KMV_DENOM!r}"
+)
+_KMV_HASH_SQL = (
+    "(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    f" / {_KMV_DENOM!r}"
+)
+
+
+@register(
+    "sk08_kmv_distinct_users",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type, {_KMV_HASH_SQL} AS h FROM pairs
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+        FROM hashed
+    ),
+    exact AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users_exact
+        FROM pairs GROUP BY event_type
+    ),
+    kth AS (
+        SELECT event_type, h AS h_k FROM ranked WHERE rnk = {_KMV_K}
+    )
+    SELECT e.event_type, e.n_users_exact,
+           CASE WHEN k.h_k IS NULL THEN CAST(e.n_users_exact AS DOUBLE)
+                ELSE {_KMV_K - 1} / k.h_k END AS n_users_kmv
+    FROM exact e LEFT JOIN kth k USING (event_type)
+    """,
+)
+def sk08_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values, k=64) distinct-user estimate per event
+    type next to the exact count. The k-th smallest uniform hash
+    fraction h_(k) pins the estimate (k-1)/h_(k); groups with fewer
+    than k distinct users fall back to their exact count (the sketch
+    IS exact below k — it holds every hash).
+
+    Scale shape: the corpus first collapses to distinct (type, user)
+    pairs with a map-side-combined shuffle — the same reduction exact
+    distinct pays — but on a cluster the KMV summary is maintained as a
+    k-item bounded heap per partition and merged by keeping the k
+    smallest of the union (the mergeable-partial property HLL shares,
+    with the bonus that KMV sketches also intersect for Jaccard
+    estimates). The declarative form here ranks per-group hashes with
+    one window; only groups, not the corpus, reach the final join."""
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select("event_type", "user_id").distinct()
+    hashed = pairs.select("event_type", F.expr(_KMV_HASH).alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == _KMV_K)
+        .select("event_type", F.col("h").alias("h_k"))
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users_exact")
+    )
+    return exact.join(kth, "event_type", "left").select(
+        "event_type",
+        "n_users_exact",
+        F.when(F.col("h_k").isNull(), F.col("n_users_exact").cast("double"))
+        .otherwise(F.lit(float(_KMV_K - 1)) / F.col("h_k"))
+        .alias("n_users_kmv"),
     )

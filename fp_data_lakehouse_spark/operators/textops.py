@@ -606,3 +606,106 @@ def tx13_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_token_ratio"),
         )
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+@register(
+    "tx16_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT UNNEST(t) AS w FROM toks
+    ),
+    ucounts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni GROUP BY w
+    ),
+    total AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM ucounts),
+    pairs AS (
+        SELECT UNNEST(list_transform(range(2, len(t) + 1),
+                                     i -> [t[i - 1], t[i]])) AS p
+        FROM toks
+    ),
+    bcounts AS (
+        SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY w1, w2
+    ),
+    scored AS (
+        SELECT b.w1, b.w2, b.n_ab, a.n_w AS n_a, c.n_w AS n_b,
+               CAST(b.n_ab * t.n_total AS DOUBLE)
+                   / CAST(a.n_w * c.n_w AS DOUBLE) AS lift
+        FROM bcounts b
+        JOIN ucounts a ON b.w1 = a.w
+        JOIN ucounts c ON b.w2 = c.w
+        CROSS JOIN total t
+        WHERE b.n_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1 || ' ' || w2 AS bigram, n_ab, n_a, n_b, lift, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {_PMI_TOP_K}
+    """,
+)
+def tx16_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI lift: P(w1 w2) / (P(w1) * P(w2)),
+    computed as the integer cross-product n_ab * N / (n_a * n_b) — the
+    statistic behind phrase mining and tokenizer-merge candidates
+    (log PMI is monotone in the lift, so the ranking is identical and
+    the ln never enters the engine-equality surface). A min-count
+    floor of {_PMI_MIN_COUNT} kills the degenerate 1-occurrence pairs
+    that dominate raw PMI.
+
+    One token explode feeds both the unigram census and (via the
+    zip_with shift, no self-join) the bigram census; each is one
+    map-side-combined groupBy. The scoring joins are bigram-table vs
+    unigram-table — vocabulary-sized, tiny next to the corpus, and the
+    global total arrives as a broadcast 1-row aggregate. The integer
+    products stay under 2^63 up to ~10^12 tokens (and under DOUBLE's
+    2^53 exact-integer bound for the division at ~10^11), so the score
+    is bit-identical across engines at any realistic corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    ucounts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    total = ucounts.agg(F.sum("n_w").alias("n_total"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bcounts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    scored = (
+        bcounts.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(ucounts.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a"), "w1")
+        .join(ucounts.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_b"), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift",
+            (F.col("n_ab") * F.col("n_total")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PMI_TOP_K)
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            "lift",
+            "rnk",
+        )
+    )
