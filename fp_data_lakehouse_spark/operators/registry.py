@@ -90,6 +90,8 @@ DRIVER_PRIORITY: list[str] = [
     "ly01_zorder_layout",
     "dd21_canonical_text_dedup",
     "tx16_pmi_collocations",
+    "gr01_triangle_count",
+    "sk09_kmv_set_overlap",
 ]
 
 

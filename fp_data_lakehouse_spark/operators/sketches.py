@@ -422,3 +422,157 @@ def sk08_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(float(_KMV_K - 1)) / F.col("h_k"))
         .alias("n_users_kmv"),
     )
+
+
+@register(
+    "sk09_kmv_set_overlap",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type, {_KMV_HASH_SQL} AS h FROM pairs
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+            FROM hashed
+        ) r WHERE rnk <= {_KMV_K}
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    tp AS (
+        SELECT a.event_type AS t1, b.event_type AS t2
+        FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    mem AS (
+        SELECT tp.t1, tp.t2, s.h,
+               MAX(CASE WHEN s.event_type = tp.t1 THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.event_type = tp.t2 THEN 1 ELSE 0 END) AS in_b
+        FROM tp JOIN sk s ON s.event_type IN (tp.t1, tp.t2)
+        GROUP BY tp.t1, tp.t2, s.h
+    ),
+    mranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY t1, t2 ORDER BY h) AS rnk
+        FROM mem
+    ),
+    est AS (
+        SELECT t1, t2,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(COUNT(*) AS BIGINT) AS k_eff
+        FROM mranked WHERE rnk <= {_KMV_K} GROUP BY t1, t2
+    ),
+    sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS t1, b.event_type AS t2, CAST(COUNT(*) AS BIGINT) AS ni
+        FROM pairs a JOIN pairs b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT tp.t1, tp.t2, sa.n AS n_a, sb.n AS n_b,
+           COALESCE(i.ni, 0) AS n_intersect,
+           CAST(COALESCE(i.ni, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.ni, 0)) AS jaccard_exact,
+           CAST(e.n_both AS DOUBLE) / e.k_eff AS jaccard_kmv
+    FROM tp
+    JOIN sizes sa ON sa.event_type = tp.t1
+    JOIN sizes sb ON sb.event_type = tp.t2
+    JOIN est e ON e.t1 = tp.t1 AND e.t2 = tp.t2
+    LEFT JOIN inter i ON i.t1 = tp.t1 AND i.t2 = tp.t2
+    """,
+)
+def sk09_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set overlap: for every pair of event types,
+    estimate the Jaccard similarity of their user audiences from the
+    k=64 KMV sketches (merge the two sketches, keep the k smallest of
+    the union, count how many lie in both) — next to the exact Jaccard
+    from the full distinct-pair self-join. This is the audience-overlap
+    / segment-similarity query that exact set intersection makes
+    quadratic in segments: with sketches, each segment is summarized
+    once and every pairwise estimate touches only 2k values.
+
+    The corpus is scanned once into distinct (type, user) pairs; the
+    sketch table is |types| x k rows, so all pairwise sketch algebra is
+    broadcast-trivial regardless of corpus size (the exact-intersection
+    self-join here is the oracle ground truth the estimate is judged
+    against — at production scale you'd ship ONLY the sketches). The
+    sketch membership join expands as two equi-joins (type = t1, type =
+    t2) unioned, keeping the plan hash-join-only; md5-uniform hashing
+    makes both engines pick identical sketch members, so even the
+    estimate column is bit-exact across engines."""
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select("event_type", "user_id").distinct()
+    hashed = pairs.select("event_type", F.expr(_KMV_HASH).alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    types = events.select("event_type").distinct()
+    tp = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+    )
+    mem_a = tp.join(sk, sk.event_type == tp.t1).select(
+        "t1", "t2", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    mem_b = tp.join(sk, sk.event_type == tp.t2).select(
+        "t1", "t2", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    mem = (
+        mem_a.unionAll(mem_b)
+        .groupBy("t1", "t2", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("t1", "t2").orderBy("h")
+    est = (
+        mem.withColumn("rnk", F.row_number().over(wm))
+        .filter(F.col("rnk") <= _KMV_K)
+        .groupBy("t1", "t2")
+        .agg(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("n_both"),
+            F.count(F.lit(1)).alias("k_eff"),
+        )
+    )
+    sizes = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.alias("a")
+        .join(
+            pairs.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        tp.join(sizes.withColumnRenamed("event_type", "t1").withColumnRenamed("n", "n_a"), "t1")
+        .join(sizes.withColumnRenamed("event_type", "t2").withColumnRenamed("n", "n_b"), "t2")
+        .join(est, ["t1", "t2"])
+        .join(inter, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            "n_a",
+            "n_b",
+            F.coalesce("ni", F.lit(0)).alias("n_intersect"),
+            (
+                F.coalesce("ni", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("ni", F.lit(0)))
+            ).alias("jaccard_exact"),
+            (F.col("n_both").cast("double") / F.col("k_eff")).alias("jaccard_kmv"),
+        )
+    )
