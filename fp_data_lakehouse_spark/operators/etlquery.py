@@ -213,3 +213,90 @@ def et02_student_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_ET03_CUTOFF = "2000-01-01"
+
+
+@register(
+    "et03_incremental_agg_maintenance",
+    oracle=f"""
+    WITH state AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_ET03_CUTOFF} 00:00:00'
+        GROUP BY o_orderpriority
+    ),
+    delta AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_ET03_CUTOFF} 00:00:00'
+        GROUP BY o_orderpriority
+    ),
+    merged AS (
+        SELECT o_orderpriority,
+               CAST(SUM(n) AS BIGINT) AS n_merged,
+               CAST(SUM(cents) AS BIGINT) AS cents_merged
+        FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+        GROUP BY o_orderpriority
+    ),
+    full_agg AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_full,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_full
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority, m.n_merged, m.cents_merged,
+           f.n_full, f.cents_full,
+           (m.n_merged = f.n_full AND m.cents_merged = f.cents_full) AS consistent
+    FROM merged m JOIN full_agg f USING (o_orderpriority)
+    """,
+)
+def et03_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance check: a pre-cutoff aggregate STATE
+    plus a post-cutoff DELTA aggregate, merged by summing partials, set
+    beside the from-scratch full aggregate with a per-group consistency
+    flag. This is the algebra every foreachBatch/MERGE rollup pipeline
+    (and Spark's own partial aggregation) rests on: counts and integer
+    sums are commutative monoids, so state ⊕ delta = full no matter how
+    the data is split — the property that lets a 100 TB daily rollup
+    process only the new day. Money integerizes to cents BEFORE
+    summation so the identity is exact, not approximate; each branch is
+    one map-side-combined groupBy and the merge/compare runs over
+    |groups| rows."""
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cutoff = F.lit(_ET03_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+        )
+
+    state = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        state.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_merged"), F.sum("cents").alias("cents_merged")
+        )
+    )
+    full = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_full"), F.sum(cents).alias("cents_full")
+    )
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_merged",
+        "cents_merged",
+        "n_full",
+        "cents_full",
+        (
+            (F.col("n_merged") == F.col("n_full"))
+            & (F.col("cents_merged") == F.col("cents_full"))
+        ).alias("consistent"),
+    )

@@ -905,3 +905,79 @@ def ev20_user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("max_ep")
     )
+
+
+@register(
+    "ev21_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    spend AS (
+        SELECT e.user_id,
+               CAST(datediff('day', c.cohort_week,
+                             CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+                   AS week_offset,
+               c.cohort_week,
+               CAST(FLOOR(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN cohort c USING (user_id)
+        WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM spend GROUP BY cohort_week, week_offset
+    )
+    SELECT cohort_week, week_offset, n_buyers, cents,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+                AS BIGINT) AS cum_cents
+    FROM weekly
+    """,
+)
+def ev21_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-event
+    week; purchase value accumulated per (cohort, week-offset) with a
+    running cumulative total — the LTV-by-age matrix growth teams read
+    retention economics from (ev11's retention counts, but in money).
+
+    Monetary values integerize to floor(cents) BEFORE the sum, so the
+    aggregate is exact integer arithmetic at any parallelism — the
+    float-summation-order trap (Spark's partial sums vs a serial fold
+    disagree in low bits) never arises. One user-keyed join against the
+    broadcast-small cohort map, one (cohort, offset) rollup, and the
+    cumulative window runs over the tiny weekly matrix, not the event
+    corpus."""
+    events = load_table(spark, sf_dir, "events")
+    cohort = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    spend = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr(
+                "cast(datediff(to_date(date_trunc('week', ts)), cohort_week) div 7 as bigint)"
+            ).alias("week_offset"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    weekly = spend.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.sum("cents").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort_week",
+        "week_offset",
+        "n_buyers",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )

@@ -243,3 +243,71 @@ def ag04_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.least(F.greatest(F.col("value"), lo), hi).alias("value_winsorized"),
     )
+
+
+_HIST_BINS = 20
+
+
+@register(
+    "ag05_value_histogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+    ),
+    binned AS (
+        SELECT e.event_type,
+               CAST(LEAST(FLOOR(((e.value - b.vmin) * {_HIST_BINS}.0)
+                                / (b.vmax - b.vmin)),
+                          {_HIST_BINS - 1}) AS BIGINT) AS bin,
+               b.vmin, b.vmax
+        FROM events e CROSS JOIN bounds b
+    )
+    SELECT event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(vmin) + bin * ((MIN(vmax) - MIN(vmin)) / {_HIST_BINS}.0) AS bin_lo,
+           MIN(vmin) + (bin + 1) * ((MIN(vmax) - MIN(vmin)) / {_HIST_BINS}.0) AS bin_hi
+    FROM binned
+    GROUP BY event_type, bin
+    """,
+)
+def ag05_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over the global value range) per
+    event type — the distribution snapshot behind drift monitors,
+    sanity dashboards, and optimizer statistics. The global bounds
+    arrive as a broadcast 1-row aggregate; bin assignment is pure
+    column arithmetic in the scan stage; the only shuffle carries
+    (type, bin) pairs — at most |types| x 20 groups out however many
+    trillion rows go in. The bin expression keeps one canonical
+    operation order ((v - min) * bins, then divide) so both engines
+    floor the identical IEEE double; the top edge folds into the last
+    bin via LEAST."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("vmin")) * float(_HIST_BINS))
+                / (F.col("vmax") - F.col("vmin"))
+            ),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        "vmin",
+        "vmax",
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.min("vmin")
+            + F.col("bin") * ((F.min("vmax") - F.min("vmin")) / float(_HIST_BINS))
+        ).alias("bin_lo"),
+        (
+            F.min("vmin")
+            + (F.col("bin") + 1)
+            * ((F.min("vmax") - F.min("vmin")) / float(_HIST_BINS))
+        ).alias("bin_hi"),
+    )

@@ -92,6 +92,10 @@ DRIVER_PRIORITY: list[str] = [
     "tx16_pmi_collocations",
     "gr01_triangle_count",
     "sk09_kmv_set_overlap",
+    "sp08_group_holdout_split",
+    "ag05_value_histogram",
+    "ev21_cohort_ltv",
+    "et03_incremental_agg_maintenance",
 ]
 
 

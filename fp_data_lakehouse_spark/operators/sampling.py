@@ -348,3 +348,38 @@ def sp07_mixture_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") <= F.least(F.col("n_alloc"), F.col("avail")))
         .select("doc_id", "source")
     )
+
+
+_GROUP_BUCKET = f"pmod(cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint), {_BUCKETS})"
+_GROUP_BUCKET_SQL = f"(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % {_BUCKETS}"
+
+
+@register(
+    "sp08_group_holdout_split",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN {_GROUP_BUCKET_SQL} < {_TRAIN_HI} THEN 'train'
+                WHEN {_GROUP_BUCKET_SQL} < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def sp08_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/10/10 split of the events table: the hash bucket
+    is computed on user_id, NOT event_id, so every event of a user
+    lands in the same split — the leakage guard row-level splits (sp01)
+    cannot give when rows of one entity are correlated (a model
+    validated on held-out rows of TRAINING users is not validated).
+    sklearn calls this GroupShuffleSplit; here it is one map-only
+    stable-hash predicate, no shuffle at any scale, and growing the
+    corpus never moves an existing user's events between splits."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.expr(_GROUP_BUCKET)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.when(bucket < _TRAIN_HI, "train")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
