@@ -981,3 +981,76 @@ def ev21_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.sum("cents").over(w).cast("long").alias("cum_cents"),
     )
+
+
+_CHURN_WINDOW_DAYS = 28
+
+
+@register(
+    "ev22_churn_labels",
+    oracle=f"""
+    WITH anchor AS (SELECT CAST(MAX(ts) AS DATE) AS anchor_day FROM events),
+    cutoff AS (
+        SELECT anchor_day, anchor_day - INTERVAL {_CHURN_WINDOW_DAYS} DAY AS cutoff_day
+        FROM anchor
+    ),
+    labeled AS (
+        SELECT e.user_id,
+               SUM(CASE WHEN CAST(e.ts AS DATE) < c.cutoff_day THEN 1 ELSE 0 END) AS n_before,
+               COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) < c.cutoff_day
+                                   THEN CAST(e.ts AS DATE) END) AS active_days,
+               MAX(CASE WHEN CAST(e.ts AS DATE) < c.cutoff_day
+                        THEN CAST(e.ts AS DATE) END) AS last_before,
+               MAX(CASE WHEN CAST(e.ts AS DATE) >= c.cutoff_day THEN 1 ELSE 0 END) AS seen_after,
+               MIN(c.cutoff_day) AS cutoff_day
+        FROM events e CROSS JOIN cutoff c
+        GROUP BY e.user_id
+    )
+    SELECT user_id,
+           CAST(n_before AS BIGINT) AS n_events_before,
+           CAST(active_days AS BIGINT) AS active_days_before,
+           CAST(datediff('day', last_before, cutoff_day) AS BIGINT) AS recency_days,
+           (seen_after = 0) AS churned
+    FROM labeled
+    WHERE n_before > 0
+    """,
+)
+def ev22_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation: anchor at the corpus's last day, call the
+    final {_CHURN_WINDOW_DAYS} days the outcome window, and for every
+    user with history BEFORE the window emit pre-window features
+    (event count, distinct active days, recency at the cutoff) plus the
+    label — churned = silent for the whole outcome window. This is the
+    time-split label factory for retention models, built so feature
+    columns can never leak from the label window (every feature
+    aggregates a CASE that excludes it).
+
+    One corpus scan, one user-keyed aggregate: features and label fold
+    in the same conditional-aggregate pass (ev20's shape), the anchor
+    arrives as a broadcast 1-row aggregate, and everything is integer
+    days/counts — no float surface at all."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.col("ts").cast("date")).alias("anchor_day"))
+    cutoff = anchor.select(
+        F.date_sub("anchor_day", _CHURN_WINDOW_DAYS).alias("cutoff_day")
+    )
+    d = F.col("ts").cast("date")
+    before = d < F.col("cutoff_day")
+    labeled = (
+        events.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(before, 1).otherwise(0)).alias("n_events_before"),
+            F.countDistinct(F.when(before, d)).alias("active_days_before"),
+            F.max(F.when(before, d)).alias("last_before"),
+            F.max(F.when(~before, 1).otherwise(0)).alias("seen_after"),
+            F.min("cutoff_day").alias("cutoff_day"),
+        )
+    )
+    return labeled.filter(F.col("n_events_before") > 0).select(
+        "user_id",
+        "n_events_before",
+        "active_days_before",
+        F.datediff("cutoff_day", "last_before").cast("long").alias("recency_days"),
+        (F.col("seen_after") == 0).alias("churned"),
+    )

@@ -96,6 +96,8 @@ DRIVER_PRIORITY: list[str] = [
     "ag05_value_histogram",
     "ev21_cohort_ltv",
     "et03_incremental_agg_maintenance",
+    "sim09_pq_adc_topk",
+    "ev22_churn_labels",
 ]
 
 

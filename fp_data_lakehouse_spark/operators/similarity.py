@@ -640,3 +640,173 @@ def sim08_int8_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("probe_id", "candidate_id", "int_dot", "approx_dot", "rank")
     )
+
+
+# Product quantization geometry: M subspaces x SUBDIM dims, K_PQ
+# centroids per subspace, seeded deterministically from the first K_PQ
+# vectors (sim05's seeding convention) so the whole codebook — and
+# therefore every code and every ADC distance — is engine-exact.
+_PQ_M = 4
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_K = 16
+_PQ_TOPK = 10
+_PQ_QUERY_ID = 0
+
+_SUBDIST = (
+    "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_SUBDIST_SQL = (
+    f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    f" list_transform(range(1, {_PQ_SUBDIM + 1}), i -> (a[i] - b[i]) * (a[i] - b[i]))),"
+    " (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "sim09_pq_adc_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    sub AS (
+        SELECT v.vec_id, m.m,
+               list_slice(v.vec, m.m * {_PQ_SUBDIM} + 1, (m.m + 1) * {_PQ_SUBDIM}) AS s
+        FROM v CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) m
+    ),
+    cb AS (
+        SELECT m, vec_id AS cid, s AS c FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    dists AS (
+        SELECT sub.vec_id, sub.m, cb.cid,
+               {_SUBDIST_SQL.replace('a[i]', 'sub.s[i]').replace('b[i]', 'cb.c[i]')} AS d
+        FROM sub JOIN cb USING (m)
+    ),
+    enc AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d ASC, cid ASC) AS rn
+            FROM dists
+        ) r WHERE rn = 1
+    ),
+    q AS (SELECT m, s AS qs FROM sub WHERE vec_id = {_PQ_QUERY_ID}),
+    adc AS (
+        SELECT cb.m, cb.cid,
+               {_SUBDIST_SQL.replace('a[i]', 'q.qs[i]').replace('b[i]', 'cb.c[i]')} AS d
+        FROM cb JOIN q USING (m)
+    ),
+    approx AS (
+        SELECT e.vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(a.d ORDER BY e.m)),
+                           (acc, x) -> acc + x) AS approx_dist
+        FROM enc e JOIN adc a ON e.m = a.m AND e.code = a.cid
+        GROUP BY e.vec_id
+    ),
+    qfull AS (SELECT vec FROM v WHERE vec_id = {_PQ_QUERY_ID}),
+    exact AS (
+        SELECT v.vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, {_DIM + 1}),
+                                  i -> (v.vec[i] - q.vec[i]) * (v.vec[i] - q.vec[i]))),
+                   (acc, x) -> acc + x) AS exact_dist
+        FROM v CROSS JOIN qfull q
+    )
+    SELECT rnk, vec_id, approx_dist, exact_dist FROM (
+        SELECT a.vec_id, a.approx_dist, e.exact_dist,
+               ROW_NUMBER() OVER (ORDER BY a.approx_dist ASC, a.vec_id ASC) AS rnk
+        FROM approx a JOIN exact e USING (vec_id)
+        WHERE a.vec_id <> {_PQ_QUERY_ID}
+    ) r WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def sim09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: split the 64-dim embedding into 4
+    subspaces of 16 dims, encode every vector as 4 nibble codes (nearest
+    of 16 per-subspace centroids, deterministically seeded from the
+    first 16 vectors), then answer a top-10 query by ASYMMETRIC DISTANCE
+    COMPUTATION — the query precomputes its distance to each of the
+    4 x 16 codebook entries and every corpus vector's approximate
+    distance is just 4 table lookups summed. The exact distance rides
+    along for a per-row error readout.
+
+    This is the memory story that makes billion-vector ANN feasible:
+    64 floats (256 B) compress to 4 codes (2 B, 128x), and the scan
+    side of a query never touches the original vectors — at 100 TB the
+    codes table is the only thing read per query, with the codebook
+    (64 rows) and the ADC lookup table (64 doubles) broadcast. Encoding
+    is one corpus scan against the broadcast codebook (argmin per
+    subspace, no shuffle); every float reduction is an ordered fold
+    mirrored by the oracle, so codes, ADC distances, and the final
+    ranking are all hash-exact across engines. In production the
+    codebook comes from k-means per subspace (sim05/sim06 are exactly
+    that machinery); the seeded codebook keeps the demonstration
+    end-to-end exact."""
+    v = _vectors(spark, sf_dir)
+    msubs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("vec", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("s"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    sub = v.select("vec_id", F.explode(msubs).alias("p")).select(
+        "vec_id", F.col("p.m").alias("m"), F.col("p.s").alias("s")
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("s").alias("c")
+    )
+    dists = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn(
+            "d",
+            F.expr(
+                _SUBDIST.replace("zip_with(a, b", "zip_with(s, c")
+            ),
+        )
+    )
+    wenc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    enc = (
+        dists.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    q = sub.filter(F.col("vec_id") == _PQ_QUERY_ID).select(
+        "m", F.col("s").alias("qs")
+    )
+    adc = (
+        cb.join(F.broadcast(q), "m")
+        .withColumn(
+            "d", F.expr(_SUBDIST.replace("zip_with(a, b", "zip_with(qs, c"))
+        )
+        .select("m", "cid", "d")
+    )
+    approx = (
+        enc.join(F.broadcast(adc), (enc.m == adc.m) & (enc.code == adc.cid))
+        .select("vec_id", enc.m.alias("m"), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(m, d))),"
+                " cast(0.0 as double), (acc, x) -> acc + x.d)"
+            ).alias("approx_dist")
+        )
+    )
+    qfull = v.filter(F.col("vec_id") == _PQ_QUERY_ID).select(
+        F.col("vec").alias("qvec")
+    )
+    exact = (
+        v.crossJoin(F.broadcast(qfull))
+        .withColumn(
+            "exact_dist",
+            F.expr(_SUBDIST.replace("zip_with(a, b", "zip_with(vec, qvec")),
+        )
+        .select("vec_id", "exact_dist")
+    )
+    wtop = Window.orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    return (
+        approx.filter(F.col("vec_id") != _PQ_QUERY_ID)
+        .join(exact, "vec_id")
+        .withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("rnk", "vec_id", "approx_dist", "exact_dist")
+    )
