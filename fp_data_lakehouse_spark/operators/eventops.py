@@ -1054,3 +1054,111 @@ def ev22_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("cutoff_day", "last_before").cast("long").alias("recency_days"),
         (F.col("seen_after") == 0).alias("churned"),
     )
+
+
+_AB_BUCKETS = 10_000
+_AB_SPLIT = 5_000  # 50/50 assignment
+_AB_HASH = (
+    "pmod(cast(conv(substring(md5(concat('ab#', cast(user_id as string))), 1, 15),"
+    f" 16, 10) as bigint), {_AB_BUCKETS})"
+)
+_AB_HASH_SQL = (
+    "(('0x' || substring(md5('ab#' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    f" % {_AB_BUCKETS}"
+)
+
+
+@register(
+    "ev23_ab_test_zscore",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN {_AB_HASH_SQL} < {_AB_SPLIT} THEN 'A' ELSE 'B' END AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 180.0 THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM assigned GROUP BY variant
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+               MAX(CASE WHEN variant = 'A' THEN n_converted END) AS c_a,
+               MAX(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+               MAX(CASE WHEN variant = 'B' THEN n_converted END) AS c_b
+        FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(c_a AS DOUBLE) / n_a AS rate_a,
+           CAST(c_b AS DOUBLE) / n_b AS rate_b,
+           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+               (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                   / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))
+           END AS z_score
+    FROM wide
+    """,
+)
+def ev23_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: users hash-assigned 50/50 (salted
+    md5 bucket — deterministic, orthogonal to sp01's split hash by the
+    salt), per-user conversion = any high-value purchase (>= 180), and the pooled
+    two-proportion z-score for the lift. The whole experiment-analysis
+    pass a growth team runs, as one query.
+
+    The corpus collapses to one boolean per user in a single map-side
+    combined groupBy; the arm rollup is 2 rows; the z-statistic is pure
+    scalar arithmetic on exact integer counts — and it stays
+    hash-exact across engines because, unlike ln/exp, IEEE-754 sqrt is
+    correctly rounded, so identical doubles in give identical doubles
+    out. Assignment-by-content-hash also makes the experiment
+    re-analyzable bit-identically on any engine, any cluster, any
+    day."""
+    events = load_table(spark, sf_dir, "events")
+    assigned = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 180.0), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.expr(_AB_HASH) < _AB_SPLIT, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("c_b"),
+    )
+    rate_a = F.col("c_a").cast("double") / F.col("n_a")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        F.when(
+            (F.col("c_a") + F.col("c_b") > 0)
+            & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+            (rate_a - rate_b)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+        ).alias("z_score"),
+    )

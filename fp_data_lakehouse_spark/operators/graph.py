@@ -285,3 +285,123 @@ def gr01_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# Co-order projection over PARTS (parts appearing in the same order):
+# unlike the supplier graph — complete at small SF, zero degree
+# variance — the part graph has a wide degree spread at every scale.
+_COORDER_PART_EDGES_SQL = """
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+"""
+
+
+@register(
+    "gr02_degree_assortativity",
+    oracle=f"""
+    WITH edges AS ({_COORDER_PART_EDGES_SQL}),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        GROUP BY v
+    ),
+    ends AS (
+        -- both orientations so each undirected edge contributes a
+        -- symmetric (x, y) pair; correlation is then orientation-free
+        SELECT da.d AS x, db.d AS y
+        FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        UNION ALL
+        SELECT db.d AS x, da.d AS y
+        FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM ends
+    )
+    SELECT n AS n_edge_ends, sx AS sum_deg, sxy AS sum_deg_product,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS assortativity
+    FROM s
+    """,
+)
+def gr02_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-order graph: the Pearson
+    correlation of endpoint degrees over all edges — positive means
+    hubs link to hubs (social-network shape), negative means hubs link
+    to leaves (infrastructure shape). The one-number structure probe
+    that decides whether skew handling (salting, degree orientation in
+    gr01) will matter for downstream graph joins.
+
+    Every moment (n, Σx, Σy, Σx², Σy², Σxy) accumulates as EXACT
+    integer sums in one aggregate over the degree-joined edge list —
+    the float surface is two correctly-rounded sqrts and one division
+    at the very end, so the statistic is hash-exact across engines
+    (the same integer-moments trick as q35's stddev/correlation).
+    Scale shape: two broadcast-able joins of the edge list against the
+    |nodes|-row degree table, then a map-side-combined 1-row moment
+    aggregate; nothing grows with the corpus but the edge scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    edges = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    joined = (
+        edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    )
+    ends = joined.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionAll(joined.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxy").alias("sum_deg_product"),
+        F.when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            ),
+        ).alias("assortativity"),
+    )

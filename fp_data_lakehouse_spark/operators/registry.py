@@ -98,6 +98,8 @@ DRIVER_PRIORITY: list[str] = [
     "et03_incremental_agg_maintenance",
     "sim09_pq_adc_topk",
     "ev22_churn_labels",
+    "ev23_ab_test_zscore",
+    "gr02_degree_assortativity",
 ]
 
 
