@@ -371,3 +371,105 @@ def test_pagerank_mass_conservation_and_fixpoint(spark):
     # choice; the invariant is that one more step stays in the envelope.
     assert max(abs(nxt[k] - prev[k]) for k in prev) < 0.85**10
     ranks.unpersist()
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """sk07: every true member must pass the filter — false negatives
+    are impossible in a Bloom filter, so per group the members that
+    pass (n_pass_bloom - n_false_positives) must equal ALL members."""
+    from fp_data_lakehouse_spark.operators.sketches import sk07_bloom_join_prune
+
+    rows = sk07_bloom_join_prune(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pass_bloom - r.n_false_positives == r.n_members, r
+        assert 0 <= r.n_false_positives <= r.n_orders - r.n_members, r
+
+
+def test_kmv_estimate_error_bound(spark):
+    """sk08: KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈
+    12.7%; assert every group is within 4 sigma (~51%) and that
+    below-k groups are EXACT (the sketch holds every hash there)."""
+    from fp_data_lakehouse_spark.operators.sketches import (
+        _KMV_K,
+        sk08_kmv_distinct_users,
+    )
+
+    for r in sk08_kmv_distinct_users(spark, SF_ORACLE).collect():
+        if r.n_users_exact < _KMV_K:
+            assert r.n_users_kmv == float(r.n_users_exact), r
+        else:
+            rel = abs(r.n_users_kmv - r.n_users_exact) / r.n_users_exact
+            assert rel < 4.0 / (_KMV_K - 2) ** 0.5, r
+
+
+def test_kmv_jaccard_within_sketch_tolerance(spark):
+    """sk09: the KMV Jaccard estimate must sit within the sketch's
+    sampling tolerance of the exact value (union-sample of k=64 ⇒
+    binomial std ≈ sqrt(J(1-J)/k) ≤ 0.0625; allow 4 sigma + the
+    below-k exactness edge)."""
+    from fp_data_lakehouse_spark.operators.sketches import sk09_kmv_set_overlap
+
+    rows = sk09_kmv_set_overlap(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.jaccard_kmv - r.jaccard_exact) <= 4 * 0.0625 + 1e-9, r
+
+
+def test_zorder_files_are_aligned_morton_blocks(spark):
+    """ly01: a 16-bit Morton value shifted by 10 makes every file an
+    aligned 32x32 block of the 256x256 grid — per-file spans can never
+    exceed 31 in either dimension, and files must tile without row
+    loss."""
+    from fp_data_lakehouse_spark.operators.layout import ly01_zorder_layout
+
+    rows = ly01_zorder_layout(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.x_max - r.x_min <= 31, r
+        assert r.y_max - r.y_min <= 31, r
+        # the block anchor is aligned to the 32-bucket lattice
+        assert r.x_min // 32 == r.x_max // 32, r
+        assert r.y_min // 32 == r.y_max // 32, r
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """sim09 quality, measured the way PQ papers do (recall@k within a
+    larger exact candidate set — a 16-centroid seeded codebook over
+    64 dims is intentionally coarse): (a) most of the ADC top-10 must
+    land inside the exact top-50 (random would average ~1 of 10 at 500
+    vectors), and (b) the approximate set's mean TRUE distance must be
+    far below the corpus mean — i.e. ADC ranks genuinely near
+    neighbors first despite quantization distortion. Measured on the
+    fixture: 9/10 in the exact top-50; mean true distance 1.55 vs
+    corpus 1.99 vs ideal best-10 1.41."""
+    from fp_data_lakehouse_spark.operators.similarity import (
+        _PQ_QUERY_ID,
+        _PQ_TOPK,
+        sim09_pq_adc_topk,
+        _vectors,
+    )
+
+    approx = sim09_pq_adc_topk(spark, SF_ORACLE).collect()
+    assert len(approx) == _PQ_TOPK
+    v = _vectors(spark, SF_ORACLE)
+    q = v.filter(F.col("vec_id") == _PQ_QUERY_ID).select(
+        F.col("vec").alias("qvec")
+    )
+    exact = (
+        v.filter(F.col("vec_id") != _PQ_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "d",
+            F.expr(
+                "aggregate(zip_with(vec, qvec, (x, y) -> (x - y) * (x - y)),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    top50 = {r.vec_id for r in exact.orderBy(F.asc("d"), F.asc("vec_id")).limit(50).collect()}
+    overlap = {r.vec_id for r in approx} & top50
+    assert len(overlap) >= 6, sorted(r.vec_id for r in approx)
+    corpus_mean = exact.agg(F.avg("d")).collect()[0][0]
+    approx_mean = sum(r.exact_dist for r in approx) / len(approx)
+    assert approx_mean < 0.85 * corpus_mean, (approx_mean, corpus_mean)
