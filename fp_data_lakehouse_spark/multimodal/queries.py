@@ -315,3 +315,171 @@ def mm05_multimodal_batch_assembly(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.when(F.col("modality") == "text", F.col("cost")).otherwise(0)).cast("long").alias("text_cost"),
         F.sum(F.when(F.col("modality") == "media", F.col("cost")).otherwise(0)).cast("long").alias("media_cost"),
     )
+
+
+_AHASH_BANDS = 4  # 4 x 16-bit band keys = the 64-bit aHash, band-major
+_AHASH_MAXDIST = 6
+
+# 64 evenly-spaced point samples of the payload (the fake decode's 8x8
+# "grid"); bit i = sample_i strictly above the mean, compared as the
+# integer cross-product 64*s_i > sum(s) so no float enters the hash.
+# The fingerprint is materialized directly as four 16-bit band keys
+# (never one 64-bit integer — bit 63 shifts overflow checked engines).
+_AHASH_SAMPLES = (
+    "transform(sequence(0, 63), i -> cast(conv(substring(hx,"
+    " cast((i * nb) div 64 as int) * 2 + 1, 2), 16, 10) as bigint))"
+)
+_AHASH_SAMPLES_SQL = (
+    "list_transform(range(0, 64), i -> ('0x' || substring(hx,"
+    " CAST((i * nb) // 64 AS INTEGER) * 2 + 1, 2))::BIGINT)"
+)
+
+
+def _ahash_band(b: int) -> str:
+    """Spark expr: 16-bit key for band b from samples `s` and total `tot`."""
+    return (
+        f"aggregate(zip_with(slice(s, {16 * b + 1}, 16), sequence(0, 15),"
+        " (v, i) -> if(64 * v > tot, shiftleft(cast(1 as bigint), i),"
+        " cast(0 as bigint))), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def _ahash_band_sql(b: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(0, 16), i -> CASE WHEN"
+        f" 64 * s[{16 * b} + i + 1] > tot THEN (CAST(1 AS BIGINT) << i)"
+        " ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "mm06_perceptual_hash_pairs",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+               hex(encode(text)) AS hx
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    ),
+    sampled AS (
+        SELECT media_ref, {_AHASH_SAMPLES_SQL} AS s FROM m
+    ),
+    tot AS (
+        SELECT media_ref, s, list_reduce(s, (a, b) -> a + b) AS tot FROM sampled
+    ),
+    hashed AS (
+        SELECT media_ref,
+               {', '.join(f'{_ahash_band_sql(b)} AS b{b}' for b in range(_AHASH_BANDS))}
+        FROM tot
+    ),
+    bands AS (
+        {' UNION ALL '.join(f"SELECT media_ref, {b} AS band, b{b} AS band_key FROM hashed" for b in range(_AHASH_BANDS))}
+    ),
+    cands AS (
+        SELECT DISTINCT a.media_ref AS ref_a, b.media_ref AS ref_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.media_ref < b.media_ref
+    )
+    SELECT c.ref_a, c.ref_b,
+           CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+              + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+             AS BIGINT) AS hamming
+    FROM cands c
+    JOIN hashed ha ON ha.media_ref = c.ref_a
+    JOIN hashed hb ON hb.media_ref = c.ref_b
+    WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+        + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+        <= {_AHASH_MAXDIST}
+    """,
+)
+def mm06_perceptual_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary payloads —
+    the image-dedup analog of the simhash text path (dd05/dd06), with
+    a full oracle: the fake decode point-samples the payload at 64
+    evenly-spaced offsets (the stand-in for an 8x8 downscaled
+    grayscale grid), aHash bit i = sample strictly above the mean
+    (compared as the integer cross-product 64*s_i > sum — no float
+    enters the fingerprint), candidates come from 4x16-bit LSH band
+    equi-joins, and survivors verify at Hamming distance <= 6 summed
+    from per-band bit_count(xor). The fingerprint lives as four 16-bit
+    keys end-to-end — the banding needs them split anyway, and checked
+    engines reject the 1<<63 a single 64-bit pack would need. Swap the
+    point-sampler for a real decoder's mean-pooled pixels and every
+    stage after the hash is unchanged.
+
+    Scale shape is exactly dd06's: fingerprints are one map-only pass
+    over the scan (64 two-hex-char reads per payload), the only
+    corpus-scale shuffle carries (16-bit key, ref) band rows, and the
+    Hamming verify joins candidates back to the 4-short fingerprint
+    table — never all pairs. Identical payloads collide on every band;
+    near-identical ones need only one clean band (the pigeonhole
+    guarantee at distance <= 3 across 4 bands; distance 4-6 pairs are
+    best-effort, as in any banded LSH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        _as_media(docs)
+        .select(
+            "media_ref",
+            F.length("payload").cast("long").alias("nb"),
+            F.hex("payload").alias("hx"),
+        )
+        .filter(F.col("nb") > 0)
+    )
+    sampled = m.select("media_ref", F.expr(_AHASH_SAMPLES).alias("s"))
+    tot = sampled.select(
+        "media_ref",
+        "s",
+        F.expr("aggregate(s, cast(0 as bigint), (a, b) -> a + b)").alias("tot"),
+    )
+    hashed = tot.select(
+        "media_ref",
+        *[F.expr(_ahash_band(b)).alias(f"b{b}") for b in range(_AHASH_BANDS)],
+    ).localCheckpoint(eager=False)
+    bands = hashed.select(
+        "media_ref",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("band_key")
+                    )
+                    for b in range(_AHASH_BANDS)
+                ]
+            )
+        ).alias("p"),
+    ).select("media_ref", F.col("p.band").alias("band"), F.col("p.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+        )
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("media_ref").alias("ref_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(_AHASH_BANDS)],
+    )
+    hb = hashed.select(
+        F.col("media_ref").alias("ref_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(_AHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{b} ^ bb{b}")) for b in range(_AHASH_BANDS)
+    ).cast("long")
+    return (
+        cands.join(ha, "ref_a")
+        .join(hb, "ref_b")
+        .select("ref_a", "ref_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_MAXDIST)
+    )

@@ -1162,3 +1162,137 @@ def ev23_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_score"),
     )
+
+
+@register(
+    "ev24_dow_seasonality",
+    oracle="""
+    WITH dows AS (
+        SELECT event_type,
+               CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS iso_dow
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, iso_dow, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dows GROUP BY event_type, iso_dow
+    ),
+    totals AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type FROM counts
+        GROUP BY event_type
+    )
+    SELECT c.event_type, c.iso_dow, c.n,
+           CAST(7 * c.n AS DOUBLE) / t.n_type AS seasonal_index
+    FROM counts c JOIN totals t USING (event_type)
+    """,
+)
+def ev24_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: count per ISO
+    weekday and the seasonal index 7·n_dow / n_type (1.0 = flat; the
+    multiplicative factor a forecaster divides out before trend
+    fitting, and the capacity planner reads load peaks from).
+
+    ISO weekday numbering is stated explicitly on both engines (the
+    q36 dialect-normalization rule: Spark (dayofweek+5)%7+1, DuckDB
+    isodow). One map-side-combined groupBy reduces the corpus to at
+    most |types|×7 rows; totals re-aggregate from those counts — the
+    corpus is scanned once — and the index is one integer product and
+    one IEEE division, hash-exact across engines."""
+    events = load_table(spark, sf_dir, "events")
+    dows = events.select(
+        "event_type",
+        (((F.dayofweek(F.col("ts").cast("date")) + 5) % 7) + 1)
+        .cast("long")
+        .alias("iso_dow"),
+    )
+    counts = dows.groupBy("event_type", "iso_dow").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return counts.join(totals, "event_type").select(
+        "event_type",
+        "iso_dow",
+        "n",
+        ((7 * F.col("n")).cast("double") / F.col("n_type")).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+@register(
+    "ev25_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        FROM events
+    ),
+    purchases AS (
+        SELECT COALESCE(first_touch, '(none)') AS first_touch,
+               COALESCE(last_touch, '(none)') AS last_touch,
+               cents
+        FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT touch_type, attribution,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM (
+        SELECT first_touch AS touch_type, 'first' AS attribution, cents FROM purchases
+        UNION ALL
+        SELECT last_touch AS touch_type, 'last' AS attribution, cents FROM purchases
+    ) u
+    GROUP BY touch_type, attribution
+    """,
+)
+def ev25_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase's revenue credited to the
+    user's FIRST-ever prior non-purchase touch and to the LAST touch
+    before the purchase, rolled up per touch event type under both
+    models side by side — the first-vs-last-touch comparison that
+    decides channel budgets.
+
+    Both touches come from one pair of running windows over the same
+    (user_id, ts, event_id) ordering — one user_id exchange total,
+    with running frames Spark streams without buffering partitions
+    (same family as ev14's LOCF). IGNORE NULLS windows are stated
+    identically in both dialects; revenue integerizes to cents before
+    the rollup, so the whole statement is exact integer arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    purchases = ordered.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        "cents",
+    )
+    long = purchases.select(
+        F.col("first_touch").alias("touch_type"),
+        F.lit("first").alias("attribution"),
+        "cents",
+    ).unionAll(
+        purchases.select(
+            F.col("last_touch").alias("touch_type"),
+            F.lit("last").alias("attribution"),
+            "cents",
+        )
+    )
+    return long.groupBy("touch_type", "attribution").agg(
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )

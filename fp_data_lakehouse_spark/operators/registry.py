@@ -100,6 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "ev22_churn_labels",
     "ev23_ab_test_zscore",
     "gr02_degree_assortativity",
+    "ev24_dow_seasonality",
+    "ev25_touch_attribution",
+    "mm06_perceptual_hash_pairs",
 ]
 
 
