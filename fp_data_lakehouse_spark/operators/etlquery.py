@@ -300,3 +300,64 @@ def et03_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
             & (F.col("cents_merged") == F.col("cents_full"))
         ).alias("consistent"),
     )
+
+
+_ET04_SQL = """
+SELECT 'rejected' AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+       MIN(c_custkey) AS min_custkey, MAX(c_custkey) AS max_custkey
+FROM customer WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT 'valid' AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+       MIN(c_custkey) AS min_custkey, MAX(c_custkey) AS max_custkey
+FROM customer WHERE c_custkey % 5 <> 0
+"""
+
+
+@register("et04_reject_quarantine", oracle=_ET04_SQL)
+def et04_reject_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reject path (T1's GAGAL branch, reference ETL_FINAL.py:150-152)
+    on the hard signal: synthesize the et01 transcript corpus, corrupt
+    every 5th customer's header so the ``NRP / Nama`` anchor regex
+    cannot match, run the production ``split_valid_invalid`` quarantine,
+    and report both splits with a corrupted-doc census. A green row
+    certifies the reject predicate quarantines EXACTLY the malformed
+    documents — no valid doc lost, no bad doc leaked into extraction
+    (per-file error isolation without failing the batch, the property
+    the reference implements by try/except-per-PDF and this engine as
+    one column predicate).
+
+    The quarantine flag is a scan-fused rlike; the census is one
+    2-group aggregate over (split). Nothing here shuffles document
+    text."""
+    from ..etl.extract import split_valid_invalid
+
+    docs = synth_transcript_docs(spark, sf_dir)
+    custkey = F.substring("doc_id", 6, 20).cast("bigint")
+    corrupted = docs.select(
+        "doc_id",
+        F.when(
+            custkey % 5 == 0,
+            F.regexp_replace("text", "^NRP / Nama", "REDACTED HEADER"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    valid, rejected = split_valid_invalid(corrupted)
+
+    def census(df: DataFrame, name: str) -> DataFrame:
+        ck = F.substring("doc_id", 6, 20).cast("bigint")
+        return df.select(ck.alias("ck")).agg(
+            F.lit(name).alias("split"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ck") % 5 == 0, 1).otherwise(0)).alias(
+                "n_corrupted"
+            ),
+            F.min("ck").alias("min_custkey"),
+            F.max("ck").alias("max_custkey"),
+        ).select("split", "n_docs", "n_corrupted", "min_custkey", "max_custkey")
+
+    return census(rejected, "rejected").unionAll(census(valid, "valid"))

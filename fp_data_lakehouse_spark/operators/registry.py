@@ -103,6 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev24_dow_seasonality",
     "ev25_touch_attribution",
     "mm06_perceptual_hash_pairs",
+    "et04_reject_quarantine",
+    "vt03_time_travel_read",
 ]
 
 

@@ -197,3 +197,82 @@ def vt02_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_epoch").over(wv).alias("valid_to_epoch"),
         F.lead("valid_from_epoch").over(wv).isNull().alias("is_current"),
     )
+
+
+_VT03_SQL = f"""
+WITH v1 AS (
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT}'
+    GROUP BY o_custkey
+), v2 AS (
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+), v3 AS (
+    SELECT * FROM v2 WHERE n_orders >= {_DELETE_BELOW_ORDERS}
+)
+SELECT v1.o_custkey,
+       v1.n_orders AS n_orders_v1,
+       v1.total_cents AS total_cents_v1,
+       v3.n_orders AS n_orders_latest,
+       v3.total_cents AS total_cents_latest,
+       (v3.o_custkey IS NOT NULL) AS in_latest
+FROM v1 LEFT JOIN v3 ON v1.o_custkey = v3.o_custkey
+"""
+
+
+@register("vt03_time_travel_read", oracle=_VT03_SQL)
+def vt03_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the hard signal: run vt01's lifecycle (load v1,
+    MERGE v2, DELETE v3), then read the table AS OF VERSION 1 next to
+    the latest snapshot — per customer, the v1 image, the current
+    image, and whether the row survived to the head. A green row
+    certifies that published snapshots are immutable (the v1 read
+    reflects pre-MERGE values exactly, reconstructed relationally by
+    the oracle) and that the version pointer resolves — the read side
+    of the S5 DDL/versioning surface, where vt01 certified the writes.
+
+    Scale: each snapshot read is a plain parquet scan of that version
+    directory (partition pruning and column pruning apply as on any
+    parquet table); the v1-vs-head comparison is one key equi-join
+    between two per-customer aggregates."""
+    from ..sources.versioned import (
+        delete_from_version,
+        merge_into_version,
+        read_table,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = tempfile.mkdtemp(prefix="vt03_") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    v1 = write_version(
+        _cust_totals(orders.filter(F.col("o_orderdate") < F.lit(_SPLIT).cast("timestamp"))),
+        table_dir,
+    )
+    merge_into_version(spark, table_dir, _cust_totals(orders), keys=["o_custkey"])
+    delete_from_version(spark, table_dir, F.col("n_orders") < _DELETE_BELOW_ORDERS)
+
+    as_of_v1 = read_table(spark, table_dir, version=v1)
+    latest = read_table(spark, table_dir)
+    return (
+        as_of_v1.alias("t")
+        .join(
+            latest.alias("h"),
+            F.col("t.o_custkey") == F.col("h.o_custkey"),
+            "left",
+        )
+        .select(
+            F.col("t.o_custkey").alias("o_custkey"),
+            F.col("t.n_orders").alias("n_orders_v1"),
+            F.col("t.total_cents").alias("total_cents_v1"),
+            F.col("h.n_orders").alias("n_orders_latest"),
+            F.col("h.total_cents").alias("total_cents_latest"),
+            F.col("h.o_custkey").isNotNull().alias("in_latest"),
+        )
+    )
