@@ -1218,6 +1218,23 @@ def ev24_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def touch_windows(events: DataFrame) -> DataFrame:
+    """Annotate each event with the user's first-ever and most recent
+    PRIOR non-purchase event type (running IGNORE NULLS windows over
+    (ts, event_id) order; the current row is excluded, so a purchase
+    never attributes to itself). Shared by ev25 and the hypothesis
+    model test."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    return events.withColumn(
+        "first_touch", F.first(touch, ignorenulls=True).over(w)
+    ).withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+
+
 @register(
     "ev25_touch_attribution",
     oracle="""
@@ -1263,18 +1280,12 @@ def ev25_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both dialects; revenue integerizes to cents before
     the rollup, so the whole statement is exact integer arithmetic."""
     events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
-    ordered = events.select(
+    ordered = touch_windows(events).select(
         "user_id",
         "event_type",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
-        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        "first_touch",
+        "last_touch",
     )
     purchases = ordered.filter(F.col("event_type") == "purchase").select(
         F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),

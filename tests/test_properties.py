@@ -237,3 +237,49 @@ def test_mixture_allocation_matches_largest_remainder_model(spark):
     assert dict(got) == {s: n for s, n in expected.items() if n > 0}
     if all(base[s] <= avail[s] for s in avail):
         assert sum(got.values()) == budget
+
+
+_touch_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 12),  # ts (collisions likely -> tie-break paths)
+        st.sampled_from(["view", "click", "error", "purchase"]),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _touch_model(rows):
+    """Obviously-correct model of touch_windows: for each event, the
+    first and latest STRICTLY PRIOR non-purchase type of that user in
+    (ts, event_id) order."""
+    out = {}
+    by_user = {}
+    for eid, (u, t, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((t, eid, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        seen = []
+        for t, eid, ty in evs:
+            first = next((x for x in seen if x is not None), None)
+            last = next((x for x in reversed(seen) if x is not None), None)
+            out[eid] = (first, last)
+            seen.append(ty if ty != "purchase" else None)
+    return out
+
+
+@given(rows=_touch_rows)
+@_settings
+def test_touch_windows_match_model(spark, rows):
+    from fp_data_lakehouse_spark.operators.eventops import touch_windows
+
+    data = [(u, t, eid, ty) for eid, (u, t, ty) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data or [], "user_id INT, ts INT, event_id INT, event_type STRING"
+    )
+    got = {
+        r.event_id: (r.first_touch, r.last_touch)
+        for r in touch_windows(df).collect()
+    }
+    assert got == _touch_model(rows)
