@@ -125,3 +125,124 @@ def ly01_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# Date-slice predicate for the skipping comparison: one 16-bucket band
+# of the 256-bucket date axis (~1/16 of the data).
+_PRED_Y_LO = 64
+_PRED_Y_HI = 79
+
+
+@register(
+    "ly02_skipping_comparison",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+               MIN(CAST(o_orderdate AS DATE)) AS d_min,
+               MAX(CAST(o_orderdate AS DATE)) AS d_max
+        FROM orders
+    ),
+    bucketed AS (
+        SELECT ((o.o_custkey - b.ck_min) * {2**_BITS})
+                   // (b.ck_max - b.ck_min + 1) AS x_bucket,
+               (date_diff('day', b.d_min, CAST(o.o_orderdate AS DATE)) * {2**_BITS})
+                   // (date_diff('day', b.d_min, b.d_max) + 1) AS y_bucket
+        FROM orders o CROSS JOIN bounds b
+    ),
+    assigned AS (
+        SELECT x_bucket, y_bucket,
+               ({_DUCK_Z}) >> {_FILE_SHIFT} AS zorder_file,
+               x_bucket // 4 AS custsort_file
+        FROM bucketed
+    ),
+    layouts AS (
+        SELECT 'zorder' AS layout, zorder_file AS file_id, x_bucket, y_bucket FROM assigned
+        UNION ALL
+        SELECT 'custkey_sort' AS layout, custsort_file AS file_id, x_bucket, y_bucket FROM assigned
+    ),
+    zonemaps AS (
+        SELECT layout, file_id,
+               MIN(y_bucket) AS y_min, MAX(y_bucket) AS y_max,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN y_bucket BETWEEN {_PRED_Y_LO} AND {_PRED_Y_HI}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        FROM layouts GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN y_max >= {_PRED_Y_LO} AND y_min <= {_PRED_Y_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+           CAST(SUM(CASE WHEN y_max >= {_PRED_Y_LO} AND y_min <= {_PRED_Y_HI}
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS n_rows_matching
+    FROM zonemaps
+    GROUP BY layout
+    """,
+)
+def ly02_skipping_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff measurement for ly01: assign every order row to a
+    64-file layout twice — once by the z-order curve, once by a plain
+    customer-key sort — build each layout's per-file date zone maps,
+    and evaluate the SAME date-slice predicate (a 16/256 bucket band)
+    against both. The z-order layout scans only the files whose Morton
+    block intersects the date band (~1/4 of files for a 1/16 slice at
+    this resolution); the custkey-sorted layout scans ALL of them
+    (every file spans the full date range — sorting on one column
+    destroys zone maps on every other). n_rows_matching is identical
+    by construction: layout changes what is READ, never what is true.
+
+    This is the query a table-format OPTIMIZE decision is made from;
+    everything is the same broadcast-bounds + scan-fused integer
+    arithmetic as ly01, one (layout, file) rollup and a 2-row final
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
+    )
+    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"((o_custkey - ck_min) * {2**_BITS}) div (ck_max - ck_min + 1)"
+        ).alias("x_bucket"),
+        F.expr(
+            f"(datediff(cast(o_orderdate as date), d_min) * {2**_BITS})"
+            " div (datediff(d_max, d_min) + 1)"
+        ).alias("y_bucket"),
+    )
+    assigned = bucketed.select(
+        "x_bucket",
+        "y_bucket",
+        F.expr(f"({_SPARK_Z}) >> {_FILE_SHIFT}").alias("zorder_file"),
+        F.expr("x_bucket div 4").alias("custsort_file"),
+    )
+    layouts = assigned.select(
+        F.lit("zorder").alias("layout"),
+        F.col("zorder_file").alias("file_id"),
+        "x_bucket",
+        "y_bucket",
+    ).unionAll(
+        assigned.select(
+            F.lit("custkey_sort").alias("layout"),
+            F.col("custsort_file").alias("file_id"),
+            "x_bucket",
+            "y_bucket",
+        )
+    )
+    in_band = F.col("y_bucket").between(_PRED_Y_LO, _PRED_Y_HI)
+    zonemaps = layouts.groupBy("layout", "file_id").agg(
+        F.min("y_bucket").alias("y_min"),
+        F.max("y_bucket").alias("y_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(in_band, 1).otherwise(0)).alias("n_match"),
+    )
+    overlaps = (F.col("y_max") >= _PRED_Y_LO) & (F.col("y_min") <= _PRED_Y_HI)
+    return zonemaps.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(overlaps, 1).otherwise(0)).alias("n_files_scanned"),
+        F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0)).alias(
+            "n_rows_scanned"
+        ),
+        F.sum("n_match").alias("n_rows_matching"),
+    )

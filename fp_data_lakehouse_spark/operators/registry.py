@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "mm06_perceptual_hash_pairs",
     "et04_reject_quarantine",
     "vt03_time_travel_read",
+    "ly02_skipping_comparison",
 ]
 
 
