@@ -325,9 +325,16 @@ _AHASH_MAXDIST = 6
 # integer cross-product 64*s_i > sum(s) so no float enters the hash.
 # The fingerprint is materialized directly as four 16-bit band keys
 # (never one 64-bit integer — bit 63 shifts overflow checked engines).
+# LET-BOUND on the Spark side: `hx` as a plain alias would be inlined
+# by CollapseProject into the lambda body and re-hex the whole payload
+# once PER SAMPLE (64x per row, ~40 MB of transient strings per row on
+# multi-KB payloads — OOMed the vanilla-1g driver session at sf0.1).
+# The array-lambda binding evaluates hex(payload) exactly once.
 _AHASH_SAMPLES = (
-    "transform(sequence(0, 63), i -> cast(conv(substring(hx,"
-    " cast((i * nb) div 64 as int) * 2 + 1, 2), 16, 10) as bigint))"
+    "element_at(transform(array(hex(payload)), hx ->"
+    " transform(sequence(0, 63), i -> cast(conv(substring(hx,"
+    " cast((i * length(payload)) div 64 as int) * 2 + 1, 2), 16, 10)"
+    " as bigint))), 1)"
 )
 _AHASH_SAMPLES_SQL = (
     "list_transform(range(0, 64), i -> ('0x' || substring(hx,"
@@ -419,16 +426,15 @@ def mm06_perceptual_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee at distance <= 3 across 4 bands; distance 4-6 pairs are
     best-effort, as in any banded LSH)."""
     docs = load_table(spark, sf_dir, "documents")
-    m = (
-        _as_media(docs)
-        .select(
-            "media_ref",
-            F.length("payload").cast("long").alias("nb"),
-            F.hex("payload").alias("hx"),
-        )
-        .filter(F.col("nb") > 0)
+    m = _as_media(docs).select("media_ref", "payload").filter(
+        F.length("payload") > 0
     )
-    sampled = m.select("media_ref", F.expr(_AHASH_SAMPLES).alias("s"))
+    # checkpoint: cut the expression lineage so the tot/band projections
+    # below operate on the MATERIALIZED 64-int array instead of
+    # re-inlining the whole sampling expression per reference
+    sampled = m.select("media_ref", F.expr(_AHASH_SAMPLES).alias("s")).localCheckpoint(
+        eager=False
+    )
     tot = sampled.select(
         "media_ref",
         "s",

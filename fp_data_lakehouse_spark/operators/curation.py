@@ -329,11 +329,17 @@ def tx15_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-char) pair, and partial aggregation collapses each partition to
     at most |alphabet| rows per document before the exchange."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # LET-BIND lower(text): referencing the alias inside the per-index
+    # lambda would re-lowercase the whole string once per character
+    # (CollapseProject inlines aliases into lambda bodies — the
+    # measured _SHINGLES trap), turning a 10k-char doc into ~10^8 char
+    # ops. The array-lambda binding evaluates lower() once per row.
     chars = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, length(text)), i -> substring(lower(text), i, 1))"
+                "element_at(transform(array(lower(text)),"
+                " t -> transform(sequence(1, length(t)), i -> substring(t, i, 1))), 1)"
             )
         ).alias("c"),
     )

@@ -1034,8 +1034,8 @@ def dd16_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 8  # tokens per sliding shingle; a span is >= _SPAN_K tokens
 
 _SPAN_SH_SQL = (
-    "list_transform(range(1, greatest(len(toks) - 6, 1)),"
-    " i -> md5(array_to_string(toks[i:i+7], ' ')))"
+    f"list_transform(range(1, greatest(len(toks) - {_SPAN_K - 2}, 1)),"
+    f" i -> md5(array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')))"
 )
 
 

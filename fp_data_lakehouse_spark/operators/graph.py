@@ -195,6 +195,40 @@ _COORDER_PART_EDGES_SQL = """
 """
 
 
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part co-order edges with canonical a < b orientation,
+    lazily checkpointed: both graph statistics reference the edge list
+    several times (degree ends, counts, orientation/degree joins), and
+    the checkpoint materializes the lineitem self-join + distinct once
+    (the banded-dedup pattern) instead of re-scanning per reference."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """(node, degree) of the undirected edge list — one union + groupBy."""
+    return (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+
 @register(
     "gr01_triangle_count",
     oracle=f"""
@@ -240,35 +274,13 @@ def gr01_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion into the E^1.5 bound; the orientation changes the join
     graph, not the count, so this oracle stays the ground truth for
     it."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1 = li.alias("l1")
-    l2 = li.alias("l2")
-    edges = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .select(
-            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
-        )
-        .distinct()
-        # the edge list is referenced five times (degree ends x2, edge
-        # count, orientation); checkpoint the self-join+distinct once
-        # instead of re-scanning lineitem per reference (same pattern
-        # as the banded dedup operators)
-        .localCheckpoint(eager=False)
-    )
-    ends = edges.select(F.col("a").alias("v")).unionAll(
-        edges.select(F.col("b").alias("v"))
-    )
-    nodes = ends.distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = _coorder_edges(spark, sf_dir)
+    # ONE degree aggregation serves the wedge count AND the edge
+    # orientation below (it was computed twice before review).
+    degrees = _degrees(edges).localCheckpoint(eager=False)
+    nodes = degrees.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    wedges = (
-        ends.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
-    )
+    wedges = degrees.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
     # Degree-oriented adjacency intersection (same count as the
     # oracle's three-way wedge join, executed without materializing the
     # O(sum deg^2) wedge rows): orient every edge from its (deg, id)-
@@ -279,15 +291,9 @@ def gr01_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(sqrt E), so per-row arrays stay small even around hubs; the
     # output is E rows, not the wedge blowup (7x measured at sf0.1 on
     # the near-complete co-supply graph).
-    deg2 = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("dv"))
-    )
     oriented = (
-        edges.join(deg2.withColumnRenamed("v", "a").withColumnRenamed("dv", "da"), "a")
-        .join(deg2.withColumnRenamed("v", "b").withColumnRenamed("dv", "db"), "b")
+        edges.join(degrees.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(degrees.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
         .select(
             F.when(
                 (F.col("da") < F.col("db"))
@@ -388,29 +394,8 @@ def gr02_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two broadcast-able joins of the edge list against the
     |nodes|-row degree table, then a map-side-combined 1-row moment
     aggregate; nothing grows with the corpus but the edge scan."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1 = li.alias("l1")
-    l2 = li.alias("l2")
-    edges = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .select(
-            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
-        )
-        .distinct()
-        # referenced four times (degree ends x2, two degree joins);
-        # checkpoint once, as gr01
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    edges = _coorder_edges(spark, sf_dir)
+    deg = _degrees(edges)
     joined = (
         edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
         .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")

@@ -48,10 +48,11 @@ _DUCK_Z = _interleave_expr(
 )
 
 
-@register(
-    "ly01_zorder_layout",
-    oracle=f"""
-    WITH bounds AS (
+# Shared oracle CTEs: ONE definition of the grid bucketing both layout
+# operators build on (the bucket formula is the correctness-critical
+# piece — edge-bucket and degenerate-range behavior live here).
+_BUCKETED_CTES_SQL = f"""
+    bounds AS (
         SELECT MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
                MIN(CAST(o_orderdate AS DATE)) AS d_min,
                MAX(CAST(o_orderdate AS DATE)) AS d_max
@@ -63,7 +64,36 @@ _DUCK_Z = _interleave_expr(
                (date_diff('day', b.d_min, CAST(o.o_orderdate AS DATE)) * {2**_BITS})
                    // (date_diff('day', b.d_min, b.d_max) + 1) AS y_bucket
         FROM orders o CROSS JOIN bounds b
-    ),
+    )"""
+
+
+def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> (x_bucket, y_bucket) on the 256x256 (custkey, date)
+    grid; bounds ride a broadcast 1-row aggregate, bucketing is
+    scan-fused integer math. The Spark twin of _BUCKETED_CTES_SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
+    )
+    return orders.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"((o_custkey - ck_min) * {2**_BITS}) div (ck_max - ck_min + 1)"
+        ).alias("x_bucket"),
+        F.expr(
+            f"(datediff(cast(o_orderdate as date), d_min) * {2**_BITS})"
+            " div (datediff(d_max, d_min) + 1)"
+        ).alias("y_bucket"),
+    )
+
+
+
+@register(
+    "ly01_zorder_layout",
+    oracle=f"""
+    WITH {_BUCKETED_CTES_SQL},
     zvals AS (
         SELECT x_bucket, y_bucket, ({_DUCK_Z}) AS z FROM bucketed
     )
@@ -92,26 +122,7 @@ def ly01_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect); bucketing and interleaving are pure integer column
     arithmetic in the scan stage; the only shuffle is the 64-group
     zone-map rollup."""
-    orders = load_table(spark, sf_dir, "orders")
-    bounds = orders.agg(
-        F.min("o_custkey").alias("ck_min"),
-        F.max("o_custkey").alias("ck_max"),
-        F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
-        F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
-    )
-    bucketed = (
-        orders.crossJoin(F.broadcast(bounds))
-        .select(
-            F.expr(
-                f"((o_custkey - ck_min) * {2**_BITS}) div (ck_max - ck_min + 1)"
-            ).alias("x_bucket"),
-            F.expr(
-                f"(datediff(cast(o_orderdate as date), d_min) * {2**_BITS})"
-                " div (datediff(d_max, d_min) + 1)"
-            ).alias("y_bucket"),
-        )
-    )
-    zvals = bucketed.withColumn("z", F.expr(_SPARK_Z))
+    zvals = _bucketed(spark, sf_dir).withColumn("z", F.expr(_SPARK_Z))
     return (
         zvals.groupBy(
             F.expr(f"shiftright(z, {_FILE_SHIFT})").alias("file_id")
@@ -136,19 +147,7 @@ _PRED_Y_HI = 79
 @register(
     "ly02_skipping_comparison",
     oracle=f"""
-    WITH bounds AS (
-        SELECT MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
-               MIN(CAST(o_orderdate AS DATE)) AS d_min,
-               MAX(CAST(o_orderdate AS DATE)) AS d_max
-        FROM orders
-    ),
-    bucketed AS (
-        SELECT ((o.o_custkey - b.ck_min) * {2**_BITS})
-                   // (b.ck_max - b.ck_min + 1) AS x_bucket,
-               (date_diff('day', b.d_min, CAST(o.o_orderdate AS DATE)) * {2**_BITS})
-                   // (date_diff('day', b.d_min, b.d_max) + 1) AS y_bucket
-        FROM orders o CROSS JOIN bounds b
-    ),
+    WITH {_BUCKETED_CTES_SQL},
     assigned AS (
         SELECT x_bucket, y_bucket,
                ({_DUCK_Z}) >> {_FILE_SHIFT} AS zorder_file,
@@ -195,23 +194,7 @@ def ly02_skipping_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is the same broadcast-bounds + scan-fused integer
     arithmetic as ly01, one (layout, file) rollup and a 2-row final
     aggregate."""
-    orders = load_table(spark, sf_dir, "orders")
-    bounds = orders.agg(
-        F.min("o_custkey").alias("ck_min"),
-        F.max("o_custkey").alias("ck_max"),
-        F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
-        F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
-    )
-    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
-        F.expr(
-            f"((o_custkey - ck_min) * {2**_BITS}) div (ck_max - ck_min + 1)"
-        ).alias("x_bucket"),
-        F.expr(
-            f"(datediff(cast(o_orderdate as date), d_min) * {2**_BITS})"
-            " div (datediff(d_max, d_min) + 1)"
-        ).alias("y_bucket"),
-    )
-    assigned = bucketed.select(
+    assigned = _bucketed(spark, sf_dir).select(
         "x_bucket",
         "y_bucket",
         F.expr(f"({_SPARK_Z}) >> {_FILE_SHIFT}").alias("zorder_file"),

@@ -263,7 +263,7 @@ _MIX_CASE_SQL = "CASE source " + " ".join(
         FROM documents GROUP BY source
     ),
     tot AS (
-        SELECT CAST(SUM(avail) * {_BUDGET_FRAC_NUM} / {_BUDGET_FRAC_DEN} AS BIGINT)
+        SELECT CAST((SUM(avail) * {_BUDGET_FRAC_NUM}) // {_BUDGET_FRAC_DEN} AS BIGINT)
             AS budget
         FROM per_source
     ),
@@ -313,10 +313,14 @@ def sp07_mixture_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFram
     ) + " ELSE 0 END"
     per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("avail"))
     per_source = per_source.withColumn("w", F.expr(w_expr))
+    # Integer floor division on BOTH engines: a float `/` here would
+    # truncate on the Spark cast but round-half-even on DuckDB's CAST,
+    # diverging by 1 whenever SUM(avail) * num / den lands on .5 —
+    # which shifts every quota and the whole selected sample.
     tot = per_source.agg(
-        (F.sum("avail") * _BUDGET_FRAC_NUM / _BUDGET_FRAC_DEN)
-        .cast("long")
-        .alias("budget")
+        F.expr(
+            f"(sum(avail) * {_BUDGET_FRAC_NUM}) div {_BUDGET_FRAC_DEN}"
+        ).alias("budget")
     )
     quota = per_source.join(F.broadcast(tot)).select(
         "source",
