@@ -224,6 +224,86 @@ def ev10_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ev26: time-bounded funnel (each step within a window of the previous)
+# ---------------------------------------------------------------------------
+
+# Step-to-step conversion window. ev10's strict-order funnel counts a
+# purchase that happens a month after the click; product funnels almost
+# always bound each step ("clicked within 72h of the first view") —
+# the unbounded and bounded counts can differ by an order of magnitude.
+_EV26_WINDOW_HOURS = 72
+
+_EV26_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL {_EV26_WINDOW_HOURS} HOUR
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL {_EV26_WINDOW_HOURS} HOUR
+    GROUP BY e.user_id
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+    SELECT '1_view' AS stage, user_id FROM s1
+    UNION ALL SELECT '2_click', user_id FROM s2
+    UNION ALL SELECT '3_purchase', user_id FROM s3
+) u GROUP BY stage
+"""
+
+
+@register("ev26_timebound_funnel", oracle=_EV26_SQL)
+def ev26_timebound_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: view -> click -> purchase where
+    every step must land within 72 hours of the previous step's
+    timestamp — ev10's strict-order chain with the step deadline real
+    funnels impose (see the note on _EV26_WINDOW_HOURS).
+
+    Same scale shape as ev10: three per-user aggregates chained by
+    user_id equi-joins (one shuffle key reused stage to stage); the
+    deadline is a per-row timestamp comparison fused into each join's
+    filter, adding zero exchanges. Timestamps stay in the timestamp
+    domain on both engines (UTC session), so the +72h arithmetic is
+    value-identical."""
+    events = load_table(spark, sf_dir, "events")
+    window = F.expr(f"INTERVAL {_EV26_WINDOW_HOURS} HOURS")
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    staged = (
+        s1.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(s2.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(s3.select(F.lit("3_purchase").alias("stage"), "user_id"))
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
 # tx14: boilerplate n-gram scrub (frequent-shingle ratio per document)
 # ---------------------------------------------------------------------------
 

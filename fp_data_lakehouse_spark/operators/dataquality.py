@@ -203,3 +203,112 @@ def dq02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_DQ02_COLS)}, {stack}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
     )
+
+
+# Drift-monitor geometry: 20 equi-width bins over the GLOBAL value
+# range (ag05's engine-exact bin formula), corpus halved at the midpoint
+# of the observed time span. Total-variation distance between the two
+# halves' per-type distributions is reported as an exact integer
+# fraction: TV = sum|c1_i/N1 - c2_i/N2| / 2 = tv_numer / (2*N1*N2) with
+# tv_numer = sum|c1_i*N2 - c2_i*N1| — cross-multiplication keeps the
+# whole drift decision in BIGINT arithmetic (a PSI-style ln() would
+# diverge between libm implementations; TV carries the same monitoring
+# signal with none of the float risk).
+_DQ03_BINS = 20
+
+_DQ03_SQL = f"""
+WITH span AS (
+    SELECT MIN(epoch_us(ts)) AS t_lo, MAX(epoch_us(ts)) AS t_hi,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events
+),
+binned AS (
+    SELECT e.event_type,
+           CASE WHEN 2 * epoch_us(e.ts) < s.t_lo + s.t_hi THEN 0 ELSE 1 END AS half,
+           CAST(LEAST(FLOOR(((e.value - s.vmin) * {_DQ03_BINS}.0)
+                            / (s.vmax - s.vmin)),
+                      {_DQ03_BINS - 1}) AS BIGINT) AS bin
+    FROM events e CROSS JOIN span s
+),
+tb AS (
+    SELECT event_type, bin,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+    FROM binned GROUP BY event_type, bin
+),
+tot AS (
+    SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2 FROM tb GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(MIN(o.n1) AS BIGINT) AS n_first,
+       CAST(MIN(o.n2) AS BIGINT) AS n_second,
+       CAST(SUM(ABS(t.c1 * o.n2 - t.c2 * o.n1)) AS BIGINT) AS tv_numer,
+       CAST(2 * MIN(o.n1) * MIN(o.n2) AS BIGINT) AS tv_denom,
+       CAST(CASE WHEN MIN(o.n1) > 0 AND MIN(o.n2) > 0
+                 THEN (SUM(ABS(t.c1 * o.n2 - t.c2 * o.n1)) * 1000)
+                      // (2 * MIN(o.n1) * MIN(o.n2))
+                 ELSE NULL END AS BIGINT) AS tv_milli
+FROM tb t JOIN tot o ON t.event_type = o.event_type
+GROUP BY t.event_type
+"""
+
+
+@register("dq03_distribution_drift", oracle=_DQ03_SQL)
+def dq03_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event type, the total-variation
+    distance between the value distributions of the first and second
+    half of the observed time span (20 global equi-width bins) — the
+    train/serve skew alarm every feature pipeline runs before a model
+    refresh, here with the metric reported as an exact integer fraction
+    (see the TV-vs-PSI note on _DQ03_SQL).
+
+    One scan bins every event (bounds ride a broadcast 1-row
+    aggregate; the half split is an integer epoch comparison, no
+    per-row division); the first shuffle reduces the corpus to at most
+    |types| x 20 x 2 counters, and everything after — per-type totals,
+    the cross-multiplied |c1*N2 - c2*N1| fold — runs on that
+    metadata-sized table with a broadcast totals join."""
+    events = load_table(spark, sf_dir, "events")
+    span = events.agg(
+        F.min(F.unix_micros("ts")).alias("t_lo"),
+        F.max(F.unix_micros("ts")).alias("t_hi"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    binned = events.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.when(2 * F.unix_micros("ts") < F.col("t_lo") + F.col("t_hi"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("vmin")) * float(_DQ03_BINS))
+                / (F.col("vmax") - F.col("vmin"))
+            ),
+            F.lit(_DQ03_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    tb = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    tot = tb.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    joined = tb.join(F.broadcast(tot), "event_type")
+    numer = F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+    n1 = F.min("n1")
+    n2 = F.min("n2")
+    return joined.groupBy("event_type").agg(
+        n1.cast("long").alias("n_first"),
+        n2.cast("long").alias("n_second"),
+        numer.cast("long").alias("tv_numer"),
+        (2 * n1 * n2).cast("long").alias("tv_denom"),
+        F.when((n1 > 0) & (n2 > 0), F.expr(
+            "(sum(abs(c1 * n2 - c2 * n1)) * 1000) div (2 * min(n1) * min(n2))"
+        ))
+        .cast("long")
+        .alias("tv_milli"),
+    )

@@ -1401,3 +1401,131 @@ def dd21_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd23: the MinHash ESTIMATOR itself on the hard signal
+# ---------------------------------------------------------------------------
+
+# dd04's LSH path is certified by pytest precision/recall only (the
+# banded self-join has no portable SQL twin). This query certifies the
+# estimator that path is built on: for every exact-Jaccard >= 0.25
+# candidate pair, the per-pair count of agreeing minhash coordinates —
+# the same 32 seeded permutations, the same md5 base hash, the same
+# mod-p fold — computed independently by both engines. The md5-derived
+# hash is fully deterministic, so signature agreement is engine-exact
+# and the whole MinHash mechanism (not just its downstream quality)
+# gets a value-hash-checked driver row.
+_DD23_NUM, _DD23_DEN = 1, 4  # exact-Jaccard floor 0.25 for the pair set
+
+
+def _dd23_oracle() -> str:
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))
+    base = f"((('0x' || substring(md5(sh.shingle), 1, 15))::BIGINT) % {_MINHASH_P})"
+    return f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    seeds(seed, a, b) AS (VALUES {seeds}),
+    mh AS (
+        SELECT sh.doc_id, s.seed,
+               MIN((s.a * {base} + s.b) % {_MINHASH_P}) AS mh
+        FROM sh CROSS JOIN seeds s
+        GROUP BY sh.doc_id, s.seed
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    qual AS (
+        SELECT doc_id_a, doc_id_b, n_common,
+               sa.n + sb.n - n_common AS n_union
+        FROM pairs
+        JOIN sizes sa ON doc_id_a = sa.doc_id
+        JOIN sizes sb ON doc_id_b = sb.doc_id
+        WHERE {_DD23_DEN} * n_common >= {_DD23_NUM} * (sa.n + sb.n - n_common)
+    )
+    SELECT q.doc_id_a, q.doc_id_b,
+           CAST(q.n_common AS BIGINT) AS n_common,
+           CAST(q.n_union AS BIGINT) AS n_union,
+           CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_32
+    FROM qual q
+    JOIN mh ma ON ma.doc_id = q.doc_id_a
+    JOIN mh mb ON mb.doc_id = q.doc_id_b AND mb.seed = ma.seed
+    GROUP BY q.doc_id_a, q.doc_id_b, q.n_common, q.n_union
+    """
+
+
+@register("dd23_minhash_estimate_pairs", oracle=_dd23_oracle())
+def dd23_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimate certification: for each exact-Jaccard >= 0.25
+    pair, the number of agreeing coordinates in the two documents'
+    32-permutation minhash signatures, next to the pair's exact
+    intersection/union sizes (see the note on _DD23_NUM). n_agree_32/32
+    is the LSH path's similarity estimate; this row set is what a
+    quality audit of dd04's banding thresholds reads.
+
+    Scale shape: signatures come from the same single-fold aggregate
+    dd04 uses (each shingle hashed once, k mins carried in one array);
+    the pair set is dd03's shingle equi-join; the agreement count is a
+    zip_with fold over two 32-long arrays joined in by doc_id — two
+    broadcast-sized extra columns per pair, no per-seed row blowup on
+    the Spark side (the oracle unrolls per (doc, seed) because SQL has
+    no array fold; both reduce to identical integers)."""
+    sh_sets = _doc_shingle_sets(spark, sf_dir)
+    sig = sh_sets.select("doc_id", _minhash_signature_col().alias("sig"))
+    sh = sh_sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    qual = (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"),
+            "doc_id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "nb"),
+            "doc_id_b",
+        )
+        .filter(
+            _DD23_DEN * F.col("n_common")
+            >= _DD23_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias("n_union"),
+        )
+    )
+    return (
+        qual.join(
+            sig.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")),
+            "doc_id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+                " 0, (acc, v) -> acc + v)"
+            )
+            .cast("long")
+            .alias("n_agree_32"),
+        )
+    )

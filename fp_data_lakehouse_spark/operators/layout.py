@@ -229,3 +229,88 @@ def ly02_skipping_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_match").alias("n_rows_matching"),
     )
+
+
+# Compaction target: merge the 64 z-files into ~8 right-sized outputs.
+# Greedy sequential packing by running row count — group =
+# cum_rows_before // target — preserves z-order adjacency (merged files
+# stay Morton-contiguous, so the merged zone maps stay tight) and is a
+# pure prefix-sum, unlike bin-packing heuristics that need global state.
+_LY03_TARGET_GROUPS = 8
+
+
+@register(
+    "ly03_compaction_plan",
+    oracle=f"""
+    WITH {_BUCKETED_CTES_SQL},
+    files AS (
+        SELECT ({_DUCK_Z}) >> {_FILE_SHIFT} AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM bucketed GROUP BY file_id
+    ),
+    sized AS (
+        SELECT file_id, n_rows,
+               COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+               (SUM(n_rows) OVER () + {_LY03_TARGET_GROUPS - 1})
+                   // {_LY03_TARGET_GROUPS} AS target
+        FROM files
+    )
+    SELECT CAST(cum_before // target AS BIGINT) AS compact_group,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           MIN(file_id) AS file_lo, MAX(file_id) AS file_hi
+    FROM sized
+    GROUP BY compact_group
+    ORDER BY compact_group
+    """,
+)
+def ly03_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: roll the 64-file z-order manifest
+    (ly01's output) into ~8 merge groups of near-equal row count by
+    greedy prefix-sum packing — the plan an OPTIMIZE/compaction job
+    executes, with z-adjacency preserved so merged files keep tight
+    zone maps (see the note on _LY03_TARGET_GROUPS). Emits one row per
+    merge group: file span, file count, total rows.
+
+    Scale shape: the packing runs over the FILE MANIFEST, not the data
+    — 64 rows here, ~10^5 rows for a 100 TB table — so the
+    single-partition prefix-sum window is metadata-sized by
+    construction (the only data-scale work is the same 64-group
+    zone-map rollup ly01 already does). This separation — plan on
+    manifests, execute on data — is exactly how table-format OPTIMIZE
+    scales."""
+    from pyspark.sql import Window
+
+    zvals = _bucketed(spark, sf_dir).withColumn("z", F.expr(_SPARK_Z))
+    files = zvals.groupBy(
+        F.expr(f"shiftright(z, {_FILE_SHIFT})").alias("file_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    w_run = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sized = files.select(
+        "file_id",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w_run), F.lit(0)).alias("cum_before"),
+        F.sum("n_rows").over(w_all).alias("total"),
+    ).withColumn(
+        "target",
+        F.expr(f"(total + {_LY03_TARGET_GROUPS - 1}) div {_LY03_TARGET_GROUPS}"),
+    )
+    return (
+        sized.select(
+            F.expr("cum_before div target").alias("compact_group"),
+            "file_id",
+            "n_rows",
+        )
+        .groupBy("compact_group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("file_id").alias("file_lo"),
+            F.max("file_id").alias("file_hi"),
+        )
+        .orderBy("compact_group")
+    )

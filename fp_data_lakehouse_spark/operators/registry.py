@@ -106,6 +106,9 @@ DRIVER_PRIORITY: list[str] = [
     "et04_reject_quarantine",
     "vt03_time_travel_read",
     "ly02_skipping_comparison",
+    # fills the 50-row window; ev26/ly03 rotate in next round
+    "dq03_distribution_drift",
+    "dd23_minhash_estimate_pairs",
 ]
 
 
