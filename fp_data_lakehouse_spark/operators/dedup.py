@@ -1404,7 +1404,7 @@ def dd21_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dd23: the MinHash ESTIMATOR itself on the hard signal
+# dd22: the MinHash ESTIMATOR itself on the hard signal
 # ---------------------------------------------------------------------------
 
 # dd04's LSH path is certified by pytest precision/recall only (the
@@ -1416,10 +1416,10 @@ def dd21_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash is fully deterministic, so signature agreement is engine-exact
 # and the whole MinHash mechanism (not just its downstream quality)
 # gets a value-hash-checked driver row.
-_DD23_NUM, _DD23_DEN = 1, 4  # exact-Jaccard floor 0.25 for the pair set
+_DD22_NUM, _DD22_DEN = 1, 4  # exact-Jaccard floor 0.25 for the pair set
 
 
-def _dd23_oracle() -> str:
+def _dd22_oracle() -> str:
     seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))
     base = f"((('0x' || substring(md5(sh.shingle), 1, 15))::BIGINT) % {_MINHASH_P})"
     return f"""
@@ -1443,7 +1443,7 @@ def _dd23_oracle() -> str:
         FROM pairs
         JOIN sizes sa ON doc_id_a = sa.doc_id
         JOIN sizes sb ON doc_id_b = sb.doc_id
-        WHERE {_DD23_DEN} * n_common >= {_DD23_NUM} * (sa.n + sb.n - n_common)
+        WHERE {_DD22_DEN} * n_common >= {_DD22_NUM} * (sa.n + sb.n - n_common)
     )
     SELECT q.doc_id_a, q.doc_id_b,
            CAST(q.n_common AS BIGINT) AS n_common,
@@ -1456,12 +1456,12 @@ def _dd23_oracle() -> str:
     """
 
 
-@register("dd23_minhash_estimate_pairs", oracle=_dd23_oracle())
-def dd23_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("dd22_minhash_estimate_pairs", oracle=_dd22_oracle())
+def dd22_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-estimate certification: for each exact-Jaccard >= 0.25
     pair, the number of agreeing coordinates in the two documents'
     32-permutation minhash signatures, next to the pair's exact
-    intersection/union sizes (see the note on _DD23_NUM). n_agree_32/32
+    intersection/union sizes (see the note on _DD22_NUM). n_agree_32/32
     is the LSH path's similarity estimate; this row set is what a
     quality audit of dd04's banding thresholds reads.
 
@@ -1497,8 +1497,8 @@ def dd23_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_b",
         )
         .filter(
-            _DD23_DEN * F.col("n_common")
-            >= _DD23_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+            _DD22_DEN * F.col("n_common")
+            >= _DD22_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
         )
         .select(
             "doc_id_a",

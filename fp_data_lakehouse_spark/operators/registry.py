@@ -108,7 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "ly02_skipping_comparison",
     # fills the 50-row window; ev26/ly03 rotate in next round
     "dq03_distribution_drift",
-    "dd23_minhash_estimate_pairs",
+    "dd22_minhash_estimate_pairs",
 ]
 
 
