@@ -473,3 +473,74 @@ def test_pq_adc_recall_vs_exact(spark):
     corpus_mean = exact.agg(F.avg("d")).collect()[0][0]
     approx_mean = sum(r.exact_dist for r in approx) / len(approx)
     assert approx_mean < 0.85 * corpus_mean, (approx_mean, corpus_mean)
+
+
+def test_bounded_funnel_is_subset_of_unbounded(spark):
+    """ev26's 72h deadline can only REMOVE conversions relative to
+    ev10's unbounded chain, and both funnels are monotone by stage."""
+    from fp_data_lakehouse_spark.operators.curation import (
+        ev10_conversion_funnel,
+        ev26_timebound_funnel,
+    )
+
+    unbounded = {r.stage: r.n_users for r in ev10_conversion_funnel(spark, SF_ORACLE).collect()}
+    bounded = {r.stage: r.n_users for r in ev26_timebound_funnel(spark, SF_ORACLE).collect()}
+    # stage-1 is deadline-free: identical by construction
+    assert bounded.get("1_view") == unbounded.get("1_view")
+    for stage in ("2_click", "3_purchase"):
+        assert bounded.get(stage, 0) <= unbounded.get(stage, 0)
+    for funnel in (unbounded, bounded):
+        assert funnel.get("1_view", 0) >= funnel.get("2_click", 0) >= funnel.get("3_purchase", 0)
+
+
+def test_distribution_drift_is_a_valid_tv_distance(spark):
+    """dq03's integer fraction must be a total-variation distance:
+    0 <= tv_numer/tv_denom <= 1, halves partition each type's events."""
+    from fp_data_lakehouse_spark.operators.dataquality import dq03_distribution_drift
+    from fp_data_lakehouse_spark.sources.catalog import load_table
+
+    rows = dq03_distribution_drift(spark, SF_ORACLE).collect()
+    assert rows
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_first + r.n_second == totals[r.event_type]
+        assert 0 <= r.tv_numer <= r.tv_denom
+        if r.tv_milli is not None:
+            assert 0 <= r.tv_milli <= 1000
+
+
+def test_compaction_plan_partitions_the_manifest(spark):
+    """ly03's merge groups must partition ly01's 64-file manifest:
+    same total rows, contiguous non-overlapping file spans, and every
+    group but the last below target + its last file's size."""
+    from fp_data_lakehouse_spark.operators.layout import (
+        ly01_zorder_layout,
+        ly03_compaction_plan,
+    )
+
+    manifest = ly01_zorder_layout(spark, SF_ORACLE).collect()
+    plan = sorted(ly03_compaction_plan(spark, SF_ORACLE).collect(), key=lambda r: r.compact_group)
+    assert sum(g.n_rows for g in plan) == sum(f.n_rows for f in manifest)
+    assert sum(g.n_files for g in plan) == len(manifest)
+    for prev, cur in zip(plan, plan[1:]):
+        assert prev.file_hi < cur.file_lo  # contiguous, ordered, disjoint
+
+
+def test_minhash_estimate_full_agreement_on_exact_dups(spark):
+    """Documents with identical shingle SETS must agree on all 32
+    minhash coordinates; any pair's agreement count is within [0, 32]
+    and full Jaccard (n_common == n_union) implies full agreement."""
+    from fp_data_lakehouse_spark.operators.dedup import dd22_minhash_estimate_pairs
+
+    rows = dd22_minhash_estimate_pairs(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree_32 <= 32
+        if r.n_common == r.n_union:  # identical shingle sets
+            assert r.n_agree_32 == 32
