@@ -276,3 +276,96 @@ def vt03_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h.o_custkey").isNotNull().alias("in_latest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vt04: snapshot retention / vacuum planning
+# ---------------------------------------------------------------------------
+
+# Yearly-cutoff snapshot series + the retention policy: keep the last
+# _VT04_KEEP versions, expire the rest. The plan is the read-side
+# decision a VACUUM / expire_snapshots job executes; emitting it as a
+# query (rather than mutating state) keeps the operator idempotent and
+# driver-checkable. The first cutoff lands ON the fixture's minimum
+# order date, so version 1 is a deliberately EMPTY snapshot — a plan
+# that silently drops empty versions would vacuum files it never
+# listed, so the empty version must surface as an n_rows=0 row.
+_VT04_CUTOFFS = ("1995-01-01", "1997-01-01", "1999-01-01", None)
+_VT04_KEEP = 2
+
+_VT04_SQL = f"""
+WITH vers(version, cutoff) AS (VALUES
+    (1, TIMESTAMP '1995-01-01'), (2, TIMESTAMP '1997-01-01'),
+    (3, TIMESTAMP '1999-01-01'), (4, NULL)),
+counts AS (
+    SELECT v.version,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_rows
+    FROM vers v LEFT JOIN orders o
+      ON v.cutoff IS NULL OR o.o_orderdate < v.cutoff
+    GROUP BY v.version
+)
+SELECT CAST(version AS BIGINT) AS version, n_rows,
+       CASE WHEN version > (SELECT MAX(version) FROM counts) - {_VT04_KEEP}
+            THEN 'retain' ELSE 'expire' END AS action,
+       version = (SELECT MAX(version) FROM counts) AS is_head
+FROM counts
+"""
+
+
+@register("vt04_retention_plan", oracle=_VT04_SQL)
+def vt04_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention planning on the hard signal: write a 4-deep
+    snapshot series (per-customer totals at quarterly history cutoffs),
+    read every version back, and emit the vacuum plan — per version its
+    row count, retain/expire under a keep-last-2 policy, and the head
+    marker. The oracle reconstructs each snapshot's cardinality
+    relationally, so a green row certifies that every historical
+    version is still fully readable at plan time (the precondition any
+    expire job must check) and that the policy cut lands on the right
+    versions.
+
+    Scale: the retention decision itself is metadata-sized (one row per
+    version — thousands at most); the per-version counts are plain
+    parquet scans of each snapshot directory, independent and
+    parallel, never a join against the data of another version."""
+    from ..sources.versioned import read_table, write_version
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = tempfile.mkdtemp(prefix="vt04_") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    versions = []
+    for cutoff in _VT04_CUTOFFS:
+        snap = orders if cutoff is None else orders.filter(
+            F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+        )
+        versions.append(write_version(_cust_totals(snap), table_dir))
+
+    head = max(versions)
+    reads = [
+        read_table(spark, table_dir, version=v).select(
+            F.lit(v).cast("long").alias("version")
+        )
+        for v in versions
+    ]
+    union = reads[0]
+    for r in reads[1:]:
+        union = union.unionByName(r)
+    counts = union.groupBy("version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    # Left-join from the version LIST so an empty snapshot still plans
+    # as an n_rows=0 row (see the cutoff note above).
+    manifest = spark.createDataFrame([(int(v),) for v in versions], "version long")
+    return (
+        F.broadcast(manifest)
+        .join(counts, "version", "left")
+        .select(
+            "version",
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            F.when(F.col("version") > head - _VT04_KEEP, "retain")
+            .otherwise("expire")
+            .alias("action"),
+            (F.col("version") == head).alias("is_head"),
+        )
+    )
