@@ -166,15 +166,17 @@ def dq02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass behind schema-drift alerts, NDV-based join planning, and
     zone-map construction.
 
-    All six columns profile in ONE aggregate over one scan (Catalyst
-    expands the multi-column DISTINCTs into a single Expand + two-phase
-    aggregate — the corpus is read once however many columns are
-    profiled, unlike the naive per-column loop which scans N times).
-    The wide 1-row result unpivots to the long (column_name, ...) form
-    with a zero-shuffle ``stack``. Min/max of DOUBLE columns report as
-    floor(x*100) integer cents and timestamps as dates, keeping every
-    rendered string bit-identical across engines."""
+    Two hash passes over the same pruned scan, however many columns are
+    profiled (never a per-column scan loop): one Expand-free
+    HashAggregate for counts/nulls/min/max, and one skinny unpivoted
+    distinct-count for the NDVs (see the in-body note for why the
+    tempting single-aggregate form is slower). Min/max of DOUBLE
+    columns report as floor(x*100) integer cents and timestamps as
+    dates, keeping every rendered string bit-identical across
+    engines."""
     orders = load_table(spark, sf_dir, "orders")
+    # Pass 1 — moments: counts/nulls/min/max for every column in ONE
+    # codegen'd HashAggregate over one scan (no distincts, so no Expand).
     aggs = []
     for col, kind in _DQ02_COLS:
         if kind == "cents":
@@ -189,19 +191,39 @@ def dq02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.extend(
             [
                 (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"{col}__nn"),
-                F.countDistinct(col).cast("long").alias(f"{col}__nd"),
                 mn.alias(f"{col}__mn"),
                 mx.alias(f"{col}__mx"),
             ]
         )
     wide = orders.agg(F.count(F.lit(1)).cast("long").alias("__n_rows"), *aggs)
     stack = ", ".join(
-        f"'{col}', __n_rows, {col}__nn, {col}__nd, {col}__mn, {col}__mx"
+        f"'{col}', __n_rows, {col}__nn, {col}__mn, {col}__mx"
         for col, _ in _DQ02_COLS
     )
-    return wide.selectExpr(
+    moments = wide.selectExpr(
         f"stack({len(_DQ02_COLS)}, {stack}) AS "
-        "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
+        "(column_name, n_rows, n_null, min_value, max_value)"
+    )
+    # Pass 2 — exact NDVs: unpivot to skinny (column_name, rendered
+    # value) rows and count distinct per column. Putting ALL columns'
+    # distincts in one aggregate makes Catalyst Expand the scan by
+    # #distinct-groups and fall back to a 7-key SortAggregate (measured
+    # 2.6 s warm at sf0.1 vs 0.9 s for this shape); two hash passes
+    # over the same pruned scan beat one sort pass over the Expand.
+    # String rendering is injective per column type (distinct values
+    # stay distinct), so the cardinality matches COUNT(DISTINCT col).
+    stack_vals = ", ".join(
+        f"'{col}', cast({col} as string)" for col, _ in _DQ02_COLS
+    )
+    ndv = (
+        orders.selectExpr(
+            f"stack({len(_DQ02_COLS)}, {stack_vals}) AS (column_name, val)"
+        )
+        .groupBy("column_name")
+        .agg(F.countDistinct("val").cast("long").alias("n_distinct"))
+    )
+    return moments.join(F.broadcast(ndv), "column_name").select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
     )
 
 
