@@ -1529,3 +1529,136 @@ def dd22_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_agree_32"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd24: incremental ingest dedup gate (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+# Production dedup is rarely corpus x corpus: a daily increment lands
+# and each NEW document is classified against the EXISTING corpus —
+# exact duplicate, near duplicate, or unique — before admission. The
+# batch split here is the stable doc_id bucket (10% "arriving"), and
+# the classification joins are new x existing only, so the work scales
+# with |batch| x match-rate, never |corpus|^2.
+_DD24_BATCH_MOD, _DD24_BATCH_REM = 10, 7
+
+_DD24_SQL = f"""
+WITH sh AS ({_SHINGLE_ROWS_SQL}),
+new_docs AS (
+    SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    WHERE doc_id % {_DD24_BATCH_MOD} = {_DD24_BATCH_REM}
+),
+old_docs AS (
+    SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    WHERE doc_id % {_DD24_BATCH_MOD} <> {_DD24_BATCH_REM}
+),
+exact AS (
+    SELECT n.doc_id, MIN(o.doc_id) AS match_doc_id
+    FROM new_docs n JOIN old_docs o ON n.fp = o.fp
+    GROUP BY n.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+near_pairs AS (
+    SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id % {_DD24_BATCH_MOD} = {_DD24_BATCH_REM}
+      AND b.doc_id % {_DD24_BATCH_MOD} <> {_DD24_BATCH_REM}
+    GROUP BY a.doc_id, b.doc_id
+),
+near AS (
+    SELECT new_id AS doc_id, MIN(old_id) AS match_doc_id
+    FROM near_pairs p
+    JOIN sizes sa ON p.new_id = sa.doc_id
+    JOIN sizes sb ON p.old_id = sb.doc_id
+    WHERE {_JACCARD_DEN} * n_common >= {_JACCARD_NUM} * (sa.n + sb.n - n_common)
+    GROUP BY new_id
+)
+SELECT n.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       CASE WHEN e.doc_id IS NOT NULL THEN e.match_doc_id
+            ELSE nr.match_doc_id END AS match_doc_id
+FROM new_docs n
+LEFT JOIN exact e ON n.doc_id = e.doc_id
+LEFT JOIN near nr ON n.doc_id = nr.doc_id
+"""
+
+
+@register("dd24_incremental_ingest_gate", oracle=_DD24_SQL)
+def dd24_incremental_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup gate: classify every document of the
+    arriving 10% batch against the existing 90% corpus as exact_dup
+    (byte-normalized fingerprint match), near_dup (3-gram Jaccard >=
+    0.5 against an existing doc), or unique, with the matched existing
+    document's id (min id, deterministic) — the admission decision a
+    daily ingestion pipeline makes BEFORE re-running corpus-wide dedup
+    (see the batch note on _DD24_BATCH_MOD).
+
+    Scale shape: the exact leg is a fingerprint equi-join (new side is
+    batch-sized, broadcastable); the near leg reuses the shingle
+    equi-join but with new x existing sides, so candidate volume is
+    batch-bounded; both legs reduce to one min-match row per new doc
+    and the final classification is two LEFT joins on the batch. At
+    100 TB the existing side's fingerprints/shingle index would be a
+    materialized table maintained across runs — the memoized-artifact
+    pattern (dd09 labels, gr edges) applied across sessions."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % _DD24_BATCH_MOD) == _DD24_BATCH_REM
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    new_docs = docs.filter(is_new).select("doc_id", fp.alias("fp"))
+    old_docs = docs.filter(~is_new).select("doc_id", fp.alias("fp"))
+    exact = (
+        new_docs.join(
+            old_docs.withColumnRenamed("doc_id", "old_id"), "fp"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("exact_match"))
+    )
+
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_new = sh.filter((F.col("doc_id") % _DD24_BATCH_MOD) == _DD24_BATCH_REM)
+    sh_old = sh.filter((F.col("doc_id") % _DD24_BATCH_MOD) != _DD24_BATCH_REM)
+    near_pairs = (
+        sh_new.alias("a")
+        .join(sh_old.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("old_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    near = (
+        near_pairs.join(
+            sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n", "na"),
+            "new_id",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "old_id").withColumnRenamed("n", "nb"),
+            "old_id",
+        )
+        .filter(
+            _JACCARD_DEN * F.col("n_common")
+            >= _JACCARD_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("near_match"))
+        .withColumnRenamed("new_id", "doc_id")
+    )
+
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+            F.when(F.col("exact_match").isNotNull(), F.col("exact_match"))
+            .otherwise(F.col("near_match"))
+            .alias("match_doc_id"),
+        )
+    )

@@ -709,3 +709,89 @@ def tx16_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tx17: BPE merge-step candidates (tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+# Top-k adjacent SYMBOL pairs within words, counted across the corpus
+# with word-frequency weighting — exactly the statistic byte-pair
+# encoding training maximizes each merge round. The first round's
+# symbols are single characters; iterating merge -> re-pair is the
+# training loop, and each round is THIS query over the re-segmented
+# vocabulary, so certifying one round certifies the loop's engine (the
+# sim05/pr01 move applied to tokenization).
+_BPE_TOP_K = 20
+
+
+@register(
+    "tx17_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE len(w) >= 2
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substring(w, i, 2) AS pair, w, wf
+        FROM words, UNNEST(range(1, len(w))) AS r(i)
+    ),
+    counts AS (
+        SELECT pair,
+               CAST(SUM(wf) AS BIGINT) AS n_weighted,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_word_types
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_weighted, n_word_types, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_weighted DESC, pair ASC) AS rnk
+        FROM counts
+    ) r WHERE rnk <= {_BPE_TOP_K}
+    """,
+)
+def tx17_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge candidates: the top-20 adjacent character pairs inside
+    words, weighted by word frequency — the argmax a byte-pair-encoding
+    tokenizer takes every merge round (see the loop note on
+    _BPE_TOP_K). Emits the weighted count, the number of distinct word
+    types containing the pair, and the deterministic rank.
+
+    The scale trick is the word-type rollup FIRST: pair extraction runs
+    over the VOCABULARY (word, frequency) — tens of thousands of rows
+    regardless of corpus size — not over every word occurrence, so the
+    per-character work collapses by the corpus/vocabulary ratio before
+    it starts (real BPE trainers do exactly this). One explode of
+    (len(w)-1) substring pairs per vocabulary word, one weighted-sum
+    groupBy, and a 20-row deterministic top-k window."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # LET-BINDING not needed: w is a plain column reference, and the
+    # substring lambda touches it via the explode output only.
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "w",
+        "wf",
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("wf").cast("long").alias("n_weighted"),
+        F.countDistinct("w").cast("long").alias("n_word_types"),
+    )
+    w = Window.orderBy(F.desc("n_weighted"), F.asc("pair"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BPE_TOP_K)
+        .select("pair", "n_weighted", "n_word_types", "rnk")
+    )
