@@ -334,3 +334,88 @@ def dq03_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tv_milli"),
     )
+
+
+# Reconciliation tolerance: header and detail amounts must agree to the
+# cent after the canonical TPC-H pricing formula. Everything is
+# floor-to-cents BEFORE comparison, so the check is pure BIGINT and the
+# pass/fail decision can never flip on float summation order.
+_DQ04_SQL = """
+WITH detail AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                    AS BIGINT)) AS BIGINT) AS detail_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+),
+recon AS (
+    SELECT o.o_orderkey,
+           CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+           d.detail_cents,
+           d.n_lines
+    FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN detail_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_headers_without_lines,
+       CAST(SUM(CASE WHEN detail_cents IS NOT NULL
+                      AND ABS(header_cents - detail_cents) <= n_lines
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       CAST(SUM(CASE WHEN detail_cents IS NOT NULL
+                      AND ABS(header_cents - detail_cents) > n_lines
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       CAST(MAX(CASE WHEN detail_cents IS NOT NULL
+                THEN ABS(header_cents - detail_cents) END) AS BIGINT)
+           AS max_abs_diff_cents
+FROM recon
+"""
+
+
+@register("dq04_ledger_reconciliation", oracle=_DQ04_SQL)
+def dq04_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ledger reconciliation: every order header's total
+    against the sum of its line amounts under the canonical pricing
+    formula (extended * (1-disc) * (1+tax)), all floored to integer
+    cents before any comparison — the header-vs-detail financial audit
+    every warehouse runs before publishing revenue, plus the
+    orphan-header census (orders with no lines at all). The per-order
+    tolerance is one cent per line (floor rounding can drop up to a
+    cent per line item relative to the header's pre-rounded total).
+
+    Scale shape: the detail side collapses to one (orderkey, cents,
+    n_lines) row per order with a map-side-combined sum BEFORE the
+    join, so the join carries |orders| rows on both sides on the same
+    key; the verdict is a single conditional aggregate to one row.
+    This op and dq01-dq03 together form the audit suite: constraints,
+    profile, drift, reconciliation."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    detail = lineitem.groupBy("l_orderkey").agg(
+        F.sum(line_cents).cast("long").alias("detail_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    recon = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+    ).join(detail, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    has_detail = F.col("detail_cents").isNotNull()
+    diff = F.abs(F.col("header_cents") - F.col("detail_cents"))
+    return recon.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(~has_detail, 1).otherwise(0))
+        .cast("long")
+        .alias("n_headers_without_lines"),
+        F.sum(F.when(has_detail & (diff <= F.col("n_lines")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum(F.when(has_detail & (diff > F.col("n_lines")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(F.when(has_detail, diff)).cast("long").alias("max_abs_diff_cents"),
+    )
