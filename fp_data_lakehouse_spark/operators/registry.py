@@ -106,7 +106,12 @@ DRIVER_PRIORITY: list[str] = [
     "et04_reject_quarantine",
     "vt03_time_travel_read",
     "ly02_skipping_comparison",
-    # fills the 50-row window; ev26/ly03 rotate in next round
+    # fills the 50-row window. Round-4 rotation: the oracle-backed
+    # queries without a driver row after r3 are exactly the ones added
+    # after this window closed — ev26_timebound_funnel,
+    # ly03_compaction_plan, vt04_retention_plan,
+    # tx17_bpe_merge_candidates, dd24_incremental_ingest_gate,
+    # dq04_ledger_reconciliation — front-load those six next round.
     "dq03_distribution_drift",
     "dd22_minhash_estimate_pairs",
 ]
