@@ -111,7 +111,7 @@ DRIVER_PRIORITY: list[str] = [
     # after this window closed — ev26_timebound_funnel,
     # ly03_compaction_plan, vt04_retention_plan,
     # tx17_bpe_merge_candidates, dd24_incremental_ingest_gate,
-    # dq04_ledger_reconciliation — front-load those six next round.
+    # dq04_ledger_reconciliation, tx18_chunk_windows — front-load those next round.
     "dq03_distribution_drift",
     "dd22_minhash_estimate_pairs",
 ]

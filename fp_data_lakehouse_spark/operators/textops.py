@@ -795,3 +795,81 @@ def tx17_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BPE_TOP_K)
         .select("pair", "n_weighted", "n_word_types", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx18: overlapping context-window chunking (RAG / pretraining ingest)
+# ---------------------------------------------------------------------------
+
+# 64-token windows with 16-token stride overlap — the document->chunk
+# explosion every retrieval index and long-context pretraining pipeline
+# runs first. Chunk identity is the md5 of the joined token slice, so
+# chunk-level dedup (dd12's segment census) composes directly on the
+# output.
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "tx18_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(1 + i * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+               list_slice(t, 1 + i * {_CHUNK_STRIDE},
+                          LEAST(i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, len(t))) AS w
+        FROM toks,
+             UNNEST(range(0, GREATEST((len(t) - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
+                                      // {_CHUNK_STRIDE}, 0) + 1)) AS r(i)
+        WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_idx, start_token,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def tx18_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: every document exploded
+    into 64-token windows advancing by a 48-token stride (16-token
+    overlap), each chunk carrying its index, start offset, length, and
+    a content hash — the ingest step in front of every retrieval index
+    and long-context packing run, with hashes that make chunk-level
+    dedup a groupBy away (see the note on _CHUNK_TOKENS).
+
+    Scale shape: tokenization happens once per document (let-bound
+    array), the chunk count per doc is ceil((len-64)/48)+1, and the
+    whole operator is scan-fused map work — no shuffle at all; output
+    rows are (ids, offsets, 32-char hash), never the chunk text, so
+    the explode multiplies metadata, not payload. The window/stride
+    arithmetic is identical integer math in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = (
+        f"greatest(ceil((size(t) - {_CHUNK_TOKENS}) / {_CHUNK_STRIDE}), 0) + 1"
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "element_at(transform(array(split(lower(trim(text)), '\\\\s+')),"
+                f" t -> IF(size(t) = 0, array(),"
+                f" transform(sequence(0, cast({n_chunks} as int) - 1),"
+                f" i -> struct(cast(i as bigint) as chunk_idx,"
+                f" cast(1 + i * {_CHUNK_STRIDE} as bigint) as start_token,"
+                f" slice(t, 1 + i * {_CHUNK_STRIDE},"
+                f" {_CHUNK_TOKENS}) as w)))), 1)"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_token").alias("start_token"),
+        F.size("c.w").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.w"))).alias("chunk_hash"),
+    )
