@@ -942,7 +942,14 @@ def dd15_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot buckets self-suppress. Candidate verification joins the compact
     (doc -> shingle set) arrays and intersects JVM-side — the pair
     recount never re-shuffles shingle rows."""
-    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    # ONE tokenization for the whole operator: the checkpointed
+    # (doc_id, shingles) arrays feed the exploded rows, the df census,
+    # the set sizes, and the verification join — previously the
+    # exploded-row pipeline and the array pipeline each re-ran the
+    # regex shingling (two full corpus tokenizations, measured ~40% of
+    # the query).
+    sets = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
     from pyspark.sql import Window
@@ -977,7 +984,6 @@ def dd15_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sets = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
     sa = sets.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
     return (
