@@ -353,7 +353,9 @@ def tx14_boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     its Σ df² blowup. The ratio is an exact int/int division, identical
     on both engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ss = _shingle_rows(spark, sf_dir).join(docs, "doc_id")
+    ss = _shingle_rows(spark, sf_dir).join(docs, "doc_id").localCheckpoint(
+        eager=False
+    )  # feeds the df census AND the flag join: tokenize once
     df = ss.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
     flagged = ss.join(df, ["source", "shingle"])
     return flagged.groupBy("doc_id").agg(

@@ -179,8 +179,10 @@ def dd03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle-explode → equi-join on shingle → per-pair intersection count
     → set-size join → integer-threshold filter. The jaccard column is an
-    exact int/int division (engine-identical doubles, no rounding)."""
-    sh = _shingle_rows(spark, sf_dir)
+    exact int/int division (engine-identical doubles, no rounding).
+    The shingle rows feed three plan branches (sizes + both join
+    sides); the lazy checkpoint tokenizes the corpus once."""
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1315,8 +1317,9 @@ def dd20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold is an integer cross-multiplication so no float sits
     on the decision boundary, and the reported containment is one exact
     int/int division. Work remains sum of per-shingle df^2 — the df-cap
-    (dd10) and prefix-filter (dd15) escapes apply unchanged at scale."""
-    sh = _shingle_rows(spark, sf_dir)
+    (dd10) and prefix-filter (dd15) escapes apply unchanged at scale.
+    The lazy checkpoint tokenizes once for sizes + both join sides."""
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1478,7 +1481,7 @@ def dd22_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized extra columns per pair, no per-seed row blowup on
     the Spark side (the oracle unrolls per (doc, seed) because SQL has
     no array fold; both reduce to identical integers)."""
-    sh_sets = _doc_shingle_sets(spark, sf_dir)
+    sh_sets = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
     sig = sh_sets.select("doc_id", _minhash_signature_col().alias("sig"))
     sh = sh_sets.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1623,7 +1626,7 @@ def dd24_incremental_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("old_id").alias("exact_match"))
     )
 
-    sh = _shingle_rows(spark, sf_dir)
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh_new = sh.filter((F.col("doc_id") % _DD24_BATCH_MOD) == _DD24_BATCH_REM)
     sh_old = sh.filter((F.col("doc_id") % _DD24_BATCH_MOD) != _DD24_BATCH_REM)
