@@ -544,3 +544,87 @@ def test_minhash_estimate_full_agreement_on_exact_dups(spark):
         assert 0 <= r.n_agree_32 <= 32
         if r.n_common == r.n_union:  # identical shingle sets
             assert r.n_agree_32 == 32
+
+
+def test_bpe_candidates_are_dense_ranked_and_monotone(spark):
+    """tx17's top-k is densely ranked 1..20 with weighted counts
+    nonincreasing in rank (deterministic pair tie-break)."""
+    from fp_data_lakehouse_spark.operators.textops import tx17_bpe_merge_candidates
+
+    rows = sorted(tx17_bpe_merge_candidates(spark, SF_ORACLE).collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.n_weighted >= cur.n_weighted
+        assert cur.n_word_types >= 1
+
+
+def test_chunk_windows_tile_every_document(spark):
+    """tx18's chunks must tile each document: stride-spaced start
+    offsets from 1, every chunk at most 64 tokens, the last chunk
+    reaching the document's end, full windows everywhere but the tail."""
+    from collections import defaultdict
+
+    from fp_data_lakehouse_spark.operators.textops import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        tx18_chunk_windows,
+    )
+    from fp_data_lakehouse_spark.sources.catalog import load_table
+
+    tok_counts = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"))
+        .collect()
+    }
+    by_doc = defaultdict(list)
+    for r in tx18_chunk_windows(spark, SF_ORACLE).collect():
+        by_doc[r.doc_id].append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = tok_counts[doc_id]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_token == 1 + c.chunk_idx * _CHUNK_STRIDE
+            assert 1 <= c.n_tokens <= _CHUNK_TOKENS
+        last = chunks[-1]
+        assert last.start_token + last.n_tokens - 1 == n  # reaches the end
+        for c in chunks[:-1]:
+            assert c.n_tokens == min(_CHUNK_TOKENS, n - c.start_token + 1)
+
+
+def test_ingest_gate_covers_batch_exactly_once(spark):
+    """dd24 must emit exactly one verdict per new-batch document, and
+    every match id must point into the existing (non-batch) split."""
+    from fp_data_lakehouse_spark.operators.dedup import (
+        _DD24_BATCH_MOD,
+        _DD24_BATCH_REM,
+        dd24_incremental_ingest_gate,
+    )
+    from fp_data_lakehouse_spark.sources.catalog import load_table
+
+    rows = dd24_incremental_ingest_gate(spark, SF_ORACLE).collect()
+    batch = {
+        r.doc_id
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .filter((F.col("doc_id") % _DD24_BATCH_MOD) == _DD24_BATCH_REM)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == batch
+    assert len(rows) == len(batch)
+    for r in rows:
+        if r.status == "unique":
+            assert r.match_doc_id is None
+        else:
+            assert r.match_doc_id % _DD24_BATCH_MOD != _DD24_BATCH_REM
+
+
+def test_ledger_reconciliation_partitions_orders(spark):
+    """dq04's three verdict counts must partition the order population."""
+    from fp_data_lakehouse_spark.operators.dataquality import dq04_ledger_reconciliation
+
+    r = dq04_ledger_reconciliation(spark, SF_ORACLE).collect()[0]
+    assert r.n_headers_without_lines + r.n_reconciled + r.n_mismatched == r.n_orders
+    assert r.n_orders > 0
