@@ -77,6 +77,25 @@ def main() -> None:
     # approximates steady-state latency, which is the number that scales.
     timings: dict[str, float] = {}
     t_suite = time.time()
+
+    # gr01/gr02 share a memoized co-order edge-list artifact (the
+    # "materialize the expensive intermediate to the lake" pattern).
+    # Build it HERE, timed, as its own line item — so the per-query
+    # numbers for gr01/gr02 are explicitly scan+compute over the
+    # artifact, and the build cost is reported rather than hidden by
+    # min-of-2 warm-cache repeats.
+    try:
+        from fp_data_lakehouse_spark.operators.graph import (
+            _coorder_edges,
+            clear_coorder_cache,
+        )
+
+        clear_coorder_cache()
+        t0 = time.time()
+        _coorder_edges(spark, sf_dir)  # the parquet write IS the build
+        timings["gr00_coorder_edges_build"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        print(f"# bench error in gr00_coorder_edges_build: {exc}", file=sys.stderr)
     for name in sorted(REGISTRY):
         best = None
         for _ in range(2):
@@ -126,6 +145,15 @@ def main() -> None:
         etl_files_per_sec = -1.0
         print(f"# bench error in etl: {exc}", file=sys.stderr)
 
+    # Per-family subtotals (q/dd/tx/sim/...) so round-over-round drift
+    # attribution is one diff away (family = leading alpha prefix).
+    families: dict[str, float] = {}
+    for name, t in timings.items():
+        if t < 0:
+            continue
+        fam = name.split("_", 1)[0].rstrip("0123456789")
+        families[fam] = round(families.get(fam, 0.0) + t, 3)
+
     print(
         json.dumps(
             {
@@ -133,7 +161,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "family_totals": families,
                 "timing": "min_of_2_plus_slowest5_rerun",
+                "notes": "gr01/gr02 exclude the shared co-order edge-list"
+                " build, reported separately as gr00_coorder_edges_build",
                 "sf": sf,
                 "etl_files_per_sec": etl_files_per_sec,
                 "etl_baseline_files_per_sec": 5.4,
@@ -157,6 +188,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "queries": dict(slowest),
+                "family_totals": families,
                 "n_queries": len(timings),
                 "n_errors": sum(1 for t in timings.values() if t < 0),
                 "timing": "min_of_2_plus_slowest5_rerun",

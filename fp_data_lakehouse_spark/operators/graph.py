@@ -15,6 +15,12 @@ connected_components."""
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import os
+import shutil
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,6 +32,15 @@ _TELEPORT = 0.15
 _MAX_ROUNDS = 10  # bounded-round demonstration (sim06's Lloyd cap); the
 # geometric residual after k damped rounds is <= 0.85^k — production
 # raises the cap / tightens the probe threshold, the shape is unchanged
+
+# Rank state is one (string node id, double) row per node. Broadcasting
+# it keeps each round shuffle-free, but a broadcast hash relation costs
+# ~100 B per entry and Spark hard-caps broadcasts at 8 GB — at
+# reference-class scale (~1e9 customers+suppliers) the state is tens of
+# GB and MUST flow through the co-partitioned shuffle path instead.
+# 4M nodes ≈ 400 MB broadcast: comfortably inside executor memory,
+# conservatively inside the hard cap.
+_BROADCAST_NODE_CAP = 4_000_000
 
 # Undirected bipartite edges, directed both ways for the random walk.
 _EDGES_SQL = """
@@ -141,43 +156,93 @@ def pr01_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_step(edges, None, n_nodes)
 
 
-@register("pr02_pagerank")
-def pr02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank, bounded power iteration (max-delta probe < 1e-6
-    or 10 rounds): per-round lineage cut with localCheckpoint, only a 1-row
-    max-delta crosses to the driver — the connected_components /
-    sim06 iterative shape. Rows-only for the driver (the fixpoint has
-    no finite SQL expression); pytest pins mass conservation (sum of
-    ranks ~ 1 with teleport), agreement of round 1 with pr01, and
-    monotone convergence."""
-    edges = _edges(spark, sf_dir)
-    # Loop-invariant work hoisted and materialized ONCE: the (src, dst,
-    # outdeg) join — the only edge-sized shuffle in the whole query —
-    # and the scalar node count (1 long to the driver, the
-    # incremental.py max-id precedent). Each round is then one
-    # broadcast-join + map-side-partial aggregation over the pinned
-    # edge blocks; rank state (one double per node) broadcasts, the
-    # edge set never reshuffles again.
+def _prepare_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, int]:
+    """Loop-invariant PageRank state, materialized ONCE: the (src, dst,
+    outdeg) edge list explicitly hash-partitioned on ``src`` and pinned
+    with an eager localCheckpoint, plus the node count (1 long to the
+    driver, the incremental.py max-id precedent) and the partition
+    count. The explicit ``repartition(parts, "src")`` before the
+    checkpoint is load-bearing for the shuffle-join path: it guarantees
+    the pinned blocks carry HashPartitioning(src, parts) (AQE never
+    coalesces user-specified repartitions), so every later join on
+    ``src`` against a relation repartitioned to the same (key, count)
+    reshuffles only THAT relation — the edge list never moves again."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    parts = spark.sparkContext.defaultParallelism
+    edges_deg = (
+        edges.join(outdeg, "src")
+        .repartition(parts, "src")
+        .localCheckpoint(eager=True)
+    )
     n = edges_deg.agg(F.countDistinct("src")).collect()[0][0]
-    ranks = edges_deg.groupBy("dst").agg(
-        F.sum(1.0 / F.col("deg")).alias("s")
-    ).select(
+    return edges_deg, n, parts
+
+
+def _initial_ranks(edges_deg: DataFrame, n: int) -> DataFrame:
+    """Round-1 ranks from the uniform 1/N start (same arithmetic as
+    pr01, expressed over the pinned edge list)."""
+    return edges_deg.groupBy("dst").agg(F.sum(1.0 / F.col("deg")).alias("s")).select(
         F.col("dst").alias("node_id"),
         (F.lit(_TELEPORT) / n + F.lit(_DAMP) * F.col("s") / n).alias("rank"),
-    ).localCheckpoint(eager=True)
-    for i in range(1, _MAX_ROUNDS):
-        nxt = (
-            edges_deg.join(F.broadcast(ranks.withColumnRenamed("node_id", "src")), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
-            .select(
-                F.col("dst").alias("node_id"),
-                (F.lit(_TELEPORT) / n + F.lit(_DAMP) * F.col("s")).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+    )
+
+
+def _pagerank_round(
+    edges_deg: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    broadcast_state: bool,
+    parts: int,
+) -> DataFrame:
+    """One damped power-iteration round over the pinned edge list.
+
+    ``broadcast_state=True``: the node-sized rank relation ships to
+    every executor — zero shuffle, right while the state fits the
+    broadcast budget (see _BROADCAST_NODE_CAP).
+
+    ``broadcast_state=False`` (the 100 TB path): the rank relation is
+    hash-repartitioned on the join key to ALIGN with edges_deg's pinned
+    HashPartitioning(src, parts), so the join moves only the node-sized
+    state (shuffle_hash hint: build the hash table on the small rank
+    side instead of sorting the edge blocks every round). The follow-up
+    groupBy("dst") partially aggregates map-side, so its exchange is
+    node-sized too — per-round network cost is O(nodes), never O(edges),
+    at any scale. Identical real arithmetic on both paths."""
+    state = ranks.withColumnRenamed("node_id", "src")
+    if broadcast_state:
+        state = F.broadcast(state)
+    else:
+        state = state.repartition(parts, "src").hint("shuffle_hash")
+    return (
+        edges_deg.join(state, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+        .select(
+            F.col("dst").alias("node_id"),
+            (F.lit(_TELEPORT) / n + F.lit(_DAMP) * F.col("s")).alias("rank"),
         )
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_node_cap: int = _BROADCAST_NODE_CAP,
+) -> DataFrame:
+    """Damped PageRank, bounded power iteration (max-delta probe < 1e-6
+    or 10 rounds): per-round lineage cut with localCheckpoint, only a
+    1-row max-delta crosses to the driver — the connected_components /
+    sim06 iterative shape. The rank state broadcasts only under the
+    size guard; above the cap every round runs the co-partitioned
+    shuffle join (see _pagerank_round)."""
+    edges_deg, n, parts = _prepare_edges(spark, sf_dir)
+    broadcast_state = n <= broadcast_node_cap
+    ranks = _initial_ranks(edges_deg, n).localCheckpoint(eager=True)
+    for i in range(1, _MAX_ROUNDS):
+        nxt = _pagerank_round(
+            edges_deg, ranks, n, broadcast_state, parts
+        ).localCheckpoint(eager=True)
         # The convergence probe is its own Spark job, so it samples
         # every third round — the iteration pays one materialization
         # per round either way, and the cap bounds the tail.
@@ -193,6 +258,16 @@ def pr02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return nxt
         ranks = nxt
     return ranks
+
+
+@register("pr02_pagerank")
+def pr02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank to (bounded) convergence — see ``pagerank``. Rows-only
+    for the driver (the fixpoint has no finite SQL expression); pytest
+    pins mass conservation (sum of ranks ~ 1 with teleport), agreement
+    of round 1 with pr01, monotone convergence, and broadcast-path vs
+    shuffle-path value agreement."""
+    return pagerank(spark, sf_dir)
 
 
 # Co-order projection over PARTS (parts appearing in the same order),
@@ -215,8 +290,67 @@ _COORDER_PART_EDGES_SQL = """
 # artifact — the dd09 component-labels pattern: a (a, b) long-pair file
 # survives block-manager eviction across queries and timing passes, and
 # "materialize the expensive intermediate to the lake" is the
-# cluster-scale composition anyway.
-_COORDER_EDGES_CACHE: dict[tuple[str, str], str] = {}
+# cluster-scale composition anyway. The artifact lives under a
+# CLUSTER-VALID scratch root (configurable; defaults beside the SQL
+# warehouse dir, which is itself shared storage on a real cluster), is
+# keyed by a source-file signature so data changes under sf_dir
+# invalidate it, builds under a lock so concurrent callers never race
+# the write, and every dir this process creates is removed at exit.
+# bench.py pre-builds it and reports the build as its own line item, so
+# gr01/gr02 timings are explicitly scan+compute over the artifact.
+_COORDER_EDGES_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+_COORDER_LOCK = threading.Lock()
+_COORDER_CREATED: list[str] = []
+
+
+def _scratch_root(spark: SparkSession) -> str:
+    """Scratch location for materialized intermediates:
+    ``spark.fp_lakehouse.scratch_dir`` if set (on a real cluster point
+    it at shared storage — the lake bucket, HDFS tmp); otherwise a
+    ``_fp_scratch`` dir beside the session's SQL warehouse dir, which
+    must already be cluster-visible storage for any saveAsTable to
+    work, so the default is cluster-valid too."""
+    configured = spark.conf.get("spark.fp_lakehouse.scratch_dir", "")
+    if configured:
+        return configured
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    return os.path.join(wh, "_fp_scratch")
+
+
+def _source_signature(sf_dir: str, table: str) -> str:
+    """Cheap fingerprint of a table's files (path, size, mtime) so the
+    memo invalidates when the data under sf_dir changes mid-session.
+    Non-local paths (s3://...) fall back to the path string alone —
+    object stores are immutable-by-convention snapshot dirs there."""
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    parts = [root]
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isfile(root):
+        st = os.stat(root)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+
+
+def clear_coorder_cache() -> None:
+    """Drop the co-order memo and delete every artifact dir this
+    process created (bench calls this before its timed pre-build; an
+    atexit hook keeps scratch space from accumulating across runs)."""
+    with _COORDER_LOCK:
+        _COORDER_EDGES_CACHE.clear()
+        while _COORDER_CREATED:
+            shutil.rmtree(_COORDER_CREATED.pop(), ignore_errors=True)
+
+
+atexit.register(clear_coorder_cache)
 
 
 def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,11 +358,12 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized to a parquet artifact (see the cache note above); within
     the building run the self-join + distinct is still executed exactly
     once."""
-    import tempfile
-
     key = (spark.sparkContext.applicationId, sf_dir)
-    path = _COORDER_EDGES_CACHE.get(key)
-    if path is None:
+    sig = _source_signature(sf_dir, "lineitem")
+    with _COORDER_LOCK:
+        cached = _COORDER_EDGES_CACHE.get(key)
+        if cached is not None and cached[0] == sig:
+            return spark.read.parquet(cached[1])
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         l1 = li.alias("l1")
         l2 = li.alias("l2")
@@ -243,9 +378,10 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        path = tempfile.mkdtemp(prefix="gr_coorder_edges_")
+        path = os.path.join(_scratch_root(spark), f"coorder_edges_{sig}")
         edges.write.mode("overwrite").parquet(path)
-        _COORDER_EDGES_CACHE[key] = path
+        _COORDER_EDGES_CACHE[key] = (sig, path)
+        _COORDER_CREATED.append(path)
     return spark.read.parquet(path)
 
 

@@ -628,3 +628,19 @@ def test_ledger_reconciliation_partitions_orders(spark):
     r = dq04_ledger_reconciliation(spark, SF_ORACLE).collect()[0]
     assert r.n_headers_without_lines + r.n_reconciled + r.n_mismatched == r.n_orders
     assert r.n_orders > 0
+
+
+def test_pagerank_shuffle_path_matches_broadcast_path(spark):
+    """pr02's two join strategies (broadcast under the node cap,
+    co-partitioned shuffle above it) must be the SAME operator: forcing
+    the shuffle path with cap=0 changes partition-level summation order
+    only, so ranks agree to float-accumulation noise."""
+    from fp_data_lakehouse_spark.operators.graph import pagerank, pr02_pagerank
+
+    a = {r.node_id: r.rank for r in pr02_pagerank(spark, SF_ORACLE).collect()}
+    b = {
+        r.node_id: r.rank
+        for r in pagerank(spark, SF_ORACLE, broadcast_node_cap=0).collect()
+    }
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-9

@@ -400,3 +400,22 @@ def test_multimodal_packing_partitions_by_source(spark):
     df = _df(spark, "mm05_multimodal_batch_assembly")
     plan = physical_plan(df)
     assert "hashpartitioning(source" in plan
+
+
+def test_pagerank_copartitioned_round_never_broadcasts_rank_state(spark):
+    """pr02's 100 TB contract: above the broadcast cap each round's
+    join must be a co-partitioned shuffle join — the node-sized rank
+    relation moves, the pinned edge list does not, and NOTHING
+    broadcasts (a rank-state broadcast is tens of GB at 1e9 nodes,
+    over Spark's 8 GB hard cap)."""
+    from fp_data_lakehouse_spark.operators import graph as G
+
+    edges_deg, n, parts = G._prepare_edges(spark, SF_ORACLE)
+    rnd = G._pagerank_round(
+        edges_deg, G._initial_ranks(edges_deg, n), n,
+        broadcast_state=False, parts=parts,
+    )
+    plan = physical_plan(rnd)
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
