@@ -211,9 +211,17 @@ def dq02_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.6 s warm at sf0.1 vs 0.9 s for this shape); two hash passes
     # over the same pruned scan beat one sort pass over the Expand.
     # String rendering is injective per column type (distinct values
-    # stay distinct), so the cardinality matches COUNT(DISTINCT col).
+    # stay distinct), so the cardinality matches COUNT(DISTINCT col) —
+    # with one float caveat: -0.0 renders "-0.0" but compares equal to
+    # 0.0 natively (both engines normalize -0.0 in grouping). Adding
+    # +0.0 maps -0.0 to +0.0 and is the identity on every other double
+    # (NaN stays NaN, one rendered value either way), restoring
+    # injectivity-up-to-equality for float columns on arbitrary data.
     stack_vals = ", ".join(
-        f"'{col}', cast({col} as string)" for col, _ in _DQ02_COLS
+        f"'{col}', cast({col} + 0.0 as string)"
+        if kind == "cents"
+        else f"'{col}', cast({col} as string)"
+        for col, kind in _DQ02_COLS
     )
     ndv = (
         orders.selectExpr(
@@ -247,9 +255,10 @@ WITH span AS (
 binned AS (
     SELECT e.event_type,
            CASE WHEN 2 * epoch_us(e.ts) < s.t_lo + s.t_hi THEN 0 ELSE 1 END AS half,
-           CAST(LEAST(FLOOR(((e.value - s.vmin) * {_DQ03_BINS}.0)
-                            / (s.vmax - s.vmin)),
-                      {_DQ03_BINS - 1}) AS BIGINT) AS bin
+           CAST(CASE WHEN s.vmax = s.vmin THEN 0
+                     ELSE LEAST(FLOOR(((e.value - s.vmin) * {_DQ03_BINS}.0)
+                                      / (s.vmax - s.vmin)),
+                                {_DQ03_BINS - 1}) END AS BIGINT) AS bin
     FROM events e CROSS JOIN span s
 ),
 tb AS (
@@ -302,12 +311,19 @@ def dq03_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(2 * F.unix_micros("ts") < F.col("t_lo") + F.col("t_hi"), 0)
         .otherwise(1)
         .alias("half"),
-        F.least(
-            F.floor(
-                ((F.col("value") - F.col("vmin")) * float(_DQ03_BINS))
-                / (F.col("vmax") - F.col("vmin"))
-            ),
-            F.lit(_DQ03_BINS - 1),
+        # Degenerate-span guard (all values equal => vmax == vmin): the
+        # unguarded bin expression is 0/0 = NaN in Spark and
+        # engine-dependent in DuckDB; a single-bin histogram (bin 0) is
+        # the defined answer, mirrored in the oracle's CASE.
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    ((F.col("value") - F.col("vmin")) * float(_DQ03_BINS))
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+                F.lit(_DQ03_BINS - 1),
+            )
         )
         .cast("long")
         .alias("bin"),
