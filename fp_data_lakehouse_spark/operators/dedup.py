@@ -1671,3 +1671,236 @@ def dd24_incremental_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("match_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# et05: multi-batch incremental ingest pipeline (ingest -> gate -> merge
+# -> re-gate). dd24 certifies ONE gate step; this op certifies the
+# sequential composition a daily admission pipeline actually runs: the
+# corpus folds over ordered batches, and batch b's gate runs against the
+# corpus AS LEFT BY batch b-1 — including documents admitted earlier in
+# the same run. Reference anchor: full-refresh vs incremental contrast
+# (SURVEY.md §1.1/§2.3, ETL_FINAL.py DROP-DATABASE rebuild vs Delta
+# MERGE upgrade path).
+# ---------------------------------------------------------------------------
+
+_ET05_BATCHES = 3  # doc_id % 3 defines arrival order
+
+
+def _et05_oracle() -> str:
+    """The loop UNROLLED: batch-1 and batch-2 gate steps written out
+    explicitly against corpus0 / corpus1. The Spark side executes the
+    genuine fold (the production control flow); a green row proves
+    loop == unrolled dataflow."""
+
+    def gate(b: int, corpus: str) -> str:
+        return f"""
+reps{b} AS (
+    SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS grp
+    FROM d WHERE batch = {b} GROUP BY fp
+),
+ex{b} AS (SELECT r.doc_id FROM reps{b} r JOIN {corpus} c ON r.fp = c.fp),
+near{b} AS (
+    SELECT DISTINCT p.new_id AS doc_id
+    FROM (
+        SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id IN (SELECT doc_id FROM reps{b})
+          AND a.doc_id NOT IN (SELECT doc_id FROM ex{b})
+          AND b.doc_id IN (SELECT doc_id FROM {corpus})
+        GROUP BY a.doc_id, b.doc_id
+    ) p
+    JOIN sizes sa ON p.new_id = sa.doc_id
+    JOIN sizes sb ON p.old_id = sb.doc_id
+    WHERE {_JACCARD_DEN} * p.n_common >= {_JACCARD_NUM} * (sa.n_sh + sb.n_sh - p.n_common)
+),
+adm{b} AS (
+    SELECT doc_id, fp FROM reps{b}
+    WHERE doc_id NOT IN (SELECT doc_id FROM ex{b})
+      AND doc_id NOT IN (SELECT doc_id FROM near{b})
+),
+corpus{b} AS (SELECT * FROM corpus{b - 1} UNION ALL SELECT * FROM adm{b}),
+c{b} AS (
+    SELECT CAST({b} AS INT) AS batch,
+           CAST(SUM(grp) AS BIGINT) AS n_arrived,
+           CAST(SUM(grp) - COUNT(*) AS BIGINT) AS n_batch_dups,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM ex{b})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM ex{b})
+                          AND doc_id IN (SELECT doc_id FROM near{b})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM ex{b})
+                          AND doc_id NOT IN (SELECT doc_id FROM near{b})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+    FROM reps{b}
+)"""
+
+    return f"""
+WITH d AS (
+    SELECT doc_id, CAST(doc_id % {_ET05_BATCHES} AS INT) AS batch,
+           md5(lower(trim(text))) AS fp
+    FROM documents
+),
+sh AS ({_SHINGLE_ROWS_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+corpus0 AS (SELECT MIN(doc_id) AS doc_id, fp FROM d WHERE batch = 0 GROUP BY fp),
+c0 AS (
+    SELECT CAST(0 AS INT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_arrived,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_batch_dups,
+           CAST(0 AS BIGINT) AS n_exact_dup,
+           CAST(0 AS BIGINT) AS n_near_dup,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_admitted
+    FROM d WHERE batch = 0
+),{gate(1, "corpus0")},{gate(2, "corpus1")}
+SELECT batch, n_arrived, n_batch_dups, n_exact_dup, n_near_dup, n_admitted,
+       CAST(SUM(n_admitted) OVER (ORDER BY batch) AS BIGINT) AS corpus_size_after
+FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+"""
+
+
+@register("et05_multibatch_ingest_pipeline", oracle=_et05_oracle())
+def et05_multibatch_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential ingest-admission loop over 3 ordered batches
+    (doc_id % 3): each batch is deduped within itself by exact
+    fingerprint (min-doc_id representative), then gated against the
+    CURRENT corpus — exact fingerprint match rejects as exact_dup,
+    3-gram Jaccard >= 0.5 against any corpus doc rejects as near_dup
+    (dd24's gate), survivors MERGE into the corpus the next batch gates
+    against. Output: one census row per batch (arrivals, within-batch
+    dups, both rejection classes, admissions) plus the running corpus
+    size.
+
+    This is the control flow a daily ingestion pipeline actually runs,
+    certified end-to-end: the oracle UNROLLS the identical two gate
+    steps in SQL, so a green row proves the Spark fold == the declared
+    dataflow. Near-dups WITHIN one batch are deliberately both admitted
+    (dd24's gate inspects batch-vs-corpus only; intra-batch near-dedup
+    is the dd03/dd13 job upstream).
+
+    Scale shape: the shingle corpus tokenizes ONCE (shared lazy
+    checkpoint); every gate's candidate join is bounded by
+    batch x matched-shingle buckets, never corpus x corpus; the corpus
+    state is an eagerly checkpointed (doc_id, fp) pair list — at 100 TB
+    that state lives as a maintained lake table and each day's run
+    executes exactly one iteration of this loop (dd24's note), so the
+    3-iteration fold here is the whole lifecycle in miniature."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _ET05_BATCHES).cast("int").alias("batch"),
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def batch_reps(b: int) -> DataFrame:
+        return (
+            docs.filter(F.col("batch") == b)
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.count(F.lit(1)).alias("grp"),
+            )
+        )
+
+    corpus = batch_reps(0).select("doc_id", "fp")
+    census0 = docs.filter(F.col("batch") == 0).agg(
+        F.lit(0).cast("int").alias("batch"),
+        F.count(F.lit(1)).cast("long").alias("n_arrived"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_batch_dups"),
+        F.lit(0).cast("long").alias("n_exact_dup"),
+        F.lit(0).cast("long").alias("n_near_dup"),
+        F.countDistinct("fp").cast("long").alias("n_admitted"),
+    )
+    censuses = [census0]
+
+    for b in range(1, _ET05_BATCHES):
+        # Eager checkpoint: the corpus is referenced three times below
+        # (exact fps, shingle-join member filter, merge) and derives
+        # from the lazily-checkpointed shingle/doc subtrees — an eager
+        # cut avoids both recomputation and the nested-lazy-checkpoint
+        # accumulator noise.
+        corpus = corpus.localCheckpoint(eager=True)
+        reps = batch_reps(b)
+        exact_ids = (
+            reps.join(corpus.select("fp"), "fp").select("doc_id")
+        )
+        nonexact = reps.join(exact_ids, "doc_id", "left_anti")
+        pair_counts = (
+            sh.join(nonexact.select("doc_id"), "doc_id", "semi")
+            .alias("a")
+            .join(
+                sh.join(corpus.select("doc_id"), "doc_id", "semi").alias("b"),
+                F.col("a.shingle") == F.col("b.shingle"),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("old_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        near_ids = (
+            pair_counts.join(
+                sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed(
+                    "n_sh", "na"
+                ),
+                "new_id",
+            )
+            .join(
+                sizes.withColumnRenamed("doc_id", "old_id").withColumnRenamed(
+                    "n_sh", "nb"
+                ),
+                "old_id",
+            )
+            .filter(
+                _JACCARD_DEN * F.col("n_common")
+                >= _JACCARD_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        classified = (
+            reps.join(exact_ids.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+            .join(near_ids.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        )
+        censuses.append(
+            classified.agg(
+                F.lit(b).cast("int").alias("batch"),
+                F.sum("grp").cast("long").alias("n_arrived"),
+                (F.sum("grp") - F.count(F.lit(1))).cast("long").alias("n_batch_dups"),
+                F.sum(F.when(F.col("is_exact").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_exact_dup"),
+                F.sum(
+                    F.when(
+                        F.col("is_exact").isNull() & F.col("is_near").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_near_dup"),
+                F.sum(
+                    F.when(
+                        F.col("is_exact").isNull() & F.col("is_near").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_admitted"),
+            )
+        )
+        admitted = (
+            reps.join(exact_ids, "doc_id", "left_anti")
+            .join(near_ids, "doc_id", "left_anti")
+            .select("doc_id", "fp")
+        )
+        corpus = corpus.unionAll(admitted)
+
+    from functools import reduce as _reduce
+
+    out = _reduce(DataFrame.unionAll, censuses)
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn(
+        "corpus_size_after", F.sum("n_admitted").over(w).cast("long")
+    )

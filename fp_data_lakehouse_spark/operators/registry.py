@@ -51,69 +51,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Round 1 covered q01-q37(+q10b,q27_theta), tx01-tx08, dd01-dd03
-    # green; round 2 covered the et/vt/ev/sk/ag/sp/sim/mm/tx additions
-    # green. Round 3 front-loads the six oracle-backed queries that have
-    # never had a green driver row (ev08/ev09/mm01 fixed this round;
-    # q40/q41/dd15 landed after the round-2 window closed), followed by
-    # everything newly added this round.
+    # Rounds 1-3 cumulatively certified 147 of the 154 oracle-backed
+    # queries. Round 4 front-loads the 7 that landed after the round-3
+    # window closed (closing the 154/154 loop) plus et05 (new this
+    # round), then re-certifies every query whose implementation or
+    # oracle changed this round (dq02/dq03 advice fixes; the graph
+    # family after the pr02 size-guard + scratch-dir artifact rework),
+    # then rotates re-certification across the heavyweight families.
+    "ev26_timebound_funnel",
+    "ly03_compaction_plan",
+    "vt04_retention_plan",
+    "tx17_bpe_merge_candidates",
+    "dd24_incremental_ingest_gate",
+    "dq04_ledger_reconciliation",
+    "tx18_chunk_windows",
+    "et05_multibatch_ingest_pipeline",
+    # changed in round 4 — re-certify on the hard signal
+    "dq02_column_profile",
+    "dq03_distribution_drift",
+    "pr01_pagerank_step",
+    "gr01_triangle_count",
+    "gr02_degree_assortativity",
+    # rotation: heavyweight / composition queries re-certified this round
+    "et01_star_schema_build",
+    "et02_student_dim_rollup",
+    "et03_incremental_agg_maintenance",
+    "et04_reject_quarantine",
+    "dd15_prefix_filter_jaccard",
+    "dd22_minhash_estimate_pairs",
+    "dd19_semantic_dedup_keep",
+    "dd20_containment_pairs",
+    "dd21_canonical_text_dedup",
+    "dd17_repeated_spans",
+    "dd18_edit_distance_pairs",
+    "vt01_version_change_feed",
+    "vt02_scd2_priority_history",
+    "vt03_time_travel_read",
+    "ly01_zorder_layout",
+    "ly02_skipping_comparison",
+    "dq01_constraint_audit",
+    "dd03_ngram_jaccard_pairs",
+    "sim07_int8_quantize",
+    "sim08_int8_mips_topk",
+    "sim09_pq_adc_topk",
+    "sk06_count_min_heavy_users",
+    "sk07_bloom_join_prune",
+    "sk08_kmv_distinct_users",
+    "sk09_kmv_set_overlap",
+    "tx14_boilerplate_ngram_ratio",
+    "tx15_char_diversity",
+    "tx16_pmi_collocations",
+    "ag03_user_value_ewma",
+    "ag04_winsorized_event_values",
+    "ag05_value_histogram",
     "ev08_error_click_proximity",
     "ev09_user_event_profile",
     "mm01_media_metadata",
-    "q40_unpivot_lineitem_measures",
-    "q41_nation_customer_supplier_census",
-    "dd15_prefix_filter_jaccard",
-    # new in round 3
-    "ev17_asof_click_before_purchase",
-    "ag04_winsorized_event_values",
-    "sk06_count_min_heavy_users",
-    "sim07_int8_quantize",
-    "tx14_boilerplate_ngram_ratio",
-    "dd17_repeated_spans",
-    "sp06_priority_sample",
-    "tx15_char_diversity",
-    "ev18_session_error_hour_overlap",
-    "vt02_scd2_priority_history",
-    "dd18_edit_distance_pairs",
-    "sim08_int8_mips_topk",
-    "dq01_constraint_audit",
-    "pr01_pagerank_step",
-    "sp07_mixture_allocation_sample",
     "mm05_multimodal_batch_assembly",
-    "dd19_semantic_dedup_keep",
-    "ev19_session_path_trigrams",
-    "dd20_containment_pairs",
-    "ev20_user_feature_assembly",
-    "sk07_bloom_join_prune",
-    "sk08_kmv_distinct_users",
-    "dq02_column_profile",
-    "ly01_zorder_layout",
-    "dd21_canonical_text_dedup",
-    "tx16_pmi_collocations",
-    "gr01_triangle_count",
-    "sk09_kmv_set_overlap",
-    "sp08_group_holdout_split",
-    "ag05_value_histogram",
-    "ev21_cohort_ltv",
-    "et03_incremental_agg_maintenance",
-    "sim09_pq_adc_topk",
-    "ev22_churn_labels",
-    "ev23_ab_test_zscore",
-    "gr02_degree_assortativity",
-    "ev24_dow_seasonality",
-    "ev25_touch_attribution",
     "mm06_perceptual_hash_pairs",
-    "et04_reject_quarantine",
-    "vt03_time_travel_read",
-    "ly02_skipping_comparison",
-    # fills the 50-row window. Round-4 rotation: the oracle-backed
-    # queries without a driver row after r3 are exactly the ones added
-    # after this window closed — ev26_timebound_funnel,
-    # ly03_compaction_plan, vt04_retention_plan,
-    # tx17_bpe_merge_candidates, dd24_incremental_ingest_gate,
-    # dq04_ledger_reconciliation, tx18_chunk_windows — front-load those next round.
-    "dq03_distribution_drift",
-    "dd22_minhash_estimate_pairs",
+    "sp06_priority_sample",
+    # 50-row window ends here; everything else follows in registration
+    # order and stays covered by tests/test_oracle_parity.py.
 ]
 
 
