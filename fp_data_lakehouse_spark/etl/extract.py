@@ -129,30 +129,31 @@ def extract_courses(docs: DataFrame) -> DataFrame:
         ).alias("s"),
     ).select("doc_id", F.col("s.tahap").alias("tahap"), F.col("s.section").alias("section"))
 
-    zipped = sections.select(
+    # ONE heavy regex pass per section (group 0 = the whole match), then
+    # the six capture groups are re-extracted from the ~40-char match
+    # strings — six regexp_extract_all passes over multi-KB documents
+    # collapse to one (the groups re-match identically on the match's
+    # own span: every candidate split the engine rejects in full text
+    # it also rejects on the truncated match, since the failing tail
+    # atoms — \s+, [A-Z]{1,2} — fail at end-of-string too; pinned by
+    # the transcript golden tests).
+    matches = sections.select(
         "doc_id",
         "tahap",
-        F.arrays_zip(
-            F.regexp_extract_all("section", F.lit(_RE_COURSE), F.lit(1)).alias("kode_mk"),
-            F.regexp_extract_all("section", F.lit(_RE_COURSE), F.lit(2)).alias("nama_mk"),
-            F.regexp_extract_all("section", F.lit(_RE_COURSE), F.lit(3)).alias("sks"),
-            F.regexp_extract_all("section", F.lit(_RE_COURSE), F.lit(4)).alias("tahun"),
-            F.regexp_extract_all("section", F.lit(_RE_COURSE), F.lit(5)).alias("sem_code"),
-            F.regexp_extract_all("section", F.lit(_RE_COURSE), F.lit(6)).alias("nilai"),
-        ).alias("course"),
+        F.explode(
+            F.regexp_extract_all("section", F.lit(_RE_COURSE), F.lit(0))
+        ).alias("m"),
     )
-
-    return (
-        zipped.select("doc_id", "tahap", F.explode("course").alias("c"))
-        .select(
-            "doc_id",
-            F.col("c.kode_mk").alias("kode_mk"),
-            F.col("c.nama_mk").alias("nama_mk"),
-            F.col("c.sks").cast("int").alias("sks"),  # T11 casts (ETL_FINAL.py:195,203)
-            F.col("c.tahun").cast("int").alias("tahun"),
-            # T8 (ETL_FINAL.py:194): Gs -> Gasal, anything else -> Genap.
-            F.when(F.col("c.sem_code") == "Gs", "Gasal").otherwise("Genap").alias("semester"),
-            F.col("c.nilai").alias("nilai"),
-            "tahap",
-        )
+    return matches.select(
+        "doc_id",
+        F.regexp_extract("m", _RE_COURSE, 1).alias("kode_mk"),
+        F.regexp_extract("m", _RE_COURSE, 2).alias("nama_mk"),
+        F.regexp_extract("m", _RE_COURSE, 3).cast("int").alias("sks"),  # T11 casts (ETL_FINAL.py:195,203)
+        F.regexp_extract("m", _RE_COURSE, 4).cast("int").alias("tahun"),
+        # T8 (ETL_FINAL.py:194): Gs -> Gasal, anything else -> Genap.
+        F.when(F.regexp_extract("m", _RE_COURSE, 5) == "Gs", "Gasal")
+        .otherwise("Genap")
+        .alias("semester"),
+        F.regexp_extract("m", _RE_COURSE, 6).alias("nilai"),
+        "tahap",
     )

@@ -125,10 +125,16 @@ def build_fact_nilai_mk(
     constraint (id_mahasiswa, id_mk, id_waktu, id_nilai) (U2,
     ETL_FINAL.py:100).
     """
+    # doc_id -> id_mahasiswa resolved dim-side (tiny x tiny join), so
+    # the course-sized stream passes through FOUR broadcast probes, not
+    # five — one less codegen'd probe and broadcast build on the only
+    # relation that scales.
     nrp_map = students.select("doc_id", "nrp").dropDuplicates(["doc_id"])
+    stu_map = nrp_map.join(dim_mahasiswa.select("id_mahasiswa", "nrp"), "nrp").select(
+        "doc_id", "id_mahasiswa"
+    )
     fact = (
-        courses.join(F.broadcast(nrp_map), "doc_id")
-        .join(F.broadcast(dim_mahasiswa.select("id_mahasiswa", "nrp")), "nrp")
+        courses.join(F.broadcast(stu_map), "doc_id")
         .join(F.broadcast(dim_matakuliah.select("id_mk", "kode_mk")), "kode_mk")
         .join(F.broadcast(dim_waktu), ["tahun", "semester"])
         .join(

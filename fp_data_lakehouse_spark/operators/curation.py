@@ -410,7 +410,18 @@ def tx15_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, char) then doc_id; every shuffled row is a (bigint,
     1-char) pair, and partial aggregation collapses each partition to
     at most |alphabet| rows per document before the exchange."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # Explicit width before the per-char explode (the _doc_shingle_sets
+    # lesson): the documents fixture arrives as ONE scan task at these
+    # byte sizes, which serializes the ~40M exploded char rows onto one
+    # core — the measured 2.2 s floor of round 3's tx15. One compact
+    # (doc_id, text) shuffle buys 32-way explode+hash-agg, and the
+    # repartitioning ALSO pre-clusters by doc_id so the (doc_id, c)
+    # aggregate needs no further corpus-wide exchange.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     # LET-BIND lower(text): referencing the alias inside the per-index
     # lambda would re-lowercase the whole string once per character
     # (CollapseProject inlines aliases into lambda bodies — the

@@ -81,12 +81,20 @@ def synth_transcript_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ck % 30 + 10).cast("int"),
         (ck % 60 + 30).cast("int"),
     )
+    # Explicit width before the CPU-heavy consumers (the
+    # _doc_shingle_sets lesson): the synthesized corpus is only ~1 KB
+    # per customer, so AQE coalesces the join output to ONE partition —
+    # and every downstream regex-extraction job then runs on one core
+    # (measured 3× on et01 at sf0.1). A user repartition is never
+    # AQE-coalesced; one extra exchange of the compact docs pays for
+    # 32-way extraction.
     return (
         customer.join(course_blocks, customer.c_custkey == course_blocks.o_custkey, "left")
         .select(
             F.format_string("cust-%d", ck).alias("doc_id"),
             F.concat(header, F.coalesce("course_block", F.lit(""))).alias("text"),
         )
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
 
@@ -138,16 +146,49 @@ def et01_star_schema_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     huruf_map = star["dim_nilai"].select("id_nilai", "huruf")
 
     sem_idx = F.when(F.col("semester") == "Gasal", 0).otherwise(1)
-    return (
+    # Three COUNT(DISTINCT x) in ONE aggregate make Catalyst Expand the
+    # fact 4x and fall back to a SortAggregate (the dq02 lesson —
+    # measured 1.4 s steady-state at sf0.1 for a 7-group rollup). Same
+    # split here: an Expand-free moments pass, plus one skinny stacked
+    # single-distinct pass pivoted back over the 7 grade groups.
+    joined = (
         fact.join(F.broadcast(huruf_map), "id_nilai")
+        .select(
+            "huruf",
+            "bobot",
+            "sks",
+            "bobot_matkul",
+            F.col("id_mahasiswa").cast("long").alias("k_ns"),
+            F.col("id_mk").cast("long").alias("k_nc"),
+            (F.col("tahun") * 2 + sem_idx).cast("long").alias("k_nt"),
+        )
+        .localCheckpoint(eager=False)  # shared by both aggregate passes
+    )
+    moments = joined.groupBy("huruf", "bobot").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("sks").alias("sum_sks"),
+        F.round(F.sum("bobot_matkul"), 1).alias("quality_points"),
+    )
+    ndv = (
+        joined.selectExpr(
+            "huruf",
+            "bobot",
+            "stack(3, 'ns', k_ns, 'nc', k_nc, 'nt', k_nt) AS (which, val)",
+        )
+        .groupBy("huruf", "bobot", "which")
+        .agg(F.countDistinct("val").alias("cnt"))
         .groupBy("huruf", "bobot")
         .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("sks").alias("sum_sks"),
-            F.round(F.sum("bobot_matkul"), 1).alias("quality_points"),
-            F.countDistinct("id_mahasiswa").alias("n_students"),
-            F.countDistinct("id_mk").alias("n_courses"),
-            F.countDistinct(F.col("tahun") * 2 + sem_idx).alias("n_terms"),
+            F.max(F.when(F.col("which") == "ns", F.col("cnt"))).alias("n_students"),
+            F.max(F.when(F.col("which") == "nc", F.col("cnt"))).alias("n_courses"),
+            F.max(F.when(F.col("which") == "nt", F.col("cnt"))).alias("n_terms"),
+        )
+    )
+    return (
+        moments.join(ndv, ["huruf", "bobot"])
+        .select(
+            "huruf", "bobot", "n_rows", "sum_sks", "quality_points",
+            "n_students", "n_courses", "n_terms",
         )
         .orderBy("huruf")
     )
