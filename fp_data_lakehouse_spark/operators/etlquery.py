@@ -402,3 +402,88 @@ def et04_reject_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("split", "n_docs", "n_corrupted", "min_custkey", "max_custkey")
 
     return census(rejected, "rejected").unionAll(census(valid, "valid"))
+
+
+# ---------------------------------------------------------------------------
+# et06: incremental dim get-or-create identity across batches. U1's
+# incremental contract (etl/incremental.py, reference get_or_create_id
+# ETL_FINAL.py:128-134 + AUTO_INCREMENT :51) has a closed form the
+# loop must equal: a natural key's surrogate id is its row_number over
+# (first-appearance batch, natural key). The Spark side runs the REAL
+# 3-batch incremental_load against a scratch warehouse — batch-local
+# extraction, anti-join get-or-create, max-id continuation, tmp-swap
+# merge — and the oracle computes the closed form straight from orders.
+# A green row certifies that re-running ingestion day after day yields
+# the same ids a single full refresh in arrival order would have.
+# ---------------------------------------------------------------------------
+
+_ET06_SAMPLE_MOD = 10  # 10% customer sample bounds the simulation cost
+_ET06_BATCHES = 3
+
+_ET06_SQL = f"""
+WITH term_first AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS tahun,
+           CASE WHEN EXTRACT(month FROM o_orderdate) <= 6
+                THEN 'Gasal' ELSE 'Genap' END AS semester,
+           CAST(MIN(o_custkey % {_ET06_BATCHES}) AS INT) AS first_batch
+    FROM orders
+    WHERE o_custkey % {_ET06_SAMPLE_MOD} = 0
+    GROUP BY 1, 2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY first_batch, tahun, semester) AS INT)
+           AS id_waktu,
+       tahun, semester, first_batch
+FROM term_first
+"""
+
+
+@register("et06_incremental_dim_identity", oracle=_ET06_SQL)
+def et06_incremental_dim_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three sequential ``incremental_load`` runs (batches by
+    customer % 3, over a 10% customer sample) into a fresh scratch
+    warehouse, then the resulting Dim_Waktu read back with each term's
+    first-appearance batch attached. Dim_Waktu is the dimension whose
+    natural key genuinely RECURS across batches (every batch's
+    transcripts span the same academic terms), so both get-or-create
+    paths are exercised: recurring terms must keep their batch-0 ids
+    (the reference SELECTs the existing id), new terms must continue
+    above the running max in natural-key order (AUTO_INCREMENT).
+
+    The oracle is the loop's closed form — row_number over
+    (first_batch, tahun, semester) — computed from the base orders
+    table without ever running the loop; see the module note above.
+
+    Scale shape: per batch the dim merge anti-joins the batch's terms
+    against the existing dim (dim-sized, broadcast), the fact merges
+    through the composite-key anti-join, and nothing ever reshuffles
+    the accumulated warehouse; the scratch dir stands in for the lake
+    (graph/sinks scratch pattern, cluster-valid root)."""
+    from ..etl.extract import extract_courses
+    from ..etl.incremental import incremental_load
+    from ..sources.sinks import alloc_scratch
+
+    ck = F.substring("doc_id", 6, 20).cast("bigint")
+    docs = (
+        synth_transcript_docs(spark, sf_dir)
+        .filter(ck % _ET06_SAMPLE_MOD == 0)
+        .withColumn("_b", (ck % _ET06_BATCHES).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    wh = alloc_scratch(spark, "et06_warehouse")
+    for b in range(_ET06_BATCHES):
+        incremental_load(
+            spark, docs.filter(F.col("_b") == b).select("doc_id", "text"), wh
+        )
+    dim_waktu = spark.read.parquet(f"{wh}/dim_waktu.parquet")
+    first_batch = (
+        extract_courses(docs)
+        .join(docs.select("doc_id", "_b"), "doc_id")
+        .groupBy("tahun", "semester")
+        .agg(F.min("_b").cast("int").alias("first_batch"))
+    )
+    return dim_waktu.join(first_batch, ["tahun", "semester"]).select(
+        F.col("id_waktu").cast("int").alias("id_waktu"),
+        "tahun",
+        "semester",
+        "first_batch",
+    )

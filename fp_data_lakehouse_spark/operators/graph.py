@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ..sources.sinks import scratch_root
 from .registry import register
 
 _DAMP = 0.85
@@ -303,24 +304,6 @@ _COORDER_LOCK = threading.Lock()
 _COORDER_CREATED: list[str] = []
 
 
-def _scratch_root(spark: SparkSession) -> str:
-    """Scratch location for materialized intermediates:
-    ``spark.fp_lakehouse.scratch_dir`` if set (on a real cluster point
-    it at shared storage — the lake bucket, HDFS tmp); otherwise a
-    ``_fp_scratch`` dir beside the session's SQL warehouse dir, which
-    must already be cluster-visible storage for any saveAsTable to
-    work, so the default is cluster-valid too."""
-    configured = spark.conf.get("spark.fp_lakehouse.scratch_dir", "")
-    if configured:
-        return configured
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
-    return os.path.join(wh, "_fp_scratch")
-
-
 def _source_signature(sf_dir: str, table: str) -> str:
     """Cheap fingerprint of a table's files (path, size, mtime) so the
     memo invalidates when the data under sf_dir changes mid-session.
@@ -378,7 +361,7 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        path = os.path.join(_scratch_root(spark), f"coorder_edges_{sig}")
+        path = os.path.join(scratch_root(spark), f"coorder_edges_{sig}")
         edges.write.mode("overwrite").parquet(path)
         _COORDER_EDGES_CACHE[key] = (sig, path)
         _COORDER_CREATED.append(path)

@@ -22,11 +22,53 @@ change.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Scratch space for queries that materialize intermediates (graph edge
+# memos, the et06 incremental-warehouse simulation). Cluster-valid by
+# construction: either the explicitly configured shared location, or a
+# dir beside the SQL warehouse dir — which must already be shared
+# storage for saveAsTable to work at all. Never a node-local tempdir.
+_SCRATCH_CREATED: list[str] = []
+
+
+def scratch_root(spark: SparkSession) -> str:
+    """``spark.fp_lakehouse.scratch_dir`` if set (point it at the lake
+    bucket / HDFS tmp on a real cluster), else ``_fp_scratch`` beside
+    the session's SQL warehouse dir."""
+    configured = spark.conf.get("spark.fp_lakehouse.scratch_dir", "")
+    if configured:
+        return configured
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    return os.path.join(wh, "_fp_scratch")
+
+
+def alloc_scratch(spark: SparkSession, prefix: str) -> str:
+    """Allocate a fresh scratch dir under scratch_root, registered for
+    best-effort removal at process exit (scratch must not accumulate
+    across runs)."""
+    path = os.path.join(scratch_root(spark), f"{prefix}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(path, exist_ok=True)
+    _SCRATCH_CREATED.append(path)
+    return path
+
+
+def _cleanup_scratch() -> None:
+    while _SCRATCH_CREATED:
+        shutil.rmtree(_SCRATCH_CREATED.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
 
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
