@@ -27,6 +27,7 @@ for _mod in (
     "dataquality",
     "graph",
     "layout",
+    "skew",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

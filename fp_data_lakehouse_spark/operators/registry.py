@@ -108,7 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "ev09_user_event_profile",
     "mm01_media_metadata",
     "mm05_multimodal_batch_assembly",
-    "mm06_perceptual_hash_pairs",
+    "q42_salted_skew_join",
     "et06_incremental_dim_identity",
     # 50-row window ends here; everything else follows in registration
     # order and stays covered by tests/test_oracle_parity.py.

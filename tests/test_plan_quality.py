@@ -419,3 +419,12 @@ def test_pagerank_copartitioned_round_never_broadcasts_rank_state(spark):
     assert "BroadcastExchange" not in plan
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_salted_join_salt_in_join_keys(spark):
+    """q42's join must actually be salted: the physical join keys carry
+    the _salt column (hot key spread across reducers), and the fact
+    side is never broadcast."""
+    df = _df(spark, "q42_salted_skew_join")
+    plan = physical_plan(df)
+    assert "_salt" in plan
