@@ -23,6 +23,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.catalog import load_table
 from ..sources.sinks import scratch_root
@@ -167,17 +168,49 @@ def _prepare_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, in
     the pinned blocks carry HashPartitioning(src, parts) (AQE never
     coalesces user-specified repartitions), so every later join on
     ``src`` against a relation repartitioned to the same (key, count)
-    reshuffles only THAT relation — the edge list never moves again."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    reshuffles only THAT relation — the edge list never moves again.
+
+    Two deliberate departures from pr01's edge builder (same graph,
+    cheaper build — measured ~2x on the round-4 audit):
+    - node ids stay INTEGERS through every shuffle (customer k -> 2k,
+      supplier k -> 2k+1); the distinct, the repartition and every
+      round then hash/compare 8-byte longs instead of 'c123' strings.
+      ``decode_node_id`` restores pr01's string ids in the final
+      output only.
+    - the outdegree attaches via a count window OVER the same explicit
+      src-partitioning instead of a groupBy + self-join, so the whole
+      (src, dst, deg) build costs ONE edge shuffle, not three."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
     parts = spark.sparkContext.defaultParallelism
+    w = Window.partitionBy("src")
     edges_deg = (
-        edges.join(outdeg, "src")
-        .repartition(parts, "src")
+        edges.repartition(parts, "src")
+        .withColumn("deg", F.count(F.lit(1)).over(w))
         .localCheckpoint(eager=True)
     )
     n = edges_deg.agg(F.countDistinct("src")).collect()[0][0]
     return edges_deg, n, parts
+
+
+def decode_node_id(col: F.Column) -> F.Column:
+    """Invert _prepare_edges' integer encoding back to pr01's string
+    node ids ('c<custkey>' / 's<suppkey>') — output projection only,
+    never inside the iteration."""
+    return F.when(
+        col % 2 == 0, F.concat(F.lit("c"), (col / 2).cast("long").cast("string"))
+    ).otherwise(F.concat(F.lit("s"), ((col - 1) / 2).cast("long").cast("string")))
 
 
 def _initial_ranks(edges_deg: DataFrame, n: int) -> DataFrame:
@@ -256,9 +289,12 @@ def pagerank(
                 .d
             )
             if delta is not None and delta < 1e-6:
-                return nxt
+                ranks = nxt
+                break
         ranks = nxt
-    return ranks
+    return ranks.select(
+        decode_node_id(F.col("node_id")).alias("node_id"), "rank"
+    )
 
 
 @register("pr02_pagerank")
