@@ -43,21 +43,17 @@ from .registry import register
 
 _TOKENS = "split(lower(trim(text)), '\\\\s+')"
 # 3-word shingles, distinct per document (set semantics for Jaccard).
-# The token array is LET-BOUND via a single-element-array transform
-# lambda: a plain column alias gets inlined by CollapseProject /
-# predicate pushdown, re-evaluating split() inside every shingle lambda
-# (O(tokens^2) regex work per row — measured 10 split() copies in the
-# optimized plan); a lambda-bound variable is evaluated exactly once.
-# IF-guarded because Spark's sequence(1, 0) yields a DESCENDING [1, 0]
-# rather than an empty array.
-_SHINGLES = (
-    f"element_at(transform(array({_TOKENS}), toks ->"
-    " IF(size(toks) >= 3,"
-    " array_distinct(transform(sequence(1, size(toks) - 2),"
-    " i -> concat_ws(' ', element_at(toks, i),"
-    " element_at(toks, i + 1), element_at(toks, i + 2)))),"
-    " array())), 1)"
-)
+# History of this pipeline ("the _SHINGLES note" other modules cite):
+# v1 built shingle arrays in-row with a higher-order transform; the
+# token array there must be LET-BOUND via a single-element-array
+# transform lambda, because a plain column alias gets inlined by
+# CollapseProject / predicate pushdown, re-evaluating split() inside
+# every shingle lambda (O(tokens^2) regex work per row — measured 10
+# split() copies in the optimized plan). v2 (current, _shingle_rows)
+# drops the HOF entirely: SQL higher-order functions run INTERPRETED,
+# and the codegen'd posexplode + lead-window + dedup pipeline measured
+# 4x faster for the identical shingle set. dd17's 8-token spans keep
+# the HOF form (its fingerprints hash inside the same lambda).
 
 _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 _SHINGLES_SQL = (
@@ -66,27 +62,51 @@ _SHINGLES_SQL = (
 )
 
 
-def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles array) with the tokenization done exactly once
-    per document (see the let-binding note on _SHINGLES).
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the PRIMARY shingle form; the
+    array form derives from it (``_doc_shingle_sets``).
 
-    The scan is hash-repartitioned by doc_id BEFORE the CPU-heavy
-    shingle/hash expressions: a small parquet input arrives as few scan
-    tasks, which would serialize the per-document work. An explicit
-    partition count keeps AQE from coalescing it back to one task. Cost
-    is one shuffle of the compact (doc_id, text) pairs; on a cluster it
-    also evens out skewed file sizes before the expensive map work."""
+    Round-4 rework: the 3-gram build runs as posexplode + two lead()
+    windows + per-doc dedup — every operator codegen'd — instead of an
+    in-row higher-order transform (SQL HOFs execute INTERPRETED and
+    were measured 4x slower for the same output). The explicit
+    repartition spreads the CPU-heavy map work (a small parquet input
+    arrives as one scan task) AND is exactly the clustering the window
+    and the per-doc dedup require, so the whole pipeline runs on ONE
+    exchange of the compact (doc_id, text) pairs. concat_ws's
+    null-skipping is safe here: the lead-2 null filter removes every
+    row whose lead-1 could be null."""
     docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("shingle"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .drop("_t2")
+        .dropDuplicates(["doc_id", "shingle"])
     )
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _doc_shingle_sets(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array): collect_list over the row form (docs
+    with fewer than 3 tokens are naturally absent, matching the old
+    size > 0 filter; array order is partition-dependent and every
+    consumer treats the array as a set)."""
+    return (
+        _shingle_rows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
     )
 
 
@@ -944,14 +964,12 @@ def dd15_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot buckets self-suppress. Candidate verification joins the compact
     (doc -> shingle set) arrays and intersects JVM-side — the pair
     recount never re-shuffles shingle rows."""
-    # ONE tokenization for the whole operator: the checkpointed
-    # (doc_id, shingles) arrays feed the exploded rows, the df census,
-    # the set sizes, and the verification join — previously the
-    # exploded-row pipeline and the array pipeline each re-ran the
-    # regex shingling (two full corpus tokenizations, measured ~40% of
-    # the query).
-    sets = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
-    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    # ONE tokenization for the whole operator: the checkpointed shingle
+    # ROWS feed the df census, the prefix windows, AND (via one
+    # collect_list) the verification arrays — the row form is the
+    # primary shingle representation since the round-4 rework.
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
     from pyspark.sql import Window
