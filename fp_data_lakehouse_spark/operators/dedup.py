@@ -1102,30 +1102,37 @@ def dd17_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora (Lee et al. 2021 ask the same question with a suffix array;
     the shingle-join form is the shuffle-native equivalent).
 
-    Plan shape: one projection builds the per-document shingle array
-    (token array let-bound via the single-element-transform trick, see
-    _SHINGLES), one explode, and every exchange after that moves only
-    (md5, doc_id, pos) triples — the text itself never shuffles.
-    Cross-document repetition is COUNT(DISTINCT doc_id) > 1 so internal
-    self-repetition never flags a span. Runs coalesce into maximal
-    spans with the gaps-and-islands trick (pos - row_number is constant
-    within a consecutive run); the window partitions by doc_id, so
-    state per task is one document's hit list, never the corpus.
+    Plan shape: the 8-token spans build as posexplode + seven lead()
+    windows + a codegen'd md5 (the round-4 _shingle_rows rework applied
+    here: the interpreted in-row transform was the dominant cost), and
+    every exchange after that moves only (md5, doc_id, pos) triples —
+    the text itself never shuffles. Cross-document repetition is
+    COUNT(DISTINCT doc_id) > 1 so internal self-repetition never flags
+    a span. Runs coalesce into maximal spans with the gaps-and-islands
+    trick (pos - row_number is constant within a consecutive run); the
+    window partitions by doc_id, so state per task is one document's
+    hit list, never the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
+    toks = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id",
-        F.expr(
-            f"element_at(transform(array({_TOKENS}), toks ->"
-            f" IF(size(toks) >= {_SPAN_K},"
-            f" transform(sequence(1, size(toks) - {_SPAN_K - 1}),"
-            f" i -> struct(i AS pos, md5(array_join(slice(toks, i, {_SPAN_K}), ' ')) AS h)),"
-            " array())), 1)"
-        ).alias("sh"),
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("p", "tok"),
     )
-    sh = shingled.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.col("s.pos").cast("long").alias("pos"), F.col("s.h").alias("h")
-    ).localCheckpoint(eager=False)
+    wt = Window.partitionBy("doc_id").orderBy("p")
+    leads = [F.lead("tok", i).over(wt) for i in range(1, _SPAN_K)]
+    sh = (
+        toks.select(
+            "doc_id",
+            (F.col("p") + 1).cast("long").alias("pos"),
+            F.concat_ws(" ", "tok", *leads).alias("_span"),
+            F.lead("tok", _SPAN_K - 1).over(wt).alias("_tlast"),
+        )
+        .filter(F.col("_tlast").isNotNull())
+        .select("doc_id", "pos", F.md5("_span").alias("h"))
+        .localCheckpoint(eager=False)
+    )
     rep = (
         sh.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
