@@ -873,3 +873,110 @@ def tx18_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c.w").cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("c.w"))).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx19: the BPE TRAINING LOOP, bounded rounds (tx17's iterative twin —
+# the pr01/pr02 duality applied to tokenizer training). Each round:
+# count adjacent symbol pairs over the (symbols, word-frequency)
+# vocabulary, take the deterministic argmax, greedily merge it
+# left-to-right in every word, recount. The 8-round sequence of
+# argmax + rewrite has no finite SQL expression (each round's counts
+# depend on the previous round's rewritten vocabulary), so tx19
+# registers rows-only; tx17 pins round 1's argmax on the driver's
+# hard signal and pytest pins the loop invariants (argmax agreement,
+# monotone non-increasing merge counts, strict symbol shrinkage, the
+# merged pair's disappearance).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_merge_round(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right merge of adjacent (a, b) into a+b inside
+    every word's symbol array — one interpreted fold per VOCABULARY row
+    (tens of thousands of words x ~10 symbols, corpus-size independent,
+    so the interpreted HOF is fine here, unlike the corpus-sized
+    shingle case). F.lit handles arbitrary symbol text safely."""
+    merged = F.lit(a + b)
+
+    def step(acc, x):
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return vocab.withColumn(
+        "syms",
+        F.aggregate("syms", F.array().cast("array<string>"), step),
+    )
+
+
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair census over the symbol vocabulary: one
+    zip of syms with its own tail per word, exploded, then a
+    map-side-combined sum — identical counting semantics to tx17's
+    character pairs on the initial (all-chars) vocabulary."""
+    pairs = vocab.select(
+        "wf",
+        F.explode(
+            F.zip_with(
+                F.slice("syms", F.lit(1), F.size("syms") - 1),
+                F.slice("syms", F.lit(2), F.size("syms") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("wf").cast("long").alias("n_weighted"))
+
+
+@register("tx19_bpe_train_loop")
+def tx19_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 rounds of BPE training over the corpus vocabulary: returns the
+    learned merge table (round, symbol pair, merged token, weighted
+    count at selection time) — the artifact a tokenizer trainer
+    persists. Vocabulary-sized state throughout: the corpus is touched
+    exactly once (word census); every later round runs on (word,
+    symbols, frequency) rows whose cardinality is corpus-size
+    independent, with per-round lineage cut by localCheckpoint and one
+    1-row argmax crossing to the driver (the sim06/pr02 probe
+    pattern). At 100 TB only the initial word census scales with data
+    — exactly how production BPE trainers behave."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    vocab = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+        "wf",
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        top = (
+            _bpe_pair_counts(vocab)
+            .orderBy(F.desc("n_weighted"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, top[0].n_weighted
+        merges.append((rnd, a, b, n))
+        vocab = _bpe_merge_round(vocab, a, b).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round INT, sym_a STRING, sym_b STRING, n_weighted BIGINT"
+    ).select(
+        "round",
+        "sym_a",
+        "sym_b",
+        F.concat("sym_a", "sym_b").alias("merged"),
+        "n_weighted",
+    )

@@ -644,3 +644,56 @@ def test_pagerank_shuffle_path_matches_broadcast_path(spark):
     }
     assert set(a) == set(b)
     assert max(abs(a[k] - b[k]) for k in a) < 1e-9
+
+
+def test_bpe_train_loop_invariants(spark):
+    """tx19's 8-round BPE loop: round 1's argmax must equal tx17's
+    rank-1 candidate exactly (same counting semantics on the all-chars
+    vocabulary), selection counts must be monotone non-increasing (a
+    merge can only remove pair occurrences and any new pair is bounded
+    by the merged token's count), and applying a round's merge must
+    strictly shrink the vocabulary's total symbol count and erase the
+    merged adjacency."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.operators.textops import (
+        _bpe_merge_round,
+        _bpe_pair_counts,
+        tx17_bpe_merge_candidates,
+        tx19_bpe_train_loop,
+    )
+    from fp_data_lakehouse_spark.sources.catalog import load_table
+
+    merges = tx19_bpe_train_loop(spark, SF_ORACLE).orderBy("round").collect()
+    assert merges and merges[0].round == 1
+    t17 = tx17_bpe_merge_candidates(spark, SF_ORACLE).filter("rnk = 1").collect()[0]
+    assert merges[0].merged == t17.pair
+    assert merges[0].n_weighted == t17.n_weighted
+    ns = [m.n_weighted for m in merges]
+    assert all(x >= y for x, y in zip(ns, ns[1:])), ns
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+            "wf",
+        )
+    )
+    before = vocab.agg(F.sum(F.size("syms") * F.col("wf"))).collect()[0][0]
+    merged1 = _bpe_merge_round(vocab, merges[0].sym_a, merges[0].sym_b)
+    after = merged1.agg(F.sum(F.size("syms") * F.col("wf"))).collect()[0][0]
+    assert after < before
+    remaining = (
+        _bpe_pair_counts(merged1)
+        .filter(
+            (F.col("a") == merges[0].sym_a) & (F.col("b") == merges[0].sym_b)
+        )
+        .collect()
+    )
+    assert not remaining, remaining

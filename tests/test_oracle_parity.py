@@ -46,7 +46,7 @@ def test_registry_contract():
     assert set(o) <= set(q)
     # Pinned EXACT: a silently-swallowed extension import would shrink
     # the surface the driver sees; update deliberately when adding ops.
-    assert len(q) == 170, sorted(q)
+    assert len(q) == 171, sorted(q)
     assert len(o) == 157, sorted(o)
 
 
