@@ -63,10 +63,18 @@ def _merge_dim(
     return spark.read.parquet(path)
 
 
-def incremental_load(spark: SparkSession, docs: DataFrame, warehouse_dir: str) -> None:
+def incremental_load(
+    spark: SparkSession,
+    docs: DataFrame,
+    warehouse_dir: str,
+    with_gold: bool = True,
+) -> None:
     """Ingest one batch of transcript documents into the warehouse at
     ``warehouse_dir``, creating it on first call. Re-delivering any
-    subset of already-loaded documents is a no-op."""
+    subset of already-loaded documents is a no-op. ``with_gold=False``
+    skips the derived semester-fact recompute — for callers that only
+    exercise the silver get-or-create contract (et06) and pipelines
+    that defer gold to a separate schedule."""
     from .star import build_dim_nilai, build_fact_nilai_mk
     from .extract import extract_courses, extract_students
 
@@ -76,11 +84,16 @@ def incremental_load(spark: SparkSession, docs: DataFrame, warehouse_dir: str) -
         for name, df in tables.items():
             df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}.parquet")
     else:
-        students = extract_students(docs)
-        courses = extract_courses(docs).join(
-            students.select("doc_id"), "doc_id", "left_semi"
+        students = extract_students(docs).localCheckpoint(eager=False)
+        courses = (
+            extract_courses(docs)
+            .join(students.select("doc_id"), "doc_id", "left_semi")
+            .localCheckpoint(eager=False)
         )
-        batch = build_star_schema(spark, docs)  # batch-local shapes, ids discarded
+        # batch-local shapes, ids discarded; extraction frames passed in
+        # so the regex pass runs ONCE per batch (it previously ran twice:
+        # here and again inside build_star_schema)
+        batch = build_star_schema(spark, docs, students=students, courses=courses)
         dims = {}
         for name in ("dim_mahasiswa", "dim_matakuliah", "dim_waktu", "dim_nilai"):
             dims[name] = _merge_dim(
@@ -101,6 +114,8 @@ def incremental_load(spark: SparkSession, docs: DataFrame, warehouse_dir: str) -
         merge_upsert(spark, f"{warehouse_dir}/fact_nilai_mk.parquet", new_fact, _FACT_KEYS)
 
     # gold: cumulative measures shift with every new term -> recompute
+    if not with_gold:
+        return
     fact = spark.read.parquet(f"{warehouse_dir}/fact_nilai_mk.parquet")
     semester = build_fact_nilai_semester(fact)
     tmp = f"{warehouse_dir}/fact_nilai_semester.parquet.tmp"

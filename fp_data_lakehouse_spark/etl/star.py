@@ -165,9 +165,16 @@ def build_fact_nilai_mk(
     return fact
 
 
-def build_star_schema(spark: SparkSession, docs: DataFrame) -> dict[str, DataFrame]:
+def build_star_schema(
+    spark: SparkSession,
+    docs: DataFrame,
+    students: DataFrame | None = None,
+    courses: DataFrame | None = None,
+) -> dict[str, DataFrame]:
     """Full silver build from bronze documents (entry point A lifecycle,
-    SURVEY.md §3.1, minus the per-row N+1 round-trips)."""
+    SURVEY.md §3.1, minus the per-row N+1 round-trips). Callers that
+    already extracted (the incremental loader) pass students/courses in
+    so the regex pass over the text runs exactly once per batch."""
     from .extract import extract_courses, extract_students
 
     # Lazy checkpoints: four dims + the fact each trigger their own job
@@ -175,12 +182,14 @@ def build_star_schema(spark: SparkSession, docs: DataFrame) -> dict[str, DataFra
     # extraction over the full document text. Materializing the
     # extracted frames (far smaller than the raw text) makes extraction
     # a once-per-build cost.
-    students = extract_students(docs).localCheckpoint(eager=False)
-    courses = (
-        extract_courses(docs)
-        .join(students.select("doc_id"), "doc_id", "left_semi")
-        .localCheckpoint(eager=False)
-    )  # courses only from accepted documents (reject path drops the whole file)
+    if students is None:
+        students = extract_students(docs).localCheckpoint(eager=False)
+    if courses is None:
+        courses = (
+            extract_courses(docs)
+            .join(students.select("doc_id"), "doc_id", "left_semi")
+            .localCheckpoint(eager=False)
+        )  # courses only from accepted documents (reject path drops the whole file)
 
     dim_nilai = build_dim_nilai(spark, courses)
     dim_mahasiswa = build_dim_mahasiswa(students)
