@@ -283,3 +283,57 @@ def test_touch_windows_match_model(spark, rows):
         for r in touch_windows(df).collect()
     }
     assert got == _touch_model(rows)
+
+
+# Texts with whitespace pathologies: runs of mixed whitespace, leading/
+# trailing space, repeated tokens (distinctness), short docs (< 3
+# tokens => no shingles), empty strings.
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab XY\t\n  ")),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _shingle_model(text: str) -> set[str]:
+    """Obviously-correct model of the 3-gram shingle SET under the
+    ACTUAL cross-engine tokenization semantics: SQL trim() strips
+    SPACES only (not \n/\t — both Spark and DuckDB), and regex split
+    keeps empty boundary pieces, so '\nX\n' tokenizes to
+    ['', 'x', ''] and legitimately yields the shingle ' x '. The first
+    draft of this model used Python strip()+empty-filtering and was
+    refuted by hypothesis — the engines agree with EACH OTHER, which
+    is what the oracle comparisons need."""
+    import re
+
+    t = text.strip(" ").lower()
+    toks = re.split(r"\s+", t, flags=re.ASCII)
+    return {
+        " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+    }
+
+
+@given(texts=_texts)
+@_settings
+def test_shingle_rows_match_model(spark, texts, tmp_path_factory):
+    """The round-4 lead-window shingle pipeline must produce EXACTLY
+    the model's shingle set per document — the rework changed the
+    execution strategy (posexplode + lead windows vs in-row HOF), and
+    this pins that the semantics did not move, including the
+    whitespace/short-doc/duplicate-token edges."""
+    from fp_data_lakehouse_spark.operators.dedup import _shingle_rows
+
+    d = tmp_path_factory.mktemp("shingle_prop")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got: dict[int, set] = {}
+    for r in _shingle_rows(spark, str(d)).collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    want = {i: _shingle_model(t) for i, t in rows if _shingle_model(t)}
+    assert got == want
