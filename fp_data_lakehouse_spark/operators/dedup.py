@@ -969,6 +969,12 @@ def dd15_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_list) the verification arrays — the row form is the
     # primary shingle representation since the round-4 rework.
     sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    # NOT checkpointed (timed, round 4): the sets/prefix subtrees do
+    # appear on both sides of their self-joins, but ReuseExchange
+    # already shares the expensive exchanges and the duplicated
+    # window/aggregate tails are cheap — adding checkpoints here
+    # measured +10-15% from the extra materialization barriers (the
+    # same lesson as round 3's rejected broadcast swap).
     sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
