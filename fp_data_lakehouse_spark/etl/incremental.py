@@ -59,7 +59,9 @@ def _merge_dim(
     max_id = existing.agg(F.max(id_col)).collect()[0][0] or 0
     w = Window.orderBy(*keys)
     new_with_ids = new_members.withColumn(id_col, F.row_number().over(w) + F.lit(max_id))
-    merge_upsert(spark, path, new_with_ids.select(existing.columns), keys)
+    # insert-only: get-or-create never updates an existing row, and the
+    # append path adds batch-sized files instead of rewriting the dim
+    merge_upsert(spark, path, new_with_ids.select(existing.columns), keys, insert_only=True)
     return spark.read.parquet(path)
 
 
@@ -111,7 +113,16 @@ def incremental_load(
             dims["dim_nilai"],
             students,
         )
-        merge_upsert(spark, f"{warehouse_dir}/fact_nilai_mk.parquet", new_fact, _FACT_KEYS)
+        # insert-only: re-delivered fact rows are value-identical (the
+        # composite key IS the content), so append-new-files is the
+        # correct and scale-safe idempotent ingest
+        merge_upsert(
+            spark,
+            f"{warehouse_dir}/fact_nilai_mk.parquet",
+            new_fact,
+            _FACT_KEYS,
+            insert_only=True,
+        )
 
     # gold: cumulative measures shift with every new term -> recompute
     if not with_gold:

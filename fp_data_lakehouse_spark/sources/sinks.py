@@ -108,6 +108,7 @@ def merge_upsert(
     target_path: str,
     updates: DataFrame,
     keys: list[str],
+    insert_only: bool = False,
 ) -> None:
     """MERGE INTO emulation on parquet: WHEN MATCHED THEN UPDATE (update
     row wins), WHEN NOT MATCHED THEN INSERT — the batch equivalent of
@@ -118,6 +119,15 @@ def merge_upsert(
     Implemented as target-anti-join-updates ∪ updates, written to a
     scratch directory then swapped in, so a failed write never corrupts
     the live table.
+
+    ``insert_only=True`` is the WHEN-NOT-MATCHED-INSERT-only MERGE:
+    rows whose key already exists are DROPPED (existing rows win —
+    exactly the reference's get-or-create, which SELECTs the id and
+    never updates), and only the surviving new rows APPEND as new
+    files. This is the 100 TB path for incremental loads: a daily
+    batch adds batch-sized files instead of rewriting the whole table
+    — the file-level behavior Delta's MERGE has and a full-rewrite
+    emulation must opt into.
     """
     dup = updates.groupBy(*keys).count().filter("count > 1").limit(1).count()
     if dup:
@@ -128,6 +138,10 @@ def merge_upsert(
         return
 
     target = spark.read.parquet(target_path)
+    if insert_only:
+        new_rows = updates.join(target.select(*keys), keys, "left_anti")
+        new_rows.select(target.columns).write.mode("append").parquet(target_path)
+        return
     merged = target.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
 
     tmp = tempfile.mkdtemp(prefix="merge_upsert_", dir=os.path.dirname(target_path.rstrip("/")))

@@ -102,3 +102,24 @@ def test_merge_upsert_creates_missing_target(spark, tmpdir):
     merge_upsert(spark, path, updates, keys=["id"])
     assert os.path.exists(path)
     assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_upsert_insert_only_appends_new_keys(spark, tmpdir):
+    """insert_only: existing keys keep their ORIGINAL rows (get-or-create
+    semantics — the update row is dropped, not applied), new keys
+    append, and the target's original files are untouched."""
+    import os
+
+    path = f"{tmpdir}/t.parquet"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id INT, v STRING"
+    ).write.parquet(path)
+    files_before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    updates = spark.createDataFrame([(2, "CHANGED"), (3, "c")], "id INT, v STRING")
+    merge_upsert(spark, path, updates, keys=["id"], insert_only=True)
+    rows = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    files_after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert files_before <= files_after  # appended, never rewrote
