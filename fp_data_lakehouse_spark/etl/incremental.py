@@ -61,7 +61,14 @@ def _merge_dim(
     new_with_ids = new_members.withColumn(id_col, F.row_number().over(w) + F.lit(max_id))
     # insert-only: get-or-create never updates an existing row, and the
     # append path adds batch-sized files instead of rewriting the dim
-    merge_upsert(spark, path, new_with_ids.select(existing.columns), keys, insert_only=True)
+    merge_upsert(
+        spark,
+        path,
+        new_with_ids.select(existing.columns),
+        keys,
+        insert_only=True,
+        assume_unique=True,  # dedup'd on the natural key upstream
+    )
     return spark.read.parquet(path)
 
 
@@ -122,6 +129,7 @@ def incremental_load(
             new_fact,
             _FACT_KEYS,
             insert_only=True,
+            assume_unique=True,  # composite-key dedup inside build_fact_nilai_mk
         )
 
     # gold: cumulative measures shift with every new term -> recompute

@@ -109,6 +109,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     insert_only: bool = False,
+    assume_unique: bool = False,
 ) -> None:
     """MERGE INTO emulation on parquet: WHEN MATCHED THEN UPDATE (update
     row wins), WHEN NOT MATCHED THEN INSERT — the batch equivalent of
@@ -129,9 +130,13 @@ def merge_upsert(
     — the file-level behavior Delta's MERGE has and a full-rewrite
     emulation must opt into.
     """
-    dup = updates.groupBy(*keys).count().filter("count > 1").limit(1).count()
-    if dup:
-        raise ValueError(f"updates are not unique on merge keys {keys}")
+    # The uniqueness guard is its own Spark job; callers whose updates
+    # are unique BY CONSTRUCTION (the loader dedups on the natural /
+    # composite key before calling) skip it with assume_unique=True.
+    if not assume_unique:
+        dup = updates.groupBy(*keys).count().filter("count > 1").limit(1).count()
+        if dup:
+            raise ValueError(f"updates are not unique on merge keys {keys}")
 
     if not os.path.exists(target_path):
         updates.write.parquet(target_path)
