@@ -28,6 +28,7 @@ for _mod in (
     "graph",
     "layout",
     "skew",
+    "io",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

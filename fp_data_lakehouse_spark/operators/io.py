@@ -1,0 +1,125 @@
+"""Source/sink format round-trips certified on the driver's hard
+signal (SURVEY.md §2.1 S1/S3-S5 extension beyond parquet): the engine
+writes a table out through a text-based format with an EXPLICIT schema,
+reads it back with the same schema (no inference — inference is a
+correctness hazard, not a feature, in a pipeline), and proves the
+round trip lossless by aggregating the re-read copy against an oracle
+computed straight from the base table. A green row certifies the whole
+format path: delimiter/quoting/escaping, null encoding, date
+formatting, shortest-representation double round-trip (Spark writes
+doubles via Java's shortest-repr toString, which parses back
+bit-identically), and — on the JSON leg — nested array<struct> fidelity.
+
+Scale notes: both legs are one write + one scan + one aggregate; the
+write is the only shuffle-free full-data pass and lands under the
+cluster-valid scratch root (sinks.alloc_scratch). CSV/JSON are the
+interchange formats of ingestion edges, not warehouse storage — the
+operator certifies the EDGE, the warehouse stays parquet/Delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from ..sources.sinks import alloc_scratch
+from .registry import register
+
+_IO01_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+       CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("io01_csv_roundtrip_orders", oracle=_IO01_SQL)
+def io01_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders -> CSV (header, explicit schema) -> read back -> per-status
+    rollup that must match the oracle computed from the parquet
+    original. Covers delimiter/quoting, null handling, ISO date
+    round-trip, and exact double round-trip via integer cents on the
+    re-read values."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    path = alloc_scratch(spark, "io01_csv") + "/orders_csv"
+    orders.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(orders.schema)
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+    )
+
+
+_IO02_SQL = """
+WITH nested AS (
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines_total,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MAX(n_lines) AS BIGINT) AS max_lines_per_order
+FROM nested
+"""
+
+
+@register("io02_json_nested_roundtrip", oracle=_IO02_SQL)
+def io02_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem nested to one JSON document per order (array<struct> of
+    line items), written as JSON lines, read back with the explicit
+    nested schema, re-exploded and aggregated — the document-shaped
+    interchange every API/event ingestion edge uses. A green row
+    certifies nested-type fidelity through the text format: array
+    ordering is irrelevant by construction (aggregates are
+    order-insensitive), element structs keep field names/types, and
+    doubles survive via shortest-repr round-trip (checked as exact
+    integer cents)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    docs = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+        ).alias("lines")
+    )
+    path = alloc_scratch(spark, "io02_json") + "/orders_json"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    flat = back.select(
+        "l_orderkey", F.explode("lines").alias("ln"), F.size("lines").alias("n_lines")
+    )
+    per_order = flat.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.floor(F.col("ln.l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines_total"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.max("n_lines").cast("long").alias("max_lines_per_order"),
+    )

@@ -102,8 +102,8 @@ DRIVER_PRIORITY: list[str] = [
     "tx15_char_diversity",
     "tx16_pmi_collocations",
     "ag03_user_value_ewma",
-    "ag04_winsorized_event_values",
-    "ag05_value_histogram",
+    "io01_csv_roundtrip_orders",
+    "io02_json_nested_roundtrip",
     "ev08_error_click_proximity",
     "ev09_user_event_profile",
     "mm01_media_metadata",
