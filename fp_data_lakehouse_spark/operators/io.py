@@ -123,3 +123,44 @@ def io02_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.max("n_lines").cast("long").alias("max_lines_per_order"),
     )
+
+
+_IO03_YEAR = 1995
+
+_IO03_SQL = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = {_IO03_YEAR}
+GROUP BY o_orderpriority
+"""
+
+
+@register("io03_partition_pruned_scan", oracle=_IO03_SQL)
+def io03_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning on the hard signal:
+    orders land under the scratch root partitioned by order year, the
+    read-back filters one year, and the rollup must match the oracle's
+    predicate over the unpartitioned original. The filter reaches the
+    scan as a PartitionFilter (plan-asserted in test_plan_quality), so
+    only one year's directory is listed and read — the layout lever
+    that turns a 100 TB scan into a 1-partition scan for time-scoped
+    queries (`sources.sinks.write_partitioned`'s contract, certified
+    end to end with values, not just plan text)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.year("o_orderdate").alias("year"),
+    )
+    path = alloc_scratch(spark, "io03_part") + "/orders_by_year"
+    orders.write.mode("overwrite").partitionBy("year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("year") == _IO03_YEAR)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )

@@ -104,7 +104,7 @@ DRIVER_PRIORITY: list[str] = [
     "ag03_user_value_ewma",
     "io01_csv_roundtrip_orders",
     "io02_json_nested_roundtrip",
-    "ev08_error_click_proximity",
+    "io03_partition_pruned_scan",
     "ev09_user_event_profile",
     "mm01_media_metadata",
     "mm05_multimodal_batch_assembly",

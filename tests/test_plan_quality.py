@@ -428,3 +428,12 @@ def test_salted_join_salt_in_join_keys(spark):
     df = _df(spark, "q42_salted_skew_join")
     plan = physical_plan(df)
     assert "_salt" in plan
+
+
+def test_partition_pruned_scan_has_partition_filter(spark):
+    """io03's year predicate must prune at the DIRECTORY level: the
+    scan carries a PartitionFilters entry on the partition column, so
+    non-matching years are never listed, let alone read."""
+    df = _df(spark, "io03_partition_pruned_scan")
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "year" in plan
