@@ -129,7 +129,10 @@ def main() -> None:
     # the slowest queries one more steady-state run at the very end,
     # after the block manager is quiet, and keep the overall min.
     for name, _ in sorted(
-        ((n, t) for n, t in timings.items() if t > 0), key=lambda kv: -kv[1]
+        # only real registry queries: the synthetic gr00 build line item
+        # would KeyError here and silently burn a rerun slot
+        ((n, t) for n, t in timings.items() if t > 0 and n in REGISTRY),
+        key=lambda kv: -kv[1],
     )[:5]:
         t0 = time.time()
         try:

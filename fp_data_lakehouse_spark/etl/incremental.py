@@ -68,6 +68,9 @@ def _merge_dim(
         keys,
         insert_only=True,
         assume_unique=True,  # dedup'd on the natural key upstream
+        assume_new=True,  # the get-or-create anti-join above already
+        # filtered to new keys; a second anti-join per dim per batch
+        # would be a redundant dim-sized join + target scan
     )
     return spark.read.parquet(path)
 

@@ -442,7 +442,7 @@ FROM term_first
 @register("et06_incremental_dim_identity", oracle=_ET06_SQL)
 def et06_incremental_dim_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three sequential ``incremental_load`` runs (batches by
-    customer % 3, over a 10% customer sample) into a fresh scratch
+    customer % 3, over a 2% customer sample) into a fresh scratch
     warehouse, then the resulting Dim_Waktu read back with each term's
     first-appearance batch attached. Dim_Waktu is the dimension whose
     natural key genuinely RECURS across batches (every batch's

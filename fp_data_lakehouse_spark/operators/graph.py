@@ -18,7 +18,6 @@ from __future__ import annotations
 import atexit
 import hashlib
 import os
-import shutil
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.catalog import load_table
-from ..sources.sinks import scratch_root
+from ..sources.sinks import delete_scratch, scratch_root
 from .registry import register
 
 _DAMP = 0.85
@@ -375,11 +374,13 @@ def _source_signature(sf_dir: str, table: str) -> str:
 def clear_coorder_cache() -> None:
     """Drop the co-order memo and delete every artifact dir this
     process created (bench calls this before its timed pre-build; an
-    atexit hook keeps scratch space from accumulating across runs)."""
+    atexit hook keeps scratch space from accumulating across runs).
+    Deletion follows the path's filesystem (sinks.delete_scratch), so
+    a remote scratch root is cleaned through Hadoop FS, not shutil."""
     with _COORDER_LOCK:
         _COORDER_EDGES_CACHE.clear()
         while _COORDER_CREATED:
-            shutil.rmtree(_COORDER_CREATED.pop(), ignore_errors=True)
+            delete_scratch(_COORDER_CREATED.pop())
 
 
 atexit.register(clear_coorder_cache)
@@ -410,7 +411,15 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        path = os.path.join(scratch_root(spark), f"coorder_edges_{sig}")
+        # The applicationId in the path makes the artifact PROCESS-
+        # private: two drivers sharing one scratch root (pytest beside
+        # bench, two sessions on shared storage) would otherwise race
+        # an overwrite/read/cleanup on the same directory — the
+        # in-process lock cannot serialize cross-process access. The
+        # cost is per-process duplicate build work; cross-session reuse
+        # was never part of the contract (artifacts are deleted at exit).
+        app = spark.sparkContext.applicationId
+        path = scratch_root(spark).rstrip("/") + f"/coorder_edges_{sig}_{app}"
         edges.write.mode("overwrite").parquet(path)
         _COORDER_EDGES_CACHE[key] = (sig, path)
         _COORDER_CREATED.append(path)

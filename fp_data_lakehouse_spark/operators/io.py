@@ -108,9 +108,7 @@ def io02_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = alloc_scratch(spark, "io02_json") + "/orders_json"
     docs.write.mode("overwrite").json(path)
     back = spark.read.schema(docs.schema).json(path)
-    flat = back.select(
-        "l_orderkey", F.explode("lines").alias("ln"), F.size("lines").alias("n_lines")
-    )
+    flat = back.select("l_orderkey", F.explode("lines").alias("ln"))
     per_order = flat.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.floor(F.col("ln.l_extendedprice") * 100).cast("long"))

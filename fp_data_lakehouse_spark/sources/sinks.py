@@ -53,19 +53,47 @@ def scratch_root(spark: SparkSession) -> str:
     return os.path.join(wh, "_fp_scratch")
 
 
+def _has_scheme(path: str) -> bool:
+    return "://" in path
+
+
+def delete_scratch(path: str) -> None:
+    """Best-effort recursive delete that follows the path's filesystem:
+    local paths via shutil; scheme'd paths (s3://, hdfs://) through the
+    Hadoop FileSystem of the active session — local os/shutil calls on
+    a remote URI would silently manipulate a junk local directory and
+    leave the remote data accumulating."""
+    if not _has_scheme(path):
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return  # session already gone at exit: best-effort only
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        pass
+
+
 def alloc_scratch(spark: SparkSession, prefix: str) -> str:
     """Allocate a fresh scratch dir under scratch_root, registered for
     best-effort removal at process exit (scratch must not accumulate
-    across runs)."""
-    path = os.path.join(scratch_root(spark), f"{prefix}_{uuid.uuid4().hex[:8]}")
-    os.makedirs(path, exist_ok=True)
+    across runs). Local roots are created eagerly; scheme'd roots are
+    left to the writer (Hadoop output committers create directories on
+    write)."""
+    path = scratch_root(spark).rstrip("/") + f"/{prefix}_{uuid.uuid4().hex[:8]}"
+    if not _has_scheme(path):
+        os.makedirs(path, exist_ok=True)
     _SCRATCH_CREATED.append(path)
     return path
 
 
 def _cleanup_scratch() -> None:
     while _SCRATCH_CREATED:
-        shutil.rmtree(_SCRATCH_CREATED.pop(), ignore_errors=True)
+        delete_scratch(_SCRATCH_CREATED.pop())
 
 
 atexit.register(_cleanup_scratch)
@@ -110,6 +138,7 @@ def merge_upsert(
     keys: list[str],
     insert_only: bool = False,
     assume_unique: bool = False,
+    assume_new: bool = False,
 ) -> None:
     """MERGE INTO emulation on parquet: WHEN MATCHED THEN UPDATE (update
     row wins), WHEN NOT MATCHED THEN INSERT — the batch equivalent of
@@ -128,7 +157,15 @@ def merge_upsert(
     files. This is the 100 TB path for incremental loads: a daily
     batch adds batch-sized files instead of rewriting the whole table
     — the file-level behavior Delta's MERGE has and a full-rewrite
-    emulation must opt into.
+    emulation must opt into. Atomicity scope: the tmp-swap crash
+    safety below applies to the REWRITE path; the append path relies
+    on Spark's file-commit protocol (staged in _temporary, moved on
+    job commit — standard append semantics), and on Delta/Iceberg the
+    same call is a fully transactional MERGE. ``assume_new=True``
+    additionally skips the existing-key anti-join when the CALLER
+    already filtered updates to new keys (the dim loader does its own
+    get-or-create anti-join) — never set it on unfiltered input or
+    duplicates of existing keys will append.
     """
     # The uniqueness guard is its own Spark job; callers whose updates
     # are unique BY CONSTRUCTION (the loader dedups on the natural /
@@ -144,7 +181,11 @@ def merge_upsert(
 
     target = spark.read.parquet(target_path)
     if insert_only:
-        new_rows = updates.join(target.select(*keys), keys, "left_anti")
+        new_rows = (
+            updates
+            if assume_new
+            else updates.join(target.select(*keys), keys, "left_anti")
+        )
         new_rows.select(target.columns).write.mode("append").parquet(target_path)
         return
     merged = target.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
