@@ -29,6 +29,7 @@ for _mod in (
     "layout",
     "skew",
     "io",
+    "streamquery",
 ):
     try:
         __import__(f"{__name__}.{_mod}")

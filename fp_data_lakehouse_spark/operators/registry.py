@@ -94,9 +94,9 @@ DRIVER_PRIORITY: list[str] = [
     "sim07_int8_quantize",
     "sim08_int8_mips_topk",
     "sim09_pq_adc_topk",
-    "sk06_count_min_heavy_users",
+    "st01_stream_tumbling_equivalence",
+    "st02_stream_sliding_equivalence",
     "sk07_bloom_join_prune",
-    "sk08_kmv_distinct_users",
     "sk09_kmv_set_overlap",
     "tx14_boilerplate_ngram_ratio",
     "tx15_char_diversity",

@@ -1,0 +1,122 @@
+"""Structured Streaming put on the driver's hard signal: each query
+here STARTS a real streaming query (file source -> watermarked windowed
+aggregation -> memory sink) with an availableNow trigger, waits for it
+to drain the fixture, and returns the sink table — so the DuckDB oracle
+certifies the streaming ENGINE path end to end (source schema dispatch,
+event-time windowing, sink commit), not a batch re-expression.
+tests/test_streaming.py already pins batch/stream equivalence in
+pytest; these rows put the same claim in CORRECTNESS_r{N}.json.
+
+Semantics notes:
+- availableNow processes everything currently in the directory and
+  stops — deterministic, exactly the replay a backfill performs.
+- complete output mode: the watermark never drops state within the
+  single batch, so the drained result equals the batch aggregate
+  (window alignment is epoch-anchored in both engines' arithmetic).
+- The memory sink is the verification surface only; production sinks
+  are foreachBatch/parquet (streaming/sink.py) with checkpointing.
+
+Scale: the streaming plan is identical to the batch twin's plan plus a
+state store; at 100 TB the same query runs continuously with the
+2-hour watermark bounding state (see streaming/events.py notes) — the
+availableNow drain here is the bounded-fixture projection of that.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.sinks import alloc_scratch
+from .registry import register
+
+
+def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY; the fixture ships
+    events as a single parquet file, so stage it (symlink, copy as
+    fallback) into a scratch dir — on a real lake the events feed is a
+    directory of arriving files already and this adapter is a no-op."""
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        return src
+    d = alloc_scratch(spark, "stream_src")
+    link = f"{d}/events_000.parquet"
+    if not os.path.exists(link):
+        try:
+            os.symlink(src, link)
+        except OSError:
+            import shutil
+
+            shutil.copy(src, link)
+    return d
+
+# Identical to ev01's oracle: the streaming twin must converge to the
+# batch answer once the source is drained.
+_ST01_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100 + (COUNT(*) * 100))
+        // (2 * (COUNT(*) * 100))) / 100.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _drain_to_memory(agg: DataFrame, prefix: str) -> DataFrame:
+    """Run the streaming aggregation to completion (availableNow) into
+    a uniquely-named memory sink and return the sink table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+@register("st01_stream_tumbling_equivalence", oracle=_ST01_SQL)
+def st01_stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts/averages computed by a REAL
+    streaming query over the events fixture (readStream file source,
+    event-time window, watermark, memory sink, availableNow drain),
+    oracle'd against the plain batch SQL — the replay-equals-batch
+    guarantee every streaming backfill relies on."""
+    from ..streaming.events import hourly_tumbling_counts_stream, read_events_stream
+
+    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    return _drain_to_memory(hourly_tumbling_counts_stream(stream), "st01")
+
+
+# Sliding windows (1 hour every 15 minutes): every event falls in
+# exactly window/hop = 4 windows whose starts are the four preceding
+# 15-minute marks — Spark's hopping windows are epoch-aligned, so the
+# oracle enumerates starts as integer arithmetic: floor(ep/900)*900 - k*900.
+_ST02_SQL = """
+SELECT CAST(s AS BIGINT) AS win_start_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+    SELECT event_type,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900 AS s
+    FROM events, UNNEST(range(4)) AS r(k)
+)
+GROUP BY 1, 2
+"""
+
+
+@register("st02_stream_sliding_equivalence", oracle=_ST02_SQL)
+def st02_stream_sliding_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h / 15 min hop) event counts from a real
+    streaming drain, oracle'd against the exploded-hop batch SQL (each
+    event contributes to its four epoch-aligned windows). Certifies the
+    overlapping-window state path of the streaming engine."""
+    from ..streaming.events import read_events_stream, sliding_counts_stream
+
+    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    return _drain_to_memory(sliding_counts_stream(stream), "st02")
