@@ -96,8 +96,8 @@ DRIVER_PRIORITY: list[str] = [
     "sim09_pq_adc_topk",
     "st01_stream_tumbling_equivalence",
     "st02_stream_sliding_equivalence",
+    "st03_stream_static_enrichment",
     "sk07_bloom_join_prune",
-    "sk09_kmv_set_overlap",
     "tx14_boilerplate_ngram_ratio",
     "tx15_char_diversity",
     "tx16_pmi_collocations",

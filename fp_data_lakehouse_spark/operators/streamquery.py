@@ -120,3 +120,63 @@ def st02_stream_sliding_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
 
     stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
     return _drain_to_memory(sliding_counts_stream(stream), "st02")
+
+
+# Stream-static enrichment: the dimension derives deterministically
+# from the user-id domain (segment = user_id % 4), so the oracle can
+# rebuild the identical dim in SQL without a side channel.
+_ST03_SQL = """
+SELECT ['s0','s1','s2','s3'][CAST(user_id % 4 AS INT) + 1] AS segment,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("st03_stream_static_enrichment", oracle=_ST03_SQL)
+def st03_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join on the hard signal: the event
+    stream enriches against a static user dimension (re-broadcast per
+    micro-batch — the SCD-refresh property), drains append-mode into
+    the memory sink, and the post-drain rollup per (segment,
+    event_type) must match the oracle's batch join. Certifies the
+    STATELESS streaming join path (no watermark, no join state) next
+    to st01/st02's stateful window paths."""
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+    from ..streaming.events import enriched_stream, read_events_stream
+
+    seg = F.element_at(
+        F.array(*[F.lit(f"s{i}") for i in range(4)]),
+        (F.col("user_id") % 4 + 1).cast("int"),
+    )
+    user_dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", seg.alias("segment"), F.lit("r0").alias("region"))
+    )
+    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    enriched = enriched_stream(stream, user_dim)
+    name = f"st03_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # stateless join: append-compatible
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
