@@ -16,12 +16,12 @@ partition order cannot flip comparisons — the repo-wide exact-sum rule.
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.sinks import alloc_scratch
 from .registry import register
 
 _SPLIT = "1996-01-01"
@@ -80,7 +80,7 @@ def vt01_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.versioned import change_feed, delete_from_version, merge_into_version, write_version
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    table_dir = tempfile.mkdtemp(prefix="vt01_") + "/cust_totals"
+    table_dir = alloc_scratch(spark, "vt01") + "/cust_totals"
     shutil.rmtree(table_dir, ignore_errors=True)
 
     v1 = write_version(
@@ -248,7 +248,7 @@ def vt03_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    table_dir = tempfile.mkdtemp(prefix="vt03_") + "/cust_totals"
+    table_dir = alloc_scratch(spark, "vt03") + "/cust_totals"
     shutil.rmtree(table_dir, ignore_errors=True)
 
     v1 = write_version(
@@ -331,7 +331,7 @@ def vt04_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.versioned import read_table, write_version
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    table_dir = tempfile.mkdtemp(prefix="vt04_") + "/cust_totals"
+    table_dir = alloc_scratch(spark, "vt04") + "/cust_totals"
     shutil.rmtree(table_dir, ignore_errors=True)
 
     versions = []
