@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import hashlib
 import random
-import tempfile
 
 import numpy as np
 import pandas as pd
@@ -558,12 +557,17 @@ _COMPONENT_LABELS_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Managed scratch (same policy as the graph co-order artifact):
+    # cluster-valid root, atexit cleanup, and the artifact dir is
+    # allocated per process so concurrent sessions never race it.
+    from ..sources.sinks import alloc_scratch
+
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _COMPONENT_LABELS_CACHE.get(key)
     if path is None:
         edges = dd03_ngram_jaccard_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
         labels = connected_components(edges)
-        path = tempfile.mkdtemp(prefix="dd09_component_labels_")
+        path = alloc_scratch(spark, "dd09_component_labels")
         labels.write.mode("overwrite").parquet(path)
         _COMPONENT_LABELS_CACHE[key] = path
     return spark.read.parquet(path)
