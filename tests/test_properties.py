@@ -337,3 +337,52 @@ def test_shingle_rows_match_model(spark, texts, tmp_path_factory):
         got.setdefault(r.doc_id, set()).add(r.shingle)
     want = {i: _shingle_model(t) for i, t in rows if _shingle_model(t)}
     assert got == want
+
+
+_short_texts = st.lists(
+    st.text(alphabet=st.sampled_from(list("abc")), min_size=0, max_size=20),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=_short_texts)
+@_settings
+def test_edit_distance_pairs_match_bruteforce(spark, texts, tmp_path_factory):
+    """dd18's banded + canonical-band + bag-screen pipeline must emit
+    EXACTLY the brute-force qualifying pairs, each once — randomized
+    lengths drive pairs across band boundaries (the case the canonical
+    max(floor(la/B), floor(lb/B)) dedup argument has to survive)."""
+    import itertools
+
+    from fp_data_lakehouse_spark.operators.dedup import (
+        _EDIT_D,
+        dd18_edit_distance_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    d = tmp_path_factory.mktemp("dd18_prop")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b, r.edit_distance)
+        for r in dd18_edit_distance_pairs(spark, str(d)).collect()
+    )
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= _EDIT_D
+    )
+    assert got == want
