@@ -162,3 +162,49 @@ def io03_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents"),
     )
+
+
+_IO04_CUTOFF_YEAR = 1995
+
+_IO04_SQL = f"""
+SELECT CASE WHEN EXTRACT(year FROM o_orderdate) >= {_IO04_CUTOFF_YEAR}
+            THEN o_orderpriority ELSE 'MISSING' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("io04_schema_evolution_read", oracle=_IO04_SQL)
+def io04_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON READ: an early batch lands WITHOUT the
+    priority column, a later batch appends WITH it, and a mergeSchema
+    read reconstructs the union — old rows surface NULL for the added
+    column (rendered 'MISSING' in the rollup, mirrored by the oracle's
+    CASE on the cutoff). This is the additive-column evolution every
+    long-lived ingestion pipeline performs; the certificate pins
+    Spark's parquet schema merging + null back-fill semantics against
+    an oracle that never sees the two-batch layout. (Type-changing or
+    column-renaming evolution needs a table format with schema
+    tracking — the versioned layer / Delta; documented boundary.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").alias("yr"),
+        "o_orderpriority",
+    )
+    path = alloc_scratch(spark, "io04_evo") + "/orders_evolving"
+    orders.filter(F.col("yr") < _IO04_CUTOFF_YEAR).select(
+        "o_orderkey", "cents"
+    ).write.mode("overwrite").parquet(path)
+    orders.filter(F.col("yr") >= _IO04_CUTOFF_YEAR).select(
+        "o_orderkey", "cents", "o_orderpriority"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("MISSING")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

@@ -105,7 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "io01_csv_roundtrip_orders",
     "io02_json_nested_roundtrip",
     "io03_partition_pruned_scan",
-    "ev09_user_event_profile",
+    "io04_schema_evolution_read",
     "mm01_media_metadata",
     "mm05_multimodal_batch_assembly",
     "q42_salted_skew_join",
