@@ -1307,3 +1307,67 @@ def ev25_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents"),
         F.count(F.lit(1)).alias("n_purchases"),
     )
+
+
+# Native session windows (F.session_window) certified against the
+# gaps-and-islands closed form. Boundary semantics differ from ev02's
+# hand-rolled variant in two documented ways the oracle mirrors
+# exactly: (1) the split is >= gap (an event exactly 30 min after the
+# previous one starts a NEW session — session windows are end-
+# EXCLUSIVE), where ev02's reference-shaped rule chains it; (2) the
+# comparison runs at full microsecond precision (no epoch-second
+# floor), and session_end = last event + gap by definition.
+_EV27_GAP_US = 30 * 60 * 1_000_000
+
+_EV27_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= {_EV27_GAP_US}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sessions AS (
+    SELECT *, SUM(is_new) OVER
+              (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS session_start_us,
+       CAST(MAX(us) + {_EV27_GAP_US} AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register("ev27_native_session_windows", oracle=_EV27_SQL)
+def ev27_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window operator (F.session_window, the
+    same primitive the streaming engine uses for session state) pinned
+    against the gaps-and-islands closed form — so both sessionization
+    formulations in this engine (ev02's two-window form and the
+    built-in) are hard-signal certified, including the end-exclusive
+    >= gap boundary and the end = last_event + gap convention.
+
+    Plan shape: session_window plans one exchange on user_id plus an
+    in-partition merge of overlapping candidate windows — the same
+    single-shuffle cost as ev02; at 100 TB the choice between them is
+    API, not performance."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -106,7 +106,7 @@ DRIVER_PRIORITY: list[str] = [
     "io02_json_nested_roundtrip",
     "io03_partition_pruned_scan",
     "io04_schema_evolution_read",
-    "mm01_media_metadata",
+    "ev27_native_session_windows",
     "mm05_multimodal_batch_assembly",
     "q42_salted_skew_join",
     "et06_incremental_dim_identity",
