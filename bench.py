@@ -154,7 +154,12 @@ def main() -> None:
     for name, t in timings.items():
         if t < 0:
             continue
-        fam = name.split("_", 1)[0].rstrip("0123456789")
+        fam = name.split("_", 1)[0]
+        if name in REGISTRY:
+            fam = fam.rstrip("0123456789")
+        # else: synthetic line items (gr00 build) keep their full prefix
+        # as their own family — folding the build into 'gr' would
+        # double-attribute it against the notes' "reported separately".
         families[fam] = round(families.get(fam, 0.0) + t, 3)
 
     print(

@@ -168,7 +168,8 @@ _IO04_CUTOFF_YEAR = 1995
 
 _IO04_SQL = f"""
 SELECT CASE WHEN EXTRACT(year FROM o_orderdate) >= {_IO04_CUTOFF_YEAR}
-            THEN o_orderpriority ELSE 'MISSING' END AS priority,
+            THEN COALESCE(o_orderpriority, 'MISSING')
+            ELSE 'MISSING' END AS priority,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders

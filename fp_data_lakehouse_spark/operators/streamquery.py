@@ -39,6 +39,12 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     fallback) into a scratch dir — on a real lake the events feed is a
     directory of arriving files already and this adapter is a no-op."""
     src = f"{sf_dir}/events.parquet"
+    if "://" in sf_dir:
+        # Remote fixture (s3://, hdfs://): a remote events feed is a
+        # directory of files already — return it directly; os.path
+        # probes and symlink/copy staging only apply to the local
+        # single-file fixture below.
+        return src
     if os.path.isdir(src):
         return src
     d = alloc_scratch(spark, "stream_src")

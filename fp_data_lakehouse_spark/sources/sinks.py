@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 # construction: either the explicitly configured shared location, or a
 # dir beside the SQL warehouse dir — which must already be shared
 # storage for saveAsTable to work at all. Never a node-local tempdir.
-_SCRATCH_CREATED: list[str] = []
+# Entries are (path, hadoop_fs_or_None): for scheme'd paths the Hadoop
+# FileSystem handle is captured AT ALLOC TIME, because at atexit the
+# SparkSession is usually already stopped (getActiveSession -> None)
+# and a lazily-resolved handle would silently no-op, accumulating
+# remote scratch across runs.
+_SCRATCH_CREATED: list[tuple[str, object | None]] = []
 
 
 def scratch_root(spark: SparkSession) -> str:
@@ -57,23 +62,36 @@ def _has_scheme(path: str) -> bool:
     return "://" in path
 
 
-def delete_scratch(path: str) -> None:
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Resolve the Hadoop FileSystem (and Path class) for a scheme'd
+    path while a live session exists. Returned handle stays valid as
+    long as the JVM gateway is up — which outlives SparkSession.stop(),
+    so atexit cleanup can still use it."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def delete_scratch(path: str, fs: object | None = None) -> None:
     """Best-effort recursive delete that follows the path's filesystem:
     local paths via shutil; scheme'd paths (s3://, hdfs://) through the
-    Hadoop FileSystem of the active session — local os/shutil calls on
-    a remote URI would silently manipulate a junk local directory and
-    leave the remote data accumulating."""
+    Hadoop FileSystem — the handle captured at alloc time if given,
+    else the active session's. Local os/shutil calls on a remote URI
+    would silently manipulate a junk local directory and leave the
+    remote data accumulating."""
     if not _has_scheme(path):
         shutil.rmtree(path, ignore_errors=True)
         return
     try:
+        if fs is not None:
+            hfs, jvm = fs
+            hfs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+            return
         spark = SparkSession.getActiveSession()
         if spark is None:
-            return  # session already gone at exit: best-effort only
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
+            return  # no captured handle and session gone: best-effort only
+        hfs, jvm = _hadoop_fs(spark, path)
+        hfs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
     except Exception:
         pass
 
@@ -83,17 +101,25 @@ def alloc_scratch(spark: SparkSession, prefix: str) -> str:
     best-effort removal at process exit (scratch must not accumulate
     across runs). Local roots are created eagerly; scheme'd roots are
     left to the writer (Hadoop output committers create directories on
-    write)."""
+    write), but their FileSystem handle is captured NOW so exit-time
+    deletion works even after SparkSession.stop()."""
     path = scratch_root(spark).rstrip("/") + f"/{prefix}_{uuid.uuid4().hex[:8]}"
+    fs = None
     if not _has_scheme(path):
         os.makedirs(path, exist_ok=True)
-    _SCRATCH_CREATED.append(path)
+    else:
+        try:
+            fs = _hadoop_fs(spark, path)
+        except Exception:
+            fs = None  # unreachable FS config: fall back to lazy resolve
+    _SCRATCH_CREATED.append((path, fs))
     return path
 
 
 def _cleanup_scratch() -> None:
     while _SCRATCH_CREATED:
-        delete_scratch(_SCRATCH_CREATED.pop())
+        path, fs = _SCRATCH_CREATED.pop()
+        delete_scratch(path, fs=fs)
 
 
 atexit.register(_cleanup_scratch)
@@ -164,9 +190,16 @@ def merge_upsert(
     same call is a fully transactional MERGE. ``assume_new=True``
     additionally skips the existing-key anti-join when the CALLER
     already filtered updates to new keys (the dim loader does its own
-    get-or-create anti-join) — never set it on unfiltered input or
-    duplicates of existing keys will append.
+    get-or-create anti-join) — only valid with ``insert_only``
+    (enforced), and misuse on unfiltered input would append duplicate
+    keys, so set ``FP_LAKEHOUSE_MERGE_DEBUG=1`` in CI to turn the
+    skipped anti-join into a loud assertion.
     """
+    if assume_new and not insert_only:
+        raise ValueError(
+            "assume_new=True only makes sense with insert_only=True: the "
+            "rewrite path's anti-join is load-bearing, not an optimization"
+        )
     # The uniqueness guard is its own Spark job; callers whose updates
     # are unique BY CONSTRUCTION (the loader dedups on the natural /
     # composite key before calling) skip it with assume_unique=True.
@@ -181,6 +214,17 @@ def merge_upsert(
 
     target = spark.read.parquet(target_path)
     if insert_only:
+        if assume_new and os.environ.get("FP_LAKEHOUSE_MERGE_DEBUG"):
+            # Opt-in CI assertion: assume_new promises the caller already
+            # anti-joined away existing keys; verify it loudly instead of
+            # silently appending duplicates that only surface when a
+            # downstream join fans out.
+            n_dup = updates.join(target.select(*keys), keys, "left_semi").limit(1).count()
+            if n_dup:
+                raise AssertionError(
+                    f"merge_upsert(assume_new=True) received updates whose keys "
+                    f"{keys} already exist in {target_path}"
+                )
         new_rows = (
             updates
             if assume_new
