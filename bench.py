@@ -57,27 +57,13 @@ def bench_etl(spark, n_files: int = 4100) -> float:
     return round(best, 1)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    """Min-of-2 timings for every registered query at ``sf_dir`` (plus
+    the gr00 edge-artifact build as its own line item). Shared by the
+    default single-sf run and --sweep."""
     from fp_data_lakehouse_spark.operators import REGISTRY
-    from fp_data_lakehouse_spark.session import get_session
 
-    spark = get_session("fp-lakehouse-bench")
-
-    # JVM/codegen warm-up on the smallest fixture so per-query numbers
-    # measure the engine, not first-call initialization.
-    warm = REGISTRY["q01_avg_customer_revenue"].builder(spark, "/root/testdata/sf0.001")
-    materialize(warm)
-
-    # Two passes per query, report the min: the first execution of a NEW
-    # plan pays one-time analysis/codegen costs (measured seconds for
-    # the widest expression trees) plus GC noise from neighbors; the min
-    # approximates steady-state latency, which is the number that scales.
     timings: dict[str, float] = {}
-    t_suite = time.time()
-
     # gr01/gr02 share a memoized co-order edge-list artifact (the
     # "materialize the expensive intermediate to the lake" pattern).
     # Build it HERE, timed, as its own line item — so the per-query
@@ -122,6 +108,89 @@ def main() -> None:
         except Exception:
             pass
         spark.sparkContext._jvm.System.gc()
+    return timings
+
+
+def family_totals(timings: dict[str, float]) -> dict[str, float]:
+    from fp_data_lakehouse_spark.operators import REGISTRY
+
+    families: dict[str, float] = {}
+    for name, t in timings.items():
+        if t < 0:
+            continue
+        fam = name.split("_", 1)[0]
+        if name in REGISTRY:
+            fam = fam.rstrip("0123456789")
+        # else: synthetic line items (gr00 build) keep their full prefix
+        # as their own family — folding the build into 'gr' would
+        # double-attribute it against the notes' "reported separately".
+        families[fam] = round(families.get(fam, 0.0) + t, 3)
+    return families
+
+
+def sweep() -> None:
+    """--sweep: run the full suite at sf0.001 / sf0.01 / sf0.1 and print
+    per-family totals plus the empirical scaling exponent per family
+    (slope of log10(time) over log10(sf) between sf0.01 and sf0.1 — the
+    clean decade; sf0.001 shares fixture sizes with sf0.01 for
+    documents/embeddings, so its column is context, not slope input).
+    Exponent ~1 = linear in data, ~0 = flat (control-flow bound), >1 =
+    superlinear (candidate blowup) — the measured counterpart of
+    SCALE.md's analytic 100 TB arguments."""
+    import math
+
+    from fp_data_lakehouse_spark.session import get_session
+
+    spark = get_session("fp-lakehouse-sweep")
+    from fp_data_lakehouse_spark.operators import REGISTRY
+
+    materialize(REGISTRY["q01_avg_customer_revenue"].builder(spark, "/root/testdata/sf0.001"))
+    per_sf: dict[str, dict[str, float]] = {}
+    for sf in ("0.001", "0.01", "0.1"):
+        t0 = time.time()
+        timings = run_suite(spark, f"/root/testdata/sf{sf}")
+        fams = family_totals(timings)
+        per_sf[sf] = fams
+        print(
+            json.dumps(
+                {
+                    "metric": "sweep_suite",
+                    "sf": float(sf),
+                    "value": round(time.time() - t0, 3),
+                    "unit": "sec",
+                    "family_totals": fams,
+                    "n_errors": sum(1 for t in timings.values() if t < 0),
+                }
+            )
+        )
+    slopes = {}
+    for fam in sorted(per_sf["0.1"]):
+        a, b = per_sf["0.01"].get(fam), per_sf["0.1"].get(fam)
+        if a and b and a > 0 and b > 0:
+            slopes[fam] = round(math.log10(b / a), 2)
+    print(json.dumps({"metric": "sweep_exponents_sf0.01_to_sf0.1", "slopes": slopes}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from fp_data_lakehouse_spark.operators import REGISTRY
+    from fp_data_lakehouse_spark.session import get_session
+
+    spark = get_session("fp-lakehouse-bench")
+
+    # JVM/codegen warm-up on the smallest fixture so per-query numbers
+    # measure the engine, not first-call initialization.
+    warm = REGISTRY["q01_avg_customer_revenue"].builder(spark, "/root/testdata/sf0.001")
+    materialize(warm)
+
+    # Two passes per query, report the min: the first execution of a NEW
+    # plan pays one-time analysis/codegen costs (measured seconds for
+    # the widest expression trees) plus GC noise from neighbors; the min
+    # approximates steady-state latency, which is the number that scales.
+    t_suite = time.time()
+    timings = run_suite(spark, sf_dir)
 
     # Guard the headline numbers against transient contamination (round
     # 2's q01 read 6.89 s min-of-2 in the driver run but ~1 s in every
@@ -150,17 +219,7 @@ def main() -> None:
 
     # Per-family subtotals (q/dd/tx/sim/...) so round-over-round drift
     # attribution is one diff away (family = leading alpha prefix).
-    families: dict[str, float] = {}
-    for name, t in timings.items():
-        if t < 0:
-            continue
-        fam = name.split("_", 1)[0]
-        if name in REGISTRY:
-            fam = fam.rstrip("0123456789")
-        # else: synthetic line items (gr00 build) keep their full prefix
-        # as their own family — folding the build into 'gr' would
-        # double-attribute it against the notes' "reported separately".
-        families[fam] = round(families.get(fam, 0.0) + t, 3)
+    families = family_totals(timings)
 
     print(
         json.dumps(
@@ -208,4 +267,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()

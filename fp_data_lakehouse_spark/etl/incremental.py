@@ -49,16 +49,41 @@ _DIM_IDS = {
 _FACT_KEYS = ["id_mahasiswa", "id_mk", "id_waktu", "id_nilai"]
 
 
+def _parallel_jobs(thunks):
+    """Run independent Spark actions from a small thread pool and return
+    their results in input order. PySpark job submission is thread-safe;
+    on local mode and on a cluster alike this overlaps the per-job
+    driver round trips (analysis, file commits) that dominate
+    small-batch incremental loads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return list(pool.map(lambda t: t(), thunks))
+
+
 def _merge_dim(
     spark: SparkSession, path: str, incoming: DataFrame, keys: list[str], id_col: str
 ) -> DataFrame:
     """Get-or-create for one dimension: existing rows win wholesale; new
-    natural keys get ids continuing after the current max."""
+    natural keys get ids continuing after the current max.
+
+    The running max arrives as a broadcast 1-row aggregate folded into
+    the write job — NOT a per-dim collect: the incremental load's
+    wall-clock is driver-round-trip bound (et06's measured floor), so
+    every dim used to cost one max-probe job + one write job; now the
+    max scan, anti-join, id assignment, and append are ONE job per
+    dim."""
     existing = spark.read.parquet(path)
     new_members = incoming.join(existing.select(*keys), keys, "left_anti")
-    max_id = existing.agg(F.max(id_col)).collect()[0][0] or 0
+    max_row = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("_max_id"))
     w = Window.orderBy(*keys)
-    new_with_ids = new_members.withColumn(id_col, F.row_number().over(w) + F.lit(max_id))
+    new_with_ids = (
+        new_members.crossJoin(F.broadcast(max_row))
+        .withColumn(id_col, F.row_number().over(w) + F.col("_max_id"))
+        .drop("_max_id")
+    )
     # insert-only: get-or-create never updates an existing row, and the
     # append path adds batch-sized files instead of rewriting the dim
     merge_upsert(
@@ -93,8 +118,19 @@ def incremental_load(
     first_load = not os.path.exists(f"{warehouse_dir}/fact_nilai_mk.parquet")
     if first_load:
         tables = build_star_schema(spark, docs)
-        for name, df in tables.items():
-            df.write.mode("overwrite").parquet(f"{warehouse_dir}/{name}.parquet")
+        # Independent sinks: submit the table writes concurrently so the
+        # per-job driver round trips overlap (Spark's scheduler runs
+        # concurrent jobs from separate threads; the shared extraction
+        # subtree is a cached localCheckpoint, computed once under the
+        # block manager's per-partition locks).
+        _parallel_jobs(
+            [
+                (lambda n=name, d=df: d.write.mode("overwrite").parquet(
+                    f"{warehouse_dir}/{n}.parquet"
+                ))
+                for name, df in tables.items()
+            ]
+        )
     else:
         students = extract_students(docs).localCheckpoint(eager=False)
         courses = (
@@ -106,15 +142,24 @@ def incremental_load(
         # so the regex pass runs ONCE per batch (it previously ran twice:
         # here and again inside build_star_schema)
         batch = build_star_schema(spark, docs, students=students, courses=courses)
-        dims = {}
-        for name in ("dim_mahasiswa", "dim_matakuliah", "dim_waktu", "dim_nilai"):
-            dims[name] = _merge_dim(
-                spark,
-                f"{warehouse_dir}/{name}.parquet",
-                batch[name].drop(_DIM_IDS[name]),
-                _DIM_KEYS[name],
-                _DIM_IDS[name],
-            )
+        # The four dim merges are independent single-job writes to
+        # disjoint paths — run them concurrently (same rationale as the
+        # first-load writes above); each still assigns ids
+        # deterministically within its own dimension.
+        dim_names = ("dim_mahasiswa", "dim_matakuliah", "dim_waktu", "dim_nilai")
+        merged = _parallel_jobs(
+            [
+                (lambda n=name: _merge_dim(
+                    spark,
+                    f"{warehouse_dir}/{n}.parquet",
+                    batch[n].drop(_DIM_IDS[n]),
+                    _DIM_KEYS[n],
+                    _DIM_IDS[n],
+                ))
+                for name in dim_names
+            ]
+        )
+        dims = dict(zip(dim_names, merged))
         new_fact = build_fact_nilai_mk(
             courses,
             dims["dim_mahasiswa"],

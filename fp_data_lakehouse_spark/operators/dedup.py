@@ -630,46 +630,110 @@ _PAIR_DOT_SQL = (
 )
 def dd07_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine >= 0.4) over the
-    full corpus, as a blocked matrix product: unit-normalize JVM-side
-    (identical sequential fold on both engines), broadcast the full
-    matrix, and score each Arrow batch against it with one numpy GEMM
-    in ``mapInPandas`` — vectorized floating point instead of 2M
-    interpreted dot folds (~40x at sf0.1). GEMM summation order differs
+    full corpus, as a BLOCK-TILED matrix product (see
+    ``_tiled_cosine_pairs``): unit-normalize JVM-side (identical
+    sequential fold on both engines), hash vectors into bounded blocks,
+    and GEMM each unordered block pair inside one ``applyInPandas``
+    task — vectorized floating point instead of 2M interpreted dot
+    folds (~40x at sf0.1), with NO full-corpus driver materialization
+    and task memory bounded by two blocks. GEMM summation order differs
     from a sequential fold by ~1 ulp; the oracle compare rounds to 6
     decimals, which absorbs it.
 
-    This is the oracle ground truth; the all-pairs product is O(N^2)
-    and unusable at 100 TB (the broadcast side must fit an executor —
-    beyond that you tile both sides into block pairs). dd08 is the
-    banded scale path."""
-    u = _unit_vectors(spark, sf_dir)
-    corpus = u.toPandas()
-    b_ids = spark.sparkContext.broadcast(corpus["vec_id"].to_numpy())
-    b_mat = spark.sparkContext.broadcast(
-        np.vstack(corpus["vec"].to_numpy()).astype(np.float64)
+    This is the oracle ground truth; the all-pairs product stays
+    O(N^2) WORK however it is tiled and is unusable as the primary
+    operator at 100 TB — dd08 is the banded subquadratic scale path.
+    What the tiling buys is that the exact operator now fails only on
+    compute budget, never on driver/executor memory."""
+    return _tiled_cosine_pairs(_unit_vectors(spark, sf_dir))
+
+
+# Per-tile side length: bounds each applyInPandas task at ~2 blocks of
+# input vectors plus a row-chunked score buffer, independent of corpus
+# size. 4096 x d=64 doubles = 2 MiB per block side at the fixture dims;
+# at d=1024 production embeddings a block is ~32 MiB — still executor-
+# friendly next to the chunked (2048 x 4096 x 8 = 64 MiB) score slab.
+_DD07_BLOCK_ROWS = 4096
+_DD07_SCORE_CHUNK = 2048
+
+
+def _tiled_cosine_pairs(u: DataFrame, block_rows: int = _DD07_BLOCK_ROWS) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, tiled: vectors hash into
+    K = ceil(N / block_rows) blocks; the K(K+1)/2 unordered tile pairs
+    cover every vector pair exactly once (same-block pairs on the
+    diagonal tiles, cross-block pairs on the upper triangle); each tile
+    GEMMs its two blocks in one Arrow task, row-chunked so the score
+    matrix never exceeds SCORE_CHUNK x block_rows.
+
+    Driver footprint: ONE scalar (the count that sizes K) plus the
+    K^2/2-row tile list, broadcast. Shuffle: each vector lands in K+1
+    tiles, so the shuffled volume is O(N * K) = O(N^2 / block_rows)
+    rows — the honest cost of exact all-pairs, paid in bounded-memory
+    installments instead of one driver-sized broadcast."""
+    spark = u.sparkSession
+    n = u.count()  # 1-row control scalar: sizes the tiling
+    k = max(1, -(-n // block_rows))
+    blocks = u.select(
+        (F.abs(F.xxhash64("vec_id")) % k).cast("int").alias("blk"), "vec_id", "vec"
     )
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(k) for j in range(i, k)], "ti int, tj int"
+    )
+    side_a = blocks.join(F.broadcast(tiles), F.col("blk") == F.col("ti")).select(
+        "ti", "tj", F.lit(0).alias("side"), "vec_id", "vec"
+    )
+    side_b = blocks.join(
+        F.broadcast(tiles.filter(F.col("ti") != F.col("tj"))),
+        F.col("blk") == F.col("tj"),
+    ).select("ti", "tj", F.lit(1).alias("side"), "vec_id", "vec")
 
-    def score_blocks(batches):
-        ids_b = b_ids.value
-        mat_b = b_mat.value
-        for batch in batches:
-            if len(batch) == 0:
-                continue
-            ids_a = batch["vec_id"].to_numpy()
-            mat_a = np.vstack(batch["vec"].to_numpy()).astype(np.float64)
-            scores = mat_a @ mat_b.T
-            ai, bj = np.where(scores >= _COSINE_DUP_THRESHOLD)
-            keep = ids_a[ai] < ids_b[bj]
-            yield pd.DataFrame(
-                {
-                    "vec_id_a": ids_a[ai[keep]],
-                    "vec_id_b": ids_b[bj[keep]],
-                    "cosine": scores[ai[keep], bj[keep]],
-                }
-            )
+    thresh = _COSINE_DUP_THRESHOLD
+    chunk = _DD07_SCORE_CHUNK
 
-    return u.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        score_blocks, schema="vec_id_a long, vec_id_b long, cosine double"
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.array([], dtype=np.int64),
+                "vec_id_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+
+    def score_tile(key, pdf):
+        ti, tj = key
+        a = pdf[pdf["side"] == 0]
+        ids_a = a["vec_id"].to_numpy()
+        if ti == tj:
+            if len(a) < 2:
+                return _empty()
+            mat_a = np.vstack(a["vec"].to_numpy()).astype(np.float64)
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            b = pdf[pdf["side"] == 1]
+            if len(a) == 0 or len(b) == 0:
+                return _empty()
+            mat_a = np.vstack(a["vec"].to_numpy()).astype(np.float64)
+            ids_b = b["vec_id"].to_numpy()
+            mat_b = np.vstack(b["vec"].to_numpy()).astype(np.float64)
+        outs = []
+        for s in range(0, len(ids_a), chunk):
+            scores = mat_a[s : s + chunk] @ mat_b.T
+            ai, bj = np.where(scores >= thresh)
+            ia, ib = ids_a[s + ai], ids_b[bj]
+            if ti == tj:
+                keep = ia < ib  # strict upper triangle: each pair once
+                lo, hi, cs = ia[keep], ib[keep], scores[ai[keep], bj[keep]]
+            else:
+                # cross-block ids are disjoint; hash blocks don't order
+                # ids, so canonicalize to (min, max) per pair
+                lo, hi, cs = np.minimum(ia, ib), np.maximum(ia, ib), scores[ai, bj]
+            outs.append(pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi, "cosine": cs}))
+        return pd.concat(outs) if outs else _empty()
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("ti", "tj")
+        .applyInPandas(score_tile, schema="vec_id_a long, vec_id_b long, cosine double")
     )
 
 

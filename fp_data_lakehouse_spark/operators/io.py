@@ -209,3 +209,134 @@ def io04_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+_IO05_CORRUPT_MOD = 13
+
+_IO05_SQL = f"""
+SELECT 'quarantined' AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders WHERE o_orderkey % {_IO05_CORRUPT_MOD} = 0
+UNION ALL
+SELECT 'valid' AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders WHERE o_orderkey % {_IO05_CORRUPT_MOD} <> 0
+"""
+
+
+@register("io05_corrupt_record_quarantine", oracle=_IO05_SQL)
+def io05_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record policy on the ingestion edge, certified against a
+    closed-form corruption rule (the reference analog: 4 of 41 PDFs
+    rejected and logged, ETL_Transkrip.log:71-161; its batch twin is
+    et04's regex quarantine). Orders are serialized to raw CSV lines
+    with every ``orderkey % 13 == 0`` row deliberately malformed
+    (non-numeric totalprice), then ingested with ``from_csv`` in
+    PERMISSIVE mode + columnNameOfCorruptRecord: malformed rows keep
+    their parseable fields, surface the raw line in the corrupt column,
+    and are routed to the quarantine split; the census of both splits
+    must match the oracle computed from the clean base table.
+
+    ``from_csv`` (an expression, not a DataFrameReader) is the scale
+    shape on purpose: parse + validity routing is ONE map-only pass —
+    no caching workaround for the reader's corrupt-column filter
+    restriction, no second scan, and the same expression drops into
+    readStream for streaming ingestion unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.when(
+                F.col("o_orderkey") % _IO05_CORRUPT_MOD == 0, F.lit("N/A")
+            ).otherwise(F.col("o_totalprice").cast("string")),
+            "o_orderpriority",
+        ).alias("value")
+    )
+    path = alloc_scratch(spark, "io05_corrupt") + "/orders_lines"
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_csv(
+            "value",
+            "o_orderkey BIGINT, totalprice DOUBLE, priority STRING, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    ).select("r.*")
+    return (
+        parsed.withColumn(
+            "split",
+            F.when(F.col("_corrupt").isNotNull(), "quarantined").otherwise("valid"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.floor(F.col("totalprice") * 100).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
+
+
+# JDBC round-trip (S3/S4 upgraded from call-shape to certified): the
+# container ships no MySQL/Postgres server, but Spark bundles Derby —
+# an in-JVM SQL database with a real JDBC driver and a Spark dialect.
+# Writing through df.write.jdbc and reading back through
+# spark.read.jdbc exercises the IDENTICAL code path the reference's
+# MySQL/Postgres sinks use (dialect-quoted DDL, batched INSERTs,
+# partitioned reads); only the URL/driver string differs in production.
+_IO06_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("io06_jdbc_roundtrip", oracle=_IO06_SQL)
+def io06_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders -> JDBC sink (embedded Derby, ``df.write.jdbc``) -> JDBC
+    source (``spark.read.jdbc``) -> per-status rollup that must match
+    the oracle computed from the parquet original. Certifies the
+    reference's S3/S4 sink surface (ETL_FINAL.py:38-39,220-223;
+    etl_transkrip_postgres.py:105-112) as a BULK write instead of
+    row-at-a-time cursor inserts: one batched INSERT per partition,
+    dialect-generated DDL, type round-trip through SQL types
+    (BIGINT/DOUBLE/VARCHAR).
+
+    Scale notes: JDBC writes parallelize per partition (each opens one
+    connection — repartition to the DB's connection budget first);
+    reads parallelize only with partitionColumn/bounds, else they are
+    a single-connection stream. The warehouse stays parquet/Delta;
+    JDBC is for serving-store egress, exactly the reference's usage."""
+    from ..sources.sinks import write_jdbc
+
+    url = "jdbc:derby:memory:io06db;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # 4 partitions = 4 connections: the writer's parallelism contract
+    write_jdbc(
+        orders.repartition(4), url, "ORDERS_RT", mode="overwrite", **props
+    )
+    back = spark.read.options(**props).jdbc(url, "ORDERS_RT")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )

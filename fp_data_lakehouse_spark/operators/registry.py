@@ -51,65 +51,70 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Rounds 1-3 cumulatively certified 147 of the 154 oracle-backed
-    # queries. Round 4 front-loads the 7 that landed after the round-3
-    # window closed (closing the 154/154 loop) plus et05 (new this
-    # round), then re-certifies every query whose implementation or
-    # oracle changed this round (dq02/dq03 advice fixes; the graph
-    # family after the pr02 size-guard + scratch-dir artifact rework),
-    # then rotates re-certification across the heavyweight families.
-    "ev26_timebound_funnel",
-    "ly03_compaction_plan",
-    "vt04_retention_plan",
-    "tx17_bpe_merge_candidates",
-    "dd24_incremental_ingest_gate",
-    "dq04_ledger_reconciliation",
-    "tx18_chunk_windows",
-    "et05_multibatch_ingest_pipeline",
-    # changed in round 4 — re-certify on the hard signal
-    "dq02_column_profile",
-    "dq03_distribution_drift",
-    "pr01_pagerank_step",
-    "gr01_triangle_count",
-    "gr02_degree_assortativity",
-    # rotation: heavyweight / composition queries re-certified this round
-    "et01_star_schema_build",
-    "et02_student_dim_rollup",
+    # Cumulative record entering round 5: all 165 round-4 oracle-backed
+    # queries driver-green across r1-r4. Round 5 front-loads (a) the
+    # four NEW rows (io05 corrupt-record quarantine, io06 JDBC
+    # round-trip via embedded Derby, st04 stream-stream interval join,
+    # st05 streaming re-delivery dedup), (b) every query whose
+    # implementation or oracle changed this round (dd07 block-tiled
+    # exact GEMM; io04's null-policy oracle fix; the incremental-loader
+    # rework behind et03/et05/et06; the versioned-layer backend seam
+    # behind vt01-vt04; the streamquery module behind st01-st03; the
+    # scratch-allocation bookkeeping behind the io family, the graph
+    # artifact queries, dd09 and dd24), then (c) rotates re-certification
+    # onto the oldest certificates (the r1-only relational corpus).
+    "io05_corrupt_record_quarantine",
+    "io06_jdbc_roundtrip",
+    "st04_stream_interval_join",
+    "st05_stream_redelivery_dedup",
+    # changed in round 5 — re-certify on the hard signal
+    "dd07_embedding_neardup_pairs",
+    "io04_schema_evolution_read",
     "et03_incremental_agg_maintenance",
-    "et04_reject_quarantine",
-    "dd15_prefix_filter_jaccard",
-    "dd22_minhash_estimate_pairs",
-    "dd19_semantic_dedup_keep",
-    "dd20_containment_pairs",
-    "dd21_canonical_text_dedup",
-    "dd17_repeated_spans",
-    "dd18_edit_distance_pairs",
+    "et05_multibatch_ingest_pipeline",
+    "et06_incremental_dim_identity",
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
     "vt03_time_travel_read",
-    "ly01_zorder_layout",
-    "ly02_skipping_comparison",
-    "dq01_constraint_audit",
-    "dd03_ngram_jaccard_pairs",
-    "sim07_int8_quantize",
-    "sim08_int8_mips_topk",
-    "sim09_pq_adc_topk",
+    "vt04_retention_plan",
     "st01_stream_tumbling_equivalence",
     "st02_stream_sliding_equivalence",
     "st03_stream_static_enrichment",
-    "sk07_bloom_join_prune",
-    "tx14_boilerplate_ngram_ratio",
-    "tx15_char_diversity",
-    "tx16_pmi_collocations",
-    "ag03_user_value_ewma",
     "io01_csv_roundtrip_orders",
     "io02_json_nested_roundtrip",
     "io03_partition_pruned_scan",
-    "io04_schema_evolution_read",
-    "ev27_native_session_windows",
-    "mm05_multimodal_batch_assembly",
-    "q42_salted_skew_join",
-    "et06_incremental_dim_identity",
+    "gr01_triangle_count",
+    "gr02_degree_assortativity",
+    "pr01_pagerank_step",
+    "dd09_dup_clusters",
+    "dd24_incremental_ingest_gate",
+    # rotation: the r1-only relational certificates, oldest first
+    "q01_avg_customer_revenue",
+    "q02_top10_customers_by_avg_item_value",
+    "q03_returnflag_distribution",
+    "q04_bottom5_parts_by_discount",
+    "q05_top5_parts_by_discount",
+    "q06_weighted_value_by_orderstatus",
+    "q07_weighted_value_by_year_month",
+    "q08_top5_most_ordered_parts",
+    "q09_discounted_quantity_per_customer",
+    "q10_returned_never_reordered",
+    "q10b_returned_then_reordered",
+    "q11_repeat_purchases",
+    "q12_avg_tax_discount_when_both_positive",
+    "q13_top5_customers_by_balance",
+    "q14_top5_suppliers_by_balance",
+    "q15_returned_vs_kept_per_part",
+    "q16_customer_segment_binning",
+    "q17_balance_by_segment",
+    "q18_avg_discount_per_customer",
+    "q19_active_months_per_customer",
+    "q20_min_discount_per_customer",
+    "q21_order_detail_projection",
+    "q22_top10_order_value_jumps",
+    "q23_consistent_big_spenders",
+    "q24_avg_first_last_order_value",
+    "q25_count_customers_ending_small",
     # 50-row window ends here; everything else follows in registration
     # order and stays covered by tests/test_oracle_parity.py.
 ]

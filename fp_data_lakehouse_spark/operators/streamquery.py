@@ -28,6 +28,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.sinks import alloc_scratch
 from .registry import register
@@ -181,6 +182,145 @@ def st03_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("segment", "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+
+
+# Stream-stream interval join (attribution): every purchase matched to
+# the same user's clicks in the preceding hour. The watermark (2 h)
+# strictly dominates the join window (1 h), so state eviction can never
+# drop a row a future match could still need — the invariant that
+# bounds join state at 100 TB. An availableNow drain over the bounded
+# fixture processes everything, so the emitted pair set must equal the
+# batch interval join the oracle runs.
+_ST04_WINDOW_SEC = 3600
+
+_ST04_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ep,
+       c.event_id AS click_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ep
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL {_ST04_WINDOW_SEC} SECOND AND p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register("st04_stream_interval_join", oracle=_ST04_SQL)
+def st04_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join on the hard signal: purchases and
+    clicks read as TWO watermarked streams from the same file source,
+    inner-joined on user with click_ts bounded to the hour before the
+    purchase (streaming/events.attribution_stream), drained append-mode
+    via availableNow, and the raw emitted PAIRS — not a rollup —
+    compared against the batch interval join in DuckDB. This certifies
+    the stateful symmetric-hash join path end to end: per-side state
+    buffering, the time-bound condition that lets the watermark evict
+    buffered rows, and append-mode emission of matches only.
+
+    Scale: join state is bounded by arrival-rate x (watermark + window)
+    per side — the design that keeps an attribution pipeline running
+    forever on an unbounded click stream; the availableNow drain is the
+    bounded-fixture projection of exactly that plan (same physical
+    StreamingSymmetricHashJoin operator)."""
+    from ..streaming.events import attribution_stream, read_events_stream
+
+    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    pairs = attribution_stream(stream, window_sec=_ST04_WINDOW_SEC)
+    name = f"st04_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ep").cast("long").alias("purchase_ep"),
+        "click_id",
+        F.col("click_ep").cast("long").alias("click_ep"),
+    )
+
+
+# Streaming exactly-once-per-key ingest under RE-DELIVERY: the fixture
+# is staged TWICE into the source directory (two files, same events —
+# the at-least-once delivery every file/Kafka source exhibits), and
+# dropDuplicatesWithinWatermark must collapse each event_id back to
+# one row, so the post-drain census equals the single-copy batch
+# census the oracle computes.
+_ST05_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+def _redelivered_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture twice (two files) to simulate a source
+    re-delivery. Scheme'd fixtures can't be staged locally — fall back
+    to the single-copy feed (the dedup is then a no-op pass-through,
+    still semantically correct)."""
+    src = f"{sf_dir}/events.parquet"
+    if "://" in sf_dir or os.path.isdir(src):
+        return _stream_source_dir(spark, sf_dir)
+    d = alloc_scratch(spark, "stream_redeliver")
+    for i in (0, 1):
+        link = f"{d}/events_{i:03d}.parquet"
+        if not os.path.exists(link):
+            try:
+                os.symlink(src, link)
+            except OSError:
+                import shutil
+
+                shutil.copy(src, link)
+    return d
+
+
+@register("st05_stream_redelivery_dedup", oracle=_ST05_SQL)
+def st05_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest on the hard signal: the events fixture
+    arrives TWICE (two staged files), flows through
+    ``dropDuplicatesWithinWatermark(event_id)``
+    (streaming/events.dedup_events_stream), drains append-mode, and the
+    per-event-type census of what survived must equal the batch census
+    of the SINGLE copy — certifying that at-least-once delivery
+    collapses to exactly-once-per-key through the streaming engine's
+    keyed state store.
+
+    Scale: state is keyed on event_id and evicted once the watermark
+    passes (bounded by arrival rate x 2 h horizon, not stream length) —
+    the property that makes replaying Kafka offsets or re-listed files
+    safe on an unbounded ingest; see dedup_events_stream's notes."""
+    from ..streaming.events import dedup_events_stream, read_events_stream
+
+    stream = read_events_stream(spark, _redelivered_source_dir(spark, sf_dir))
+    deduped = dedup_events_stream(stream)
+    name = f"st05_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
             F.sum(F.round(F.col("value") * 100).cast("long"))
             .cast("long")
             .alias("value_cents"),

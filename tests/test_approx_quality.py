@@ -697,3 +697,29 @@ def test_bpe_train_loop_invariants(spark):
         .collect()
     )
     assert not remaining, remaining
+
+
+def test_dd07_tiling_is_partition_invariant(spark):
+    """The block-tiled exact GEMM must return the same pair set and
+    cosines for ANY block size: force a genuinely multi-tile run
+    (block_rows=64 over the 500-vector fixture -> 8 blocks, 36 tiles)
+    and compare against the registered default (single tile here).
+    Together with dd07's oracle row this certifies that tiling is pure
+    execution strategy, not semantics."""
+    from fp_data_lakehouse_spark.operators.dedup import (
+        _tiled_cosine_pairs,
+        _unit_vectors,
+    )
+
+    u = _unit_vectors(spark, SF_ORACLE).localCheckpoint(eager=False)
+    default = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in _tiled_cosine_pairs(u).collect()
+    }
+    tiled = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in _tiled_cosine_pairs(u, block_rows=64).collect()
+    }
+    assert set(tiled) == set(default)
+    for k, v in tiled.items():
+        assert abs(v - default[k]) < 1e-9
