@@ -340,3 +340,177 @@ def io06_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
     )
+
+
+_IO07_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_shipdate
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("io07_orc_roundtrip", oracle=_IO07_SQL)
+def io07_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem -> ORC (Spark's second native columnar format) -> read
+    back -> the classic returnflag/linestatus rollup, matched against
+    the oracle on the parquet original. ORC is the JVM-native scan the
+    Hive ecosystem standardized on; a green row certifies the full
+    binary columnar round trip (dictionary/RLE encodings, DATE and
+    DECIMAL-free DOUBLE paths, predicate-pushdown-capable footers) with
+    zero Python in the data path.
+
+    Scale notes: the ORC writer shuffles nothing (file-per-task like
+    parquet) and the re-read aggregate partial-aggregates map-side;
+    ORC's row-group (stripe) statistics give the same min/max skipping
+    parquet footers do, asserted at the plan level for the parquet
+    twin in tests/test_plan_quality.py — the format choice is a
+    storage-ecosystem decision, not a query-shape one."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    path = alloc_scratch(spark, "io07_orc") + "/lineitem_orc"
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.schema(li.schema).orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.max("l_shipdate").cast("string").alias("max_shipdate"),
+    )
+
+
+_IO08_SPLIT = "1996-01-01"
+_IO08_MIN_ORDERS = 2
+
+_IO08_SQL = f"""
+WITH v1 AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_IO08_SPLIT}'
+    GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS sum_orders,
+       CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+FROM v1 WHERE n_orders >= {_IO08_MIN_ORDERS}
+"""
+
+
+@register("io08_python_datasource_timetravel", oracle=_IO08_SQL)
+def io08_python_datasource_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table layer consumed through the Spark 4 Python
+    DataSource API (sources/pyds.py): build v1 (pre-{_IO08_SPLIT}
+    per-customer totals) and v2 (full history) as snapshots, then read
+    v1 BACK through ``spark.read.format("fp_versioned")`` with
+    ``option("version", v1)`` — time travel as a reader option, the
+    way every table format exposes it — plus a pushed filter
+    (``n_orders >= 2``) that the source translates to a pyarrow
+    row-group predicate while Spark re-applies it authoritatively
+    above. The rollup must match the oracle's relational
+    reconstruction of v1, proving the custom source returns exactly
+    the pinned snapshot even though _LATEST has moved on.
+
+    Scale notes: the reader fans out one InputPartition per parquet
+    file (file-granular task parallelism, same as the JVM scan) and
+    yields Arrow RecordBatches — the data path is
+    pyarrow-C++ -> Arrow IPC -> JVM, no per-row Python anywhere."""
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import write_version
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    totals = lambda df: df.groupBy("o_custkey").agg(  # noqa: E731
+        F.count("*").alias("n_orders"), F.sum(cents).alias("total_cents")
+    )
+    table_dir = alloc_scratch(spark, "io08_pyds") + "/cust_totals"
+    v1 = write_version(
+        totals(orders.filter(F.col("o_orderdate") < F.lit(_IO08_SPLIT).cast("timestamp"))),
+        table_dir,
+    )
+    write_version(totals(orders), table_dir)  # v2: _LATEST moves past v1
+
+    register_python_sources(spark)
+    snap = (
+        spark.read.format("fp_versioned")
+        .option("path", table_dir)
+        .option("version", v1)
+        .load()
+    )
+    return snap.filter(F.col("n_orders") >= _IO08_MIN_ORDERS).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+        F.sum("total_cents").cast("long").alias("sum_cents"),
+        F.min("o_custkey").cast("long").alias("min_custkey"),
+    )
+
+
+_IO09_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS sum_orders,
+       CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+       CAST(MAX(n_orders) AS BIGINT) AS max_orders
+FROM t
+"""
+
+
+@register("io09_python_datasource_write", oracle=_IO09_SQL)
+def io09_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE leg of the Python DataSource seam
+    (sources/pyds.VersionedArrowWriter): per-customer totals go out
+    through ``df.write.format("fp_versioned")`` — executors stage
+    parquet files (Arrow batches straight into pyarrow) into a
+    job-unique staging dir, the driver-side ``commit()`` moves them
+    into the next ``v{N:05d}`` snapshot and atomically swaps the
+    ``_LATEST`` pointer — then the table is read BACK through the
+    STANDARD JVM reader (``versioned.read_table``), and the rollup
+    must match the oracle. A green row certifies cross-engine interop
+    (python-written snapshots are ordinary parquet the JVM scan
+    reads), the two-phase commit (a half-written job is invisible:
+    nothing publishes until commit), and pointer advancement past a
+    JVM-written v1.
+
+    Scale: write parallelism is the DataFrame's partitioning (each
+    task stages one file); commit is a driver-side metadata move, N
+    renames + one pointer swap — the same O(files) commit cost as a
+    Hadoop v1 committer, with the table-format log as the upgrade
+    path on object stores."""
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import read_table, write_version
+
+    orders = load_table(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+    )
+    table_dir = alloc_scratch(spark, "io09_pyds_w") + "/cust_totals"
+    # v1 via the JVM path: the python writer must read the existing log
+    # and commit v2, not clobber it.
+    write_version(totals.filter(F.col("n_orders") >= 5), table_dir)
+    register_python_sources(spark)
+    totals.write.format("fp_versioned").option("path", table_dir).mode("append").save()
+    back = read_table(spark, table_dir)  # pointer must now say v2
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+        F.sum("total_cents").cast("long").alias("sum_cents"),
+        F.max("n_orders").cast("long").alias("max_orders"),
+    )

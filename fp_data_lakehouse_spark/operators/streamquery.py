@@ -326,3 +326,92 @@ def st05_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+_ST06_SPLITS = ("1997-01-01", "1999-01-01")
+
+_ST06_SQL = f"""
+WITH s1 AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_ST06_SPLITS[0]}' GROUP BY o_custkey
+), s2 AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_ST06_SPLITS[1]}' GROUP BY o_custkey
+), s3 AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS sum_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(SUM(n_orders) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(SUM(n_orders) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM s3
+"""
+
+
+@register("st06_python_stream_version_feed", oracle=_ST06_SQL)
+def st06_python_stream_version_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-history replay through the Spark 4 Python streaming
+    DataSource (sources/pyds.VersionFeedDataSource): three snapshots of
+    per-customer order totals commit to a versioned table, then
+    ``spark.readStream.format("fp_versioned_feed")`` replays the
+    version LOG — one micro-batch per committed version, rows stamped
+    ``_version`` — into a memory sink, and the per-version census must
+    match the oracle's three relational reconstructions. Certifies the
+    custom source's offset contract end to end: initialOffset before
+    the first retained version, version-ordered batches, no version
+    skipped or re-delivered (any of those flips a census row).
+
+    This is the "table as a stream" pattern (Delta CDF's
+    snapshot-replay cousin) with snapshot, not delta, semantics — each
+    version replays in FULL, so downstream consumers rebuild state per
+    commit; the change-feed twin for delta semantics is vt01's batch
+    change_feed. Scale: each micro-batch fans out one InputPartition
+    per snapshot file, Arrow batches JVM-ward, and the stream keeps
+    tailing _LATEST as new versions commit — a daily-load audit
+    pipeline runs exactly this query unbounded."""
+    import shutil
+
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import write_version
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    totals = lambda df: df.groupBy("o_custkey").agg(  # noqa: E731
+        F.count("*").alias("n_orders"), F.sum(cents).alias("cents")
+    )
+    table_dir = alloc_scratch(spark, "st06_feed") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    for split in _ST06_SPLITS:
+        write_version(
+            totals(orders.filter(F.col("o_orderdate") < F.lit(split).cast("timestamp"))),
+            table_dir,
+        )
+    write_version(totals(orders), table_dir)
+
+    register_python_sources(spark)
+    feed = spark.readStream.format("fp_versioned_feed").option("path", table_dir).load()
+    per_version = feed.groupBy("_version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    name = f"st06_{uuid.uuid4().hex[:8]}"
+    q = (
+        per_version.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("_version").alias("version"), "n_customers", "sum_orders", "sum_cents"
+    )

@@ -1,0 +1,502 @@
+"""Spark 4 Python DataSource bindings for the versioned-table layer:
+the engine's own table format surfaced through ``spark.read.format()``
+/ ``spark.readStream.format()`` instead of helper functions.
+
+Two sources, registered via :func:`register_python_sources`:
+
+- ``fp_versioned`` (batch): reads one snapshot of a
+  ``sources.versioned`` table. Options: ``path`` (table dir),
+  ``version`` (time travel; default = the ``_LATEST`` pointer). The
+  reader hands Spark ONE InputPartition PER PARQUET FILE (the same
+  file-granular parallelism the JVM parquet scan uses — a 1000-file
+  snapshot fans out to 1000 tasks), yields Arrow RecordBatches (zero
+  per-row Python), and implements ``pushFilters`` conservatively:
+  supported comparisons are translated to a pyarrow dataset predicate
+  so parquet row-group statistics prune I/O on the executor, but every
+  filter is RETURNED as unsupported so Spark re-applies it — double
+  filtering is free compared to trusting a Python reimplementation of
+  SQL comparison semantics (nulls, NaN, collation) to be exact.
+
+- ``fp_versioned_feed`` (streaming): the version LOG as a micro-batch
+  stream — each committed version is one offset increment, so a
+  downstream pipeline replays table history exactly once, in commit
+  order, with a ``_version`` column stamping provenance. Offsets are
+  ``{"version": N}`` dicts; ``initialOffset`` starts before the first
+  retained version; ``latestOffset`` tracks the ``_LATEST`` pointer,
+  so the stream keeps tailing as new versions commit (the Delta
+  "table-as-a-stream" pattern, reduced to its essentials).
+
+Why a Python DataSource and not another helper function: the
+``DataSource`` API is the supported Spark-4 seam for sources the JVM
+has no connector for — registering once makes the versioned layer
+consumable from SQL (``CREATE TEMPORARY VIEW ... USING``), from any
+language binding, and from readStream, with Catalyst seeing an
+ordinary relation it can prune/filter above. Filesystem access rides
+``pyarrow.fs`` (local paths and any ``scheme://`` pyarrow can reach),
+mirroring the LocalFs/HadoopFs backend seam in
+``sources/versioned.py``.
+
+Reference parity: the reference's sources are fixed-format directory
+scans (SURVEY.md §2.1 S1); this module is the extension seam those
+rows point at — new formats/layouts plug in without touching query
+code. Certified on the driver signal by io08 (batch + time travel +
+pushdown) and st06 (version-feed replay) in operators/io.py and
+operators/streamquery.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow.fs as pafs
+
+_PTR = "_LATEST"
+_VDIR = re.compile(r"^v(\d{5})$")
+
+
+# ---------------------------------------------------------------------------
+# pyarrow-side filesystem + metadata helpers (pure Python: these run on
+# the driver at plan time and inside executors' Python workers — no JVM)
+# ---------------------------------------------------------------------------
+
+
+def _fs_and_path(path: str) -> tuple["pafs.FileSystem", str]:
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _list_versions(fs: "pafs.FileSystem", table_dir: str) -> list[int]:
+    import pyarrow.fs as pafs
+
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(table_dir, recursive=False))
+    except FileNotFoundError:
+        return []
+    out = []
+    for info in infos:
+        m = _VDIR.match(info.base_name)
+        if m and info.type == pafs.FileType.Directory:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_pointer(fs: "pafs.FileSystem", table_dir: str) -> int | None:
+    try:
+        with fs.open_input_stream(f"{table_dir}/{_PTR}") as f:
+            return int(f.read().decode().strip())
+    except (FileNotFoundError, OSError, ValueError):
+        return None
+
+
+def _resolve_version(table_dir: str, version: int | None) -> tuple[int, str]:
+    """(version, snapshot_dir) for an explicit version or the pointer."""
+    fs, p = _fs_and_path(table_dir)
+    v = version if version is not None else _read_pointer(fs, p)
+    if v is None:
+        vs = _list_versions(fs, p)
+        if not vs:
+            raise FileNotFoundError(f"no versions under {table_dir}")
+        v = vs[-1]
+    return v, f"{p}/v{v:05d}"
+
+
+def _snapshot_files(fs: "pafs.FileSystem", snap_dir: str) -> list[str]:
+    import pyarrow.fs as pafs
+
+    infos = fs.get_file_info(pafs.FileSelector(snap_dir, recursive=False))
+    return sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File and i.base_name.endswith(".parquet")
+    )
+
+
+_ARROW_TO_SPARK = [
+    ("is_boolean", BooleanType),
+    ("is_int64", LongType),
+    ("is_integer", IntegerType),  # any remaining int width
+    ("is_float64", DoubleType),
+    ("is_float32", FloatType),
+    ("is_floating", DoubleType),
+    ("is_string", StringType),
+    ("is_large_string", StringType),
+    ("is_date", DateType),
+    ("is_timestamp", TimestampType),
+]
+
+
+def _arrow_schema_to_spark(schema) -> StructType:
+    import pyarrow.types as pat
+
+    fields = []
+    for f in schema:
+        for probe, spark_t in _ARROW_TO_SPARK:
+            if getattr(pat, probe)(f.type):
+                fields.append(StructField(f.name, spark_t(), f.nullable))
+                break
+        else:
+            raise TypeError(
+                f"fp_versioned: unsupported arrow type {f.type} for column "
+                f"{f.name!r} — extend _ARROW_TO_SPARK or store a simpler type"
+            )
+    return StructType(fields)
+
+
+def _snapshot_schema(table_dir: str, version: int | None) -> StructType:
+    import pyarrow.parquet as pq
+
+    fs, _ = _fs_and_path(table_dir)
+    _, snap = _resolve_version(table_dir, version)
+    files = _snapshot_files(fs, snap)
+    if not files:
+        raise FileNotFoundError(f"empty snapshot {snap}")
+    return _arrow_schema_to_spark(pq.read_schema(files[0], filesystem=fs))
+
+
+# Filters are shipped to executors as plain tuples (pyarrow expressions
+# don't pickle): (op, column, value).
+_FILTER_OPS = {
+    EqualTo: "eq",
+    GreaterThan: "gt",
+    GreaterThanOrEqual: "ge",
+    LessThan: "lt",
+    LessThanOrEqual: "le",
+    In: "in",
+    IsNotNull: "notnull",
+}
+
+
+def _translate_filters(filters: list[Filter], columns: set[str]) -> list[tuple]:
+    out = []
+    for f in filters:
+        op = _FILTER_OPS.get(type(f))
+        attr = getattr(f, "attribute", None)
+        if op is None or attr is None or len(attr) != 1 or attr[0] not in columns:
+            continue
+        col = attr[0]
+        if op in ("notnull",):
+            out.append((op, col, None))
+        elif op == "in":
+            out.append((op, col, tuple(f.value)))
+        else:
+            v = f.value
+            if v is None:
+                continue
+            out.append((op, col, v))
+    return out
+
+
+def _filters_to_arrow_expr(specs: list[tuple]):
+    import pyarrow.dataset as pads
+
+    expr = None
+    for op, col, v in specs:
+        field = pads.field(col)
+        e = {
+            "eq": lambda: field == v,
+            "gt": lambda: field > v,
+            "ge": lambda: field >= v,
+            "lt": lambda: field < v,
+            "le": lambda: field <= v,
+            "in": lambda: field.isin(list(v)),
+            "notnull": lambda: field.is_valid(),
+        }[op]()
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+def _read_parquet_batches(
+    file_path: str, columns: list[str], filter_specs: list[tuple]
+) -> Iterator:
+    """One file -> arrow RecordBatches, with row-group pruning from the
+    pushed predicate. Runs inside the executor's Python worker; the
+    filesystem handle is rebuilt here (non-serializable resource)."""
+    import pyarrow.dataset as pads
+
+    fs, p = _fs_and_path(file_path)
+    ds = pads.dataset(p, format="parquet", filesystem=fs)
+    expr = _filters_to_arrow_expr(filter_specs)
+    scanner = ds.scanner(columns=columns, filter=expr, batch_size=65536)
+    yield from scanner.to_batches()
+
+
+# ---------------------------------------------------------------------------
+# batch source
+# ---------------------------------------------------------------------------
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str, version: int | None = None):
+        self.file_path = file_path
+        self.version = version
+
+
+class VersionedReader(DataSourceReader):
+    def __init__(self, schema: StructType, table_dir: str, version: int | None):
+        self._cols = [f.name for f in schema.fields]
+        self._table_dir = table_dir
+        self._version = version
+        self._pushed: list[tuple] = []
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (Spark API)
+        self._pushed = _translate_filters(filters, set(self._cols))
+        # Return EVERYTHING as unsupported: the pushed specs prune
+        # parquet row groups executor-side, Spark's own filter above
+        # stays authoritative for SQL semantics.
+        return iter(filters)
+
+    def partitions(self):
+        fs, p = _fs_and_path(self._table_dir)
+        _, snap = _resolve_version(self._table_dir, self._version)
+        return [_FilePartition(f) for f in _snapshot_files(fs, snap)]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_parquet_batches(
+            partition.file_path, self._cols, self._pushed
+        )
+
+
+class VersionedDataSource(DataSource):
+    """``spark.read.format("fp_versioned").option("path", d)`` with
+    optional ``option("version", n)`` time travel."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fp_versioned"
+
+    def _target(self) -> tuple[str, int | None]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("fp_versioned requires option('path', <table_dir>)")
+        v = self.options.get("version")
+        return path, (int(v) if v is not None else None)
+
+    def schema(self) -> StructType:
+        path, version = self._target()
+        return _snapshot_schema(path, version)
+
+    def reader(self, schema: StructType) -> VersionedReader:
+        path, version = self._target()
+        return VersionedReader(schema, path, version)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "VersionedArrowWriter":
+        path, _ = self._target()
+        # append and overwrite both commit ONE new version (see
+        # VersionedArrowWriter docstring); a version pin is a read-side
+        # concept and is rejected on write.
+        if self.options.get("version") is not None:
+            raise ValueError("fp_versioned: option('version') is read-only (time travel)")
+        return VersionedArrowWriter(path)
+
+
+# ---------------------------------------------------------------------------
+# streaming source: the version log as a micro-batch stream
+# ---------------------------------------------------------------------------
+
+
+class VersionFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, table_dir: str):
+        # schema includes the trailing _version provenance column;
+        # parquet files carry everything before it.
+        self._cols = [f.name for f in schema.fields[:-1]]
+        self._table_dir = table_dir
+
+    def _dbg(self, msg: str) -> None:
+        import os
+
+        log = os.environ.get("FP_PYDS_DEBUG")
+        if log:
+            with open(log, "a") as f:
+                f.write(msg + "\n")
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        fs, p = _fs_and_path(self._table_dir)
+        vs = _list_versions(fs, p)
+        self._dbg(f"initialOffset vs={vs}")
+        # start BEFORE the first retained version (vacuumed history is
+        # gone by operator decision, exactly like Delta's startingVersion
+        # floor).
+        return {"version": (vs[0] - 1) if vs else 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        fs, p = _fs_and_path(self._table_dir)
+        v = _read_pointer(fs, p)
+        if v is None:
+            vs = _list_versions(fs, p)
+            v = vs[-1] if vs else 0
+        self._dbg(f"latestOffset -> {v}")
+        return {"version": v}
+
+    def partitions(self, start: dict, end: dict):
+        self._dbg(f"partitions(start={start}, end={end})")
+        fs, p = _fs_and_path(self._table_dir)
+        out = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            snap = f"{p}/v{v:05d}"
+            out.extend(_FilePartition(f, v) for f in _snapshot_files(fs, snap))
+        # a zero-partition range is legal (no new versions this batch)
+        self._dbg(f"partitions -> {[(x.version, x.file_path.rsplit('/',2)[-2:]) for x in out[:40]]} n={len(out)}")
+        return out
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+
+        self._dbg(f"read v={partition.version} f={partition.file_path.rsplit('/',2)[-2:]}")
+        for batch in _read_parquet_batches(partition.file_path, self._cols, []):
+            yield batch.append_column(
+                "_version",
+                pa.array([partition.version] * batch.num_rows, pa.int64()),
+            )
+
+    def commit(self, end: dict) -> None:
+        # no source-side bookkeeping: snapshots are immutable and the
+        # checkpoint holds the replay position.
+        pass
+
+
+class VersionFeedDataSource(DataSource):
+    """``spark.readStream.format("fp_versioned_feed").option("path", d)``:
+    each committed version becomes one micro-batch, rows stamped with
+    ``_version``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fp_versioned_feed"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("fp_versioned_feed requires option('path', <table_dir>)")
+        base = _snapshot_schema(path, None)
+        return StructType(list(base.fields) + [StructField("_version", LongType(), False)])
+
+    def streamReader(self, schema: StructType) -> VersionFeedStreamReader:  # noqa: N802
+        return VersionFeedStreamReader(schema, self.options["path"])
+
+
+
+
+# ---------------------------------------------------------------------------
+# batch writer: df.write.format("fp_versioned") with a real commit protocol
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, file_name: str | None):
+        self.file_name = file_name
+
+
+class VersionedArrowWriter(DataSourceArrowWriter):
+    """Two-phase commit onto the versioned-table layout. Tasks stage
+    parquet files into a job-unique ``_staging_*`` dir (write phase,
+    executors, Arrow batches straight to pyarrow's parquet writer);
+    the driver-side ``commit`` then moves the staged files into the
+    next ``v{N:05d}`` snapshot dir and swaps the ``_LATEST`` pointer —
+    readers see the old version or the new one, never a partial write,
+    the same contract ``versioned.write_version`` gives the JVM path.
+    ``abort`` deletes the staging dir, so failed jobs leave no
+    published state. Every save (append OR overwrite mode) commits one
+    new version: in a versioned table "overwrite" IS "new version" —
+    history is how the old data remains reachable."""
+
+    def __init__(self, table_dir: str):
+        import uuid
+
+        self._table_dir = table_dir
+        self._staging = f"{table_dir}/_staging_{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _FileCommit(None)  # empty partition stages nothing
+        fs, staging = _fs_and_path(self._staging)
+        fs.create_dir(staging, recursive=True)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.parquet"
+        table = pa.Table.from_batches(batches)
+        with fs.open_output_stream(f"{staging}/{name}") as out:
+            pq.write_table(table, out)
+        return _FileCommit(name)
+
+    def commit(self, messages):
+        fs, p = _fs_and_path(self._table_dir)
+        _, staging = _fs_and_path(self._staging)
+        latest = _read_pointer(fs, p)
+        if latest is None:
+            vs = _list_versions(fs, p)
+            latest = vs[-1] if vs else 0
+        v = latest + 1
+        snap = f"{p}/v{v:05d}"
+        fs.create_dir(snap, recursive=True)
+        for m in messages:
+            if m is not None and m.file_name is not None:
+                fs.move(f"{staging}/{m.file_name}", f"{snap}/{m.file_name}")
+        try:
+            fs.delete_dir(staging)
+        except FileNotFoundError:
+            pass  # all tasks were empty: nothing was staged
+        # pointer swap: write-tmp + move (rename) — atomic on local/HDFS,
+        # copy+delete on S3-likes (same caveat as HadoopFsBackend; a
+        # table-format log is the upgrade path there).
+        tmp = f"{p}/._latest_{v:05d}.tmp"
+        with fs.open_output_stream(tmp) as out:
+            out.write(str(v).encode())
+        fs.move(tmp, f"{p}/{_PTR}")
+
+    def abort(self, messages):
+        fs, staging = _fs_and_path(self._staging)
+        try:
+            fs.delete_dir(staging)
+        except FileNotFoundError:
+            pass
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register both sources on a session (re-registering
+    overwrites with an identical implementation, which is harmless).
+    Python-source filter pushdown is opt-in (and pushFilters on a
+    source that implements it FAILS analysis when the flag is off), so
+    enable it here — runtime-settable SQL conf."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(VersionedDataSource)
+    spark.dataSource.register(VersionFeedDataSource)

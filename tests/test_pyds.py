@@ -1,0 +1,200 @@
+"""Unit tests for the Spark 4 Python DataSource seam (sources/pyds.py):
+filter translation, arrow->spark schema mapping, snapshot/version
+resolution, batch time-travel pinning, and the stream reader's offset
+arithmetic. The end-to-end oracle certificates are io08/st06 in
+tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNotNull, IsNull
+
+from fp_data_lakehouse_spark.sources import pyds
+from fp_data_lakehouse_spark.sources.pyds import (
+    VersionFeedStreamReader,
+    _arrow_schema_to_spark,
+    _filters_to_arrow_expr,
+    _translate_filters,
+    register_python_sources,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_translate_filters_supported_and_skipped():
+    cols = {"a", "b"}
+    specs = _translate_filters(
+        [
+            EqualTo(("a",), 5),
+            GreaterThanOrEqual(("b",), 1.5),
+            In(("a",), (1, 2, 3)),
+            IsNotNull(("b",)),
+            IsNull(("a",)),  # unsupported op -> skipped
+            EqualTo(("nope",), 1),  # unknown column -> skipped
+            EqualTo(("x", "y"), 1),  # nested path -> skipped
+            EqualTo(("a",), None),  # null literal -> skipped (SQL null semantics)
+        ],
+        cols,
+    )
+    assert ("eq", "a", 5) in specs
+    assert ("ge", "b", 1.5) in specs
+    assert ("in", "a", (1, 2, 3)) in specs
+    assert ("notnull", "b", None) in specs
+    assert len(specs) == 4
+
+
+def test_filters_to_arrow_expr_filters_a_table():
+    tbl = pa.table({"a": [1, 2, 3, 4, None], "b": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(tbl)
+    expr = _filters_to_arrow_expr([("ge", "a", 2), ("notnull", "a", None)])
+    got = ds.to_table(filter=expr).column("a").to_pylist()
+    assert got == [2, 3, 4]
+    assert _filters_to_arrow_expr([]) is None
+
+
+def test_arrow_schema_to_spark_mapping():
+    sch = pa.schema(
+        [
+            pa.field("i", pa.int64()),
+            pa.field("d", pa.float64()),
+            pa.field("s", pa.string()),
+            pa.field("t", pa.timestamp("us")),
+            pa.field("b", pa.bool_()),
+        ]
+    )
+    out = _arrow_schema_to_spark(sch)
+    assert [f.dataType.simpleString() for f in out.fields] == [
+        "bigint",
+        "double",
+        "string",
+        "timestamp",
+        "boolean",
+    ]
+    with pytest.raises(TypeError):
+        _arrow_schema_to_spark(pa.schema([pa.field("x", pa.decimal128(10, 2))]))
+
+
+@pytest.fixture()
+def versioned_table(spark, tmp_path):
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    totals = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    d = str(tmp_path / "tt")
+    v1 = write_version(totals.filter(F.col("n_orders") >= 10), d)
+    v2 = write_version(totals, d)
+    return d, v1, v2, totals
+
+
+def test_batch_source_pins_old_version(spark, versioned_table):
+    d, v1, v2, totals = versioned_table
+    register_python_sources(spark)
+    pinned = (
+        spark.read.format("fp_versioned").option("path", d).option("version", v1).load()
+    )
+    latest = spark.read.format("fp_versioned").option("path", d).load()
+    want_v1 = totals.filter(F.col("n_orders") >= 10)
+    assert pinned.count() == want_v1.count()
+    assert latest.count() == totals.count()
+    # content, not just counts: anti-join both directions is empty
+    assert pinned.exceptAll(want_v1).count() == 0
+    assert want_v1.exceptAll(pinned).count() == 0
+
+
+def test_batch_source_filter_matches_unfiltered(spark, versioned_table):
+    d, v1, _, totals = versioned_table
+    register_python_sources(spark)
+    src = (
+        spark.read.format("fp_versioned").option("path", d).option("version", v1).load()
+    )
+    # pushFilters prunes row groups source-side but Spark's own filter
+    # stays authoritative — result must equal the plain-filter twin.
+    got = src.filter(F.col("n_orders") >= 12).agg(F.sum("n_orders")).collect()[0][0]
+    want = (
+        totals.filter((F.col("n_orders") >= 10) & (F.col("n_orders") >= 12))
+        .agg(F.sum("n_orders"))
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+def test_stream_reader_offsets(versioned_table):
+    d, v1, v2, _ = versioned_table
+    r = VersionFeedStreamReader.__new__(VersionFeedStreamReader)
+    r._table_dir = d
+    r._cols = ["o_custkey", "n_orders"]
+    assert r.initialOffset() == {"version": v1 - 1}
+    assert r.latestOffset() == {"version": v2}
+    # empty range is legal (no new commits this micro-batch)
+    assert r.partitions({"version": v2}, {"version": v2}) == []
+    parts = r.partitions({"version": v1 - 1}, {"version": v2})
+    assert sorted({p.version for p in parts}) == [v1, v2]
+    # every partition is one parquet file of its snapshot
+    assert all(p.file_path.endswith(".parquet") for p in parts)
+
+
+def test_stream_read_stamps_version(versioned_table):
+    d, v1, _, _ = versioned_table
+    r = VersionFeedStreamReader.__new__(VersionFeedStreamReader)
+    r._table_dir = d
+    r._cols = ["o_custkey", "n_orders"]
+    parts = r.partitions({"version": v1 - 1}, {"version": v1})
+    batches = [b for p in parts for b in r.read(p)]
+    assert batches, "v1 snapshot must yield at least one batch"
+    for b in batches:
+        assert b.schema.names == ["o_custkey", "n_orders", "_version"]
+        assert b.column("_version").to_pylist() == [v1] * b.num_rows
+
+
+def test_batch_partitions_are_file_granular(spark, tmp_path):
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    d = str(tmp_path / "multi")
+    write_version(df.repartition(4), d)
+    fs, p = pyds._fs_and_path(d)
+    files = pyds._snapshot_files(fs, f"{p}/v00001")
+    assert len(files) == 4
+    reader = pyds.VersionedDataSource(
+        {"path": d}
+    ).reader(pyds._snapshot_schema(d, None))
+    assert len(reader.partitions()) == 4
+
+
+def test_writer_commits_new_versions_and_cleans_staging(spark, tmp_path):
+    import os
+
+    from fp_data_lakehouse_spark.sources.versioned import latest_version, read_table
+
+    register_python_sources(spark)
+    d = str(tmp_path / "w")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    df.write.format("fp_versioned").option("path", d).mode("append").save()
+    df.filter(F.col("k") < 50).write.format("fp_versioned").option("path", d).mode(
+        "append"
+    ).save()
+    assert latest_version(d) == 2
+    assert read_table(spark, d).count() == 50
+    assert read_table(spark, d, version=1).count() == 100
+    # two-phase commit leaves no staging debris behind
+    assert not [n for n in os.listdir(d) if n.startswith("_staging_")]
+    # round-trip content through the python reader too
+    got = (
+        spark.read.format("fp_versioned").option("path", d).option("version", 1).load()
+    )
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+
+def test_writer_rejects_version_option(spark, tmp_path):
+    register_python_sources(spark)
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(Exception, match="read-only"):
+        df.write.format("fp_versioned").option("path", str(tmp_path / "x")).option(
+            "version", 1
+        ).mode("append").save()
