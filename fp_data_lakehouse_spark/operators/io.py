@@ -514,3 +514,48 @@ def io09_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_cents").cast("long").alias("sum_cents"),
         F.max("n_orders").cast("long").alias("max_orders"),
     )
+
+
+_IO10_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.missing') IS NULL) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("io10_variant_shred", oracle=_IO10_SQL)
+def io10_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: the
+    events fixture's ``props`` JSON strings are parsed ONCE into a
+    variant column (``parse_json`` — a binary, typed, traversable
+    encoding, not a string re-parse per access), then shredded with
+    ``variant_get`` path extraction (typed '$.k' read; a '$.missing'
+    probe whose NULL census certifies absent-path semantics) and
+    rolled up per event type against a DuckDB JSON oracle on the raw
+    strings.
+
+    Why VARIANT and not ``from_json``: from_json needs the full schema
+    UP FRONT and re-infers nothing; variant defers typing to access
+    time — the right model for property bags whose keys drift
+    (ev07's from_json twin covers the known-schema case). At scale the
+    parse is one codegen'd pass, extraction is JVM-side binary
+    traversal (no per-access JSON re-parse, no Python), and shredded
+    columns prune like any other — parse once, access many."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count(F.when(F.col("missing").isNull(), 1)).cast("long").alias("n_missing"),
+    )

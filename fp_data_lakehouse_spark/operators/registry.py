@@ -53,11 +53,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 DRIVER_PRIORITY: list[str] = [
     # Cumulative record entering round 5: all 165 round-4 oracle-backed
     # queries driver-green across r1-r4. Round 5 front-loads (a) the
-    # eight NEW rows (io05 corrupt-record quarantine, io06 JDBC
+    # nine NEW rows (io05 corrupt-record quarantine, io06 JDBC
     # round-trip via embedded Derby, io07 ORC round-trip, io08/io09
     # Python DataSource read+time-travel / write+commit-protocol,
     # st04 stream-stream interval join, st05 streaming re-delivery
-    # dedup, st06 Python streaming source version-feed replay),
+    # dedup, st06 Python streaming source version-feed replay, io10
+    # VARIANT shredding),
     # (b) every query whose
     # implementation or oracle changed this round (dd07 block-tiled
     # exact GEMM; io04's null-policy oracle fix; the incremental-loader
@@ -74,6 +75,7 @@ DRIVER_PRIORITY: list[str] = [
     "io08_python_datasource_timetravel",
     "st06_python_stream_version_feed",
     "io09_python_datasource_write",
+    "io10_variant_shred",
     # changed in round 5 — re-certify on the hard signal
     "dd07_embedding_neardup_pairs",
     "io04_schema_evolution_read",
@@ -117,8 +119,7 @@ DRIVER_PRIORITY: list[str] = [
     "q18_avg_discount_per_customer",
     "q19_active_months_per_customer",
     "q20_min_discount_per_customer",
-    "q21_order_detail_projection",
-    # q22-q25 rotate out to round 6 (r1-certified; the window is full)
+    # q21-q25 rotate out to round 6 (r1-certified; the window is full)
     # 50-row window ends here; everything else follows in registration
     # order and stays covered by tests/test_oracle_parity.py.
 ]

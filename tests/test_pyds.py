@@ -198,3 +198,17 @@ def test_writer_rejects_version_option(spark, tmp_path):
         df.write.format("fp_versioned").option("path", str(tmp_path / "x")).option(
             "version", 1
         ).mode("append").save()
+
+
+def test_sql_using_surface(spark, versioned_table):
+    """The docstring's SQL claim, held to: the source is consumable
+    from pure SQL via CREATE TEMPORARY VIEW ... USING."""
+    d, v1, _, totals = versioned_table
+    register_python_sources(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW vt_sql USING fp_versioned "
+        f"OPTIONS (path '{d}', version '{v1}')"
+    )
+    got = spark.sql("SELECT COUNT(*) AS n FROM vt_sql").collect()[0]["n"]
+    assert got == totals.filter(F.col("n_orders") >= 10).count()
+    spark.sql("DROP VIEW vt_sql")
