@@ -212,3 +212,32 @@ def test_sql_using_surface(spark, versioned_table):
     got = spark.sql("SELECT COUNT(*) AS n FROM vt_sql").collect()[0]["n"]
     assert got == totals.filter(F.col("n_orders") >= 10).count()
     spark.sql("DROP VIEW vt_sql")
+
+
+def test_writer_abort_publishes_nothing(spark, tmp_path):
+    """Two-phase commit, failure leg: a job that dies mid-write must
+    neither advance the version log nor leave staging debris."""
+    import os
+
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    from fp_data_lakehouse_spark.sources.versioned import latest_version
+
+    register_python_sources(spark)
+    d = str(tmp_path / "ab")
+    ok = spark.range(10).select(F.col("id").alias("k"))
+    ok.write.format("fp_versioned").option("path", d).mode("append").save()
+    assert latest_version(d) == 1
+
+    @udf(LongType())
+    def boom(v):
+        raise RuntimeError("injected failure")
+
+    bad = spark.range(10).select(boom(F.col("id")).alias("k"))
+    with pytest.raises(Exception):
+        bad.write.format("fp_versioned").option("path", d).mode("append").save()
+    assert latest_version(d) == 1, "failed job must not publish a version"
+    assert not [n for n in os.listdir(d) if n.startswith("_staging_")], (
+        "abort must remove the staging dir"
+    )
