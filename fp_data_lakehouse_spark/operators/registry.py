@@ -53,12 +53,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 DRIVER_PRIORITY: list[str] = [
     # Cumulative record entering round 5: all 165 round-4 oracle-backed
     # queries driver-green across r1-r4. Round 5 front-loads (a) the
-    # nine NEW rows (io05 corrupt-record quarantine, io06 JDBC
+    # twelve NEW rows (io05 corrupt-record quarantine, io06 JDBC
     # round-trip via embedded Derby, io07 ORC round-trip, io08/io09
     # Python DataSource read+time-travel / write+commit-protocol,
     # st04 stream-stream interval join, st05 streaming re-delivery
     # dedup, st06 Python streaming source version-feed replay, io10
-    # VARIANT shredding),
+    # VARIANT shredding, st07 applyInPandasWithState sessionization, st08
+    # foreachBatch idempotent-merge exactly-once, vt05 HadoopFsBackend
+    # lifecycle),
     # (b) every query whose
     # implementation or oracle changed this round (dd07 block-tiled
     # exact GEMM; io04's null-policy oracle fix; the incremental-loader
@@ -76,6 +78,9 @@ DRIVER_PRIORITY: list[str] = [
     "st06_python_stream_version_feed",
     "io09_python_datasource_write",
     "io10_variant_shred",
+    "st07_stateful_sessionization",
+    "st08_foreachbatch_exactly_once",
+    "vt05_hadoopfs_backend_lifecycle",
     # changed in round 5 — re-certify on the hard signal
     "dd07_embedding_neardup_pairs",
     "io04_schema_evolution_read",
@@ -116,10 +121,7 @@ DRIVER_PRIORITY: list[str] = [
     "q15_returned_vs_kept_per_part",
     "q16_customer_segment_binning",
     "q17_balance_by_segment",
-    "q18_avg_discount_per_customer",
-    "q19_active_months_per_customer",
-    "q20_min_discount_per_customer",
-    # q21-q25 rotate out to round 6 (r1-certified; the window is full)
+    # q18-q25 rotate out to round 6 (r1-certified; the window is full)
     # 50-row window ends here; everything else follows in registration
     # order and stays covered by tests/test_oracle_parity.py.
 ]

@@ -415,3 +415,132 @@ def st06_python_stream_version_feed(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table(name).select(
         F.col("_version").alias("version"), "n_customers", "sum_orders", "sum_cents"
     )
+
+
+_ST07_SQL = """
+WITH e AS (
+    SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events
+),
+ordered AS (
+    SELECT user_id, ep,
+           LAG(ep) OVER (PARTITION BY user_id ORDER BY ep) AS prev
+    FROM e
+),
+flagged AS (
+    SELECT *, CASE WHEN prev IS NULL OR ep - prev > 1800 THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sessions AS (
+    SELECT *, SUM(is_new) OVER
+              (PARTITION BY user_id ORDER BY ep
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+),
+sess AS (
+    SELECT user_id, sid,
+           CAST(MIN(ep) AS BIGINT) AS session_start_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(ep) - MIN(ep) AS BIGINT) AS duration_sec,
+           CAST(MAX(ep) AS BIGINT) AS last_ep,
+           MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+    FROM sessions
+    GROUP BY user_id, sid
+),
+wm AS (
+    -- the drained query's FINAL event-time watermark: max event time
+    -- (ms precision, as Spark tracks it) minus the 2 h delay
+    SELECT epoch_ms(MAX(ts)) - 7200000 AS wm_ms FROM events
+)
+SELECT user_id, session_start_epoch, n_events, duration_sec
+FROM sess, wm
+-- emitted sessions = closed-by-gap (a later session exists for the
+-- user) OR timeout-fired (watermark strictly passed last_ep + gap,
+-- Spark fires on timeout_ts < watermark); the remaining open tails
+-- correctly stay in the state store when the drain stops
+WHERE sid < max_sid OR (last_ep + 1800) * 1000 < wm_ms
+"""
+
+
+@register("st07_stateful_sessionization", oracle=_ST07_SQL)
+def st07_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming on the hard signal: the
+    ``applyInPandasWithState`` gap-sessionizer (streaming/stateful.py —
+    a hand-written per-key state machine with event-time timeouts, the
+    template for any operator the built-ins can't express) drains the
+    events fixture via availableNow and its RAW emitted sessions must
+    equal the gaps-and-islands closed form in DuckDB, RESTRICTED to
+    what a correct streaming engine may emit: sessions closed by the
+    gap rule surface immediately, open tails flush only when the
+    post-data no-data batch advances the watermark strictly past their
+    last_ep + gap horizon (Spark fires event-time timeouts on
+    timeout_ts < watermark), and tails inside the final
+    watermark+gap window correctly REMAIN in the state store — the
+    oracle reconstructs exactly that emission set, so a green row
+    certifies the whole state lifecycle (init, fold, gap close,
+    timeout flush, retained tail), not just the happy path. Boundary semantics mirrored exactly: strictly-greater 1800 s
+    gap splits (vs ev27's >= for the native operator — both
+    conventions are now pinned), epochs floored to seconds on both
+    engines.
+
+    Scale: state is three longs per ACTIVE user (not per event) and the
+    watermark bounds how long a tail survives — O(active users) state
+    on an unbounded stream; the pytest twin
+    (tests/test_streaming.py) additionally pins batch-boundary
+    invariance, which this single-batch drain cannot see."""
+    from ..streaming.events import read_events_stream
+    from ..streaming.stateful import sessionize_stream
+
+    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    sessions = sessionize_stream(stream)
+    name = f"st07_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register("st08_foreachbatch_exactly_once", oracle=_ST05_SQL)
+def st08_foreachbatch_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAREHOUSE-ingest dual of st05: the same twice-staged
+    at-least-once delivery flows through the foreachBatch + idempotent
+    key-merge sink (streaming/sink.stream_merge_to_table) into a
+    parquet TABLE, and the per-event-type census of the table must
+    equal the single-copy batch census — the same oracle as st05, but
+    the exactly-once-per-key guarantee now comes from the SINK's
+    merge anti-join (replay-idempotent writes) instead of the state
+    store's dropDuplicatesWithinWatermark. Together the two rows
+    certify both halves of streaming exactly-once: dedup-on-ingest
+    (bounded state, survivors flow on) and idempotent commit (replayed
+    micro-batches are no-ops against the table).
+
+    Scale: the merge's anti-join touches only arriving keys vs the
+    target's matching partitions; checkpointed offsets make batch
+    REPLAY the failure mode and the merge makes replay free — on
+    Delta/Iceberg the same foreachBatch body becomes a transactional
+    MERGE INTO, shape unchanged."""
+    from ..streaming.events import read_events_stream
+    from ..streaming.sink import stream_merge_to_table
+
+    stream = read_events_stream(spark, _redelivered_source_dir(spark, sf_dir))
+    scratch = alloc_scratch(spark, "st08_sink")
+    q = stream_merge_to_table(
+        stream,
+        target_path=f"{scratch}/events_table",
+        checkpoint_dir=f"{scratch}/ckpt",
+        keys=["event_id"],
+        available_now=True,
+    )
+    q.awaitTermination()
+    table = spark.read.parquet(f"{scratch}/events_table")
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )

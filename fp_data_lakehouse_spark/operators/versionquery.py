@@ -369,3 +369,78 @@ def vt04_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("version") == head).alias("is_head"),
         )
     )
+
+
+_VT05_SQL = f"""
+WITH v2 AS (
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+), v3 AS (
+    SELECT * FROM v2 WHERE n_orders >= {_DELETE_BELOW_ORDERS}
+)
+SELECT v2.o_custkey,
+       v2.n_orders AS n_orders_v2,
+       v2.total_cents AS total_cents_v2,
+       (v3.o_custkey IS NOT NULL) AS in_head
+FROM v2 LEFT JOIN v3 ON v2.o_custkey = v3.o_custkey
+"""
+
+
+@register("vt05_hadoopfs_backend_lifecycle", oracle=_VT05_SQL)
+def vt05_hadoopfs_backend_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table lifecycle with EVERY metadata operation
+    routed through the JVM Hadoop FileSystem backend: the table dir is
+    ``file://``-scheme'd, so version listing, pointer read/commit
+    (write-tmp + rename), the MERGE's snapshot staging, and vacuum's
+    snapshot removal all dispatch to HadoopFsBackend
+    (sources/versioned.py) instead of os/shutil — the exact code path
+    an hdfs:// or s3a:// deployment runs, exercised on the driver's
+    hard signal rather than only in the parametrized pytest contract
+    (tests/test_versioned.py). Lifecycle: v1 (pre-{_SPLIT}) -> MERGE
+    v2 (full history) -> DELETE v3 (drop small customers) -> vacuum
+    keep_last=2 (expires v1), then read the RETAINED v2 next to the
+    head — per customer, the v2 image and head survival. Green means
+    the post-vacuum pointer and retained snapshots resolve correctly
+    through the scheme'd filesystem.
+
+    Scale: identical plans to vt03/vt04 (the backend only touches
+    metadata); on a real scheme the pointer rename's atomicity is
+    HDFS-true and S3-approximate — the documented seam where a
+    Delta/Iceberg log takes over."""
+    from ..sources.versioned import (
+        delete_from_version,
+        merge_into_version,
+        read_table,
+        vacuum,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    local_dir = alloc_scratch(spark, "vt05") + "/cust_totals"
+    shutil.rmtree(local_dir, ignore_errors=True)
+    table_dir = f"file://{local_dir}"  # force the HadoopFsBackend path
+
+    write_version(
+        _cust_totals(orders.filter(F.col("o_orderdate") < F.lit(_SPLIT).cast("timestamp"))),
+        table_dir,
+    )
+    v2 = merge_into_version(spark, table_dir, _cust_totals(orders), keys=["o_custkey"])
+    delete_from_version(spark, table_dir, F.col("n_orders") < _DELETE_BELOW_ORDERS)
+    dropped = vacuum(table_dir, keep_last=2)
+    assert dropped == [1], f"vacuum must expire exactly v1, got {dropped}"
+
+    as_of_v2 = read_table(spark, table_dir, version=v2)
+    head = read_table(spark, table_dir)
+    return (
+        as_of_v2.alias("v2")
+        .join(head.alias("h"), "o_custkey", "left")
+        .select(
+            "o_custkey",
+            F.col("v2.n_orders").alias("n_orders_v2"),
+            F.col("v2.total_cents").alias("total_cents_v2"),
+            F.col("h.n_orders").isNotNull().alias("in_head"),
+        )
+    )

@@ -21,6 +21,7 @@ def stream_merge_to_table(
     target_path: str,
     checkpoint_dir: str,
     keys: list[str] = ("event_id",),
+    available_now: bool = False,
 ):
     """Start a stream writing each micro-batch into a parquet table via
     key-merge. Returns the StreamingQuery (caller stops it).
@@ -34,8 +35,9 @@ def stream_merge_to_table(
         batch = batch_df.dropDuplicates(keys)
         merge_upsert(batch_df.sparkSession, target_path, batch, keys)
 
-    return (
-        events.writeStream.foreachBatch(_upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = events.writeStream.foreachBatch(_upsert).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
