@@ -336,6 +336,11 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         self._table_dir = table_dir
 
     def _dbg(self, msg: str) -> None:
+        # The stream reader runs in a separate Python runner process
+        # where monkeypatch-style instrumentation can't reach; set
+        # FP_PYDS_DEBUG=<file> to trace offset planning and partition
+        # reads when debugging (used to pin the empty-snapshot gotcha
+        # in SCALE.md's Python DataSource section).
         import os
 
         log = os.environ.get("FP_PYDS_DEBUG")
