@@ -544,3 +544,76 @@ def st08_foreachbatch_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("value_cents"),
     )
+
+
+def _stage_single_file(df, dest_dir: str, name: str) -> None:
+    """Write df as ONE parquet file named dest_dir/name (coalesce to a
+    single task, then move the part file) — fixture staging for
+    file-arrival simulations; a real feed's files just arrive."""
+    import glob
+    import shutil as _sh
+
+    tmp = f"{dest_dir}/_tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    _sh.move(part, f"{dest_dir}/{name}")
+    _sh.rmtree(tmp, ignore_errors=True)
+
+
+@register("st09_checkpoint_restart_resume", oracle=_ST05_SQL)
+def st09_checkpoint_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RECOVERY on the hard signal: the events fixture is
+    split into two halves (event_id parity) that arrive as separate
+    files across two SEPARATE streaming queries sharing one checkpoint
+    — run 1 drains half A and stops; half B then lands; run 2 resumes
+    FROM THE CHECKPOINT and drains only what run 1 hadn't seen. The
+    sink is a deliberately NON-idempotent parquet append (foreachBatch,
+    no merge), so the final census equals the single-copy batch census
+    ONLY if offset recovery is exact: a lost checkpoint re-appends
+    half A (doubles those rows), a corrupted one skips half B — either
+    flips the census. This is the restart-after-crash/deploy story
+    st08's idempotent merge deliberately masks, certified without it.
+
+    Scale: the checkpoint holds the processed-file log (compacted by
+    the source at scale) and commits per micro-batch; recovery cost is
+    reading the last commit, independent of history length. Together
+    st05/st08/st09 certify the three legs of streaming fault
+    tolerance: state-store dedup, idempotent sinks, and exact offset
+    resume."""
+    from ..streaming.events import read_events_stream
+
+    events_batch = None
+    src = alloc_scratch(spark, "st09_src")
+    scratch = alloc_scratch(spark, "st09")
+    target, ckpt = f"{scratch}/table", f"{scratch}/ckpt"
+
+    from ..sources.catalog import load_table
+
+    events_batch = load_table(spark, sf_dir, "events")
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target)
+
+    def _drain_once() -> None:
+        q = (
+            read_events_stream(spark, src)
+            .writeStream.foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _stage_single_file(events_batch.filter(F.col("event_id") % 2 == 0), src, "half_a.parquet")
+    _drain_once()  # run 1: sees only half A, commits its offsets, stops
+    _stage_single_file(events_batch.filter(F.col("event_id") % 2 == 1), src, "half_b.parquet")
+    _drain_once()  # run 2: resumes from the checkpoint, must process ONLY half B
+
+    table = spark.read.parquet(target)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
