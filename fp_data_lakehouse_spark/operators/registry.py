@@ -53,14 +53,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 DRIVER_PRIORITY: list[str] = [
     # Cumulative record entering round 5: all 165 round-4 oracle-backed
     # queries driver-green across r1-r4. Round 5 front-loads (a) the
-    # thirteen NEW rows (io05 corrupt-record quarantine, io06 JDBC
+    # fourteen NEW rows (io05 corrupt-record quarantine, io06 JDBC
     # round-trip via embedded Derby, io07 ORC round-trip, io08/io09
     # Python DataSource read+time-travel / write+commit-protocol,
     # st04 stream-stream interval join, st05 streaming re-delivery
     # dedup, st06 Python streaming source version-feed replay, io10
     # VARIANT shredding, st07 applyInPandasWithState sessionization, st08
     # foreachBatch idempotent-merge exactly-once, vt05 HadoopFsBackend
-    # lifecycle, st09 checkpoint-restart resume),
+    # lifecycle, st09 checkpoint-restart resume, st10
+    # per-epoch transactional stream sink),
     # (b) every query whose
     # implementation or oracle changed this round (dd07 block-tiled
     # exact GEMM; io04's null-policy oracle fix; the incremental-loader
@@ -82,6 +83,7 @@ DRIVER_PRIORITY: list[str] = [
     "st08_foreachbatch_exactly_once",
     "vt05_hadoopfs_backend_lifecycle",
     "st09_checkpoint_restart_resume",
+    "st10_python_stream_sink_versions",
     # changed in round 5 — re-certify on the hard signal
     "dd07_embedding_neardup_pairs",
     "io04_schema_evolution_read",
@@ -120,8 +122,7 @@ DRIVER_PRIORITY: list[str] = [
     "q13_top5_customers_by_balance",
     "q14_top5_suppliers_by_balance",
     "q15_returned_vs_kept_per_part",
-    "q16_customer_segment_binning",
-    # q17-q25 rotate out to round 6 (r1-certified; the window is full)
+    # q16-q25 rotate out to round 6 (r1-certified; the window is full)
     # 50-row window ends here; everything else follows in registration
     # order and stays covered by tests/test_oracle_parity.py.
 ]

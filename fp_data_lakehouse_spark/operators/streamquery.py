@@ -617,3 +617,85 @@ def st09_checkpoint_restart_resume(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("value_cents"),
     )
+
+
+_ST10_SQL = """
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+FROM events WHERE event_id % 2 = 1
+"""
+
+
+@register("st10_python_stream_sink_versions", oracle=_ST10_SQL)
+def st10_python_stream_sink_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING WRITE leg of the Python DataSource seam — the last
+    cell of the matrix (io08 batch read, io09 batch write, st06 stream
+    read): ``writeStream.format("fp_versioned")`` commits ONE
+    transactional version per micro-batch through
+    VersionedStreamArrowWriter's per-epoch commit protocol, with a
+    batchId->version ledger making replayed epochs publish nothing.
+    The fixture arrives as two files across two checkpointed runs
+    (st09's restart pattern), so the table must end with EXACTLY two
+    versions whose censuses equal the event_id-parity split of the
+    batch fixture — a duplicated version (replay not deduped), a
+    merged one (offsets lost), or a missing one all flip a row. Reads
+    back through the JVM read_table: cross-engine interop in the
+    streaming direction.
+
+    Scale: per-epoch commit cost is O(files in batch) renames + two
+    pointer swaps, amortized over the micro-batch interval; the ledger
+    is the idempotence primitive every transactional streaming sink
+    carries (Delta's txnVersion/appId, reduced to its essentials)."""
+    from ..sources.catalog import load_table
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import read_table, versions
+
+    register_python_sources(spark)
+    from ..streaming.events import read_events_stream
+
+    src = alloc_scratch(spark, "st10_src")
+    scratch = alloc_scratch(spark, "st10")
+    table_dir, ckpt = f"{scratch}/events_versions", f"{scratch}/ckpt"
+    events_batch = load_table(spark, sf_dir, "events")
+
+    def _drain_once() -> None:
+        q = (
+            read_events_stream(spark, src)
+            .writeStream.format("fp_versioned")
+            .option("path", table_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _stage_single_file(events_batch.filter(F.col("event_id") % 2 == 0), src, "half_a.parquet")
+    _drain_once()  # epoch 0 -> version 1 (half A)
+    _stage_single_file(events_batch.filter(F.col("event_id") % 2 == 1), src, "half_b.parquet")
+    _drain_once()  # resumed run, epoch 1 -> version 2 (half B)
+
+    vs = versions(table_dir)
+    assert vs == [1, 2], f"expected exactly versions [1, 2], got {vs}"
+    out = []
+    for v in vs:
+        out.append(
+            read_table(spark, table_dir, version=v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .select(F.lit(v).cast("long").alias("version"), "*")
+        )
+    return out[0].unionByName(out[1])

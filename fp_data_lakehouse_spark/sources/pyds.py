@@ -52,6 +52,7 @@ from typing import TYPE_CHECKING, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -313,6 +314,12 @@ class VersionedDataSource(DataSource):
         path, version = self._target()
         return VersionedReader(schema, path, version)
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "VersionedStreamArrowWriter":  # noqa: N802
+        path, _ = self._target()
+        if self.options.get("version") is not None:
+            raise ValueError("fp_versioned: option('version') is read-only (time travel)")
+        return VersionedStreamArrowWriter(path)
+
     def writer(self, schema: StructType, overwrite: bool) -> "VersionedArrowWriter":
         path, _ = self._target()
         # append and overwrite both commit ONE new version (see
@@ -494,6 +501,97 @@ class VersionedArrowWriter(DataSourceArrowWriter):
             fs.delete_dir(staging)
         except FileNotFoundError:
             pass
+
+
+class VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming leg of the write path: each micro-batch commits ONE
+    new version — `writeStream.format("fp_versioned")` turns the
+    versioned table into a transactional streaming sink (the
+    Delta-style per-batch commit, reduced to its essentials). Tasks
+    stage Arrow batches as uuid-named parquet files into a shared
+    staging dir; the driver-side per-epoch ``commit(messages,
+    batchId)`` moves exactly the files its messages name into the next
+    snapshot and swaps the pointer. Exactly-once across batch REPLAYS
+    (the streaming failure mode st09 certifies on the read side) comes
+    from a ``_COMMITS`` ledger mapping batchId -> version: a replayed
+    batch finds its id already committed, discards its re-staged
+    files, and publishes nothing — the sink-side idempotence that
+    plain parquet appends lack. Empty micro-batches (no rows anywhere)
+    commit no version. ``abort`` removes only the aborted epoch's
+    staged files."""
+
+    _LEDGER = "_COMMITS"
+
+    def __init__(self, table_dir: str):
+        self._table_dir = table_dir
+        self._staging = f"{table_dir}/_stream_staging"
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _FileCommit(None)
+        fs, staging = _fs_and_path(self._staging)
+        fs.create_dir(staging, recursive=True)
+        name = f"part-{uuid.uuid4().hex[:16]}.parquet"
+        with fs.open_output_stream(f"{staging}/{name}") as out:
+            pq.write_table(pa.Table.from_batches(batches), out)
+        return _FileCommit(name)
+
+    def _ledger(self, fs, p) -> dict[int, int]:
+        try:
+            with fs.open_input_stream(f"{p}/{self._LEDGER}") as f:
+                lines = f.read().decode().strip().splitlines()
+            return {int(k): int(v) for k, v in (ln.split(":") for ln in lines if ln)}
+        except (FileNotFoundError, OSError):
+            return {}
+
+    def commit(self, messages, batchId):  # noqa: N803 (Spark API)
+        fs, p = _fs_and_path(self._table_dir)
+        _, staging = _fs_and_path(self._staging)
+        files = [m.file_name for m in messages if m is not None and m.file_name]
+        ledger = self._ledger(fs, p)
+        if batchId in ledger:
+            # replayed epoch: already published — discard re-staged files
+            for name in files:
+                try:
+                    fs.delete_file(f"{staging}/{name}")
+                except FileNotFoundError:
+                    pass
+            return
+        if not files:
+            return  # empty micro-batch publishes nothing
+        latest = _read_pointer(fs, p)
+        if latest is None:
+            vs = _list_versions(fs, p)
+            latest = vs[-1] if vs else 0
+        v = latest + 1
+        snap = f"{p}/v{v:05d}"
+        fs.create_dir(snap, recursive=True)
+        for name in files:
+            fs.move(f"{staging}/{name}", f"{snap}/{name}")
+        tmp = f"{p}/._latest_{v:05d}.tmp"
+        with fs.open_output_stream(tmp) as out:
+            out.write(str(v).encode())
+        fs.move(tmp, f"{p}/{_PTR}")
+        ledger[batchId] = v
+        ltmp = f"{p}/._commits.tmp"
+        with fs.open_output_stream(ltmp) as out:
+            out.write("\n".join(f"{k}:{w}" for k, w in sorted(ledger.items())).encode())
+        fs.move(ltmp, f"{p}/{self._LEDGER}")
+
+    def abort(self, messages, batchId):  # noqa: N803
+        fs, staging = _fs_and_path(self._staging)
+        for m in messages:
+            if m is not None and getattr(m, "file_name", None):
+                try:
+                    fs.delete_file(f"{staging}/{m.file_name}")
+                except FileNotFoundError:
+                    pass
 
 
 def register_python_sources(spark) -> None:

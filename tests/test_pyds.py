@@ -241,3 +241,28 @@ def test_writer_abort_publishes_nothing(spark, tmp_path):
     assert not [n for n in os.listdir(d) if n.startswith("_staging_")], (
         "abort must remove the staging dir"
     )
+
+
+def test_stream_writer_replayed_epoch_publishes_nothing(tmp_path):
+    import os
+
+    from fp_data_lakehouse_spark.sources.pyds import VersionedStreamArrowWriter
+
+    d = str(tmp_path / "sw")
+    w = VersionedStreamArrowWriter(d)
+    batch = pa.RecordBatch.from_pydict({"k": [1, 2, 3]})
+
+    w.commit([w.write(iter([batch]))], 0)
+    assert pyds._list_versions(*pyds._fs_and_path(d)) == [1]
+
+    # epoch 0 REPLAY: re-staged file must be discarded, nothing published
+    w.commit([w.write(iter([batch]))], 0)
+    fs, p = pyds._fs_and_path(d)
+    assert pyds._list_versions(fs, p) == [1]
+    assert not os.listdir(f"{d}/_stream_staging")
+
+    # next epoch publishes v2; empty epoch publishes nothing
+    w.commit([w.write(iter([batch]))], 1)
+    w.commit([w.write(iter([]))], 2)
+    assert pyds._list_versions(fs, p) == [1, 2]
+    assert pyds._read_pointer(fs, p) == 2
