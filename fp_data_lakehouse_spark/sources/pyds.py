@@ -160,21 +160,36 @@ _ARROW_TO_SPARK = [
 ]
 
 
-def _arrow_schema_to_spark(schema) -> StructType:
+def _arrow_type_to_spark(t):
     import pyarrow.types as pat
 
-    fields = []
-    for f in schema:
-        for probe, spark_t in _ARROW_TO_SPARK:
-            if getattr(pat, probe)(f.type):
-                fields.append(StructField(f.name, spark_t(), f.nullable))
-                break
-        else:
-            raise TypeError(
-                f"fp_versioned: unsupported arrow type {f.type} for column "
-                f"{f.name!r} — extend _ARROW_TO_SPARK or store a simpler type"
-            )
-    return StructType(fields)
+    from pyspark.sql.types import ArrayType
+
+    if pat.is_list(t) or pat.is_large_list(t):
+        return ArrayType(_arrow_type_to_spark(t.value_type))
+    if pat.is_struct(t):
+        return StructType(
+            [
+                StructField(f.name, _arrow_type_to_spark(f.type), f.nullable)
+                for f in t
+            ]
+        )
+    for probe, spark_t in _ARROW_TO_SPARK:
+        if getattr(pat, probe)(t):
+            return spark_t()
+    raise TypeError(
+        f"fp_versioned: unsupported arrow type {t} — extend "
+        "_ARROW_TO_SPARK or store a simpler type"
+    )
+
+
+def _arrow_schema_to_spark(schema) -> StructType:
+    return StructType(
+        [
+            StructField(f.name, _arrow_type_to_spark(f.type), f.nullable)
+            for f in schema
+        ]
+    )
 
 
 def _snapshot_schema(table_dir: str, version: int | None) -> StructType:

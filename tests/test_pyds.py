@@ -266,3 +266,29 @@ def test_stream_writer_replayed_epoch_publishes_nothing(tmp_path):
     w.commit([w.write(iter([]))], 2)
     assert pyds._list_versions(fs, p) == [1, 2]
     assert pyds._read_pointer(fs, p) == 2
+
+
+def test_nested_types_through_batch_source(spark, tmp_path):
+    """array<float> (embeddings) and struct columns survive the
+    arrow->spark schema mapping and the Arrow batch read path."""
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.array(
+            (F.col("id") * 0.5).cast("float"), (F.col("id") * 0.25).cast("float")
+        ).alias("emb"),
+        F.struct(F.col("id").alias("a"), (F.col("id") % 3).alias("b")).alias("meta"),
+    )
+    d = str(tmp_path / "nested")
+    write_version(df, d)
+    register_python_sources(spark)
+    back = spark.read.format("fp_versioned").option("path", d).load()
+    assert dict(back.dtypes) == {
+        "k": "bigint",
+        "emb": "array<float>",
+        "meta": "struct<a:bigint,b:bigint>",
+    }
+    assert back.count() == 50
+    got = back.filter(F.col("k") == 4).select("emb", "meta.b").collect()[0]
+    assert got["emb"] == [2.0, 1.0] and got["b"] == 1
