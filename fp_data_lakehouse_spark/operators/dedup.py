@@ -671,10 +671,19 @@ def _tiled_cosine_pairs(u: DataFrame, block_rows: int = _DD07_BLOCK_ROWS) -> Dat
     rows — the honest cost of exact all-pairs, paid in bounded-memory
     installments instead of one driver-sized broadcast."""
     spark = u.sparkSession
+    # The count that sizes K would otherwise re-run the whole
+    # read+normalize subtree a second time for the blocks shuffle —
+    # checkpoint the unit vectors once (the same shared-subtree rule as
+    # the dedup shingle pipeline, SCALE.md round-4 notes).
+    u = u.localCheckpoint(eager=False)
     n = u.count()  # 1-row control scalar: sizes the tiling
     k = max(1, -(-n // block_rows))
+    # pmod, not abs(hash) % k: abs(Long.MIN_VALUE) stays negative under
+    # non-ANSI semantics, and a negative block id would silently drop
+    # that vector from the EXACT result (2^-64 per vector, but this
+    # operator is the ground truth).
     blocks = u.select(
-        (F.abs(F.xxhash64("vec_id")) % k).cast("int").alias("blk"), "vec_id", "vec"
+        F.pmod(F.xxhash64("vec_id"), F.lit(k)).cast("int").alias("blk"), "vec_id", "vec"
     )
     tiles = spark.createDataFrame(
         [(i, j) for i in range(k) for j in range(i, k)], "ti int, tj int"

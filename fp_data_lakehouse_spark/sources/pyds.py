@@ -135,12 +135,21 @@ def _resolve_version(table_dir: str, version: int | None) -> tuple[int, str]:
     return v, f"{p}/v{v:05d}"
 
 
-def _snapshot_files(fs: "pafs.FileSystem", snap_dir: str) -> list[str]:
+def _uri_prefix(original_path: str) -> str:
+    """pyarrow FileInfo.path drops the URI scheme (s3://bucket/k ->
+    bucket/k); capture the scheme from the user-supplied path so
+    executor-bound file paths resolve the SAME filesystem there."""
+    return original_path.split("://", 1)[0] + "://" if "://" in original_path else ""
+
+
+def _snapshot_files(
+    fs: "pafs.FileSystem", snap_dir: str, uri_prefix: str = ""
+) -> list[str]:
     import pyarrow.fs as pafs
 
     infos = fs.get_file_info(pafs.FileSelector(snap_dir, recursive=False))
     return sorted(
-        i.path
+        uri_prefix + i.path
         for i in infos
         if i.type == pafs.FileType.File and i.base_name.endswith(".parquet")
     )
@@ -203,6 +212,19 @@ def _snapshot_schema(table_dir: str, version: int | None) -> StructType:
     return _arrow_schema_to_spark(pq.read_schema(files[0], filesystem=fs))
 
 
+
+
+def _next_version(fs: "pafs.FileSystem", p: str) -> int:
+    """Allocate past BOTH the pointer and the highest existing snapshot
+    dir: a crashed writer can leave an orphan v-dir above the pointer,
+    and allocating from the pointer alone would merge new files into
+    it (versioned.write_version allocates from the listing for the
+    same reason)."""
+    latest = _read_pointer(fs, p)
+    vs = _list_versions(fs, p)
+    return max(latest or 0, vs[-1] if vs else 0) + 1
+
+
 # Filters are shipped to executors as plain tuples (pyarrow expressions
 # don't pickle): (op, column, value).
 _FILTER_OPS = {
@@ -217,6 +239,12 @@ _FILTER_OPS = {
 
 
 def _translate_filters(filters: list[Filter], columns: set[str]) -> list[tuple]:
+    """``columns`` must already EXCLUDE floating-point columns: Spark
+    orders NaN above every numeric (NaN > x is true, NaN == NaN is
+    true) while the arrow predicate evaluates IEEE-false, and the
+    scanner filter is row-LEVEL — rows it drops never reach Spark's
+    authoritative re-filter, so a float pushdown would silently lose
+    NaN rows rather than merely prune less."""
     out = []
     for f in filters:
         op = _FILTER_OPS.get(type(f))
@@ -284,12 +312,19 @@ class _FilePartition(InputPartition):
 class VersionedReader(DataSourceReader):
     def __init__(self, schema: StructType, table_dir: str, version: int | None):
         self._cols = [f.name for f in schema.fields]
+        # NaN-ordering divergence makes float pushdown unsound (see
+        # _translate_filters) — exclude those columns up front.
+        self._pushable = {
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName() not in ("float", "double")
+        }
         self._table_dir = table_dir
         self._version = version
         self._pushed: list[tuple] = []
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (Spark API)
-        self._pushed = _translate_filters(filters, set(self._cols))
+        self._pushed = _translate_filters(filters, self._pushable)
         # Return EVERYTHING as unsupported: the pushed specs prune
         # parquet row groups executor-side, Spark's own filter above
         # stays authoritative for SQL semantics.
@@ -298,7 +333,8 @@ class VersionedReader(DataSourceReader):
     def partitions(self):
         fs, p = _fs_and_path(self._table_dir)
         _, snap = _resolve_version(self._table_dir, self._version)
-        return [_FilePartition(f) for f in _snapshot_files(fs, snap)]
+        prefix = _uri_prefix(self._table_dir)
+        return [_FilePartition(f) for f in _snapshot_files(fs, snap, prefix)]
 
     def read(self, partition: _FilePartition):
         yield from _read_parquet_batches(
@@ -352,8 +388,17 @@ class VersionedDataSource(DataSource):
 
 class VersionFeedStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, table_dir: str):
-        # schema includes the trailing _version provenance column;
-        # parquet files carry everything before it.
+        # The declared schema must end with the _version provenance
+        # column (the source's own schema() guarantees it); parquet
+        # files carry everything before it. Guard explicitly so a
+        # user-supplied schema WITHOUT _version fails loudly instead of
+        # silently shifting column values.
+        if not schema.fields or schema.fields[-1].name != "_version":
+            raise ValueError(
+                "fp_versioned_feed requires the schema to end with the "
+                "_version bigint column (omit .schema(...) to use the "
+                "source-provided one)"
+            )
         self._cols = [f.name for f in schema.fields[:-1]]
         self._table_dir = table_dir
 
@@ -391,10 +436,11 @@ class VersionFeedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         self._dbg(f"partitions(start={start}, end={end})")
         fs, p = _fs_and_path(self._table_dir)
+        prefix = _uri_prefix(self._table_dir)
         out = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             snap = f"{p}/v{v:05d}"
-            out.extend(_FilePartition(f, v) for f in _snapshot_files(fs, snap))
+            out.extend(_FilePartition(f, v) for f in _snapshot_files(fs, snap, prefix))
         # a zero-partition range is legal (no new versions this batch)
         self._dbg(f"partitions -> {[(x.version, x.file_path.rsplit('/',2)[-2:]) for x in out[:40]]} n={len(out)}")
         return out
@@ -488,11 +534,7 @@ class VersionedArrowWriter(DataSourceArrowWriter):
     def commit(self, messages):
         fs, p = _fs_and_path(self._table_dir)
         _, staging = _fs_and_path(self._staging)
-        latest = _read_pointer(fs, p)
-        if latest is None:
-            vs = _list_versions(fs, p)
-            latest = vs[-1] if vs else 0
-        v = latest + 1
+        v = _next_version(fs, p)
         snap = f"{p}/v{v:05d}"
         fs.create_dir(snap, recursive=True)
         for m in messages:
@@ -565,39 +607,66 @@ class VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         except (FileNotFoundError, OSError):
             return {}
 
+    def _sweep_staging(self, fs, staging) -> None:
+        """Remove everything left in the shared staging dir. Safe at
+        commit/replay time: only THIS epoch's tasks write staging, and
+        they have completed (a zombie speculative task's file is
+        discardable by definition — its message never reaches commit)."""
+        import pyarrow.fs as pafs
+
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(staging, recursive=False))
+        except FileNotFoundError:
+            return
+        for i in infos:
+            try:
+                fs.delete_file(i.path)
+            except (FileNotFoundError, OSError):
+                pass
+
+    def _write_pointer(self, fs, p, v: int) -> None:
+        tmp = f"{p}/._latest_{v:05d}.tmp"
+        with fs.open_output_stream(tmp) as out:
+            out.write(str(v).encode())
+        fs.move(tmp, f"{p}/{_PTR}")
+
     def commit(self, messages, batchId):  # noqa: N803 (Spark API)
         fs, p = _fs_and_path(self._table_dir)
         _, staging = _fs_and_path(self._staging)
         files = [m.file_name for m in messages if m is not None and m.file_name]
         ledger = self._ledger(fs, p)
         if batchId in ledger:
-            # replayed epoch: already published — discard re-staged files
-            for name in files:
-                try:
-                    fs.delete_file(f"{staging}/{name}")
-                except FileNotFoundError:
-                    pass
+            # Replayed epoch: the LEDGER is the commit point, so this
+            # epoch already published. Repair the pointer if the crash
+            # hit between ledger write and pointer swap, then discard
+            # the re-staged files — nothing publishes twice.
+            v = ledger[batchId]
+            if (_read_pointer(fs, p) or 0) < v:
+                self._write_pointer(fs, p, v)
+            self._sweep_staging(fs, staging)
             return
         if not files:
             return  # empty micro-batch publishes nothing
-        latest = _read_pointer(fs, p)
-        if latest is None:
-            vs = _list_versions(fs, p)
-            latest = vs[-1] if vs else 0
-        v = latest + 1
+        # Allocate past pointer AND dir listing: a crash after the file
+        # move but before the ledger write leaves an orphan v-dir that
+        # must never be merged into (it is not ledger'd, so pointer-based
+        # readers never see it; see the class docstring for the residual
+        # orphan exposure, which versioned.write_version shares).
+        v = _next_version(fs, p)
         snap = f"{p}/v{v:05d}"
         fs.create_dir(snap, recursive=True)
         for name in files:
             fs.move(f"{staging}/{name}", f"{snap}/{name}")
-        tmp = f"{p}/._latest_{v:05d}.tmp"
-        with fs.open_output_stream(tmp) as out:
-            out.write(str(v).encode())
-        fs.move(tmp, f"{p}/{_PTR}")
+        # Commit order: ledger FIRST (the idempotence record), pointer
+        # second. A crash between the two is repaired on replay above;
+        # the reverse order would let a replayed epoch double-publish.
         ledger[batchId] = v
         ltmp = f"{p}/._commits.tmp"
         with fs.open_output_stream(ltmp) as out:
             out.write("\n".join(f"{k}:{w}" for k, w in sorted(ledger.items())).encode())
         fs.move(ltmp, f"{p}/{self._LEDGER}")
+        self._write_pointer(fs, p, v)
+        self._sweep_staging(fs, staging)
 
     def abort(self, messages, batchId):  # noqa: N803
         fs, staging = _fs_and_path(self._staging)

@@ -82,6 +82,7 @@ class HadoopFsBackend:
     def __init__(self, spark: SparkSession):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        self._gateway = spark.sparkContext._gateway
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -106,19 +107,20 @@ class HadoopFsBackend:
             return None
         stream = fs.open(hp)
         try:
-            out = bytearray()
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                out.append(b)
-            return out.decode("utf-8")
+            # one bulk JVM call, not one py4j round trip per byte
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
         finally:
             stream.close()
 
     def write_text_atomic(self, p: str, content: str) -> None:
-        # write-tmp + rename: atomic on HDFS; copy+delete on S3-likes
-        # (where a log-based table format replaces this backend).
+        # write-tmp + OVERWRITE-rename (FileContext): atomic on HDFS with
+        # no delete-then-rename window where the pointer file does not
+        # exist; copy+delete on S3-likes (where a log-based table format
+        # replaces this backend). Plain FileSystem.rename refuses to
+        # overwrite, which is why the naive form needed the unsafe
+        # delete first.
         fs = self._fs(p)
         tmp = self._path(p + ".tmp")
         stream = fs.create(tmp, True)
@@ -127,9 +129,21 @@ class HadoopFsBackend:
         finally:
             stream.close()
         dest = self._path(p)
-        if fs.exists(dest):
-            fs.delete(dest, False)
-        fs.rename(tmp, dest)
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dest.toUri(), self._conf
+            )
+            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_cls, 1)
+            opts[0] = rename_cls.OVERWRITE
+            fc.rename(tmp, dest, opts)
+        except Exception:
+            # FileContext unsupported for this scheme: fall back to the
+            # windowed delete+rename (still last-writer-wins correct,
+            # with a transient not-found window a retry absorbs).
+            if fs.exists(dest):
+                fs.delete(dest, False)
+            fs.rename(tmp, dest)
 
     def rmtree(self, p: str) -> None:
         fs = self._fs(p)

@@ -292,3 +292,67 @@ def test_nested_types_through_batch_source(spark, tmp_path):
     assert back.count() == 50
     got = back.filter(F.col("k") == 4).select("emb", "meta.b").collect()[0]
     assert got["emb"] == [2.0, 1.0] and got["b"] == 1
+
+
+def test_nan_rows_survive_pushed_float_filter(spark, tmp_path):
+    """Spark orders NaN above all numerics; arrow predicates drop NaN.
+    Float columns are excluded from pushdown so the engine's filter
+    stays authoritative — NaN rows must come back."""
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 9.0), (3, float("nan"))], "k long, x double"
+    )
+    d = str(tmp_path / "nan")
+    write_version(df, d)
+    register_python_sources(spark)
+    src = spark.read.format("fp_versioned").option("path", d).load()
+    got = sorted(r["k"] for r in src.filter(F.col("x") > 5.0).collect())
+    want = sorted(r["k"] for r in df.filter(F.col("x") > 5.0).collect())
+    assert got == want == [2, 3]  # NaN > 5.0 is TRUE in Spark SQL
+
+
+def test_stream_writer_replay_repairs_pointer(tmp_path):
+    """Crash between ledger write and pointer swap: the replayed epoch
+    must repair the pointer, not publish a duplicate version."""
+    from fp_data_lakehouse_spark.sources.pyds import VersionedStreamArrowWriter
+
+    d = str(tmp_path / "rp")
+    w = VersionedStreamArrowWriter(d)
+    batch = pa.RecordBatch.from_pydict({"k": [1, 2]})
+    w.commit([w.write(iter([batch]))], 0)
+    fs, p = pyds._fs_and_path(d)
+    assert pyds._read_pointer(fs, p) == 1
+    # simulate the crash window: ledger says v1 committed, pointer lost
+    fs.delete_file(f"{p}/_LATEST")
+    w.commit([w.write(iter([batch]))], 0)  # replay of epoch 0
+    assert pyds._list_versions(fs, p) == [1], "replay must not double-publish"
+    assert pyds._read_pointer(fs, p) == 1, "replay must repair the pointer"
+
+
+def test_writer_allocates_past_orphan_snapshot(spark, tmp_path):
+    """A crashed job's orphan v-dir above the pointer must never be
+    merged into — allocation takes max(pointer, listing) + 1."""
+    import os
+
+    from fp_data_lakehouse_spark.sources.versioned import read_table, write_version
+
+    d = str(tmp_path / "orphan")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_version(df, d)  # v1, pointer -> 1
+    os.makedirs(f"{d}/v00002")  # orphan: crashed writer, pointer still 1
+    register_python_sources(spark)
+    df.write.format("fp_versioned").option("path", d).mode("append").save()
+    fs, p = pyds._fs_and_path(d)
+    assert pyds._read_pointer(fs, p) == 3, "must allocate past the orphan"
+    assert read_table(spark, d).count() == 10
+
+
+def test_feed_schema_without_version_column_rejected(versioned_table):
+    d, _, _, _ = versioned_table
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    with pytest.raises(ValueError, match="_version"):
+        VersionFeedStreamReader(
+            StructType([StructField("o_custkey", LongType())]), d
+        )
