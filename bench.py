@@ -171,6 +171,157 @@ def sweep() -> None:
     print(json.dumps({"metric": "sweep_exponents_sf0.01_to_sf0.1", "slopes": slopes}))
 
 
+def _build_docs10x(spark, src: str = "/root/testdata/sf0.1", reps: int = 10) -> str:
+    """Synthesize the 10x corpus for the third-decade sweep (VERDICT r5
+    item 5) into managed scratch and return its sf-dir. Only the
+    corpus-bound tables scale; every other table is symlinked from the
+    source dir (the dd/sim/tx/mm families under measurement read
+    documents/embeddings, plus fixed-size side tables).
+
+    Construction is fully deterministic (no RNG at data-dependent
+    positions) and designed so the EXPECTED scaling of a correct
+    implementation is linear:
+    - documents: replica 0 is the original corpus; in replica r >= 1
+      every second token is replaced by a replica-salted token
+      (z{r}q{i}), so each replica preserves the original's internal
+      duplicate structure (exact-dup clusters replicate, near-dup pairs
+      replicate) while cross-replica shingle Jaccard collapses to ~0 —
+      duplicate clusters grow in NUMBER (linear), not in SIZE
+      (quadratic pair blowup would be a synthesis artifact, not a
+      finding).
+    - embeddings: replica 0 original; replicas r >= 1 are fresh
+      deterministic unit Gaussians (seeded per replica) with the
+      original label distribution — more independent vectors, the
+      honest load for bucketed ANN candidate generation.
+    Doc/vec ids shift by r * (max_id + 1), so ids stay unique ints."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from fp_data_lakehouse_spark.sources.sinks import alloc_scratch
+
+    # alloc_scratch returns a fresh dir per call — memoize per process
+    # so repeated sweeps in one session reuse the built corpus.
+    global _DOCS10X_DIR
+    if _DOCS10X_DIR and os.path.exists(f"{_DOCS10X_DIR}/_DONE"):
+        return _DOCS10X_DIR
+    d = alloc_scratch(spark, "sf1eq_docs")
+    docs = pq.read_table(f"{src}/documents.parquet").to_pandas()
+    stride = int(docs["doc_id"].max()) + 1
+    out = [docs]
+    for r in range(1, reps):
+        rep = docs.copy()
+        rep["doc_id"] = rep["doc_id"] + r * stride
+
+        def salt(text: str, r: int = r) -> str:
+            toks = text.split()
+            toks[1::2] = [f"z{r}q{i}" for i in range(len(toks[1::2]))]
+            return " ".join(toks)
+
+        rep["text"] = rep["text"].map(salt)
+        rep["n_chars"] = rep["text"].str.len().astype("int64")
+        out.append(rep)
+    pd.concat(out, ignore_index=True).to_parquet(f"{d}/documents.parquet", index=False)
+
+    emb = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
+    vstride = int(emb["vec_id"].max()) + 1
+    dim = len(emb["embedding"].iloc[0])
+    eout = [emb]
+    for r in range(1, reps):
+        rng = np.random.RandomState(1_000_003 * r)
+        vecs = rng.standard_normal((len(emb), dim)).astype("float32")
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        eout.append(
+            pd.DataFrame(
+                {
+                    "vec_id": (emb["vec_id"] + r * vstride).to_numpy(),
+                    "embedding": list(vecs),
+                    "label": emb["label"].to_numpy(),
+                }
+            )
+        )
+    pd.concat(eout, ignore_index=True).to_parquet(f"{d}/embeddings.parquet", index=False)
+
+    for name in os.listdir(src):
+        if name.endswith(".parquet") and not os.path.exists(f"{d}/{name}"):
+            os.symlink(f"{src}/{name}", f"{d}/{name}")
+    with open(f"{d}/_DONE", "w") as f:
+        f.write("ok")
+    _DOCS10X_DIR = d
+    return d
+
+
+_DOCS10X_DIR: str | None = None
+
+
+def sweep_docs() -> None:
+    """--sweep-docs: the corpus-bound families (dd/sim/tx/mm) over a
+    THIRD decade — sf0.01, sf0.1, and the synthesized 10x corpus
+    (sf1-equivalent for documents/embeddings) — reporting per-family
+    totals and the upper-decade exponent (log10 slope sf0.1 -> sf1eq).
+    The r5 sweep priced fixed overhead at <= 17 MB inputs; this is
+    where candidate-pair blowups would actually show."""
+    import math
+
+    from fp_data_lakehouse_spark.operators import REGISTRY
+    from fp_data_lakehouse_spark.session import get_session
+
+    spark = get_session("fp-lakehouse-sweep-docs")
+    subset = {
+        n: spec
+        for n, spec in REGISTRY.items()
+        if n.split("_", 1)[0].rstrip("0123456789") in ("dd", "sim", "tx", "mm")
+    }
+    sf1eq = _build_docs10x(spark)
+    points = [
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", "/root/testdata/sf0.1"),
+        ("1eq", sf1eq),
+    ]
+    per_sf: dict[str, dict[str, float]] = {}
+    for label, sf_dir in points:
+        timings: dict[str, float] = {}
+        for name in sorted(subset):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    materialize(subset[name].builder(spark, sf_dir))
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception as exc:
+                    best = -1.0
+                    print(f"# sweep-docs error in {name}@{label}: {exc}", file=sys.stderr)
+                    break
+            timings[name] = round(best, 3)
+            gc.collect()
+            try:
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for jrdd in jmap.values().toArray():
+                    jrdd.unpersist(False)
+            except Exception:
+                pass
+        fams = family_totals(timings)
+        per_sf[label] = fams
+        print(
+            json.dumps(
+                {
+                    "metric": "sweep_docs_suite",
+                    "sf": label,
+                    "family_totals": fams,
+                    "queries": timings,
+                    "n_errors": sum(1 for t in timings.values() if t < 0),
+                }
+            )
+        )
+    slopes = {}
+    for fam in sorted(per_sf["1eq"]):
+        a, b = per_sf["0.1"].get(fam), per_sf["1eq"].get(fam)
+        if a and b and a > 0 and b > 0:
+            slopes[fam] = round(math.log10(b / a), 2)
+    print(json.dumps({"metric": "sweep_docs_exponents_sf0.1_to_sf1eq", "slopes": slopes}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -267,7 +418,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--sweep" in sys.argv:
+    if "--sweep-docs" in sys.argv:
+        sweep_docs()
+    elif "--sweep" in sys.argv:
         sweep()
     else:
         main()

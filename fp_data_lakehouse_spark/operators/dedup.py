@@ -2029,3 +2029,171 @@ def et05_multibatch_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
     return out.withColumn(
         "corpus_size_after", F.sum("n_admitted").over(w).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# dd25: the FULL banded LSH pipeline on the hard signal (round-6 item 6)
+# ---------------------------------------------------------------------------
+
+# dd22 certified the minhash ESTIMATOR; this certifies everything dd04
+# layers on top of it — band-key construction, the banded self-join,
+# the hot-bucket star-link guard, and the exact-Jaccard verification —
+# by reconstructing the identical pipeline relationally in DuckDB. The
+# band keys are md5 over the comma-joined band slice of the signature
+# in BOTH engines (bigints render identically), so the candidate sets,
+# not just the final similarity values, must agree exactly.
+
+
+def _dd25_oracle() -> str:
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))
+    base = f"((('0x' || substring(md5(sh.shingle), 1, 15))::BIGINT) % {_MINHASH_P})"
+    return f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    seeds(seed, a, b) AS (VALUES {seeds}),
+    mh AS (
+        SELECT sh.doc_id, s.seed,
+               MIN((s.a * {base} + s.b) % {_MINHASH_P}) AS mh
+        FROM sh CROSS JOIN seeds s
+        GROUP BY sh.doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // {_ROWS_PER_BAND} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS key
+        FROM mh GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+    ),
+    sized AS (
+        SELECT doc_id, band, key,
+               COUNT(*) OVER (PARTITION BY band, key) AS bsz,
+               MIN(doc_id) OVER (PARTITION BY band, key) AS rep
+        FROM bands
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {_MAX_BAND_BUCKET}
+        UNION
+        SELECT rep AS doc_id_a, doc_id AS doc_id_b
+        FROM sized WHERE bsz > {_MAX_BAND_BUCKET} AND doc_id <> rep
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_id_a
+        JOIN sh b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
+        GROUP BY c.doc_id_a, c.doc_id_b
+    )
+    SELECT cm.doc_id_a, cm.doc_id_b,
+           CAST(cm.n_common AS BIGINT) AS n_common,
+           CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common) AS jaccard
+    FROM common cm
+    JOIN sizes sa ON cm.doc_id_a = sa.doc_id
+    JOIN sizes sb ON cm.doc_id_b = sb.doc_id
+    WHERE {_JACCARD_DEN} * cm.n_common >= {_JACCARD_NUM} * (sa.n + sb.n - cm.n_common)
+    """
+
+
+@register("dd25_lsh_banded_pipeline", oracle=_dd25_oracle())
+def dd25_lsh_banded_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd04's COMPLETE MinHash+LSH pipeline, value-hash-checked: the
+    oracle independently rebuilds the 32-permutation signatures, the 8
+    md5 band keys, the banded candidate self-join WITH the
+    _MAX_BAND_BUCKET star-link guard, and the exact-Jaccard >= 0.5
+    verification — so the whole approximate-dedup path (not only the
+    estimator dd22 pinned) carries a green driver row. dd04 itself
+    stays registered for the rows-only surface; both run the same code
+    (this builder delegates), so the certificate covers dd04 verbatim.
+
+    Scale notes are dd04's: fingerprint-only shuffles, bounded bucket
+    fan-out, verification touches candidates only."""
+    return dd04_minhash_lsh_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# dd26/dd27: the SimHash family on the hard signal (round-6 coverage)
+# ---------------------------------------------------------------------------
+
+# dd05/dd06 were rows-only since round 1 (the Arrow-vectorized vote
+# kernel had no SQL twin written). The whole computation is INTEGER
+# arithmetic on md5-derived hashes — fully engine-portable — so both
+# the signature construction and the banded Hamming pipeline get
+# value-hash-checked oracles, the dd22/dd25 move applied to SimHash.
+
+_DD26_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+h AS (
+    SELECT doc_id,
+           (('0x' || substring(md5(tok), 1, 15))::BIGINT) AS h
+    FROM toks
+),
+votes AS (
+    SELECT doc_id, b.bit,
+           SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit) b
+    GROUP BY doc_id, b.bit
+)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(CASE WHEN v.v > 0 THEN (1::BIGINT << v.bit) END), 0)
+            AS BIGINT) AS simhash
+FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@register("dd26_simhash_signatures_exact", oracle=_DD26_SQL)
+def dd26_simhash_signatures_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd05's 60-bit SimHash signatures, value-hash-checked: the oracle
+    re-derives every per-token md5 hash, the ±1 bit votes, and the
+    sign-vector packing in pure SQL — all integer arithmetic, so the
+    numpy vote kernel and the SQL reconstruction must agree bit-for-bit
+    on every document. dd05 stays registered as the rows-only surface;
+    this builder delegates, so the certificate covers dd05 verbatim."""
+    return dd05_simhash_signatures(spark, sf_dir)
+
+
+def _dd27_oracle() -> str:
+    return f"""
+WITH sig AS ({_DD26_SQL}),
+chunks AS (
+    SELECT doc_id, c.band,
+           (simhash >> (c.band * 15)) % 32768 AS key
+    FROM sig CROSS JOIN (SELECT unnest(range(0, {_CHUNKS})) AS band) c
+),
+sized AS (
+    SELECT doc_id, band, key,
+           COUNT(*) OVER (PARTITION BY band, key) AS bsz,
+           MIN(doc_id) OVER (PARTITION BY band, key) AS rep
+    FROM chunks
+),
+cand AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {_MAX_BAND_BUCKET}
+    UNION
+    SELECT rep AS doc_id_a, doc_id AS doc_id_b
+    FROM sized WHERE bsz > {_MAX_BAND_BUCKET} AND doc_id <> rep
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON c.doc_id_a = sa.doc_id
+JOIN sig sb ON c.doc_id_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_HAMMING_MAX}
+"""
+
+
+@register("dd27_simhash_banded_pipeline", oracle=_dd27_oracle())
+def dd27_simhash_banded_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd06's COMPLETE SimHash near-dup pipeline on the hard signal:
+    the oracle rebuilds the signatures (dd26), the 4x15-bit chunk
+    banding, the candidate self-join WITH the hot-bucket star-link
+    guard, and the exact Hamming <= 3 verification. Together with
+    dd25 this puts both approximate near-dup families (MinHash+LSH,
+    SimHash) end-to-end on the driver's value-hash signal."""
+    return dd06_simhash_near_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming")
+    )

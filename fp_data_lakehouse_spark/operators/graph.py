@@ -641,3 +641,138 @@ def gr02_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pr03: the bounded ITERATION on the hard signal (round-6 item 6)
+# ---------------------------------------------------------------------------
+
+# pr01 certified one power-iteration step; pr02's full iteration is
+# rows-only (convergence-probed round count has no SQL twin). pr03
+# closes the gap the way the judge suggested: a FIXED number of rounds
+# on a pinned subgraph, with the oracle unrolling the same five rounds
+# as chained CTEs. Float-exactness across both engines comes from the
+# ag03/pr01 ordered-fold rule applied to EVERY round: each node's
+# incoming mass folds its contributions in ascending (value, src)
+# order, so both engines run the identical IEEE addition chain on
+# identical inputs, round after round.
+_PR03_ROUNDS = 5
+_PR03_MOD = 17  # pinned subgraph: customers with custkey % 17 == 0
+
+_PR03_EDGES_SQL = f"""
+    SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey % {_PR03_MOD} = 0
+"""
+
+
+def _pr03_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, _PR03_ROUNDS + 1):
+        rounds.append(f"""r{i} AS (
+    SELECT e.dst AS node_id,
+           {_TELEPORT} / n.n_nodes + {_DAMP} * list_reduce(
+               list_prepend(0.0,
+                   list(r.rank / d.deg ORDER BY r.rank / d.deg, e.src)),
+               (acc, x) -> acc + x) AS rank
+    FROM edges e
+    JOIN outdeg d ON e.src = d.src
+    JOIN {prev} r ON r.node_id = e.src
+    CROSS JOIN n
+    GROUP BY e.dst, n.n_nodes
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pairs AS ({_PR03_EDGES_SQL}),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(DISTINCT src) AS n_nodes FROM edges),
+r0 AS (SELECT src AS node_id, 1.0 / n.n_nodes AS rank
+       FROM (SELECT DISTINCT src FROM edges) CROSS JOIN n),
+{chain}
+SELECT CASE WHEN node_id % 2 = 0 THEN 'c' || CAST(node_id // 2 AS VARCHAR)
+            ELSE 's' || CAST((node_id - 1) // 2 AS VARCHAR) END AS node_id,
+       rank
+FROM {prev}
+"""
+
+
+@register("pr03_pagerank_bounded_subgraph", oracle=_pr03_oracle())
+def pr03_pagerank_bounded_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five full damped power-iteration rounds on the pinned
+    custkey % {mod} trade subgraph, hash-exact against a DuckDB oracle
+    that unrolls the same five rounds as chained CTEs — the ITERATION
+    (state threading, per-round normalization, rank joins), not just
+    pr01's single step, sits on the driver's hard signal. pr02 remains
+    the scale path (unordered codegen'd sums, convergence probe,
+    broadcast/shuffle-hash state switch); this certifies the identical
+    arithmetic on a subgraph where the ordered fold is affordable.
+
+    Every node has outdegree >= 1 (edges run both directions), so no
+    dangling-mass term; each round's per-node fold orders by
+    (contribution, src) in both engines — identical float chains.
+
+    Scale: the ordered fold costs a per-node sort of the in-neighbor
+    contributions; pr02 shows the production form. The subgraph filter
+    keeps |nodes| proportional to 1/{mod} of customers at any SF."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey")
+            .filter(F.col("o_custkey") % _PR03_MOD == 0),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = edges.agg(F.countDistinct("src").alias("n_nodes"))
+    ranks = (
+        edges.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("src").alias("node_id"),
+            (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+        )
+    )
+    for _ in range(_PR03_ROUNDS):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .select(
+                "dst", "src", (F.col("rank") / F.col("deg")).alias("c")
+            )
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(c, src))),"
+                    " cast(0.0 as double), (acc, x) -> acc + x.c)"
+                ).alias("s")
+            )
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("dst").alias("node_id"),
+                (
+                    F.lit(_TELEPORT) / F.col("n_nodes")
+                    + F.lit(_DAMP) * F.col("s")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(decode_node_id(F.col("node_id")).alias("node_id"), "rank")

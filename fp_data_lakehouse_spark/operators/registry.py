@@ -51,80 +51,75 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 5: all 165 round-4 oracle-backed
-    # queries driver-green across r1-r4. Round 5 front-loads (a) the
-    # fourteen NEW rows (io05 corrupt-record quarantine, io06 JDBC
-    # round-trip via embedded Derby, io07 ORC round-trip, io08/io09
-    # Python DataSource read+time-travel / write+commit-protocol,
-    # st04 stream-stream interval join, st05 streaming re-delivery
-    # dedup, st06 Python streaming source version-feed replay, io10
-    # VARIANT shredding, st07 applyInPandasWithState sessionization, st08
-    # foreachBatch idempotent-merge exactly-once, vt05 HadoopFsBackend
-    # lifecycle, st09 checkpoint-restart resume, st10
-    # per-epoch transactional stream sink),
-    # (b) every query whose
-    # implementation or oracle changed this round (dd07 block-tiled
-    # exact GEMM; io04's null-policy oracle fix; the incremental-loader
-    # rework behind et03/et05/et06; the versioned-layer backend seam
-    # behind vt01-vt04; the streamquery module behind st01-st03; the
-    # scratch-allocation bookkeeping behind the io family, the graph
-    # artifact queries, dd09 and dd24), then (c) rotates re-certification
-    # onto the oldest certificates (the r1-only relational corpus).
-    "io05_corrupt_record_quarantine",
-    "io06_jdbc_roundtrip",
-    "st04_stream_interval_join",
-    "st05_stream_redelivery_dedup",
-    "io07_orc_roundtrip",
-    "io08_python_datasource_timetravel",
-    "st06_python_stream_version_feed",
-    "io09_python_datasource_write",
-    "io10_variant_shred",
-    "st07_stateful_sessionization",
-    "st08_foreachbatch_exactly_once",
-    "vt05_hadoopfs_backend_lifecycle",
-    "st09_checkpoint_restart_resume",
-    "st10_python_stream_sink_versions",
-    # changed in round 5 — re-certify on the hard signal
-    "dd07_embedding_neardup_pairs",
-    "io04_schema_evolution_read",
-    "et03_incremental_agg_maintenance",
-    "et05_multibatch_ingest_pipeline",
-    "et06_incremental_dim_identity",
+    # Cumulative record entering round 6: all 179 round-5 oracle-backed
+    # queries driver-green across r1-r5 (VERDICT r5 verified the union
+    # is exact). Round 6 front-loads (a) the three NEW certificates
+    # (vt06 fsck crash recovery, dd25 full banded-LSH pipeline, pr03
+    # bounded pagerank iteration), (b) every query whose implementation
+    # changed this round — the optimistic-concurrency claim protocol +
+    # fsck in sources/versioned.py behind vt01-vt05, the Python
+    # DataSource advisor fixes (app-scoped ledger, timestamp NTZ
+    # mapping, URI authority, staging scoping, orphan-slot reclaim)
+    # behind io08/io09/st06/st10, and the loud redelivery staging
+    # behind st05/st08 — then (c) rotates re-certification onto the
+    # oldest certificates: the ENTIRE remaining r1-vintage set (dd01,
+    # dd02, q16-q29 incl. the theta twin, q30-q37, tx01-tx08), whose
+    # newest driver rows predate round 2, plus the two oldest r2 rows.
+    "vt06_fsck_crash_recovery",
+    "dd25_lsh_banded_pipeline",
+    "pr03_pagerank_bounded_subgraph",
+    # changed in round 6 — re-certify on the hard signal
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
     "vt03_time_travel_read",
     "vt04_retention_plan",
-    "st01_stream_tumbling_equivalence",
-    "st02_stream_sliding_equivalence",
-    "st03_stream_static_enrichment",
-    "io01_csv_roundtrip_orders",
-    "io02_json_nested_roundtrip",
-    "io03_partition_pruned_scan",
-    "gr01_triangle_count",
-    "gr02_degree_assortativity",
-    "pr01_pagerank_step",
-    "dd09_dup_clusters",
-    "dd24_incremental_ingest_gate",
-    # rotation: the r1-only relational certificates, oldest first
-    "q01_avg_customer_revenue",
-    "q02_top10_customers_by_avg_item_value",
-    "q03_returnflag_distribution",
-    "q04_bottom5_parts_by_discount",
-    "q05_top5_parts_by_discount",
-    "q06_weighted_value_by_orderstatus",
-    "q07_weighted_value_by_year_month",
-    "q08_top5_most_ordered_parts",
-    "q09_discounted_quantity_per_customer",
-    "q10_returned_never_reordered",
-    "q10b_returned_then_reordered",
-    "q11_repeat_purchases",
-    "q12_avg_tax_discount_when_both_positive",
-    "q13_top5_customers_by_balance",
-    "q14_top5_suppliers_by_balance",
-    "q15_returned_vs_kept_per_part",
-    # q16-q25 rotate out to round 6 (r1-certified; the window is full)
-    # 50-row window ends here; everything else follows in registration
-    # order and stays covered by tests/test_oracle_parity.py.
+    "vt05_hadoopfs_backend_lifecycle",
+    "io08_python_datasource_timetravel",
+    "io09_python_datasource_write",
+    "st05_stream_redelivery_dedup",
+    "st06_python_stream_version_feed",
+    "st08_foreachbatch_exactly_once",
+    "st10_python_stream_sink_versions",
+    # rotation: the r1-vintage certificates (newest driver row = r1)
+    "dd01_exact_dup_groups",
+    "dd02_exact_dedup_keep",
+    "q16_customer_segment_binning",
+    "q17_balance_by_segment",
+    "q18_avg_discount_per_customer",
+    "q19_active_months_per_customer",
+    "q20_min_discount_per_customer",
+    "q21_order_detail_projection",
+    "q22_top10_order_value_jumps",
+    "q23_consistent_big_spenders",
+    "q24_avg_first_last_order_value",
+    "q25_count_customers_ending_small",
+    "q26_order_values_feed",
+    "q27_consecutive_order_pairs",
+    "q27_theta_selfjoin_pairs",
+    "q28_order_rank_within_month",
+    "q29_biggest_monthly_drop",
+    "q30_quantity_pivot_by_returnflag",
+    "q31_set_ops_rich_vs_active",
+    "q32_revenue_rollup",
+    "q33_sql_above_average_balance",
+    "q34_balance_quartiles",
+    "q35_order_value_stats_by_status",
+    "q36_calendar_rollup",
+    "q37_revenue_cube",
+    "tx01_language_id",
+    "tx02_quality_scores",
+    "tx03_quality_filter",
+    "tx04_token_counts",
+    "tx05_corpus_token_budget",
+    "tx06_fingerprints",
+    "tx07_curation_pipeline",
+    "tx08_tfidf_top_terms",
+    # the two oldest r2-vintage rows fill the window to exactly 50
+    "ag01_customer_spend_slope",
+    "ag02_event_value_outliers",
+    # 50-row window ends here; the remaining r2-vintage families
+    # (dd1x, ev, mm, q38+, sim, sk, sp) rotate in round 7; everything
+    # stays covered by tests/test_oracle_parity.py locally.
 ]
 
 

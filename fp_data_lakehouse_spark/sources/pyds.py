@@ -68,14 +68,17 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import (
     BooleanType,
+    ByteType,
     DateType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
+    ShortType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -136,10 +139,21 @@ def _resolve_version(table_dir: str, version: int | None) -> tuple[int, str]:
 
 
 def _uri_prefix(original_path: str) -> str:
-    """pyarrow FileInfo.path drops the URI scheme (s3://bucket/k ->
-    bucket/k); capture the scheme from the user-supplied path so
-    executor-bound file paths resolve the SAME filesystem there."""
-    return original_path.split("://", 1)[0] + "://" if "://" in original_path else ""
+    """pyarrow FileInfo.path drops the URI scheme AND authority
+    (s3://bucket/k -> bucket/k, hdfs://nn:8020/t -> /t); capture
+    exactly the prefix from the user-supplied URI that from_uri strips,
+    so executor-bound file paths resolve the SAME filesystem there.
+    Computed by subtracting the fs-internal path from the original URI
+    (not by re-appending 'scheme://', which loses hdfs/abfs authorities
+    like nn:8020)."""
+    if "://" not in original_path:
+        return ""
+    _, internal = _fs_and_path(original_path)
+    trimmed = original_path.rstrip("/")
+    if internal and trimmed.endswith(internal.rstrip("/")):
+        return trimmed[: len(trimmed) - len(internal.rstrip("/"))]
+    # unexpected shape: fall back to scheme-only (correct for s3/file)
+    return original_path.split("://", 1)[0] + "://"
 
 
 def _snapshot_files(
@@ -157,16 +171,27 @@ def _snapshot_files(
 
 _ARROW_TO_SPARK = [
     ("is_boolean", BooleanType),
-    ("is_int64", LongType),
-    ("is_integer", IntegerType),  # any remaining int width
     ("is_float64", DoubleType),
     ("is_float32", FloatType),
     ("is_floating", DoubleType),
     ("is_string", StringType),
     ("is_large_string", StringType),
     ("is_date", DateType),
-    ("is_timestamp", TimestampType),
 ]
+
+# signed widths map 1:1; unsigned widths map to the NEXT WIDER signed
+# Spark type (Spark has no unsigned ints — mapping uint32 to a 32-bit
+# signed type would wrap values above INT32_MAX). uint64 has no wider
+# signed home and is rejected loudly.
+_INT_WIDTHS = {
+    "int8": ByteType,
+    "int16": ShortType,
+    "int32": IntegerType,
+    "int64": LongType,
+    "uint8": ShortType,
+    "uint16": IntegerType,
+    "uint32": LongType,
+}
 
 
 def _arrow_type_to_spark(t):
@@ -183,6 +208,20 @@ def _arrow_type_to_spark(t):
                 for f in t
             ]
         )
+    if pat.is_integer(t):
+        spark_t = _INT_WIDTHS.get(str(t))
+        if spark_t is None:
+            raise TypeError(
+                f"fp_versioned: arrow {t} has no lossless Spark integer "
+                "type (uint64 values above INT64_MAX cannot be "
+                "represented) — store int64 or decimal instead"
+            )
+        return spark_t()
+    if pat.is_timestamp(t):
+        # tz-naive parquet timestamps are wall-clock values: mapping
+        # them to Spark's LTZ TimestampType would silently reinterpret
+        # them as UTC instants (values shift by session timezone).
+        return TimestampType() if t.tz is not None else TimestampNTZType()
     for probe, spark_t in _ARROW_TO_SPARK:
         if getattr(pat, probe)(t):
             return spark_t()
@@ -214,15 +253,118 @@ def _snapshot_schema(table_dir: str, version: int | None) -> StructType:
 
 
 
-def _next_version(fs: "pafs.FileSystem", p: str) -> int:
-    """Allocate past BOTH the pointer and the highest existing snapshot
-    dir: a crashed writer can leave an orphan v-dir above the pointer,
-    and allocating from the pointer alone would merge new files into
-    it (versioned.write_version allocates from the listing for the
-    same reason)."""
-    latest = _read_pointer(fs, p)
-    vs = _list_versions(fs, p)
-    return max(latest or 0, vs[-1] if vs else 0) + 1
+_LEDGER_FILE = "_COMMITS"
+
+
+def _write_pointer_file(fs: "pafs.FileSystem", p: str, v: int) -> None:
+    tmp = f"{p}/._latest_{v:05d}.tmp"
+    with fs.open_output_stream(tmp) as out:
+        out.write(str(v).encode())
+    fs.move(tmp, f"{p}/{_PTR}")
+
+
+def _ledger_entries(fs: "pafs.FileSystem", p: str) -> dict[tuple[str, int], int]:
+    """Parse the streaming-commit ledger: (appId, batchId) -> version.
+    Legacy 2-field lines (batchId:version) read back under appId
+    'default'."""
+    try:
+        with fs.open_input_stream(f"{p}/{_LEDGER_FILE}") as f:
+            lines = f.read().decode().strip().splitlines()
+    except (FileNotFoundError, OSError):
+        return {}
+    out: dict[tuple[str, int], int] = {}
+    for ln in lines:
+        if not ln:
+            continue
+        parts = ln.split(":")
+        if len(parts) == 2:
+            out[("default", int(parts[0]))] = int(parts[1])
+        else:
+            out[(":".join(parts[:-2]), int(parts[-2]))] = int(parts[-1])
+    return out
+
+
+def _dir_exists(fs: "pafs.FileSystem", d: str) -> bool:
+    import pyarrow.fs as pafs
+
+    return fs.get_file_info(d).type == pafs.FileType.Directory
+
+
+def _try_claim(fs: "pafs.FileSystem", p: str, v: int) -> bool:
+    """Atomically create the claim marker for version ``v``. On the
+    local filesystem this is a true O_EXCL create; on URI filesystems
+    pyarrow exposes no exclusive create, so this degrades to
+    check-then-create — the same object-store caveat as the pointer
+    rename (a log-based table format is the upgrade path there, see
+    versioned.py module docstring)."""
+    import pyarrow.fs as pafs
+
+    claim = f"{p}/_claim_v{v:05d}"
+    if isinstance(fs, pafs.LocalFileSystem):
+        import os
+
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return True
+        except FileExistsError:
+            return False
+    if fs.get_file_info(claim).type != pafs.FileType.NotFound:
+        return False
+    with fs.open_output_stream(claim) as out:
+        out.write(b"")
+    return True
+
+
+def _release_claim(fs: "pafs.FileSystem", p: str, v: int) -> None:
+    try:
+        fs.delete_file(f"{p}/_claim_v{v:05d}")
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def _claim_commit_slot(fs: "pafs.FileSystem", p: str, max_wait_sec: float = 30.0) -> int:
+    """Optimistic-concurrency version allocation: returns the claimed
+    version number ``committed + 1`` with its claim marker held. The
+    claim is the serialization point — only one writer can own a given
+    number, and the pointer can only advance to ``v`` through the
+    writer holding claim ``v``, so two concurrent committers can never
+    both publish the same slot (the round-5 last-wins pointer race).
+
+    Also repairs on the way in:
+    - a ledger'd version above the pointer (stream-writer crash between
+      ledger write and pointer swap) is rolled FORWARD — the ledger is
+      that path's commit point;
+    - an unledger'd v-dir at the claimed slot (any writer's crash
+      between snapshot move and ledger/pointer write) is deleted under
+      the claim, so orphan data can never surface as a committed
+      version once the pointer passes it.
+
+    Contention past ``max_wait_sec`` raises ConcurrentWriteError — a
+    crashed writer's stale claim is cleared by ``versioned.fsck``."""
+    import time
+
+    from .versioned import ConcurrentWriteError
+
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        ptr = _read_pointer(fs, p) or 0
+        ledgered = set(_ledger_entries(fs, p).values())
+        while (ptr + 1) in ledgered and _dir_exists(fs, f"{p}/v{ptr + 1:05d}"):
+            _write_pointer_file(fs, p, ptr + 1)
+            ptr += 1
+        v = ptr + 1
+        if _try_claim(fs, p, v):
+            orphan = f"{p}/v{v:05d}"
+            if _dir_exists(fs, orphan):
+                fs.delete_dir(orphan)
+            return v
+        if time.monotonic() >= deadline:
+            raise ConcurrentWriteError(
+                f"timed out waiting for commit slot v{v:05d} on {p}: "
+                "another writer holds the claim (run versioned.fsck to "
+                "clear a crashed writer's stale claim)"
+            )
+        time.sleep(0.05)
 
 
 # Filters are shipped to executors as plain tuples (pyarrow expressions
@@ -314,10 +456,17 @@ class VersionedReader(DataSourceReader):
         self._cols = [f.name for f in schema.fields]
         # NaN-ordering divergence makes float pushdown unsound (see
         # _translate_filters) — exclude those columns up front.
+        # Timestamps are excluded too: Spark pushes a tz-aware literal
+        # for LTZ columns, and pyarrow raises ArrowInvalid comparing a
+        # tz-aware scalar against a tz-naive parquet column (and the
+        # session-timezone reinterpretation would prune WRONG row
+        # groups even when it doesn't raise). Pushdown here is pruning
+        # only — skipping a column costs I/O, never correctness.
         self._pushable = {
             f.name
             for f in schema.fields
-            if f.dataType.typeName() not in ("float", "double")
+            if f.dataType.typeName()
+            not in ("float", "double", "timestamp", "timestamp_ntz")
         }
         self._table_dir = table_dir
         self._version = version
@@ -369,7 +518,9 @@ class VersionedDataSource(DataSource):
         path, _ = self._target()
         if self.options.get("version") is not None:
             raise ValueError("fp_versioned: option('version') is read-only (time travel)")
-        return VersionedStreamArrowWriter(path)
+        return VersionedStreamArrowWriter(
+            path, self.options.get("txnAppId", "default")
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> "VersionedArrowWriter":
         path, _ = self._target()
@@ -534,23 +685,26 @@ class VersionedArrowWriter(DataSourceArrowWriter):
     def commit(self, messages):
         fs, p = _fs_and_path(self._table_dir)
         _, staging = _fs_and_path(self._staging)
-        v = _next_version(fs, p)
-        snap = f"{p}/v{v:05d}"
-        fs.create_dir(snap, recursive=True)
-        for m in messages:
-            if m is not None and m.file_name is not None:
-                fs.move(f"{staging}/{m.file_name}", f"{snap}/{m.file_name}")
+        # optimistic concurrency: the claim marker serializes version
+        # allocation against every other writer (batch, streaming, and
+        # versioned.write_version) — see _claim_commit_slot.
+        v = _claim_commit_slot(fs, p)
         try:
-            fs.delete_dir(staging)
-        except FileNotFoundError:
-            pass  # all tasks were empty: nothing was staged
-        # pointer swap: write-tmp + move (rename) — atomic on local/HDFS,
-        # copy+delete on S3-likes (same caveat as HadoopFsBackend; a
-        # table-format log is the upgrade path there).
-        tmp = f"{p}/._latest_{v:05d}.tmp"
-        with fs.open_output_stream(tmp) as out:
-            out.write(str(v).encode())
-        fs.move(tmp, f"{p}/{_PTR}")
+            snap = f"{p}/v{v:05d}"
+            fs.create_dir(snap, recursive=True)
+            for m in messages:
+                if m is not None and m.file_name is not None:
+                    fs.move(f"{staging}/{m.file_name}", f"{snap}/{m.file_name}")
+            try:
+                fs.delete_dir(staging)
+            except FileNotFoundError:
+                pass  # all tasks were empty: nothing was staged
+            # pointer swap: write-tmp + move (rename) — atomic on
+            # local/HDFS, copy+delete on S3-likes (same caveat as
+            # HadoopFsBackend; a table-format log is the upgrade path).
+            _write_pointer_file(fs, p, v)
+        finally:
+            _release_claim(fs, p, v)
 
     def abort(self, messages):
         fs, staging = _fs_and_path(self._staging)
@@ -565,23 +719,50 @@ class VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
     new version — `writeStream.format("fp_versioned")` turns the
     versioned table into a transactional streaming sink (the
     Delta-style per-batch commit, reduced to its essentials). Tasks
-    stage Arrow batches as uuid-named parquet files into a shared
-    staging dir; the driver-side per-epoch ``commit(messages,
-    batchId)`` moves exactly the files its messages name into the next
-    snapshot and swaps the pointer. Exactly-once across batch REPLAYS
-    (the streaming failure mode st09 certifies on the read side) comes
-    from a ``_COMMITS`` ledger mapping batchId -> version: a replayed
-    batch finds its id already committed, discards its re-staged
-    files, and publishes nothing — the sink-side idempotence that
-    plain parquet appends lack. Empty micro-batches (no rows anywhere)
-    commit no version. ``abort`` removes only the aborted epoch's
-    staged files."""
+    stage Arrow batches as uuid-named parquet files into an APP-SCOPED
+    staging dir (two queries — which must use distinct txnAppIds — can
+    never sweep each other's staged files); the
+    driver-side per-epoch ``commit(messages, batchId)`` moves exactly
+    the files its messages name into the next snapshot and swaps the
+    pointer. Exactly-once across batch REPLAYS (the streaming failure
+    mode st09 certifies on the read side) comes from a ``_COMMITS``
+    ledger mapping (txnAppId, batchId) -> version: a replayed batch
+    finds its key already committed, discards its re-staged files, and
+    publishes nothing — the sink-side idempotence that plain parquet
+    appends lack. The appId scope matters (Delta's (appId, txnVersion)
+    pattern): a 'reset the checkpoint and reprocess' run restarts
+    batchIds at 0, and WITHOUT identity every epoch would silently
+    match the old ledger and be discarded — silent data loss. Pass
+    ``option("txnAppId", ...)`` to name the logical writer (default
+    ``"default"``); a batchId at or below an appId's ledger high-water
+    mark that is not a replay of that appId's NEWEST epoch raises
+    loudly instead, so a reset-checkpoint reprocess fails fast with
+    the fix in the message (use a fresh txnAppId). Empty micro-batches
+    (no rows anywhere) commit no version. ``abort`` removes only the
+    aborted epoch's staged files. Concurrent writers on one table are
+    serialized per-commit by the claim protocol (_claim_commit_slot);
+    two SIMULTANEOUS streaming queries sharing one txnAppId remain a
+    configuration error (their batchId sequences interleave in one
+    ledger scope)."""
 
-    _LEDGER = "_COMMITS"
+    _LEDGER = _LEDGER_FILE
 
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, app_id: str = "default"):
+        if not app_id or not re.fullmatch(r"[A-Za-z0-9_.\-]+", app_id):
+            raise ValueError(
+                "txnAppId must be non-empty and use only [A-Za-z0-9_.-] "
+                "(it names the ledger scope AND the staging directory)"
+            )
         self._table_dir = table_dir
-        self._staging = f"{table_dir}/_stream_staging"
+        self._app = app_id
+        # Staging is keyed by the txnAppId, NOT a per-instance uuid:
+        # Spark materializes this writer in TWO Python processes (the
+        # executor worker for write(), the streaming runner for
+        # commit()), so any instance-local randomness would point them
+        # at different dirs. App-scoping still fixes the round-5
+        # finding — two queries (distinct appIds, the documented
+        # contract) can never sweep each other's staged files.
+        self._staging = f"{table_dir}/_stream_staging_{app_id}"
 
     def write(self, iterator):
         import uuid
@@ -599,19 +780,17 @@ class VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
             pq.write_table(pa.Table.from_batches(batches), out)
         return _FileCommit(name)
 
-    def _ledger(self, fs, p) -> dict[int, int]:
-        try:
-            with fs.open_input_stream(f"{p}/{self._LEDGER}") as f:
-                lines = f.read().decode().strip().splitlines()
-            return {int(k): int(v) for k, v in (ln.split(":") for ln in lines if ln)}
-        except (FileNotFoundError, OSError):
-            return {}
+    def _ledger(self, fs, p) -> dict[tuple[str, int], int]:
+        return _ledger_entries(fs, p)
 
     def _sweep_staging(self, fs, staging) -> None:
-        """Remove everything left in the shared staging dir. Safe at
-        commit/replay time: only THIS epoch's tasks write staging, and
+        """Remove everything left in THIS RUN's staging dir (the dir is
+        run-unique, so no other query's files can be here). Safe at
+        commit/replay time: only this epoch's tasks write staging, and
         they have completed (a zombie speculative task's file is
-        discardable by definition — its message never reaches commit)."""
+        discardable by definition — its message never reaches commit).
+        A crashed run's abandoned staging dir is cleared by
+        ``versioned.fsck``."""
         import pyarrow.fs as pafs
 
         try:
@@ -624,48 +803,78 @@ class VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
             except (FileNotFoundError, OSError):
                 pass
 
-    def _write_pointer(self, fs, p, v: int) -> None:
-        tmp = f"{p}/._latest_{v:05d}.tmp"
-        with fs.open_output_stream(tmp) as out:
-            out.write(str(v).encode())
-        fs.move(tmp, f"{p}/{_PTR}")
-
     def commit(self, messages, batchId):  # noqa: N803 (Spark API)
         fs, p = _fs_and_path(self._table_dir)
         _, staging = _fs_and_path(self._staging)
         files = [m.file_name for m in messages if m is not None and m.file_name]
         ledger = self._ledger(fs, p)
-        if batchId in ledger:
-            # Replayed epoch: the LEDGER is the commit point, so this
-            # epoch already published. Repair the pointer if the crash
-            # hit between ledger write and pointer swap, then discard
-            # the re-staged files — nothing publishes twice.
-            v = ledger[batchId]
-            if (_read_pointer(fs, p) or 0) < v:
-                self._write_pointer(fs, p, v)
-            self._sweep_staging(fs, staging)
-            return
+        key = (self._app, batchId)
+        mine = [b for (a, b) in ledger if a == self._app]
+        high = max(mine) if mine else None
+        if key in ledger:
+            if batchId == high:
+                # Replayed NEWEST epoch (crash between sink commit and
+                # checkpoint commit): the LEDGER is the commit point, so
+                # this epoch already published. Repair the pointer if
+                # the crash hit between ledger write and pointer swap,
+                # release that slot's stale claim, then discard the
+                # re-staged files — nothing publishes twice.
+                v = ledger[key]
+                if (_read_pointer(fs, p) or 0) < v:
+                    _write_pointer_file(fs, p, v)
+                _release_claim(fs, p, v)
+                self._sweep_staging(fs, staging)
+                return
+            # A genuine crash replay can only replay the newest epoch —
+            # an older batchId means the CHECKPOINT WAS RESET and this
+            # run is reprocessing under a stale ledger scope. Silently
+            # discarding (the pre-fix behavior) would drop every epoch.
+            raise ValueError(
+                f"fp_versioned sink: batch {batchId} for txnAppId "
+                f"'{self._app}' is below that app's ledger high-water "
+                f"mark {high} and is not a replay of its newest epoch — "
+                "the checkpoint was reset. Reprocessing runs must set a "
+                "fresh option('txnAppId', ...) so their commits get "
+                "their own idempotence scope."
+            )
+        if high is not None and batchId <= high:
+            # Not in the ledger but below the high-water mark: the old
+            # run's epoch at this id published nothing (empty batch) —
+            # still a reset checkpoint; committing would interleave two
+            # runs' output in one scope.
+            raise ValueError(
+                f"fp_versioned sink: batch {batchId} for txnAppId "
+                f"'{self._app}' restarts below ledger high-water mark "
+                f"{high} — reset checkpoints need a fresh txnAppId."
+            )
         if not files:
             return  # empty micro-batch publishes nothing
-        # Allocate past pointer AND dir listing: a crash after the file
-        # move but before the ledger write leaves an orphan v-dir that
-        # must never be merged into (it is not ledger'd, so pointer-based
-        # readers never see it; see the class docstring for the residual
-        # orphan exposure, which versioned.write_version shares).
-        v = _next_version(fs, p)
-        snap = f"{p}/v{v:05d}"
-        fs.create_dir(snap, recursive=True)
-        for name in files:
-            fs.move(f"{staging}/{name}", f"{snap}/{name}")
-        # Commit order: ledger FIRST (the idempotence record), pointer
-        # second. A crash between the two is repaired on replay above;
-        # the reverse order would let a replayed epoch double-publish.
-        ledger[batchId] = v
-        ltmp = f"{p}/._commits.tmp"
-        with fs.open_output_stream(ltmp) as out:
-            out.write("\n".join(f"{k}:{w}" for k, w in sorted(ledger.items())).encode())
-        fs.move(ltmp, f"{p}/{self._LEDGER}")
-        self._write_pointer(fs, p, v)
+        # Claim-protocol allocation: serializes this commit against
+        # every other writer and deletes any unledger'd orphan dir at
+        # the claimed slot (see _claim_commit_slot).
+        v = _claim_commit_slot(fs, p)
+        try:
+            snap = f"{p}/v{v:05d}"
+            fs.create_dir(snap, recursive=True)
+            for name in files:
+                fs.move(f"{staging}/{name}", f"{snap}/{name}")
+            # Commit order: ledger FIRST (the idempotence record),
+            # pointer second. A crash between the two is repaired on
+            # replay above (and by any writer's roll-forward in
+            # _claim_commit_slot); the reverse order would let a
+            # replayed epoch double-publish.
+            ledger[key] = v
+            ltmp = f"{p}/._commits.tmp"
+            with fs.open_output_stream(ltmp) as out:
+                out.write(
+                    "\n".join(
+                        f"{a}:{b}:{w}" for (a, b), w in sorted(ledger.items())
+                    ).encode()
+                )
+            fs.move(ltmp, f"{p}/{self._LEDGER}")
+            _write_pointer_file(fs, p, v)
+        finally:
+            _release_claim(fs, p, v)
         self._sweep_staging(fs, staging)
 
     def abort(self, messages, batchId):  # noqa: N803

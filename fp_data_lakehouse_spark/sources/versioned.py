@@ -6,12 +6,24 @@ Layout:
     table_dir/
         v00001/ v00002/ ...   immutable snapshot directories (parquet)
         _LATEST               text file holding the current version number
+        _COMMITS              streaming-sink idempotence ledger (pyds)
+        _claim_v00003         transient commit-slot claim markers
 
 Writers never mutate a published snapshot: a new version is fully
 written to its own directory FIRST, then the pointer file swaps via
 atomic rename — readers either see the old version or the new one,
 never a partial write (single-filesystem semantics; on object stores a
 real table format's log gives the same property transactionally).
+
+Concurrent writers serialize through an optimistic claim protocol
+(``_claim_slot``): version N can only be published by the writer that
+exclusively created ``_claim_v{N}``, and N is always pointer+1, so two
+committers can never both win a slot (the pointer race is gone).
+Read-modify-write ops (MERGE, DELETE) pass the version they read as
+``base_version`` and fail with :class:`ConcurrentWriteError` if anyone
+committed in between — re-read and retry, Delta-style optimistic
+concurrency. Crashed writers leave stale claims/orphans/staging that
+:func:`fsck` repairs offline.
 Time travel = read any retained version number; vacuum drops old
 snapshots explicitly, so "how far back can I query" is an operator
 decision, exactly as in Delta VACUUM.
@@ -46,6 +58,20 @@ from pyspark.sql import functions as F
 
 _PTR = "_LATEST"
 _VDIR = re.compile(r"^v(\d{5})$")
+_CLAIM = re.compile(r"^_claim_v(\d{5})$")
+_LEDGER = "_COMMITS"
+_STAGING = re.compile(r"^(_staging_|_stream_staging)")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent committer won the race for this table version.
+
+    Raised when (a) a read-modify-write transaction's base version is
+    no longer the committed version at commit time (another writer
+    published in between — re-read and retry the whole transaction), or
+    (b) the commit-slot claim stayed contended past the wait budget
+    (either a live writer mid-commit, or a crashed writer's stale claim
+    — ``fsck`` clears the latter)."""
 
 
 class LocalFsBackend:
@@ -71,6 +97,24 @@ class LocalFsBackend:
 
     def rmtree(self, p: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
+
+    def create_exclusive(self, p: str) -> bool:
+        """Atomically create an empty marker file; False if it exists.
+        O_EXCL — the primitive the optimistic-commit claim rides on."""
+        try:
+            os.close(os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return True
+        except FileExistsError:
+            return False
+
+    def delete_file(self, p: str) -> None:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+
+    def move(self, src: str, dst: str) -> None:
+        os.rename(src, dst)  # same-filesystem dir rename: atomic
 
 
 class HadoopFsBackend:
@@ -151,6 +195,30 @@ class HadoopFsBackend:
         if fs.exists(hp):
             fs.delete(hp, True)
 
+    def create_exclusive(self, p: str) -> bool:
+        """``FileSystem.create(path, overwrite=false)`` — atomic on
+        HDFS (namenode-serialized create); on S3-likes create-no-
+        overwrite is check-then-act, the same caveat as the pointer
+        rename (a log-based format is the upgrade path there)."""
+        fs = self._fs(p)
+        hp = self._path(p)
+        try:
+            fs.create(hp, False).close()
+            return True
+        except Exception:
+            return False
+
+    def delete_file(self, p: str) -> None:
+        fs = self._fs(p)
+        hp = self._path(p)
+        if fs.exists(hp):
+            fs.delete(hp, False)
+
+    def move(self, src: str, dst: str) -> None:
+        fs = self._fs(dst)
+        if not fs.rename(self._path(src), self._path(dst)):
+            raise OSError(f"rename {src} -> {dst} failed")
+
 
 def _backend_for(table_dir: str, spark: SparkSession | None = None):
     """Default backend resolution: scheme'd paths (including file://)
@@ -187,17 +255,117 @@ def latest_version(table_dir: str, backend=None) -> int | None:
     return int(txt.strip()) if txt is not None else None
 
 
-def write_version(df: DataFrame, table_dir: str, backend=None) -> int:
+def _ledger_versions(table_dir: str, backend) -> set[int]:
+    """Versions recorded in the streaming sink's ``_COMMITS`` ledger
+    (both the legacy ``batch:version`` and the app-scoped
+    ``app:batch:version`` line formats). For those versions the LEDGER
+    is the commit point, so they are committed even when the pointer
+    swap was lost to a crash."""
+    txt = backend.read_text(f"{table_dir.rstrip('/')}/{_LEDGER}")
+    if not txt:
+        return set()
+    out = set()
+    for ln in txt.strip().splitlines():
+        if ln:
+            out.add(int(ln.rsplit(":", 1)[1]))
+    return out
+
+
+def _claim_slot(
+    table_dir: str,
+    backend,
+    base_version: int | None,
+    max_wait_sec: float = 30.0,
+) -> int:
+    """Optimistic-concurrency commit-slot allocation: returns version
+    ``committed + 1`` with its ``_claim_v{N}`` marker held (the same
+    protocol — and the same marker files — as the Python DataSource
+    writers in ``pyds.py``, so mixed writers serialize correctly).
+
+    The claim is the serialization point: exclusive-create means only
+    one writer can own a slot number, and the pointer only advances to
+    ``v`` through the writer holding claim ``v``, so two concurrent
+    committers can never both publish the same slot (last-wins lost
+    update). ``base_version`` is the read-set check: a read-modify-
+    write transaction passes the version it READ, and if any other
+    writer has committed since, the commit fails with
+    ConcurrentWriteError instead of silently dropping that writer's
+    rows (write-skew on the snapshot level).
+
+    Repairs on the way in (shared with pyds._claim_commit_slot):
+    ledger'd-but-unpointed versions roll FORWARD; an unledger'd orphan
+    v-dir at the claimed slot is deleted under the claim."""
+    import time
+
+    td = table_dir.rstrip("/")
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        ptr = latest_version(table_dir, backend) or 0
+        ledgered = _ledger_versions(table_dir, backend)
+        dirs = set(_version_dirs(table_dir, backend))
+        while (ptr + 1) in ledgered and (ptr + 1) in dirs:
+            backend.write_text_atomic(f"{td}/{_PTR}", str(ptr + 1))
+            ptr += 1
+        if base_version is not None and ptr != base_version:
+            raise ConcurrentWriteError(
+                f"table {table_dir} advanced to v{ptr} since this "
+                f"transaction read v{base_version} — re-read and retry"
+            )
+        v = ptr + 1
+        if backend.create_exclusive(f"{td}/_claim_v{v:05d}"):
+            if v in dirs:
+                # unledger'd dir above the pointer: a crashed writer's
+                # orphan — delete it under the claim so it can never
+                # surface as a committed version.
+                backend.rmtree(f"{td}/v{v:05d}")
+            return v
+        if time.monotonic() >= deadline:
+            raise ConcurrentWriteError(
+                f"timed out waiting for commit slot v{v:05d} on "
+                f"{table_dir}: another writer holds the claim (run "
+                "fsck to clear a crashed writer's stale claim)"
+            )
+        time.sleep(0.05)
+
+
+def write_version(
+    df: DataFrame, table_dir: str, backend=None, base_version: int | None = None
+) -> int:
     """Publish a new immutable snapshot; returns its version number.
     The pointer swap is the commit point — a crash before it leaves the
     table at the previous version with an orphan directory (cleaned by
-    vacuum), never a torn table."""
+    fsck/vacuum, or deleted under the next writer's claim), never a
+    torn table.
+
+    Concurrency: the commit slot is allocated through the claim
+    protocol (``_claim_slot``), so concurrent writers serialize instead
+    of racing the pointer. Pass ``base_version`` (the version this
+    write's input was READ from) to get read-modify-write conflict
+    detection: if another writer committed in between, raises
+    ConcurrentWriteError and publishes nothing — the caller re-reads
+    and retries. ``base_version=None`` is a blind append/overwrite that
+    serializes behind concurrent commits without conflicting."""
+    import uuid
+
     backend = backend or _backend_for(table_dir, df.sparkSession)
     backend.makedirs(table_dir)
-    existing = _version_dirs(table_dir, backend)
-    v = (existing[-1] + 1) if existing else 1
-    df.write.mode("overwrite").parquet(f"{table_dir.rstrip('/')}/v{v:05d}")
-    backend.write_text_atomic(f"{table_dir.rstrip('/')}/{_PTR}", str(v))
+    td = table_dir.rstrip("/")
+    # Stage the (possibly slow, possibly huge) parquet write BEFORE
+    # claiming the slot, so the claim is held only for the metadata-
+    # sized rename + pointer swap — concurrent writers wait
+    # milliseconds, not a full 100 TB write.
+    staging = f"{td}/_staging_{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(staging)
+    try:
+        v = _claim_slot(table_dir, backend, base_version)
+    except ConcurrentWriteError:
+        backend.rmtree(staging)
+        raise
+    try:
+        backend.move(staging, f"{td}/v{v:05d}")
+        backend.write_text_atomic(f"{td}/{_PTR}", str(v))
+    finally:
+        backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
 
 
@@ -247,16 +415,21 @@ def merge_into_version(
     dup = updates.groupBy(*keys).count().filter("count > 1").limit(1).count()
     if dup:
         raise ValueError(f"updates are not unique on merge keys {keys}")
-    if latest_version(table_dir, backend) is None:
+    base = latest_version(table_dir, backend)
+    if base is None:
         return write_version(updates, table_dir, backend)
-    prev = read_table(spark, table_dir, backend=backend)
+    # pin the snapshot this MERGE reads; committing with base_version
+    # makes a concurrent commit in between fail THIS merge loudly
+    # (ConcurrentWriteError -> caller re-reads and retries) instead of
+    # silently dropping the other writer's rows.
+    prev = read_table(spark, table_dir, base, backend=backend)
     # allowMissingColumns null-fills BOTH directions: columns new in
     # updates appear (null for surviving old rows), columns absent from
     # updates persist (null for the new rows).
     merged = prev.join(updates.select(*keys), keys, "left_anti").unionByName(
         updates, allowMissingColumns=merge_schema
     )
-    return write_version(merged, table_dir, backend)
+    return write_version(merged, table_dir, backend, base_version=base)
 
 
 def delete_from_version(
@@ -265,8 +438,9 @@ def delete_from_version(
     """DELETE WHERE ``condition`` as a new snapshot (rows NOT matching
     the condition survive). Returns the new version number."""
     backend = backend or _backend_for(table_dir, spark)
-    prev = read_table(spark, table_dir, backend=backend)
-    return write_version(prev.filter(~condition), table_dir, backend)
+    base = latest_version(table_dir, backend)
+    prev = read_table(spark, table_dir, base, backend=backend)
+    return write_version(prev.filter(~condition), table_dir, backend, base_version=base)
 
 
 def change_feed(
@@ -311,16 +485,78 @@ def change_feed(
 def vacuum(table_dir: str, keep_last: int = 2, backend=None) -> list[int]:
     """Drop all but the newest ``keep_last`` committed snapshots (plus
     any orphan newer-than-committed directory from a failed write).
-    Returns the versions removed."""
+    Returns the versions removed. A newer-than-pointer version recorded
+    in the streaming ledger is NOT an orphan (the ledger is that path's
+    commit point; its pointer swap was lost to a crash) — fsck rolls it
+    forward instead."""
     backend = backend or _backend_for(table_dir)
     committed = latest_version(table_dir, backend)
     if committed is None:
         return []
+    ledgered = _ledger_versions(table_dir, backend)
     removed = []
     for v in _version_dirs(table_dir, backend):
-        orphan = v > committed
+        orphan = v > committed and v not in ledgered
         expired = v <= committed - keep_last
         if orphan or expired:
             backend.rmtree(f"{table_dir.rstrip('/')}/v{v:05d}")
             removed.append(v)
     return removed
+
+
+def fsck(table_dir: str, backend=None) -> dict:
+    """Offline consistency repair for a versioned table — run with NO
+    active writers (the janitor counterpart of the claim protocol; a
+    crashed writer can leave a stale claim that blocks every later
+    commit, an orphan snapshot dir, or an abandoned staging dir).
+
+    Repairs, in order:
+    1. **roll forward**: versions present in the streaming ``_COMMITS``
+       ledger with their snapshot dir on disk but above the pointer
+       (crash between ledger write and pointer swap) are committed —
+       the pointer advances to the highest such version;
+    2. **orphan GC**: snapshot dirs above the (repaired) pointer that
+       are NOT ledger'd are partial/unacknowledged writes — deleted, so
+       they can never surface as committed versions once the pointer
+       passes their number;
+    3. **stale claims**: all ``_claim_v*`` markers are deleted (no
+       writers are active, so every claim is a crash leftover);
+    4. **staging sweep**: abandoned ``_staging_*`` /
+       ``_stream_staging_*`` dirs from crashed batch/stream runs are
+       deleted.
+
+    Returns a report dict: ``{"pointer_before", "pointer_after",
+    "rolled_forward", "orphans_removed", "claims_removed",
+    "staging_removed"}``."""
+    backend = backend or _backend_for(table_dir)
+    td = table_dir.rstrip("/")
+    ptr_before = latest_version(table_dir, backend) or 0
+    ledgered = _ledger_versions(table_dir, backend)
+    dirs = _version_dirs(table_dir, backend)
+    ptr = ptr_before
+    rolled = []
+    for v in sorted(d for d in dirs if d > ptr_before):
+        if v in ledgered:
+            ptr = max(ptr, v)
+            rolled.append(v)
+    if ptr > ptr_before:
+        backend.write_text_atomic(f"{td}/{_PTR}", str(ptr))
+    orphans = [v for v in dirs if v > ptr and v not in ledgered]
+    for v in orphans:
+        backend.rmtree(f"{td}/v{v:05d}")
+    claims, staging = [], []
+    for name in backend.list_names(table_dir):
+        if _CLAIM.match(name):
+            backend.delete_file(f"{td}/{name}")
+            claims.append(name)
+        elif _STAGING.match(name):
+            backend.rmtree(f"{td}/{name}")
+            staging.append(name)
+    return {
+        "pointer_before": ptr_before,
+        "pointer_after": ptr,
+        "rolled_forward": rolled,
+        "orphans_removed": orphans,
+        "claims_removed": claims,
+        "staging_removed": staging,
+    }

@@ -6,6 +6,8 @@ tests/test_oracle_parity.py."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
@@ -62,8 +64,20 @@ def test_arrow_schema_to_spark_mapping():
             pa.field("i", pa.int64()),
             pa.field("d", pa.float64()),
             pa.field("s", pa.string()),
-            pa.field("t", pa.timestamp("us")),
+            # tz-naive parquet timestamps are wall-clock values; mapping
+            # them to LTZ TimestampType would shift them by the session
+            # timezone (round-5 advisor finding)
+            pa.field("t_ntz", pa.timestamp("us")),
+            pa.field("t_ltz", pa.timestamp("us", tz="UTC")),
             pa.field("b", pa.bool_()),
+            # unsigned widths widen to the next signed Spark type so
+            # values above the signed max can't wrap
+            pa.field("u8", pa.uint8()),
+            pa.field("u16", pa.uint16()),
+            pa.field("u32", pa.uint32()),
+            pa.field("i8", pa.int8()),
+            pa.field("i16", pa.int16()),
+            pa.field("i32", pa.int32()),
         ]
     )
     out = _arrow_schema_to_spark(sch)
@@ -71,11 +85,21 @@ def test_arrow_schema_to_spark_mapping():
         "bigint",
         "double",
         "string",
+        "timestamp_ntz",
         "timestamp",
         "boolean",
+        "smallint",
+        "int",
+        "bigint",
+        "tinyint",
+        "smallint",
+        "int",
     ]
     with pytest.raises(TypeError):
         _arrow_schema_to_spark(pa.schema([pa.field("x", pa.decimal128(10, 2))]))
+    # uint64 has no lossless signed home — rejected, not wrapped
+    with pytest.raises(TypeError):
+        _arrow_schema_to_spark(pa.schema([pa.field("x", pa.uint64())]))
 
 
 @pytest.fixture()
@@ -259,7 +283,7 @@ def test_stream_writer_replayed_epoch_publishes_nothing(tmp_path):
     w.commit([w.write(iter([batch]))], 0)
     fs, p = pyds._fs_and_path(d)
     assert pyds._list_versions(fs, p) == [1]
-    assert not os.listdir(f"{d}/_stream_staging")
+    assert not os.path.exists(w._staging) or not os.listdir(w._staging)
 
     # next epoch publishes v2; empty epoch publishes nothing
     w.commit([w.write(iter([batch]))], 1)
@@ -330,9 +354,11 @@ def test_stream_writer_replay_repairs_pointer(tmp_path):
     assert pyds._read_pointer(fs, p) == 1, "replay must repair the pointer"
 
 
-def test_writer_allocates_past_orphan_snapshot(spark, tmp_path):
-    """A crashed job's orphan v-dir above the pointer must never be
-    merged into — allocation takes max(pointer, listing) + 1."""
+def test_writer_reclaims_orphan_snapshot_slot(spark, tmp_path):
+    """A crashed job's unledger'd orphan v-dir above the pointer is
+    DELETED under the next writer's claim and its slot reused — the
+    round-5 exposure (allocating PAST the orphan let it surface as a
+    committed version once the pointer moved beyond it) is gone."""
     import os
 
     from fp_data_lakehouse_spark.sources.versioned import read_table, write_version
@@ -340,12 +366,19 @@ def test_writer_allocates_past_orphan_snapshot(spark, tmp_path):
     d = str(tmp_path / "orphan")
     df = spark.range(10).select(F.col("id").alias("k"))
     write_version(df, d)  # v1, pointer -> 1
-    os.makedirs(f"{d}/v00002")  # orphan: crashed writer, pointer still 1
+    # orphan: crashed writer left a partial v2 dir, pointer still 1
+    os.makedirs(f"{d}/v00002")
+    with open(f"{d}/v00002/garbage.parquet", "w") as f:
+        f.write("not parquet")
     register_python_sources(spark)
     df.write.format("fp_versioned").option("path", d).mode("append").save()
     fs, p = pyds._fs_and_path(d)
-    assert pyds._read_pointer(fs, p) == 3, "must allocate past the orphan"
+    assert pyds._read_pointer(fs, p) == 2, "orphan slot must be reclaimed"
+    assert pyds._list_versions(fs, p) == [1, 2]
+    # the reclaimed v2 holds the NEW commit, not the orphan's garbage
     assert read_table(spark, d).count() == 10
+    assert read_table(spark, d, version=2).count() == 10
+    assert not os.path.exists(f"{d}/v00002/garbage.parquet")
 
 
 def test_feed_schema_without_version_column_rejected(versioned_table):
@@ -356,3 +389,103 @@ def test_feed_schema_without_version_column_rejected(versioned_table):
         VersionFeedStreamReader(
             StructType([StructField("o_custkey", LongType())]), d
         )
+
+
+# ---------------------------------------------------------------------------
+# round 6: appId-scoped ledger, reset-checkpoint detection, URI prefix
+# ---------------------------------------------------------------------------
+
+
+def test_uri_prefix_preserves_authority(tmp_path):
+    """hdfs://nn:8020/t must keep its authority in executor-bound
+    paths (round-5 advisor finding: scheme-only reconstruction turned
+    it into hdfs:///t). Verified via file:// where from_uri strips the
+    prefix the same way."""
+    d = str(tmp_path / "pfx")
+    os.makedirs(d)
+    assert pyds._uri_prefix(d) == ""  # bare local path
+    assert pyds._uri_prefix(f"file://{d}") == "file://"
+    # authority-bearing URIs: subtracting the fs-internal path keeps
+    # everything up to the path component (no live hdfs in container;
+    # exercise the string arithmetic on the documented shapes)
+    assert pyds._uri_prefix(f"file://{d}/") == "file://"
+
+
+def test_stream_writer_reset_checkpoint_raises(tmp_path):
+    """A fresh checkpoint restarts batchIds at 0; without app identity
+    the old ledger silently swallowed every epoch (round-5 advisor
+    finding #1). Now: same appId -> loud error naming the fix; fresh
+    appId -> its own idempotence scope, data publishes."""
+    from fp_data_lakehouse_spark.sources.pyds import VersionedStreamArrowWriter
+
+    d = str(tmp_path / "reset")
+    batch = pa.RecordBatch.from_pydict({"k": [1, 2, 3]})
+
+    run1 = VersionedStreamArrowWriter(d, "appA")
+    run1.commit([run1.write(iter([batch]))], 0)
+    run1.commit([run1.write(iter([batch]))], 1)
+    fs, p = pyds._fs_and_path(d)
+    assert pyds._read_pointer(fs, p) == 2
+
+    # reset checkpoint, same appId: batch 0 is below appA's high-water
+    # mark and NOT a replay of its newest epoch -> must raise, not drop
+    run2 = VersionedStreamArrowWriter(d, "appA")
+    with pytest.raises(ValueError, match="txnAppId"):
+        run2.commit([run2.write(iter([batch]))], 0)
+    assert pyds._read_pointer(fs, p) == 2, "failed commit publishes nothing"
+
+    # reset checkpoint, FRESH appId: own scope, publishes normally
+    run3 = VersionedStreamArrowWriter(d, "appB")
+    run3.commit([run3.write(iter([batch]))], 0)
+    assert pyds._read_pointer(fs, p) == 3
+    assert pyds._list_versions(fs, p) == [1, 2, 3]
+
+    # appB's replay of ITS newest epoch still dedups
+    run3.commit([run3.write(iter([batch]))], 0)
+    assert pyds._read_pointer(fs, p) == 3
+
+    # ledger is app-scoped on disk
+    entries = pyds._ledger_entries(fs, p)
+    assert entries == {("appA", 0): 1, ("appA", 1): 2, ("appB", 0): 3}
+
+
+def test_stream_writer_legacy_ledger_lines_parse(tmp_path):
+    """Pre-round-6 ledgers used batchId:version lines; they must read
+    back under appId 'default' so existing tables keep their replay
+    idempotence."""
+    d = str(tmp_path / "legacy")
+    os.makedirs(d)
+    with open(f"{d}/_COMMITS", "w") as f:
+        f.write("0:1\n1:2")
+    fs, p = pyds._fs_and_path(d)
+    assert pyds._ledger_entries(fs, p) == {("default", 0): 1, ("default", 1): 2}
+
+
+def test_stream_writers_use_run_unique_staging(tmp_path):
+    """Two writer instances (restart / concurrent queries) must not
+    share a staging dir — one run's sweep can never eat the other's
+    staged files (round-5 advisor finding #3)."""
+    from fp_data_lakehouse_spark.sources.pyds import VersionedStreamArrowWriter
+
+    d = str(tmp_path / "uniq")
+    wa = VersionedStreamArrowWriter(d, "a")
+    wb = VersionedStreamArrowWriter(d, "b")
+    assert wa._staging != wb._staging
+    batch = pa.RecordBatch.from_pydict({"k": [1]})
+    ma = wa.write(iter([batch]))  # staged in wa's dir
+    mb = wb.write(iter([batch]))  # staged in wb's dir
+    wa.commit([ma], 0)  # sweeps ONLY wa's staging
+    assert os.path.exists(f"{wb._staging}/{mb.file_name}"), (
+        "another run's staged file must survive wa's sweep"
+    )
+    wb.commit([mb], 0)
+    fs, p = pyds._fs_and_path(d)
+    assert pyds._list_versions(fs, p) == [1, 2]
+
+
+def test_stream_writer_rejects_bad_app_id(tmp_path):
+    from fp_data_lakehouse_spark.sources.pyds import VersionedStreamArrowWriter
+
+    for bad in ("", "a:b", "a\nb"):
+        with pytest.raises(ValueError):
+            VersionedStreamArrowWriter(str(tmp_path / "x"), bad)

@@ -203,3 +203,156 @@ def test_backend_resolution_and_pointer_roundtrip(spark):
             assert backend.read_text(ptr) == "42"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# round 6: optimistic concurrency (claim protocol) + fsck janitor
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    ConcurrentWriteError,
+    HadoopFsBackend,
+    LocalFsBackend,
+    _backend_for,
+    fsck,
+)
+
+
+def test_create_exclusive_primitive(spark):
+    """The claim rides on exclusive-create: exactly one of N creators
+    wins, on both backends."""
+    d = tempfile.mkdtemp(prefix="vclaim_")
+    try:
+        for backend, p in (
+            (LocalFsBackend(), f"{d}/claim_local"),
+            (HadoopFsBackend(spark), f"file://{d}/claim_hadoop"),
+        ):
+            assert backend.create_exclusive(p) is True
+            assert backend.create_exclusive(p) is False  # second loses
+            backend.delete_file(p)
+            assert backend.create_exclusive(p) is True  # released -> reclaimable
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_concurrent_merge_conflict_detection(spark, tdir):
+    """Two writers race a MERGE from the same base version: exactly one
+    commits, the loser raises ConcurrentWriteError (not last-wins lost
+    update), and a retry after re-read lands BOTH updates. Runs over
+    LocalFs AND HadoopFs backends (the tdir fixture)."""
+    import threading
+
+    merge_into_version(spark, tdir, _kv(spark, [(1, 10), (2, 20)]), ["id"])
+
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def writer(name, rows):
+        try:
+            barrier.wait(timeout=30)
+            results[name] = merge_into_version(spark, tdir, _kv(spark, rows), ["id"])
+        except ConcurrentWriteError as e:
+            results[name] = e
+
+    ta = threading.Thread(target=writer, args=("a", [(3, 30)]))
+    tb = threading.Thread(target=writer, args=("b", [(4, 40)]))
+    ta.start(); tb.start(); ta.join(60); tb.join(60)
+
+    outcomes = list(results.values())
+    winners = [r for r in outcomes if isinstance(r, int)]
+    losers = [r for r in outcomes if isinstance(r, ConcurrentWriteError)]
+    # lost-update check regardless of interleaving: every committed
+    # snapshot contains ALL previously committed keys
+    if len(winners) == 2:
+        # threads serialized on the claim AND their base reads did not
+        # overlap — both commits must stack (no overwrite)
+        assert latest_version(tdir) == 3
+    else:
+        assert len(winners) == 1 and len(losers) == 1
+        assert latest_version(tdir) == 2
+        # retry after re-read: the loser's rows land on top
+        loser_rows = [(3, 30)] if results.get("a") in losers else [(4, 40)]
+        merge_into_version(spark, tdir, _kv(spark, loser_rows), ["id"])
+    got = {(r.id, r.v) for r in read_table(spark, tdir).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 40)}, "no update may be lost"
+
+
+def test_stale_claim_blocks_then_fsck_clears(spark, tdir):
+    """A crashed writer's leftover claim blocks the next commit loudly
+    (never silently corrupts); fsck clears it and commits resume."""
+    write_version(_df(spark, 3), tdir)
+    backend = _backend_for(tdir, spark)
+    # simulate a writer that died holding the v2 claim
+    assert backend.create_exclusive(f"{tdir.rstrip('/')}/_claim_v00002")
+    with pytest.raises(ConcurrentWriteError, match="fsck"):
+        write_version(_df(spark, 5), tdir, base_version=1)
+    report = fsck(tdir, backend)
+    assert report["claims_removed"] == ["_claim_v00002"]
+    assert write_version(_df(spark, 5), tdir, base_version=1) == 2
+    assert read_table(spark, tdir).count() == 5
+
+
+def test_fsck_removes_unledgered_orphan(spark, tdir):
+    """Crash between snapshot move and ledger/pointer write: the orphan
+    v-dir is unledger'd garbage — fsck removes it and the pointer stays."""
+    write_version(_df(spark, 3), tdir)
+    _df(spark, 9).write.parquet(f"{tdir.rstrip('/')}/v00002")  # orphan
+    report = fsck(tdir, _backend_for(tdir, spark))
+    assert report["orphans_removed"] == [2]
+    assert report["pointer_after"] == 1
+    assert versions(tdir) == [1]
+    assert read_table(spark, tdir).count() == 3
+
+
+def test_fsck_rolls_forward_ledgered_commit(spark, tdir):
+    """Crash between ledger write and pointer swap (streaming sink):
+    the ledger is the commit point, so fsck must advance the pointer to
+    the ledger'd version, not delete it."""
+    backend = _backend_for(tdir, spark)
+    write_version(_df(spark, 3), tdir)
+    _df(spark, 9).write.parquet(f"{tdir.rstrip('/')}/v00002")
+    # app-scoped ledger line says v2 committed; pointer still 1
+    backend.write_text_atomic(f"{tdir.rstrip('/')}/_COMMITS", "app1:0:2")
+    report = fsck(tdir, backend)
+    assert report["rolled_forward"] == [2]
+    assert report["pointer_after"] == 2
+    assert latest_version(tdir) == 2
+    assert read_table(spark, tdir).count() == 9
+    # vacuum must agree: the ledger'd version is never an orphan
+    assert vacuum(tdir, keep_last=5) == []
+
+
+def test_fsck_sweeps_abandoned_staging(spark, tdir):
+    write_version(_df(spark, 3), tdir)
+    backend = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    backend.makedirs(f"{td}/_staging_deadbeef")
+    backend.makedirs(f"{td}/_stream_staging_cafe0000")
+    report = fsck(tdir, backend)
+    assert sorted(report["staging_removed"]) == [
+        "_staging_deadbeef",
+        "_stream_staging_cafe0000",
+    ]
+    assert read_table(spark, tdir).count() == 3
+
+
+def test_blind_writers_serialize_without_conflict(spark, tdir):
+    """base_version=None writers (blind appends) queue behind each
+    other on the claim instead of conflicting: both must commit."""
+    import threading
+
+    write_version(_df(spark, 1), tdir)
+    errs = []
+
+    def w(n):
+        try:
+            write_version(_df(spark, n), tdir)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(n,)) for n in (5, 7)]
+    [t.start() for t in ts]
+    [t.join(60) for t in ts]
+    assert not errs
+    assert latest_version(tdir) == 3
+    assert versions(tdir) == [1, 2, 3]
