@@ -266,6 +266,8 @@ def sweep_docs() -> None:
     from fp_data_lakehouse_spark.operators import REGISTRY
     from fp_data_lakehouse_spark.session import get_session
 
+    import threading
+
     spark = get_session("fp-lakehouse-sweep-docs")
     subset = {
         n: spec
@@ -273,27 +275,47 @@ def sweep_docs() -> None:
         if n.split("_", 1)[0].rstrip("0123456789") in ("dd", "sim", "tx", "mm")
     }
     sf1eq = _build_docs10x(spark)
+    # (label, sf_dir, passes, per-query wall cap). The 10x point runs
+    # ONE pass with a soft cap: a query that exceeds it is cancelled
+    # and recorded as -2.0 ("exceeded cap") — at this decade a cap hit
+    # IS the finding (a quadratic candidate path), and letting it run
+    # for an hour would tell us nothing more.
     points = [
-        ("0.01", "/root/testdata/sf0.01"),
-        ("0.1", "/root/testdata/sf0.1"),
-        ("1eq", sf1eq),
+        ("0.01", "/root/testdata/sf0.01", 2, None),
+        ("0.1", "/root/testdata/sf0.1", 2, None),
+        ("1eq", sf1eq, 1, 300.0),
     ]
     per_sf: dict[str, dict[str, float]] = {}
-    for label, sf_dir in points:
+    capped: dict[str, list[str]] = {}
+    for label, sf_dir, passes, cap in points:
         timings: dict[str, float] = {}
         for name in sorted(subset):
             best = None
-            for _ in range(2):
+            for _ in range(passes):
+                timer = None
+                if cap:
+                    timer = threading.Timer(
+                        cap, spark.sparkContext.cancelAllJobs
+                    )
+                    timer.start()
                 t0 = time.time()
                 try:
                     materialize(subset[name].builder(spark, sf_dir))
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 except Exception as exc:
-                    best = -1.0
-                    print(f"# sweep-docs error in {name}@{label}: {exc}", file=sys.stderr)
+                    if cap and time.time() - t0 >= cap - 1:
+                        best = -2.0  # exceeded the soft cap (cancelled)
+                        print(f"# sweep-docs CAP {name}@{label} (> {cap}s)", file=sys.stderr)
+                    else:
+                        best = -1.0
+                        print(f"# sweep-docs error in {name}@{label}: {exc}", file=sys.stderr)
                     break
+                finally:
+                    if timer:
+                        timer.cancel()
             timings[name] = round(best, 3)
+            print(f"# done {name}@{label}: {timings[name]}", file=sys.stderr)
             gc.collect()
             try:
                 jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -303,6 +325,7 @@ def sweep_docs() -> None:
                 pass
         fams = family_totals(timings)
         per_sf[label] = fams
+        capped[label] = sorted(n for n, t in timings.items() if t == -2.0)
         print(
             json.dumps(
                 {
@@ -310,16 +333,29 @@ def sweep_docs() -> None:
                     "sf": label,
                     "family_totals": fams,
                     "queries": timings,
-                    "n_errors": sum(1 for t in timings.values() if t < 0),
+                    "n_errors": sum(1 for t in timings.values() if t == -1.0),
+                    "n_capped": len(capped[label]),
+                    "capped": capped[label],
                 }
-            )
+            ),
+            flush=True,
         )
     slopes = {}
     for fam in sorted(per_sf["1eq"]):
         a, b = per_sf["0.1"].get(fam), per_sf["1eq"].get(fam)
         if a and b and a > 0 and b > 0:
             slopes[fam] = round(math.log10(b / a), 2)
-    print(json.dumps({"metric": "sweep_docs_exponents_sf0.1_to_sf1eq", "slopes": slopes}))
+    print(
+        json.dumps(
+            {
+                "metric": "sweep_docs_exponents_sf0.1_to_sf1eq",
+                "slopes": slopes,
+                "note": "family totals at 1eq exclude capped queries; see capped lists",
+                "capped_1eq": capped.get("1eq", []),
+            }
+        ),
+        flush=True,
+    )
 
 
 def main() -> None:

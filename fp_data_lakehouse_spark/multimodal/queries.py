@@ -489,3 +489,47 @@ def mm06_perceptual_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ref_a", "ref_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _AHASH_MAXDIST)
     )
+
+
+# ---------------------------------------------------------------------------
+# mm07: the decode/featurize pipeline on the hard signal (round-6)
+# ---------------------------------------------------------------------------
+
+_MM07_FEATS = ",\n           ".join(
+    f"((('0x' || substring(md5(text), {2 * i + 1}, 2))::INT) / 256.0) AS f{i}"
+    for i in range(8)
+)
+
+_MM07_SQL = f"""
+    SELECT doc_id,
+           'text' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_MM07_FEATS}
+    FROM documents
+"""
+
+
+@register("mm07_media_features_exact", oracle=_MM07_SQL)
+def mm07_media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm02's Arrow decode/featurize pipeline value-hash-checked: the
+    fake codec's features are md5-derived bytes scaled to [0,1) —
+    fully deterministic — so the oracle reconstructs every feature in
+    SQL (byte i of md5(payload) / 256.0, an exact dyadic rational in
+    both engines). The mapInPandas batch path, null handling, and
+    schema are mm02's verbatim (same decode_and_featurize call); the
+    only differences are a portable join key (doc_id instead of the
+    Spark-murmur3 media_id) and features unnested to scalar columns
+    because the driver's canonicalizer cannot hash array cells (the
+    ev09 lesson). mm02 stays registered as the production-shaped
+    surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = _as_media(docs).withColumn(
+        "media_id", F.col("media_ref").cast("long")
+    ).select("media_id", "kind", "payload", "mime", "meta")
+    out = decode_and_featurize(media, codec="fake")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "kind",
+        "n_bytes",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
+    )

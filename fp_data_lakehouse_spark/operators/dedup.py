@@ -2044,11 +2044,13 @@ def et05_multibatch_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
 # not just the final similarity values, must agree exactly.
 
 
-def _dd25_oracle() -> str:
+def _lsh_pipeline_ctes() -> str:
+    """The shared CTE chain reconstructing dd04's banded pipeline in
+    DuckDB — signatures, band keys, bounded candidates, verified pairs
+    — reused by the dd25 certificate and dd28's end-to-end dedup."""
     seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))
     base = f"((('0x' || substring(md5(sh.shingle), 1, 15))::BIGINT) % {_MINHASH_P})"
-    return f"""
-    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    return f"""sh AS ({_SHINGLE_ROWS_SQL}),
     seeds(seed, a, b) AS (VALUES {seeds}),
     mh AS (
         SELECT sh.doc_id, s.seed,
@@ -2083,14 +2085,22 @@ def _dd25_oracle() -> str:
         JOIN sh a ON a.doc_id = c.doc_id_a
         JOIN sh b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
         GROUP BY c.doc_id_a, c.doc_id_b
-    )
-    SELECT cm.doc_id_a, cm.doc_id_b,
-           CAST(cm.n_common AS BIGINT) AS n_common,
-           CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common) AS jaccard
-    FROM common cm
-    JOIN sizes sa ON cm.doc_id_a = sa.doc_id
-    JOIN sizes sb ON cm.doc_id_b = sb.doc_id
-    WHERE {_JACCARD_DEN} * cm.n_common >= {_JACCARD_NUM} * (sa.n + sb.n - cm.n_common)
+    ),
+    lsh_pairs AS (
+        SELECT cm.doc_id_a, cm.doc_id_b,
+               CAST(cm.n_common AS BIGINT) AS n_common,
+               CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common) AS jaccard
+        FROM common cm
+        JOIN sizes sa ON cm.doc_id_a = sa.doc_id
+        JOIN sizes sb ON cm.doc_id_b = sb.doc_id
+        WHERE {_JACCARD_DEN} * cm.n_common >= {_JACCARD_NUM} * (sa.n + sb.n - cm.n_common)
+    )"""
+
+
+def _dd25_oracle() -> str:
+    return f"""
+    WITH {_lsh_pipeline_ctes()}
+    SELECT doc_id_a, doc_id_b, n_common, jaccard FROM lsh_pairs
     """
 
 
@@ -2197,3 +2207,38 @@ def dd27_simhash_banded_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd06_simhash_near_pairs(spark, sf_dir).select(
         "doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+def _dd28_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_lsh_pipeline_ctes()},
+    sym AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM lsh_pairs
+    ),
+    reach(src, node) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.node = s.src
+    ),
+    labels AS (SELECT src AS doc_id, MIN(node) AS component_id FROM reach GROUP BY src),
+    drops AS (SELECT doc_id FROM labels WHERE doc_id <> component_id)
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+@register("dd28_lsh_dedup_keep", oracle=_dd28_oracle())
+def dd28_lsh_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd16's END-TO-END LSH dedup on the hard signal: corpus minus
+    every non-representative member of the connected components over
+    dd04's banded+verified pair graph. The oracle chains the dd25
+    pipeline reconstruction into dd09's recursive-CTE closure, so the
+    full detect -> cluster -> keep decision — the operator a 100 TB
+    pipeline actually runs — is value-hash-checked, completing the
+    promotion of the LSH scale path from pytest-invariant-only (r1-r5)
+    to driver-certified. Delegates to dd16; the certificate covers it
+    verbatim."""
+    return dd16_minhash_dedup_keep(spark, sf_dir)

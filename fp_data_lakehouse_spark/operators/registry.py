@@ -68,6 +68,13 @@ DRIVER_PRIORITY: list[str] = [
     "vt06_fsck_crash_recovery",
     "dd25_lsh_banded_pipeline",
     "pr03_pagerank_bounded_subgraph",
+    "dd26_simhash_signatures_exact",
+    "dd27_simhash_banded_pipeline",
+    "dd28_lsh_dedup_keep",
+    "sim10_int8_hyperplane_lsh",
+    "sim04_cosine_topk_ivf",  # oracle NEW in r6 (was rows-only)
+    "sim11_kmeans_train_exact",
+    "mm07_media_features_exact",
     # changed in round 6 — re-certify on the hard signal
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
@@ -110,16 +117,10 @@ DRIVER_PRIORITY: list[str] = [
     "tx02_quality_scores",
     "tx03_quality_filter",
     "tx04_token_counts",
-    "tx05_corpus_token_budget",
-    "tx06_fingerprints",
-    "tx07_curation_pipeline",
-    "tx08_tfidf_top_terms",
-    # the two oldest r2-vintage rows fill the window to exactly 50
-    "ag01_customer_spend_slope",
-    "ag02_event_value_outliers",
-    # 50-row window ends here; the remaining r2-vintage families
-    # (dd1x, ev, mm, q38+, sim, sk, sp) rotate in round 7; everything
-    # stays covered by tests/test_oracle_parity.py locally.
+    # 50-row window ends here (10 new-certificate + 11 changed + 29
+    # r1-vintage); tx05-tx08 plus the r2-vintage families (ag, dd1x,
+    # ev, mm, q38+, sim, sk, sp) rotate in round 7; everything stays
+    # covered by tests/test_oracle_parity.py locally.
 ]
 
 

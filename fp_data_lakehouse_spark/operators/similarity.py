@@ -212,18 +212,87 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE = 4
 
 
-@register("sim04_cosine_topk_ivf")
+_SIM04_SQL = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+grouped AS (
+    SELECT label AS centroid_label, list(vec ORDER BY vec_id) AS vlist, COUNT(*) AS n
+    FROM v GROUP BY label
+),
+centroids AS (
+    SELECT centroid_label,
+           list_transform(range(1, 65),
+               i -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(vlist, vv -> vv[i])), (acc, x) -> acc + x) / n)
+           AS cvec
+    FROM grouped
+),
+apairs AS (
+    SELECT v.vec_id, c.centroid_label, v.vec AS a, c.cvec AS b
+    FROM v CROSS JOIN centroids c
+),
+ascored AS (
+    SELECT vec_id, centroid_label, {_COSINE_SQL} AS cosine FROM apairs
+),
+assigned AS (
+    SELECT vec_id, centroid_label AS bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, centroid_label ASC) AS rn
+        FROM ascored
+    ) WHERE rn = 1
+),
+rpairs AS (
+    SELECT v.vec_id AS probe_id, c.centroid_label, v.vec AS a, c.cvec AS b
+    FROM v CROSS JOIN centroids c
+    WHERE v.vec_id < {_N_PROBES}
+),
+rscored AS (
+    SELECT probe_id, centroid_label, {_COSINE_SQL} AS c_cos FROM rpairs
+),
+routed AS (
+    SELECT probe_id, centroid_label AS bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY c_cos DESC, centroid_label ASC) AS rn
+        FROM rscored
+    ) WHERE rn <= {_IVF_NPROBE}
+),
+cpairs AS (
+    SELECT r.probe_id, cv.vec_id AS candidate_id, pv.vec AS a, cv.vec AS b
+    FROM routed r
+    JOIN assigned asg ON asg.bucket = r.bucket
+    JOIN v cv ON cv.vec_id = asg.vec_id AND cv.vec_id <> r.probe_id
+    JOIN v pv ON pv.vec_id = r.probe_id
+),
+scored AS (
+    SELECT probe_id, candidate_id, {_COSINE_SQL} AS cosine FROM cpairs
+)
+SELECT probe_id, candidate_id, cosine, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, candidate_id) AS rank
+    FROM scored
+)
+WHERE rank <= {_TOP_K}
+"""
+
+
+@register("sim04_cosine_topk_ivf", oracle=_SIM04_SQL)
 def sim04_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via an IVF index: the corpus is partitioned into
     centroid buckets (the sim03 coarse quantizer), each probe searches
-    only its nprobe=2 nearest centroids' buckets, and exact cosine
-    re-ranks the candidates.
+    only its nprobe nearest centroids' buckets (_IVF_NPROBE), and
+    exact cosine re-ranks the candidates.
 
     The scale shape: candidate volume is (nprobe / n_centroids) of the
     corpus per probe, tunable independently of recall-per-bucket; the
     probe→bucket routing is a broadcast of |centroids| rows and the
-    candidate join is an equi-join on the centroid id. Approximate →
-    rows-only driver check; pytest measures recall against sim01."""
+    candidate join is an equi-join on the centroid id.
+
+    Oracle-backed since round 6 (it was rows-only by oversight, not
+    necessity): every float in the pipeline — centroid means, routing
+    cosines, rerank cosines — already folds in a fixed order on both
+    engines (the sim03/sim01 machinery), so the APPROXIMATE operator's
+    exact candidate set and ranking are value-hash-checkable, the
+    sim08 pattern. pytest still measures recall against sim01."""
     v = _vectors(spark, sf_dir)
     assigned = sim03_label_centroid_assignment(spark, sf_dir).select(
         "vec_id", F.col("assigned_label").alias("bucket")
@@ -809,4 +878,274 @@ def sim09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wtop))
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("rnk", "vec_id", "approx_dist", "exact_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim10: hyperplane LSH over int8 codes — the banding mechanism on the
+# hard signal (round-6 coverage)
+# ---------------------------------------------------------------------------
+
+# sim02's float-GEMM banding can't carry an oracle (BLAS pairwise sums
+# vs a SQL sequential fold differ in last-ulp terms, and a 1-ulp sign
+# flip moves a vector between buckets). This variant quantizes first
+# (sim07's int8 codes, oracle-proven engine-exact) and uses ±1 integer
+# hyperplanes derived from md5 parity — the band keys are then PURE
+# INTEGER arithmetic, identical in any fold order, so the whole
+# bucket -> candidate -> exact-rerank pipeline is value-hash-checkable.
+# Production trade: int8 sign banding is also the cheaper kernel
+# (integer adds on 4x-compressed codes), so this is the form a
+# bandwidth-bound 100 TB index would actually run.
+
+_S10_PLANES = _LSH_BANDS * _LSH_BITS  # 32 planes
+
+
+def _sim10_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, vec,
+               {_S8_SCALE_SQL} AS scale,
+               list_transform(vec, x -> CAST(floor(
+                   x * ({_S8_SCALE_SQL}) + 0.5) AS BIGINT)) AS code
+        FROM v
+    ),
+    qa AS (SELECT * FROM q WHERE scale > 0),
+    cl AS (
+        SELECT vec_id, i.i, code[i.i] AS c
+        FROM qa CROSS JOIN (SELECT unnest(range(1, {_DIM} + 1)) AS i) i
+    ),
+    planes AS (
+        SELECT p.p, i.i,
+               CASE WHEN (('0x' || substring(md5(p.p || '_' || i.i), 1, 1))::INT)
+                         % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT unnest(range(0, {_S10_PLANES})) AS p) p
+        CROSS JOIN (SELECT unnest(range(1, {_DIM} + 1)) AS i) i
+    ),
+    dots AS (
+        SELECT cl.vec_id, pl.p, SUM(cl.c * pl.sgn) AS dot
+        FROM cl JOIN planes pl ON cl.i = pl.i
+        GROUP BY cl.vec_id, pl.p
+    ),
+    keys AS (
+        SELECT vec_id, p // {_LSH_BITS} AS band,
+               CAST(SUM(CASE WHEN dot > 0
+                             THEN (1 << (p % {_LSH_BITS})) ELSE 0 END) AS BIGINT)
+                   AS key
+        FROM dots GROUP BY vec_id, p // {_LSH_BITS}
+    ),
+    cand AS (
+        SELECT DISTINCT pk.vec_id AS probe_id, ck.vec_id AS candidate_id
+        FROM keys pk JOIN keys ck
+          ON pk.band = ck.band AND pk.key = ck.key
+         AND pk.vec_id < {_N_PROBES} AND ck.vec_id <> pk.vec_id
+    ),
+    scored AS (
+        SELECT c.probe_id, c.candidate_id,
+               (SELECT {_COSINE_SQL} FROM (SELECT pa.vec AS a, pb.vec AS b))
+                   AS cosine
+        FROM cand c
+        JOIN qa pa ON pa.vec_id = c.probe_id
+        JOIN qa pb ON pb.vec_id = c.candidate_id
+    )
+    SELECT probe_id, candidate_id, cosine, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY cosine DESC, candidate_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """
+
+
+@register("sim10_int8_hyperplane_lsh", oracle=_sim10_oracle())
+def sim10_int8_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-bit hyperplane LSH computed on int8 codes
+    with md5-parity ±1 planes — sim02's banding mechanism made
+    engine-exact (integer dots can't suffer the float sign-flip that
+    keeps sim02 rows-only), then exact-cosine reranked within the
+    bucket candidates using sim01's proven fold pair.
+
+    Plan: codes explode to (vec_id, dim, code) and join the 32x64
+    plane relation (a broadcast constant), two integer aggregations
+    rebuild the band keys, probes broadcast into the bucket equi-join,
+    rerank touches candidates only. Every shuffle carries ids +
+    integers; at corpus scale this is the same Σ per-bucket
+    |probes|·|candidates| cost shape as sim02 with a 4x smaller
+    candidate payload."""
+    v = _vectors(spark, sf_dir)
+    code_expr = (
+        f"element_at(transform(array({_S8_SCALE}), s ->"
+        " transform(vec, x -> cast(floor(x * s + 0.5d) as bigint))), 1)"
+    )
+    qa = v.select(
+        "vec_id",
+        "vec",
+        F.expr(_S8_SCALE).alias("scale"),
+        F.expr(code_expr).alias("code"),
+    ).filter(F.col("scale") > 0)
+
+    cl = qa.select(
+        "vec_id", F.posexplode("code").alias("i0", "c")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "c")
+    planes = (
+        spark.range(_S10_PLANES)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(1, _DIM + 1).select(F.col("id").alias("i")))
+        .select(
+            "p",
+            "i",
+            F.when(
+                F.expr(
+                    "cast(conv(substring(md5(concat(cast(p as string), '_',"
+                    " cast(i as string))), 1, 1), 16, 10) as int) % 2"
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    dots = (
+        cl.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("c") * F.col("sgn")).alias("dot"))
+    )
+    keys = (
+        dots.groupBy(
+            "vec_id", (F.col("p") / _LSH_BITS).cast("long").alias("band")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN dot > 0 THEN"
+                    f" shiftleft(1, cast(p % {_LSH_BITS} as int)) ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("key")
+        )
+    )
+    probe_keys = keys.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "band", "key"
+    )
+    cand = (
+        keys.select(F.col("vec_id").alias("candidate_id"), "band", "key")
+        .join(F.broadcast(probe_keys), ["band", "key"])
+        .filter(F.col("candidate_id") != F.col("probe_id"))
+        .select("probe_id", "candidate_id")
+        .distinct()
+    )
+    va = qa.select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("a"))
+    vb = qa.select(F.col("vec_id").alias("candidate_id"), F.col("vec").alias("b"))
+    scored = (
+        cand.join(F.broadcast(va), "probe_id")
+        .join(vb, "candidate_id")
+        .withColumn("cosine", F.expr(_COSINE))
+        .select("probe_id", "candidate_id", "cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "candidate_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim11: the k-means TRAINING LOOP on the hard signal (round-6 coverage)
+# ---------------------------------------------------------------------------
+
+
+def _sim11_oracle() -> str:
+    """sim06's Lloyd loop unrolled to the full _KMEANS_MAX_ITER rounds.
+    Lloyd from a deterministic seed is a FIXPOINT iteration of sim05's
+    hash-exact step: once assignments stabilize, the ordered-fold
+    update reproduces the same centroids and the next assignment is
+    identical — so the 10-round unrolled closed form equals the
+    early-stopping loop regardless of which round it converged in,
+    and 'float folds compound across rounds' is no obstacle (both
+    engines compound the SAME folds)."""
+    dist = _SQDIST_SQL.replace("a[i]", "v.vec[i]")
+    ctes = [
+        f"v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_KMEANS_K})",
+        f"""d1 AS (
+        SELECT v.vec_id, c0.cid, {dist.replace('b[i]', 'c0.cvec[i]')} AS d
+        FROM v CROSS JOIN c0)""",
+        """a1 AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+            FROM d1) r WHERE rn = 1)""",
+    ]
+    for t in range(2, _KMEANS_MAX_ITER + 1):
+        ctes.append(f"""m{t} AS (
+        SELECT cid, list(vec ORDER BY vec_id) AS vs, COUNT(*) AS n
+        FROM v JOIN a{t - 1} USING (vec_id) GROUP BY cid)""")
+        ctes.append(f"""c{t} AS (
+        SELECT cid, list_transform(range(1, {_DIM + 1}), i ->
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(vs, s -> s[i])), (acc, x) -> acc + x) / n)
+               AS cvec
+        FROM m{t})""")
+        ctes.append(f"""d{t} AS (
+        SELECT v.vec_id, c{t}.cid, {dist.replace('b[i]', f'c{t}.cvec[i]')} AS d
+        FROM v CROSS JOIN c{t})""")
+        ctes.append(f"""a{t} AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+            FROM d{t}) r WHERE rn = 1)""")
+    chain = ",\n    ".join(ctes)
+    last = f"a{_KMEANS_MAX_ITER}"
+    return f"""
+    WITH {chain}
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY vec_id)),
+               (acc, x) -> acc + x) AS inertia
+    FROM {last}
+    GROUP BY cid
+    """
+
+
+@register("sim11_kmeans_train_exact", oracle=_sim11_oracle())
+def sim11_kmeans_train_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim06's FULL k-means training loop on the hard signal: same
+    deterministic seed, same hash-exact per-round step (sim05's
+    machinery), same early stop — but the final per-cluster rollup
+    folds inertia in vec_id order so the output, not just each step,
+    is engine-exact. The oracle unrolls all 10 Lloyd rounds as chained
+    CTEs; the fixpoint property (converged assignments reproduce
+    themselves through the ordered-fold update) makes the unrolled
+    closed form equal the early-stopping loop — the pr03 move applied
+    to iterative ML training. sim06 stays the production form
+    (codegen'd unordered sums, same plan shape)."""
+    v = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    centroids = v.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    assign = _kmeans_assign(v, centroids).localCheckpoint(eager=False)
+    for _ in range(_KMEANS_MAX_ITER - 1):
+        centroids = _kmeans_update(v, assign)
+        new_assign = _kmeans_assign(v, centroids).localCheckpoint(eager=False)
+        changed = (
+            new_assign.alias("n")
+            .join(assign.alias("o"), "vec_id")
+            .filter(F.col("n.cid") != F.col("o.cid"))
+            .count()
+        )
+        assign = new_assign
+        if changed == 0:
+            break
+    return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(vec_id, d))),"
+            " cast(0.0 as double), (acc, x) -> acc + x.d)"
+        ).alias("inertia"),
     )
