@@ -75,6 +75,9 @@ DRIVER_PRIORITY: list[str] = [
     "sim04_cosine_topk_ivf",  # oracle NEW in r6 (was rows-only)
     "sim11_kmeans_train_exact",
     "mm07_media_features_exact",
+    "sk10_portable_hll_state",
+    "sk11_sample_quantile_sketch",
+    "tx20_bpe_train_certified",
     # changed in round 6 — re-certify on the hard signal
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
@@ -114,11 +117,8 @@ DRIVER_PRIORITY: list[str] = [
     "q36_calendar_rollup",
     "q37_revenue_cube",
     "tx01_language_id",
-    "tx02_quality_scores",
-    "tx03_quality_filter",
-    "tx04_token_counts",
-    # 50-row window ends here (10 new-certificate + 11 changed + 29
-    # r1-vintage); tx05-tx08 plus the r2-vintage families (ag, dd1x,
+    # 50-row window ends here (13 new-certificate + 11 changed + 26
+    # r1-vintage); tx02-tx08 plus the r2-vintage families (ag, dd1x,
     # ev, mm, q38+, sim, sk, sp) rotate in round 7; everything stays
     # covered by tests/test_oracle_parity.py locally.
 ]

@@ -591,3 +591,193 @@ def sk09_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_both").cast("double") / F.col("k_eff")).alias("jaccard_kmv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sk10: portable HyperLogLog — the sketch STATE on the hard signal
+# ---------------------------------------------------------------------------
+# sk02 certifies the production path (Spark's native HLL++), which is
+# rows-only by nature: its sketch internals are engine-specific. sk10
+# closes that gap with a PORTABLE HLL (classic Flajolet-Fusy-Gandouet-
+# Meunier 2007 formulation) built from md5 bits, so BOTH engines
+# construct the identical sketch: bucket = low 6 bits of the 60-bit md5
+# prefix, rho = leading-zero rank of the remaining 54 bits, register =
+# max(rho) per bucket. The certificate hashes the ENTIRE sketch state
+# (registers folded into one exact BIGINT: Z * 2^55, plus the empty-
+# bucket count) and the raw estimate alpha_m * m^2 / Z — a single IEEE
+# division of a shared literal by an exact integer, bit-identical
+# across engines (verified: Spark/DuckDB agree to the last bit, while
+# ln() differs at 1e-8 between libm and Math.log — which is why the
+# small-range LinearCounting CORRECTION stays out of the hashed
+# surface: `use_linear_counting` + `v_empty` pin the branch and its
+# input exactly, and pytest applies the ln in ONE engine (Python) to
+# bound the corrected estimate against sk01's exact counts).
+#
+# 100 TB design: identical to sk02 — one pass, 64 registers per group,
+# mergeable by pairwise max; the groupBy(bucket) partial-aggregates
+# map-side so the shuffle carries at most |groups| x 64 rows.
+
+_HLL_M = 64  # 2^6 buckets
+_HLL_ALPHA = 0.709  # alpha_64, Flajolet et al. 2007 Fig. 3
+# alpha * m^2 * 2^55 as ONE shared decimal literal: both engines parse
+# the same double, so E_raw = _HLL_C / z_scaled is one exact division.
+_HLL_C = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(2**55))
+_HLL_LC_CUT = repr(2.5 * _HLL_M)  # LinearCounting threshold 2.5m
+
+_SK10_SQL = f"""
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (
+    SELECT event_type,
+           (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+    FROM pairs
+),
+regs AS (
+    SELECT event_type, h % {_HLL_M} AS bucket,
+           MAX(CASE WHEN (h >> 6) = 0 THEN 55
+                    ELSE 55 - length(bin(h >> 6)) END) AS m_j
+    FROM hashed GROUP BY event_type, h % {_HLL_M}
+),
+state AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
+           CAST(SUM(1::BIGINT << (55 - m_j))
+                + ({_HLL_M} - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS z_scaled
+    FROM regs GROUP BY event_type
+),
+est AS (
+    SELECT event_type, n_buckets_used, v_empty, z_scaled,
+           {_HLL_C} / z_scaled AS e_raw,
+           ({_HLL_C} / z_scaled <= {_HLL_LC_CUT} AND v_empty > 0) AS use_linear_counting
+    FROM state
+),
+exact AS (
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, x.n_users_exact, e.n_buckets_used, e.v_empty,
+       e.z_scaled, e.e_raw, e.use_linear_counting
+FROM est e JOIN exact x ON e.event_type = x.event_type
+"""
+
+
+@register("sk10_portable_hll_state", oracle=_SK10_SQL)
+def sk10_portable_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HLL cardinality sketch with the full register state on
+    the hard signal (see the design note above). One distinct pass,
+    then a 64-registers-per-group aggregate; everything after the
+    groupBy is constant-size algebra."""
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select("event_type", "user_id").distinct()
+    h = "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+    hashed = pairs.select("event_type", F.expr(h).alias("h"))
+    regs = (
+        hashed.select(
+            "event_type",
+            (F.col("h") % _HLL_M).alias("bucket"),
+            F.when(F.shiftright("h", 6) == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.bin(F.shiftright("h", 6))))
+            .alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    state = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_empty"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m_j)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << 55).cast("long")
+        )
+        .cast("long")
+        .alias("z_scaled"),
+    )
+    est = state.select(
+        "event_type",
+        "n_buckets_used",
+        "v_empty",
+        "z_scaled",
+        (F.lit(float(_HLL_C)) / F.col("z_scaled")).alias("e_raw"),
+        (
+            (F.lit(float(_HLL_C)) / F.col("z_scaled") <= float(_HLL_LC_CUT))
+            & (F.col("v_empty") > 0)
+        ).alias("use_linear_counting"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        "n_buckets_used",
+        "v_empty",
+        "z_scaled",
+        "e_raw",
+        "use_linear_counting",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sk11: KMV-sample quantile sketch — deterministic, hence oracle-backed
+# ---------------------------------------------------------------------------
+# sk04 certifies the production path (Spark's approx_percentile / GK
+# sketch — engine-specific internals, rows-only). sk11 is the portable
+# twin: a bottom-k-by-hash sample (the KMV trick applied to ROWS rather
+# than distinct keys — md5(event_id) gives every row a uniform draw,
+# and 'keep the k smallest hashes' is a uniform k-sample that merges
+# across partitions by union + re-truncate, exactly like sk08's
+# sketch), then EXACT linear-interpolation quantiles over the k-row
+# sample. Both engines select the identical sample (md5 is shared,
+# event_id breaks ties) and interpolate identically (verified equal in
+# sk03), so the estimate itself is hash-exact. At 100 TB the sample is
+# maintained with a bounded heap per partition — the shuffle carries
+# k rows per group, never the column.
+
+_SKQ_K = 256
+
+_SK11_SQL = f"""
+WITH hashed AS (
+    SELECT event_type, event_id, value,
+           (('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+    FROM events
+),
+sample AS (
+    SELECT event_type, value FROM (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rnk
+        FROM hashed
+    ) r WHERE rnk <= {_SKQ_K}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sample,
+       quantile_cont(value, {_QUANTILES[0]}) AS p25,
+       quantile_cont(value, {_QUANTILES[1]}) AS p50,
+       quantile_cont(value, {_QUANTILES[2]}) AS p75,
+       quantile_cont(value, {_QUANTILES[3]}) AS p99
+FROM sample GROUP BY event_type
+"""
+
+
+@register("sk11_sample_quantile_sketch", oracle=_SK11_SQL)
+def sk11_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-by-hash sample quantiles (see the design note above):
+    the deterministic, engine-exact quantile sketch next to sk04's
+    native approx_percentile. pytest bounds its error against sk03's
+    exact quantiles."""
+    events = load_table(spark, sf_dir, "events")
+    h = "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)"
+    hashed = events.select("event_type", "event_id", "value", F.expr(h).alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    sample = (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SKQ_K)
+        .select("event_type", "value")
+    )
+    return sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        *[
+            F.expr(f"percentile(value, {q})").alias(name)
+            for q, name in zip(_QUANTILES, ("p25", "p50", "p75", "p99"))
+        ],
+    )

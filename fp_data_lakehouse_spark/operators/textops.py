@@ -980,3 +980,114 @@ def tx19_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("sym_a", "sym_b").alias("merged"),
         "n_weighted",
     )
+
+
+# ---------------------------------------------------------------------------
+# tx20: the BPE training LOOP on the hard signal (round-6)
+# ---------------------------------------------------------------------------
+# tx19 is rows-only because its per-round argmax crosses the driver —
+# but every round is individually deterministic, so the whole loop has
+# a closed form: unroll all 8 rounds as chained CTEs (the pr03/sim11
+# move applied to tokenizer training). The oracle encodes each word's
+# symbol array as '(s1)(s2)...(sn)' and performs the greedy
+# left-to-right merge as ONE string replace per round — replace of
+# '(a)(b)' by '(ab)' on this encoding is exactly tx19's array fold:
+# adjacent matches share no characters (each symbol carries its own
+# delimiters), so non-overlapping leftmost replace == leftmost-greedy
+# fold, verified against a literal fold reimplementation on the
+# fixtures. The certificate restricts the vocabulary to ^[a-z0-9]+$
+# words so the '(' ')' delimiters can never collide with symbol text;
+# tx19 stays registered as the unrestricted production surface.
+
+_TX20_ROUNDS = 8
+
+
+def _tx20_oracle() -> str:
+    ctes = [
+        """words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE len(w) >= 2 AND regexp_full_match(w, '[a-z0-9]+')
+        GROUP BY w
+    )""",
+        """v1 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, wf FROM words)""",
+    ]
+    for k in range(1, _TX20_ROUNDS + 1):
+        ctes.append(
+            f"""s{k} AS (
+        SELECT regexp_extract_all(enc, '\\(([^()]*)\\)', 1) AS syms, wf FROM v{k}
+    )"""
+        )
+        ctes.append(
+            f"""pc{k} AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS n_weighted
+        FROM s{k}, UNNEST(range(1, len(syms))) AS r(i)
+        GROUP BY syms[i], syms[i+1]
+    )"""
+        )
+        ctes.append(
+            f"""top{k} AS (
+        SELECT a, b, n_weighted FROM pc{k}
+        ORDER BY n_weighted DESC, a ASC, b ASC LIMIT 1
+    )"""
+        )
+        if k < _TX20_ROUNDS:
+            ctes.append(
+                f"""v{k + 1} AS (
+        SELECT replace(v.enc, '(' || t.a || ')(' || t.b || ')',
+                       '(' || t.a || t.b || ')') AS enc, v.wf
+        FROM v{k} v CROSS JOIN top{k} t
+    )"""
+            )
+    sel = "\n    UNION ALL\n    ".join(
+        f'SELECT {k} AS "round", a AS sym_a, b AS sym_b, a || b AS merged,'
+        f" n_weighted FROM top{k}"
+        for k in range(1, _TX20_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@register("tx20_bpe_train_certified", oracle=_tx20_oracle())
+def tx20_bpe_train_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx19's 8-round BPE training loop, value-hash-checked (see the
+    unrolling note above). Engine path identical to tx19 — vocabulary-
+    sized per-round state, one 1-row argmax per round — on the
+    alphanumeric word census."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    vocab = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+        "wf",
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, _TX20_ROUNDS + 1):
+        top = (
+            _bpe_pair_counts(vocab)
+            .orderBy(F.desc("n_weighted"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, top[0].n_weighted
+        merges.append((rnd, a, b, n))
+        if rnd < _TX20_ROUNDS:
+            vocab = _bpe_merge_round(vocab, a, b).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round INT, sym_a STRING, sym_b STRING, n_weighted BIGINT"
+    ).select(
+        "round",
+        "sym_a",
+        "sym_b",
+        F.concat("sym_a", "sym_b").alias("merged"),
+        "n_weighted",
+    )

@@ -60,3 +60,61 @@ def test_count_min_overestimates_and_bounds(spark):
     # loose empirical cap so hash regressions (all keys one bucket) fail
     total = sum(r.exact_count for r in rows)
     assert all(r.cms_count - r.exact_count <= total for r in rows)
+
+
+def test_portable_hll_estimate_within_bound(spark):
+    """sk10: apply the LinearCounting correction HERE (in Python — the
+    oracle pins the branch flag + its exact inputs; ln stays out of the
+    hashed surface because libm and Math.log differ at 1e-8) and bound
+    the corrected estimate: m=64 ⇒ RSE ≈ 1.04/8 = 13%; allow 4 sigma.
+    LinearCounting in its regime is tighter, but the same cap holds."""
+    import math
+
+    from fp_data_lakehouse_spark.operators.sketches import (
+        _HLL_C,
+        _HLL_M,
+        sk10_portable_hll_state,
+    )
+
+    rows = sk10_portable_hll_state(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_buckets_used + r.v_empty == _HLL_M
+        e_raw = float(_HLL_C) / r.z_scaled
+        assert abs(e_raw - r.e_raw) < 1e-9
+        est = (
+            _HLL_M * math.log(_HLL_M / r.v_empty)
+            if r.use_linear_counting
+            else e_raw
+        )
+        rel = abs(est - r.n_users_exact) / max(r.n_users_exact, 1)
+        assert rel <= 4 * 1.04 / _HLL_M**0.5, (r, est)
+
+
+def test_sample_quantiles_within_rank_tolerance(spark):
+    """sk11: a k=256 uniform sample has rank-space std ≈
+    sqrt(q(1-q)/k) ≤ 0.031; allow 4 sigma, and exactness when the
+    group is below k (the sample IS the group there)."""
+    from fp_data_lakehouse_spark.operators.sketches import (
+        _SKQ_K,
+        sk11_sample_quantile_sketch,
+    )
+
+    approx = {
+        r.event_type: r
+        for r in sk11_sample_quantile_sketch(spark, SF_ORACLE).collect()
+    }
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    values = {}
+    for r in events.select("event_type", "value").collect():
+        values.setdefault(r.event_type, []).append(r.value)
+    for et, r in approx.items():
+        vs = sorted(values[et])
+        n = len(vs)
+        assert r.n_sample == min(n, _SKQ_K)
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")):
+            est = getattr(r, name)
+            rank = sum(1 for v in vs if v <= est) / n
+            tol = 0.005 if n <= _SKQ_K else 4 * (q * (1 - q) / _SKQ_K) ** 0.5
+            assert abs(rank - q) <= tol, f"{et}.{name}: rank {rank:.3f} vs {q}"
+        assert r.p25 <= r.p50 <= r.p75 <= r.p99
