@@ -23,6 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import random
 
@@ -1238,6 +1239,8 @@ def dd17_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDIT_D = 8       # max edit distance for a near-dup pair
 _LEN_BAND = 9     # band width; > _EDIT_D so a pair spans <= 2 adjacent bands
+_DD18_JOIN_PARTS = 64  # pinned band-join width: banded rows are byte-tiny,
+# and AQE size-coalescing would otherwise serialize the candidate join
 
 
 @register(
@@ -1257,95 +1260,138 @@ def dd18_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-duplicate pairs under edit distance (typo-level copies
     that shingle Jaccard can miss when every shingle is perturbed):
     all pairs with levenshtein <= 8, found WITHOUT the oracle's
-    inequality join. |len(a) - len(b)| <= d is a lossless levenshtein
-    prefilter, and with length bands wider than d a qualifying pair
-    always shares one of the two adjacent bands each document projects
-    into — so candidates come from a plain equi-join on the band id,
-    deduped, then verified once per pair with the JVM levenshtein.
+    inequality join, via a stack of LOSSLESS screens in front of the
+    O(m*n) comparator. Round-6 third-decade rework — the 10x corpus
+    blew the old single-dimension length banding past a 300 s cap;
+    this design runs it in ~11 s (and cut sf0.1 from 2.7 s to 0.8 s):
 
-    Between banding and the O(m*n) comparator sits a second lossless
-    screen: each edit operation moves the letter-count histogram by at
-    most 2 in L1, so lev(a,b) >= L1(hist_a, hist_b) / 2 — pairs whose
-    26-letter bag distance exceeds 2d can never verify and are dropped
-    for the cost of a 26-element fold (measured at sf0.1: 16.6s ->
-    3.0s steady-state). Restricting the histogram to a-z only weakens
-    the bound, never breaks it.
+    1. MULTI-DIMENSIONAL count banding as the equi-join KEY: length
+       plus 'e', 'a' and '1' counts. Every edit operation moves any
+       single character's count by at most 1 (an indel touches one
+       character, a substitution two DIFFERENT characters by 1 each),
+       so each dimension obeys the same |delta| <= d bound as length
+       and bands the same lossless way (width 9 > d, two adjacent
+       projections). A qualifying pair meets in EXACTLY one canonical
+       cell — the per-dimension max band — preserving the round-4
+       no-dedup exactly-once property per dimension. The digit
+       dimension is what separates near-clones that differ only in
+       digits (the sweep's replica salt); it is inert (one band) on
+       digit-free corpora.
+    2. NARROW candidates, late materialization: the band join carries
+       ids + band scalars + six single-count screen columns —
+       NO text, NO histogram array (the wide join moved ~1.2 KB per
+       candidate and was bandwidth-bound at 60M candidates; narrow
+       rows are ~100 B). Single-count prescreens (|cnt_x(a) -
+       cnt_x(b)| <= d for e/t/a/o/'1'/'0') run as flat codegen
+       conjuncts inside the join stage.
+    3. The 36-char (a-z + 0-9) bag-distance screen joins the full
+       histograms back BY ID for survivors only: each edit moves the
+       bag by at most 2 in L1, so lev(a,b) >= L1/2 and bag distance
+       > 2d can never verify. Digits included so digit-only
+       divergence dies here, not in the comparator. (A flat 36-term
+       L1 sum was TIMED AND REJECTED — the giant expression tree fell
+       out of codegen and ran 10x slower than the interpreted fold;
+       the fold on the post-prescreen survivor set is cheap.)
+    4. Texts join back BY ID only for bag survivors; one JVM
+       levenshtein per surviving pair.
 
-    Scale: candidate count is sum of per-band sizes squared, governed by
-    the length histogram instead of |docs|^2. Two round-4 shuffle-bytes
-    fixes: (1) the pair-level dropDuplicates exchange is GONE — a pair
-    can match in at most two adjacent bands, and it always matches in
-    band max(floor(la/B), floor(lb/B)), so keeping only that canonical
-    band emits every qualifying pair exactly once with a scan-fused
-    filter — measured 3.0 -> 2.0 s at sf0.1, and at scale it deletes
-    the only pair-sized exchange (text rides the doc-sized band join,
-    twice per document, never a pair-level shuffle); (2) the
-    translate()-based histogram variant was TIMED AND REJECTED
-    (slower in the full pipeline than the split() form despite
-    avoiding array allocation — plans are timed, not assumed). A
-    100 TB run would additionally front the comparator with a cheap
-    fingerprint screen (dd03/dd04) so only band-local survivors reach
-    the quadratic-cost verify."""
+    The band join inputs are repartition-pinned on the band keys:
+    banded rows are byte-tiny, so AQE's size-based coalescing
+    collapsed the shuffle to ~2 partitions and serialized the 240M-row
+    join on two cores (196 s at the 1eq decade; 11 s once pinned) —
+    the same trap documented for sk07's bitset probe. At 100 TB every
+    exchange here is doc-sized or survivor-sized; no pair-sized stage
+    ever carries text."""
+    _BAG_CHARS = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+        chr(c) for c in range(ord("0"), ord("9") + 1)
+    ]
     hist = F.array(
-        *[
-            (F.size(F.split("text", chr(c), -1)) - 1).cast("long")
-            for c in range(ord("a"), ord("z") + 1)
-        ]
+        *[(F.size(F.split("text", ch, -1)) - 1).cast("long") for ch in _BAG_CHARS]
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").alias("L"), hist.alias("hist")
+    # One tokenize pass feeds the band join, the bag join and the text
+    # join (the shared-subtree rule): checkpoint the doc-level frame.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.length("text").alias("L"), hist.alias("hist"))
+        .localCheckpoint(eager=False)
     )
-    banded = docs.select(
+    # prescreen counts: e, t, a, o, '1', '0' (1-based positions in the
+    # 36-slot bag: a=1 .. z=26, '0'=27 .. '9'=36)
+    _PRE = (5, 20, 1, 15, 28, 27)
+    meta = docs.select(
         "doc_id",
-        "text",
         "L",
         "hist",
-        F.explode(
-            F.array(
-                (F.col("L") / _LEN_BAND).cast("long"),
-                (F.col("L") / _LEN_BAND).cast("long") + 1,
-            )
-        ).alias("band"),
+        *[F.element_at("hist", i).alias(f"p{i}") for i in _PRE],
     )
+    dims = [
+        ("L", F.col("L")),
+        ("he", F.col("p5")),
+        ("ha", F.col("p1")),
+        ("hd", F.col("p28")),
+    ]
+    banded = meta.select("doc_id", "L", *[f"p{i}" for i in _PRE])
+    for name, col in dims:
+        banded = banded.withColumn(f"{name}_lo", (col / _LEN_BAND).cast("long"))
+    for name, _ in dims:
+        banded = banded.withColumn(
+            f"{name}_band",
+            F.explode(F.array(F.col(f"{name}_lo"), F.col(f"{name}_lo") + 1)),
+        )
+    keys = [f"{n}_band" for n, _ in dims]
+    cols = ["doc_id", "L"] + [f"p{i}" for i in _PRE] + [f"{n}_lo" for n, _ in dims]
     a = banded.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("text").alias("text_a"),
-        F.col("L").alias("la"),
-        F.col("hist").alias("ha"),
-        "band",
-    )
+        *[F.col(c).alias(f"a_{c}") for c in cols], *keys
+    ).repartition(_DD18_JOIN_PARTS, *keys)
     b = banded.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("text").alias("text_b"),
-        F.col("L").alias("lb"),
-        F.col("hist").alias("hb"),
-        "band",
+        *[F.col(c).alias(f"b_{c}") for c in cols], *keys
+    ).repartition(_DD18_JOIN_PARTS, *keys)
+    canonical = [
+        F.col(f"{n}_band") == F.greatest(F.col(f"a_{n}_lo"), F.col(f"b_{n}_lo"))
+        for n, _ in dims
+    ]
+    prescreens = [
+        F.abs(F.col(f"a_p{i}") - F.col(f"b_p{i}")) <= _EDIT_D for i in _PRE
+    ]
+    # Filter CHAINING order is load-bearing: integer screens first
+    # (id/length/canonical), then the six flat count conjuncts.
+    pairs = (
+        a.join(b, keys)
+        .filter(
+            (F.col("a_doc_id") < F.col("b_doc_id"))
+            & (F.abs(F.col("a_L") - F.col("b_L")) <= _EDIT_D)
+        )
+        .filter(functools.reduce(lambda x, y: x & y, canonical))
+        .filter(functools.reduce(lambda x, y: x & y, prescreens))
+        .select(
+            F.col("a_doc_id").alias("doc_id_a"),
+            F.col("b_doc_id").alias("doc_id_b"),
+        )
     )
+    ha = meta.select(F.col("doc_id").alias("doc_id_a"), F.col("hist").alias("hha"))
+    hb = meta.select(F.col("doc_id").alias("doc_id_b"), F.col("hist").alias("hhb"))
     bag_l1 = F.expr(
-        "aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)),"
+        "aggregate(zip_with(hha, hhb, (x, y) -> abs(x - y)),"
         " cast(0 as bigint), (acc, v) -> acc + v)"
     )
-    canonical_band = F.greatest(
-        (F.col("la") / _LEN_BAND).cast("long"), (F.col("lb") / _LEN_BAND).cast("long")
-    )
-    # Filter CHAINING order is load-bearing: the merged join condition
-    # evaluates conjuncts in tree order, and the interpreted 26-element
-    # bag fold must come AFTER the integer screens (id/length/band) —
-    # one combined filter put the fold first and measured 6x slower.
-    cand = (
-        a.join(b, "band")
-        .filter(
-            (F.col("doc_id_a") < F.col("doc_id_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= _EDIT_D)
-        )
-        .filter(F.col("band") == canonical_band)
+    surv = (
+        pairs.join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
         .filter(bag_l1 <= 2 * _EDIT_D)
+        .select("doc_id_a", "doc_id_b")
     )
-    return cand.select(
-        "doc_id_a",
-        "doc_id_b",
-        F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
-    ).filter(F.col("edit_distance") <= _EDIT_D)
+    ta = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+    return (
+        surv.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= _EDIT_D)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1378,33 +1424,123 @@ def dd19_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture's label partition (the role sim03/sim06's quantizer
     plays on an unlabeled corpus).
 
-    The cluster id turns the quadratic comparison into an equi-join:
-    pairwise work is sum of per-cluster sizes squared, and the SemDeDup
-    recipe scales k with corpus size precisely to keep cluster
-    populations bounded — the global all-pairs problem never appears.
-    Cosines fold in fixed element order (same expression as sim01), so
-    even the float threshold compare is engine-identical; the keep set
-    is one anti-join."""
-    from .similarity import _COSINE
-
+    Within-cluster pairwise cosine is SemDeDup's DEFINITION, so the
+    per-cluster c^2 work is semantically irreducible; the recipe bounds
+    it by scaling k with corpus size (constant cluster population). The
+    round-6 third-decade sweep measured what happens when clusters grow
+    instead (fixed labels, 10x corpus): the original per-pair
+    interpreted 64-element cosine fold cost 272 s at the 1eq decade —
+    so the engine path is now dd07's block-tiled GEMM applied PER
+    CLUSTER (``_label_tiled_drops``): unit-normalize once, hash each
+    cluster into bounded blocks, score tile pairs with vectorized
+    numpy, emit only the dropped ids. Same drop set — the output
+    carries no floats, and the GEMM-vs-fold ulp wobble only matters for
+    a cosine within ~1e-15 of the threshold (the dd07 precedent). The
+    keep set is one anti-join."""
     v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("raw"),
     )
-    pairs = (
-        v.select("label", F.col("vec_id").alias("ia"), F.col("vec").alias("a"))
-        .join(
-            v.select("label", F.col("vec_id").alias("ib"), F.col("vec").alias("b")),
-            "label",
+    from .similarity import _NORM
+
+    unit = v.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "element_at(transform(array(raw),"
+            f" v -> transform(v, x -> x / {_NORM.format(v='v')})), 1)"
+        ).alias("vec"),
+    )
+    drops = _label_tiled_drops(unit)
+    return (
+        v.select("vec_id", "label")
+        .join(drops, "vec_id", "left_anti")
+        .select("vec_id", "label")
+    )
+
+
+def _label_tiled_drops(unit: DataFrame) -> DataFrame:
+    """Per-cluster tiled drop-set GEMM: for every label cluster, hash
+    members into ceil(n/block) bounded blocks, cover all intra-cluster
+    pairs with the K(K+1)/2 unordered tile pairs, and inside each tile
+    emit the HIGHER vec_id of every pair whose cosine exceeds the
+    threshold (strict >, matching the oracle). Driver footprint: the
+    per-label count vector (|labels| rows — metadata-scale) and the
+    tile list; task memory is bounded by two blocks plus the chunked
+    score slab, exactly as dd07."""
+    spark = unit.sparkSession
+    unit = unit.localCheckpoint(eager=False)
+    counts = {r["label"]: r["n"] for r in unit.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    ks = {lbl: max(1, -(-n // _DD07_BLOCK_ROWS)) for lbl, n in counts.items()}
+    kmap = spark.createDataFrame(
+        [(int(lbl), int(k)) for lbl, k in ks.items()], "label int, k int"
+    )
+    tiles = spark.createDataFrame(
+        [(int(lbl), i, j) for lbl, k in ks.items() for i in range(k) for j in range(i, k)],
+        "label int, ti int, tj int",
+    )
+    blocks = unit.join(F.broadcast(kmap), "label").select(
+        "label",
+        F.pmod(F.xxhash64("vec_id"), F.col("k")).cast("int").alias("blk"),
+        "vec_id",
+        "vec",
+    )
+    t_a = tiles.withColumnRenamed("label", "tlabel")
+    t_b = tiles.filter(F.col("ti") != F.col("tj")).withColumnRenamed(
+        "label", "tlabel"
+    )
+    side_a = blocks.join(
+        F.broadcast(t_a),
+        (F.col("label") == F.col("tlabel")) & (F.col("blk") == F.col("ti")),
+    ).select("label", "ti", "tj", F.lit(0).alias("side"), "vec_id", "vec")
+    side_b = blocks.join(
+        F.broadcast(t_b),
+        (F.col("label") == F.col("tlabel")) & (F.col("blk") == F.col("tj")),
+    ).select("label", "ti", "tj", F.lit(1).alias("side"), "vec_id", "vec")
+
+    thresh = _COSINE_DUP_THRESHOLD
+    chunk = _DD07_SCORE_CHUNK
+
+    def drop_tile(key, pdf):
+        a = pdf[pdf["side"] == 0]
+        ids_a = a["vec_id"].to_numpy()
+        _, ti, tj = key
+        if ti == tj:
+            if len(a) < 2:
+                return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+            mat_a = np.vstack(a["vec"].to_numpy()).astype(np.float64)
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            b = pdf[pdf["side"] == 1]
+            if len(a) == 0 or len(b) == 0:
+                return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+            mat_a = np.vstack(a["vec"].to_numpy()).astype(np.float64)
+            ids_b = b["vec_id"].to_numpy()
+            mat_b = np.vstack(b["vec"].to_numpy()).astype(np.float64)
+        dropped = []
+        for s in range(0, len(ids_a), chunk):
+            scores = mat_a[s : s + chunk] @ mat_b.T
+            ai, bj = np.where(scores > thresh)
+            ia, ib = ids_a[s + ai], ids_b[bj]
+            if ti == tj:
+                keep = ia != ib
+                ia, ib = ia[keep], ib[keep]
+            dropped.append(np.maximum(ia, ib))
+        out = (
+            np.unique(np.concatenate(dropped))
+            if dropped
+            else np.array([], dtype=np.int64)
         )
-        .filter(F.col("ia") < F.col("ib"))
-    )
-    drops = (
-        pairs.withColumn("cosine", F.expr(_COSINE))
-        .filter(F.col("cosine") > _COSINE_DUP_THRESHOLD)
-        .select(F.col("ib").alias("vec_id"))
+        return pd.DataFrame({"vec_id": out})
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("label", "ti", "tj")
+        .applyInPandas(drop_tile, schema="vec_id long")
         .distinct()
     )
-    return v.join(drops, "vec_id", "left_anti").select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------
