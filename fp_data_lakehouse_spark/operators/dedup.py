@@ -2378,3 +2378,76 @@ def dd28_lsh_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     to driver-certified. Delegates to dd16; the certificate covers it
     verbatim."""
     return dd16_minhash_dedup_keep(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# dd29: the banded embedding near-dup PIPELINE on the hard signal (round-6)
+# ---------------------------------------------------------------------------
+# dd08 (float hyperplane LSH + exact verify) is rows-only by nature: a
+# 1-ulp BLAS-vs-SQL difference can flip a sign bit and move a vector
+# between buckets. dd29 is its certificate twin built on sim10's
+# engine-exact banding — int8 codes against md5-parity ±1 planes make
+# every band key pure integer arithmetic — so the full bucket ->
+# candidate-pair -> exact-cosine-verify pipeline value-hash-checks,
+# completing the promotion pattern (dd04->dd25, dd05/06->dd26/27,
+# dd16->dd28, dd08->dd29). The verify cosine reuses sim01's proven
+# fold pair, and the emitted threshold compare is the dd07 precedent
+# (a flip requires a cosine within ~1e-15 of 0.4 on the raw fold,
+# which both engines compute identically anyway — the fold IS shared).
+
+
+def _dd29_oracle() -> str:
+    from .similarity import _COSINE_SQL, _INT8_KEYS_CTES
+
+    return f"""
+    WITH {_INT8_KEYS_CTES},
+    cand AS (
+        SELECT DISTINCT ka.vec_id AS vec_id_a, kb.vec_id AS vec_id_b
+        FROM keys ka JOIN keys kb
+          ON ka.band = kb.band AND ka.key = kb.key
+         AND ka.vec_id < kb.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, cosine FROM (
+        SELECT c.vec_id_a, c.vec_id_b,
+               (SELECT {_COSINE_SQL} FROM (SELECT pa.vec AS a, pb.vec AS b))
+                   AS cosine
+        FROM cand c
+        JOIN qa pa ON pa.vec_id = c.vec_id_a
+        JOIN qa pb ON pb.vec_id = c.vec_id_b
+    ) s
+    WHERE cosine >= {_COSINE_DUP_THRESHOLD}
+    """
+
+
+@register("dd29_int8_banded_neardup", oracle=_dd29_oracle())
+def dd29_int8_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded embedding near-dup pairs, certified end to end (see the
+    design note above): vectors sharing any of the 8 int8-sign band
+    buckets become candidates, candidates verify against the exact
+    cosine threshold. Same subquadratic shape as dd08 — the band
+    self-join shuffles (band, key, vec_id) only, candidates are
+    bucket-local, and the N^2 product never materializes; at
+    production scale the banded join takes dd04's hot-bucket guard,
+    which dd08 retains as the unguarded certificate's guarded twin.
+    pytest bounds dd29's recall against dd07's exact pairs next to
+    dd08's (tests/test_approx_quality.py)."""
+    from .similarity import _COSINE, _int8_band_keys
+
+    qa, keys = _int8_band_keys(spark, sf_dir)
+    ka = keys.select(F.col("vec_id").alias("vec_id_a"), "band", "key")
+    kb = keys.select(F.col("vec_id").alias("vec_id_b"), "band", "key")
+    cand = (
+        ka.join(kb, ["band", "key"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    va = qa.select(F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("a"))
+    vb = qa.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("b"))
+    return (
+        cand.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .withColumn("cosine", F.expr(_COSINE))
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )

@@ -78,6 +78,11 @@ DRIVER_PRIORITY: list[str] = [
     "sk10_portable_hll_state",
     "sk11_sample_quantile_sketch",
     "tx20_bpe_train_certified",
+    "dd29_int8_banded_neardup",
+    "tx21_bpe_tokenize_corpus",
+    # changed in round 6 (third-decade scale rework) — re-certify
+    "dd18_edit_distance_pairs",
+    "dd19_semantic_dedup_keep",
     # changed in round 6 — re-certify on the hard signal
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
@@ -113,14 +118,10 @@ DRIVER_PRIORITY: list[str] = [
     "q32_revenue_rollup",
     "q33_sql_above_average_balance",
     "q34_balance_quartiles",
-    "q35_order_value_stats_by_status",
-    "q36_calendar_rollup",
-    "q37_revenue_cube",
-    "tx01_language_id",
-    # 50-row window ends here (13 new-certificate + 11 changed + 26
-    # r1-vintage); tx02-tx08 plus the r2-vintage families (ag, dd1x,
-    # ev, mm, q38+, sim, sk, sp) rotate in round 7; everything stays
-    # covered by tests/test_oracle_parity.py locally.
+    # 50-row window ends here (15 new-certificate + 13 changed + 22
+    # r1-vintage); q35-q37, tx01-tx08 plus the r2-vintage families
+    # (ag, dd1x, ev, mm, q38+, sim, sk, sp) rotate in round 7;
+    # everything stays covered by tests/test_oracle_parity.py locally.
 ]
 
 

@@ -900,9 +900,10 @@ def sim09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S10_PLANES = _LSH_BANDS * _LSH_BITS  # 32 planes
 
 
-def _sim10_oracle() -> str:
-    return f"""
-    WITH v AS (
+# The int8-banding CTE chain (quantize -> ±1-plane integer dots ->
+# band keys) shared by the sim10 search certificate and dd29's banded
+# near-dup-pairs certificate in operators/dedup.py.
+_INT8_KEYS_CTES = f"""v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings
@@ -937,46 +938,14 @@ def _sim10_oracle() -> str:
                              THEN (1 << (p % {_LSH_BITS})) ELSE 0 END) AS BIGINT)
                    AS key
         FROM dots GROUP BY vec_id, p // {_LSH_BITS}
-    ),
-    cand AS (
-        SELECT DISTINCT pk.vec_id AS probe_id, ck.vec_id AS candidate_id
-        FROM keys pk JOIN keys ck
-          ON pk.band = ck.band AND pk.key = ck.key
-         AND pk.vec_id < {_N_PROBES} AND ck.vec_id <> pk.vec_id
-    ),
-    scored AS (
-        SELECT c.probe_id, c.candidate_id,
-               (SELECT {_COSINE_SQL} FROM (SELECT pa.vec AS a, pb.vec AS b))
-                   AS cosine
-        FROM cand c
-        JOIN qa pa ON pa.vec_id = c.probe_id
-        JOIN qa pb ON pb.vec_id = c.candidate_id
-    )
-    SELECT probe_id, candidate_id, cosine, rank
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-                   ORDER BY cosine DESC, candidate_id) AS rank
-        FROM scored
-    )
-    WHERE rank <= {_TOP_K}
-    """
+    )"""
 
 
-@register("sim10_int8_hyperplane_lsh", oracle=_sim10_oracle())
-def sim10_int8_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via sign-bit hyperplane LSH computed on int8 codes
-    with md5-parity ±1 planes — sim02's banding mechanism made
-    engine-exact (integer dots can't suffer the float sign-flip that
-    keeps sim02 rows-only), then exact-cosine reranked within the
-    bucket candidates using sim01's proven fold pair.
-
-    Plan: codes explode to (vec_id, dim, code) and join the 32x64
-    plane relation (a broadcast constant), two integer aggregations
-    rebuild the band keys, probes broadcast into the bucket equi-join,
-    rerank touches candidates only. Every shuffle carries ids +
-    integers; at corpus scale this is the same Σ per-bucket
-    |probes|·|candidates| cost shape as sim02 with a 4x smaller
-    candidate payload."""
+def _int8_band_keys(spark: SparkSession, sf_dir: str):
+    """(qa, keys): the int8 quantization frame and its engine-exact
+    hyperplane band keys — shared by sim10 (search certificate) and
+    dd29 (banded near-dup-pairs certificate). Integer dots against
+    md5-parity ±1 planes make the keys identical in any fold order."""
     v = _vectors(spark, sf_dir)
     code_expr = (
         f"element_at(transform(array({_S8_SCALE}), s ->"
@@ -1031,6 +1000,52 @@ def sim10_int8_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("key")
         )
     )
+    return qa, keys
+
+
+def _sim10_oracle() -> str:
+    return f"""
+    WITH {_INT8_KEYS_CTES},
+    cand AS (
+        SELECT DISTINCT pk.vec_id AS probe_id, ck.vec_id AS candidate_id
+        FROM keys pk JOIN keys ck
+          ON pk.band = ck.band AND pk.key = ck.key
+         AND pk.vec_id < {_N_PROBES} AND ck.vec_id <> pk.vec_id
+    ),
+    scored AS (
+        SELECT c.probe_id, c.candidate_id,
+               (SELECT {_COSINE_SQL} FROM (SELECT pa.vec AS a, pb.vec AS b))
+                   AS cosine
+        FROM cand c
+        JOIN qa pa ON pa.vec_id = c.probe_id
+        JOIN qa pb ON pb.vec_id = c.candidate_id
+    )
+    SELECT probe_id, candidate_id, cosine, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY cosine DESC, candidate_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """
+
+
+@register("sim10_int8_hyperplane_lsh", oracle=_sim10_oracle())
+def sim10_int8_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-bit hyperplane LSH computed on int8 codes
+    with md5-parity ±1 planes — sim02's banding mechanism made
+    engine-exact (integer dots can't suffer the float sign-flip that
+    keeps sim02 rows-only), then exact-cosine reranked within the
+    bucket candidates using sim01's proven fold pair.
+
+    Plan: codes explode to (vec_id, dim, code) and join the 32x64
+    plane relation (a broadcast constant), two integer aggregations
+    rebuild the band keys, probes broadcast into the bucket equi-join,
+    rerank touches candidates only. Every shuffle carries ids +
+    integers; at corpus scale this is the same Σ per-bucket
+    |probes|·|candidates| cost shape as sim02 with a 4x smaller
+    candidate payload."""
+    qa, keys = _int8_band_keys(spark, sf_dir)
     probe_keys = keys.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "band", "key"
     )

@@ -1091,3 +1091,121 @@ def tx20_bpe_train_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("sym_a", "sym_b").alias("merged"),
         "n_weighted",
     )
+
+
+# ---------------------------------------------------------------------------
+# tx21: APPLY the trained tokenizer — per-doc BPE token counts (round-6)
+# ---------------------------------------------------------------------------
+# tx20 certifies TRAINING the merge table; tx21 certifies the step a
+# pipeline actually runs at 100 TB: tokenize the corpus with the
+# trained merges and budget per-document token counts (tx04's
+# regex-count twin, under a real learned tokenizer). The engine
+# tokenizes at the VOCABULARY level — the 8-round merge loop runs on
+# (word, symbols, frequency) rows exactly as tx19/tx20, corpus-size
+# independent — and the corpus pass is one explode + a vocabulary-
+# sized broadcast join + a per-doc sum, so corpus cost is one scan
+# regardless of merge count. The oracle chains tx20's CTE rounds
+# (carrying the word key through) into a per-word token count and the
+# same left-join aggregation.
+
+
+def _tx21_oracle() -> str:
+    ctes = [
+        """words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE len(w) >= 2 AND regexp_full_match(w, '[a-z0-9]+')
+        GROUP BY w
+    )""",
+        """v1 AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, wf
+                FROM words)""",
+    ]
+    for k in range(1, _TX20_ROUNDS + 1):
+        ctes.append(
+            f"""s{k} AS (
+        SELECT regexp_extract_all(enc, '\\(([^()]*)\\)', 1) AS syms, wf FROM v{k}
+    )"""
+        )
+        ctes.append(
+            f"""pc{k} AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS n_weighted
+        FROM s{k}, UNNEST(range(1, len(syms))) AS r(i)
+        GROUP BY syms[i], syms[i+1]
+    )"""
+        )
+        ctes.append(
+            f"""top{k} AS (
+        SELECT a, b FROM pc{k}
+        ORDER BY n_weighted DESC, a ASC, b ASC LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""v{k + 1} AS (
+        SELECT v.w, replace(v.enc, '(' || t.a || ')(' || t.b || ')',
+                            '(' || t.a || t.b || ')') AS enc, v.wf
+        FROM v{k} v CROSS JOIN top{k} t
+    )"""
+        )
+    final = f"""wtok AS (
+        SELECT w, CAST(len(regexp_extract_all(enc, '\\(([^()]*)\\)', 1)) AS BIGINT)
+                   AS n_tok
+        FROM v{_TX20_ROUNDS + 1}
+    ),
+    docw AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) FILTER (WHERE wt.w IS NOT NULL) AS BIGINT) AS n_words_bpe,
+           CAST(COALESCE(SUM(wt.n_tok), 0) AS BIGINT) AS n_tokens
+    FROM docw d LEFT JOIN wtok wt ON d.w = wt.w
+    GROUP BY d.doc_id"""
+    return "WITH " + ",\n    ".join(ctes) + ",\n    " + final
+
+
+@register("tx21_bpe_tokenize_corpus", oracle=_tx21_oracle())
+def tx21_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the tx20-trained BPE merges
+    (see the design note above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    vocab = words.select(
+        "w",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+        "wf",
+    ).localCheckpoint(eager=False)
+
+    for _ in range(_TX20_ROUNDS):
+        top = (
+            _bpe_pair_counts(vocab)
+            .orderBy(F.desc("n_weighted"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        vocab = _bpe_merge_round(vocab, top[0].a, top[0].b).localCheckpoint(
+            eager=True
+        )
+    wtok = vocab.select("w", F.size("syms").cast("long").alias("n_tok"))
+    docw = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    return (
+        docw.join(F.broadcast(wtok), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n_tok").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_words_bpe"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -723,3 +723,29 @@ def test_dd07_tiling_is_partition_invariant(spark):
     assert set(tiled) == set(default)
     for k, v in tiled.items():
         assert abs(v - default[k]) < 1e-9
+
+
+def test_int8_banded_neardup_vs_exact(spark):
+    """dd29: same precision/recall contract as dd08 (exact-verify ⇒
+    precision 1; banding is the recall lever), on the engine-exact
+    int8 banding. int8 quantization perturbs angles slightly, so the
+    sign-bucket recall floor is the same analytic ~0.4 bound."""
+    from fp_data_lakehouse_spark.operators.dedup import (
+        dd07_embedding_neardup_pairs,
+        dd29_int8_banded_neardup,
+    )
+
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in dd07_embedding_neardup_pairs(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in dd29_int8_banded_neardup(spark, SF_ORACLE).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert len(exact) > 0
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.4, f"int8-banded recall {recall:.2f} below floor"
+    for k, c in approx.items():
+        assert abs(exact[k] - c) < 1e-12
