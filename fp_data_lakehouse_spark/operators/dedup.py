@@ -1460,7 +1460,7 @@ def dd19_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_tiled_drops(unit: DataFrame) -> DataFrame:
+def _label_tiled_drops(unit: DataFrame, block_rows: int = _DD07_BLOCK_ROWS) -> DataFrame:
     """Per-cluster tiled drop-set GEMM: for every label cluster, hash
     members into ceil(n/block) bounded blocks, cover all intra-cluster
     pairs with the K(K+1)/2 unordered tile pairs, and inside each tile
@@ -1473,7 +1473,7 @@ def _label_tiled_drops(unit: DataFrame) -> DataFrame:
     unit = unit.localCheckpoint(eager=False)
     counts = {r["label"]: r["n"] for r in unit.groupBy("label").agg(
         F.count(F.lit(1)).alias("n")).collect()}
-    ks = {lbl: max(1, -(-n // _DD07_BLOCK_ROWS)) for lbl, n in counts.items()}
+    ks = {lbl: max(1, -(-n // block_rows)) for lbl, n in counts.items()}
     kmap = spark.createDataFrame(
         [(int(lbl), int(k)) for lbl, k in ks.items()], "label int, k int"
     )

@@ -749,3 +749,66 @@ def test_int8_banded_neardup_vs_exact(spark):
     assert recall >= 0.4, f"int8-banded recall {recall:.2f} below floor"
     for k, c in approx.items():
         assert abs(exact[k] - c) < 1e-12
+
+
+def test_dd19_label_tiling_is_partition_invariant(spark):
+    """dd19's per-cluster tiled GEMM must produce the same drop set for
+    ANY block size (force multi-tile clusters with block_rows=16) and
+    must equal a literal numpy within-cluster pairwise reimplementation
+    — tiling is execution strategy, not semantics."""
+    import numpy as np
+
+    from fp_data_lakehouse_spark.operators.dedup import (
+        _COSINE_DUP_THRESHOLD,
+        _label_tiled_drops,
+    )
+    from fp_data_lakehouse_spark.operators.dedup import (
+        dd19_semantic_dedup_keep,
+    )
+
+    keep_default = {
+        (r.vec_id, r.label)
+        for r in dd19_semantic_dedup_keep(spark, SF_ORACLE).collect()
+    }
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        )
+    drops = set()
+    for lbl, members in by_label.items():
+        members.sort()
+        ids = np.array([m[0] for m in members])
+        mat = np.vstack([m[1] for m in members])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sc = mat @ mat.T
+        ai, bj = np.where(sc > _COSINE_DUP_THRESHOLD)
+        for x, y in zip(ids[ai], ids[bj]):
+            if x < y:
+                drops.add(int(y))
+    want = {(r.vec_id, r.label) for r in emb if r.vec_id not in drops}
+    assert keep_default == want
+
+    # multi-tile path: same keep set under a tiny block size
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.operators.similarity import _NORM
+    from fp_data_lakehouse_spark.sources.catalog import load_table
+
+    v = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    unit = v.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "element_at(transform(array(raw),"
+            f" v -> transform(v, x -> x / {_NORM.format(v='v')})), 1)"
+        ).alias("vec"),
+    )
+    tiny_drops = {
+        r.vec_id for r in _label_tiled_drops(unit, block_rows=16).collect()
+    }
+    assert tiny_drops == drops

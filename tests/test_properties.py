@@ -340,7 +340,10 @@ def test_shingle_rows_match_model(spark, texts, tmp_path_factory):
 
 
 _short_texts = st.lists(
-    st.text(alphabet=st.sampled_from(list("abc")), min_size=0, max_size=20),
+    # 'e' and '1' are prescreen/band dimensions in dd18's round-6
+    # multi-dimensional banding — including them drives pairs across
+    # letter-count and digit-count band boundaries, not just length.
+    st.text(alphabet=st.sampled_from(list("abe1")), min_size=0, max_size=20),
     min_size=1,
     max_size=10,
 )
