@@ -737,3 +737,92 @@ def st10_python_stream_sink_versions(spark: SparkSession, sf_dir: str) -> DataFr
             .select(F.lit(v).cast("long").alias("version"), "*")
         )
     return out[0].unionByName(out[1])
+
+
+# ---------------------------------------------------------------------------
+# st11: stream-stream LEFT OUTER interval join — outer-state eviction
+# on the hard signal (round-6)
+# ---------------------------------------------------------------------------
+# st04 certifies the inner join (matches only); st11 certifies the
+# HARDER half of the symmetric-hash join contract: null-extended
+# emission of unmatched left rows, which requires the state store to
+# prove a purchase can never match a future click before releasing it.
+# The emission set is watermark-shaped exactly like st07's sessions:
+# an availableNow drain's final no-data batch advances the global
+# watermark to min(max purchase ts, max click ts) - delay (one
+# watermark node per branch; the global value is their min), and a
+# buffered purchase is provably unmatchable once purchase_ts < wm
+# (the join condition bounds future clicks to click_ts >= wm and
+# clicks can only match purchases at or above their own ts), so the
+# oracle models matched pairs UNION unmatched purchases strictly below
+# the final watermark — verified against the drained query at sf0.001
+# and sf0.01 before pinning (1942/1942 null-extended rows at sf0.01).
+# Purchases inside the final watermark horizon stay in state, exactly
+# as they must on a live stream.
+
+_ST11_WM_SEC = 7200  # attribution_stream's default "2 hours"
+
+_ST11_SQL = f"""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ep
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ep
+    FROM events c WHERE event_type = 'click'
+),
+matched AS (
+    SELECT p.purchase_id, p.user_id, p.purchase_ep, c.click_id, c.click_ep
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL {_ST04_WINDOW_SEC} SECOND AND p.ts
+),
+wm AS (
+    SELECT LEAST((SELECT MAX(purchase_ep) FROM p),
+                 (SELECT MAX(click_ep) FROM c)) - {_ST11_WM_SEC} AS w
+)
+SELECT purchase_id, user_id, purchase_ep, click_id, click_ep FROM matched
+UNION ALL
+SELECT p.purchase_id, p.user_id, p.purchase_ep,
+       CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_ep
+FROM p, wm
+WHERE p.purchase_ep < wm.w
+  AND p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+"""
+
+
+@register("st11_stream_leftouter_interval_join", oracle=_ST11_SQL)
+def st11_stream_leftouter_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, drained append-mode and
+    value-hash-checked against the watermark-modeled emission set (see
+    the design note above). Same StreamingSymmetricHashJoin operator
+    as st04 with the left side's \"provably unmatchable\" eviction
+    emitting null-extended rows — the semantics that let an
+    attribution pipeline emit every unattributed purchase exactly once
+    while keeping both state stores watermark-bounded."""
+    from ..streaming.events import attribution_stream, read_events_stream
+
+    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    pairs = attribution_stream(
+        stream, window_sec=_ST04_WINDOW_SEC, how="leftOuter"
+    )
+    name = f"st11_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ep").cast("long").alias("purchase_ep"),
+        "click_id",
+        F.col("click_ep").cast("long").alias("click_ep"),
+    )

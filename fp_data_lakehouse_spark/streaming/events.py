@@ -119,7 +119,10 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
 
 
 def attribution_stream(
-    events: DataFrame, watermark: str = "2 hours", window_sec: int = 300
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window_sec: int = 300,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's clicks within the preceding ``window_sec`` — the streaming
@@ -153,7 +156,7 @@ def attribution_stream(
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_sec} SECONDS")),
-        "inner",
+        how,
     ).select(
         "purchase_id",
         "user_id",
