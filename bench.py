@@ -304,7 +304,12 @@ def sweep_docs() -> None:
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 except Exception as exc:
-                    if cap and time.time() - t0 >= cap - 1:
+                    # CAP only when the timer plausibly fired AND the
+                    # failure is a job cancellation — a genuine error
+                    # that happens to land after the cap window must
+                    # still be reported as an error, not absorbed.
+                    cancelled = "CANCELLED" in str(exc).upper()
+                    if cap and cancelled and time.time() - t0 >= cap - 1:
                         best = -2.0  # exceeded the soft cap (cancelled)
                         print(f"# sweep-docs CAP {name}@{label} (> {cap}s)", file=sys.stderr)
                     else:
