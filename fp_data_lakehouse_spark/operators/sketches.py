@@ -606,12 +606,15 @@ def sk09_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (registers folded into one exact BIGINT: Z * 2^55, plus the empty-
 # bucket count) and the raw estimate alpha_m * m^2 / Z — a single IEEE
 # division of a shared literal by an exact integer, bit-identical
-# across engines (verified: Spark/DuckDB agree to the last bit, while
-# ln() differs at 1e-8 between libm and Math.log — which is why the
-# small-range LinearCounting CORRECTION stays out of the hashed
-# surface: `use_linear_counting` + `v_empty` pin the branch and its
-# input exactly, and pytest applies the ln in ONE engine (Python) to
-# bound the corrected estimate against sk01's exact counts).
+# across engines (verified to the last bit). The small-range
+# LinearCounting CORRECTION stays out of the hashed surface as a
+# conservative choice: ln() is only contracted to ~1 ulp (not
+# correctly rounded) across libm implementations, and SQL literal
+# arithmetic around it is treacherous (Spark parses 64.0/7 as DECIMAL
+# division and truncates the ARGUMENT to scale 6 — measured 1.6e-8 off
+# before ln is even called). `use_linear_counting` + `v_empty` pin the
+# branch and its exact inputs, and pytest applies the ln in ONE engine
+# (Python) to bound the corrected estimate against sk01's counts.
 #
 # 100 TB design: identical to sk02 — one pass, 64 registers per group,
 # mergeable by pairwise max; the groupBy(bucket) partial-aggregates

@@ -65,7 +65,7 @@ def test_count_min_overestimates_and_bounds(spark):
 def test_portable_hll_estimate_within_bound(spark):
     """sk10: apply the LinearCounting correction HERE (in Python — the
     oracle pins the branch flag + its exact inputs; ln stays out of the
-    hashed surface because libm and Math.log differ at 1e-8) and bound
+    hashed surface as a conservative choice, see the sk10 design note) and bound
     the corrected estimate: m=64 ⇒ RSE ≈ 1.04/8 = 13%; allow 4 sigma.
     LinearCounting in its regime is tighter, but the same cap holds."""
     import math
