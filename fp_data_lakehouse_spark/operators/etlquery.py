@@ -499,3 +499,107 @@ def et06_incremental_dim_identity(spark: SparkSession, sf_dir: str) -> DataFrame
         "semester",
         "first_batch",
     )
+
+
+# ---------------------------------------------------------------------------
+# et07: incremental JOIN-view maintenance (round-6)
+# ---------------------------------------------------------------------------
+# et03 certifies aggregate IVM (state ⊕ delta = full for monoid
+# aggregates); et07 certifies the JOIN half of incremental view
+# maintenance — the bilinearity identity Δ(A ⋈ B) = ΔA ⋈ B_new ∪
+# A_old ⋈ ΔB — with BOTH sides receiving new rows in epoch 2 (orders
+# split by date, customers split by key parity). The maintained view
+# (epoch-1 join plus the two epoch-2 delta terms) must equal the
+# from-scratch join exactly: every (order, customer) pair lands in
+# exactly one term — (O1,C1) in the epoch-1 state, (O2, C1∪ΔC) in the
+# new-orders term, (O1, ΔC) in the new-customers term. This is the
+# algebra a 100 TB enriched-events pipeline runs nightly to avoid
+# re-joining the full history: each epoch's work is delta-sized joins
+# against dimension snapshots, never a full recompute. Money
+# integerizes to cents before summation so the identity is exact.
+
+_ET07_SQL = f"""
+WITH o1 AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_ET03_CUTOFF} 00:00:00'),
+o2 AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{_ET03_CUTOFF} 00:00:00'),
+c1 AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+dc AS (SELECT * FROM customer WHERE c_custkey % 2 = 1),
+maintained AS (
+    SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice FROM o1 o JOIN c1 c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice FROM o2 o JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice FROM o1 o JOIN dc c ON o.o_custkey = c.c_custkey
+),
+m AS (
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_maintained,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_maintained
+    FROM maintained GROUP BY c_mktsegment
+),
+f AS (
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_full,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_full
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+)
+SELECT m.c_mktsegment, m.n_maintained, m.cents_maintained, f.n_full, f.cents_full,
+       (m.n_maintained = f.n_full AND m.cents_maintained = f.cents_full) AS consistent
+FROM m JOIN f USING (c_mktsegment)
+"""
+
+
+@register("et07_incremental_join_view", oracle=_ET07_SQL)
+def et07_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view delta maintenance certificate (see the design note
+    above): maintained = O1⋈C1 ∪ O2⋈(C1∪ΔC) ∪ O1⋈ΔC vs the full join,
+    rolled up per market segment with a consistency flag. Each delta
+    join broadcasts the dimension side; the rollup is map-side
+    combined; the compare runs over |segments| rows."""
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit(_ET03_CUTOFF).cast("timestamp")
+    o1 = orders.filter(F.col("o_orderdate") < cutoff)
+    o2 = orders.filter(F.col("o_orderdate") >= cutoff)
+    c1 = customer.filter(F.col("c_custkey") % 2 == 0)
+    dc = customer.filter(F.col("c_custkey") % 2 == 1)
+
+    def enrich(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(
+            F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+        ).select("o_orderkey", "c_mktsegment", "o_totalprice")
+
+    maintained = (
+        enrich(o1, c1).unionAll(enrich(o2, customer)).unionAll(enrich(o1, dc))
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    m = maintained.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_maintained"),
+        F.sum(cents).alias("cents_maintained"),
+    )
+    f = (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents_full"
+            ),
+        )
+    )
+    return m.join(f, "c_mktsegment").select(
+        "c_mktsegment",
+        "n_maintained",
+        "cents_maintained",
+        "n_full",
+        "cents_full",
+        (
+            (F.col("n_maintained") == F.col("n_full"))
+            & (F.col("cents_maintained") == F.col("cents_full"))
+        ).alias("consistent"),
+    )

@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "dd29_int8_banded_neardup",
     "tx21_bpe_tokenize_corpus",
     "st11_stream_leftouter_interval_join",
+    "et07_incremental_join_view",
     # changed in round 6 (third-decade scale rework) — re-certify
     "dd18_edit_distance_pairs",
     "dd19_semantic_dedup_keep",
@@ -117,9 +118,8 @@ DRIVER_PRIORITY: list[str] = [
     "q30_quantity_pivot_by_returnflag",
     "q31_set_ops_rich_vs_active",
     "q32_revenue_rollup",
-    "q33_sql_above_average_balance",
-    # 50-row window ends here (16 new-certificate + 13 changed + 21
-    # r1-vintage); q34-q37, tx01-tx08 plus the r2-vintage families
+    # 50-row window ends here (17 new-certificate + 13 changed + 20
+    # r1-vintage); q33-q37, tx01-tx08 plus the r2-vintage families
     # (ag, dd1x, ev, mm, q38+, sim, sk, sp) rotate in round 7;
     # everything stays covered by tests/test_oracle_parity.py locally.
 ]

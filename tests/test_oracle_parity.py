@@ -46,8 +46,8 @@ def test_registry_contract():
     assert set(o) <= set(q)
     # Pinned EXACT: a silently-swallowed extension import would shrink
     # the surface the driver sees; update deliberately when adding ops.
-    assert len(q) == 208, sorted(q)
-    assert len(o) == 195, sorted(o)
+    assert len(q) == 209, sorted(q)
+    assert len(o) == 196, sorted(o)
 
 
 def test_driver_priority_window():
