@@ -431,11 +431,36 @@ def main() -> None:
         )
     )
 
-    # The driver captures only the LAST ~2000 chars of stdout; the full
-    # per-query line above exceeds that (80+ entries), so round 1's
-    # BENCH record was truncated mid-object ("parsed": null). Emit a
-    # compact summary as the FINAL line so the tail capture always holds
-    # one complete, parseable JSON object.
+    # The driver captures only the LAST 2000 chars of stdout; the full
+    # per-query line above exceeds that (200+ entries), so round 1's
+    # BENCH record was truncated mid-object ("parsed": null). Persist
+    # the COMPLETE per-query map to bench_full.json at the repo root
+    # (committed every round, so cross-round per-query regressions are
+    # one `git diff` away — round-6 verdict item 6), then emit a
+    # compact summary as the FINAL line so the tail capture always
+    # holds one complete, parseable JSON object.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "suite_wall_clock",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "queries": timings,
+                    "family_totals": families,
+                    "timing": "min_of_2_plus_slowest5_rerun",
+                    "etl_files_per_sec": etl_files_per_sec,
+                    "etl_baseline_files_per_sec": 5.4,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    except OSError as exc:  # read-only checkout must not kill the bench
+        print(f"# bench warning: could not write {full_path}: {exc}", file=sys.stderr)
     slowest = sorted(
         ((n, t) for n, t in timings.items() if t >= 0), key=lambda kv: -kv[1]
     )[:5]
@@ -451,6 +476,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": sum(1 for t in timings.values() if t < 0),
                 "timing": "min_of_2_plus_slowest5_rerun",
+                "full_timings_file": "bench_full.json",
                 "etl_files_per_sec": etl_files_per_sec,
                 "etl_baseline_files_per_sec": 5.4,
             }

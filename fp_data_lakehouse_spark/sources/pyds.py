@@ -308,6 +308,16 @@ def _try_claim(fs: "pafs.FileSystem", p: str, v: int) -> bool:
             return True
         except FileExistsError:
             return False
+    import warnings
+
+    warnings.warn(
+        f"claim protocol on {type(fs).__name__} degrades to "
+        "check-then-create (pyarrow exposes no exclusive create); "
+        "concurrent writers on this filesystem need a log-based table "
+        "format or an object store with conditional PUT",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     if fs.get_file_info(claim).type != pafs.FileType.NotFound:
         return False
     with fs.open_output_stream(claim) as out:
@@ -339,6 +349,16 @@ def _claim_commit_slot(fs: "pafs.FileSystem", p: str, max_wait_sec: float = 30.0
       the claim, so orphan data can never surface as a committed
       version once the pointer passes it.
 
+    The claim — not the pre-claim pointer read — is the serialization
+    point: the pointer is re-read AFTER _try_claim succeeds, and if it
+    moved (a concurrent writer fully committed slot v and released its
+    claim inside the read→claim window) the claim is released and the
+    loop retries from a fresh read. Acting on the stale read would
+    delete the committed v-dir as an "orphan" and republish its slot.
+    Ledger roll-forward likewise happens only while holding the claim
+    for the slot being advanced into, so a delayed pointer write can
+    never regress the pointer below a newer committed version.
+
     Contention past ``max_wait_sec`` raises ConcurrentWriteError — a
     crashed writer's stale claim is cleared by ``versioned.fsck``."""
     import time
@@ -348,23 +368,34 @@ def _claim_commit_slot(fs: "pafs.FileSystem", p: str, max_wait_sec: float = 30.0
     deadline = time.monotonic() + max_wait_sec
     while True:
         ptr = _read_pointer(fs, p) or 0
-        ledgered = set(_ledger_entries(fs, p).values())
-        while (ptr + 1) in ledgered and _dir_exists(fs, f"{p}/v{ptr + 1:05d}"):
-            _write_pointer_file(fs, p, ptr + 1)
-            ptr += 1
         v = ptr + 1
-        if _try_claim(fs, p, v):
-            orphan = f"{p}/v{v:05d}"
-            if _dir_exists(fs, orphan):
-                fs.delete_dir(orphan)
-            return v
-        if time.monotonic() >= deadline:
-            raise ConcurrentWriteError(
-                f"timed out waiting for commit slot v{v:05d} on {p}: "
-                "another writer holds the claim (run versioned.fsck to "
-                "clear a crashed writer's stale claim)"
-            )
-        time.sleep(0.05)
+        if not _try_claim(fs, p, v):
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriteError(
+                    f"timed out waiting for commit slot v{v:05d} on {p}: "
+                    "another writer holds the claim (run versioned.fsck to "
+                    "clear a crashed writer's stale claim)"
+                )
+            time.sleep(0.05)
+            continue
+        # ---- claim v held: re-validate on fresh reads ----
+        cur = _read_pointer(fs, p) or 0
+        if cur != ptr:
+            _release_claim(fs, p, v)
+            continue
+        vdir_exists = _dir_exists(fs, f"{p}/v{v:05d}")
+        if v in set(_ledger_entries(fs, p).values()) and vdir_exists:
+            # ledger-committed but unpointed (crash between ledger
+            # append and pointer swap): roll forward UNDER claim v,
+            # then retry for the next slot.
+            _write_pointer_file(fs, p, v)
+            _release_claim(fs, p, v)
+            continue
+        if vdir_exists:
+            # unledger'd dir above the pointer: a crashed writer's
+            # orphan — delete it under the claim.
+            fs.delete_dir(f"{p}/v{v:05d}")
+        return v
 
 
 # Filters are shipped to executors as plain tuples (pyarrow expressions

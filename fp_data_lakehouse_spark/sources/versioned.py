@@ -117,6 +117,17 @@ class LocalFsBackend:
         os.rename(src, dst)  # same-filesystem dir rename: atomic
 
 
+def _is_already_exists(e: Exception) -> bool:
+    """True iff a JVM filesystem error is the file-already-exists
+    outcome of a no-overwrite create. HDFS raises
+    org.apache.hadoop.fs.FileAlreadyExistsException; the local
+    RawLocalFileSystem raises a plain IOException whose message says
+    "already exists" — match both, re-raise everything else."""
+    java_exc = getattr(e, "java_exception", None)
+    text = str(java_exc) if java_exc is not None else str(e)
+    return "AlreadyExists" in text or "already exists" in text.lower()
+
+
 class HadoopFsBackend:
     """Metadata ops through the JVM Hadoop FileSystem — one backend for
     every scheme Spark itself can write parquet to. Needs a live
@@ -199,14 +210,21 @@ class HadoopFsBackend:
         """``FileSystem.create(path, overwrite=false)`` — atomic on
         HDFS (namenode-serialized create); on S3-likes create-no-
         overwrite is check-then-act, the same caveat as the pointer
-        rename (a log-based format is the upgrade path there)."""
+        rename (a log-based format is the upgrade path there).
+
+        Only the already-exists outcome maps to False; any other error
+        (network, permission, transient IO) re-raises, so a genuine
+        failure is never mistaken for a held claim and spun on until
+        the ConcurrentWriteError timeout."""
         fs = self._fs(p)
         hp = self._path(p)
         try:
             fs.create(hp, False).close()
             return True
-        except Exception:
-            return False
+        except Exception as e:
+            if _is_already_exists(e):
+                return False
+            raise
 
     def delete_file(self, p: str) -> None:
         fs = self._fs(p)
@@ -220,9 +238,151 @@ class HadoopFsBackend:
             raise OSError(f"rename {src} -> {dst} failed")
 
 
+class ConditionalPutBackend:
+    """Metadata ops constrained to the primitives a conditional-PUT
+    object store actually provides — atomic whole-object PUT,
+    put-if-absent (S3 ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, ABFS create-no-overwrite), GET,
+    LIST-by-prefix, per-object DELETE and per-object server-side COPY.
+    **No atomic rename, no directories.**
+
+    This is the existence proof for SCALE.md's claim that
+    ``_claim_slot`` maps 1:1 onto S3 conditional PUT:
+
+    - ``create_exclusive`` == conditional PUT — the serialization
+      primitive, natively atomic on S3 (since 2024), GCS, ABFS;
+    - ``write_text_atomic`` == plain PUT — a single-object PUT is
+      atomic (readers see the old or the new object, never a torn
+      one), which is all the pointer swap requires;
+    - ``move`` == per-object COPY + DELETE, explicitly NON-atomic:
+      safe ONLY because the claim protocol guarantees a v-dir is
+      written by exactly one writer and becomes visible only when the
+      pointer PUT lands — readers never resolve versions above the
+      pointer, and a crash mid-copy leaves an unledger'd partial
+      prefix that fsck / the next claimer deletes;
+    - ``rmtree`` == LIST + per-object DELETE (no recursive delete).
+
+    Locally the store's *server-side* atomicity is simulated with the
+    same OS facilities S3 implements behind its API (O_EXCL for the
+    conditional PUT, write-tmp+replace inside the PUT call). The
+    constraint being proven sits at the backend boundary: no call site
+    ever needs a rename or directory primitive the store lacks —
+    ``tests/test_versioned.py`` runs the full MERGE / CDF / vacuum /
+    two-thread-conflict contract over this backend as the third
+    parametrization."""
+
+    # --- the five store primitives (everything below uses ONLY these) ---
+
+    def _put(self, key: str, data: bytes) -> None:
+        """Atomic whole-object PUT (server-side on a real store)."""
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(key), prefix="._put_")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, key)
+
+    def _put_if_absent(self, key: str) -> bool:
+        """Conditional PUT (If-None-Match: *) — atomic create-or-fail."""
+        try:
+            os.close(os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return True
+        except FileExistsError:
+            return False
+
+    def _get(self, key: str) -> bytes | None:
+        try:
+            with open(key, "rb") as f:
+                return f.read()
+        except (FileNotFoundError, IsADirectoryError):
+            return None
+
+    def _list_keys(self, prefix: str) -> list[str]:
+        """LIST all object keys under ``prefix/`` (no delimiter)."""
+        out = []
+        for root, _, files in os.walk(prefix):
+            for fn in files:
+                out.append(os.path.join(root, fn))
+        return out
+
+    def _delete(self, key: str) -> None:
+        try:
+            os.remove(key)
+        except FileNotFoundError:
+            pass  # S3 DELETE is idempotent
+
+    def _copy(self, src_key: str, dst_key: str) -> None:
+        """Server-side single-object COPY."""
+        os.makedirs(os.path.dirname(dst_key), exist_ok=True)
+        shutil.copyfile(src_key, dst_key)
+
+    # --- the VersionedBackend protocol, in store primitives only ---
+
+    def list_names(self, d: str) -> list[str]:
+        # LIST with delimiter '/': common prefixes + objects under d/
+        d = d.rstrip("/")
+        names = set()
+        for key in self._list_keys(d):
+            names.add(os.path.relpath(key, d).split(os.sep, 1)[0])
+        return sorted(names)
+
+    def makedirs(self, d: str) -> None:
+        # object stores have no directories; the local data plane
+        # (Spark's parquet writer) makes its own
+        os.makedirs(d, exist_ok=True)
+
+    def read_text(self, p: str) -> str | None:
+        data = self._get(p)
+        return data.decode() if data is not None else None
+
+    def write_text_atomic(self, p: str, content: str) -> None:
+        self._put(p, content.encode())
+
+    def rmtree(self, p: str) -> None:
+        for key in self._list_keys(p):
+            self._delete(key)
+        shutil.rmtree(p, ignore_errors=True)  # empty local-dir husks
+
+    def create_exclusive(self, p: str) -> bool:
+        return self._put_if_absent(p)
+
+    def delete_file(self, p: str) -> None:
+        self._delete(p)
+
+    def move(self, src: str, dst: str) -> None:
+        # NON-atomic per-object COPY+DELETE — the claim protocol makes
+        # this safe (see class docstring); crash mid-loop leaves an
+        # unledger'd partial prefix below the pointer's visibility.
+        src, dst = src.rstrip("/"), dst.rstrip("/")
+        for key in self._list_keys(src):
+            rel = os.path.relpath(key, src)
+            self._copy(key, os.path.join(dst, rel))
+            self._delete(key)
+        shutil.rmtree(src, ignore_errors=True)  # empty local-dir husks
+
+
+# Explicit backend routing by path prefix (the seam a deployment uses
+# to send one bucket through ConditionalPutBackend while local scratch
+# stays on LocalFsBackend — the same role as Delta's LogStore scheme
+# configuration).
+_BACKEND_OVERRIDES: dict[str, object] = {}
+
+
+def register_backend(path_prefix: str, backend) -> None:
+    _BACKEND_OVERRIDES[path_prefix.rstrip("/")] = backend
+
+
+def unregister_backend(path_prefix: str) -> None:
+    _BACKEND_OVERRIDES.pop(path_prefix.rstrip("/"), None)
+
+
 def _backend_for(table_dir: str, spark: SparkSession | None = None):
-    """Default backend resolution: scheme'd paths (including file://)
-    go through Hadoop; bare paths stay on the local backend."""
+    """Default backend resolution: explicit prefix overrides first,
+    then scheme'd paths (including file://) go through Hadoop; bare
+    paths stay on the local backend."""
+    td = table_dir.rstrip("/")
+    for pfx, backend in _BACKEND_OVERRIDES.items():
+        if td == pfx or td.startswith(pfx + "/"):
+            return backend
     if "://" not in table_dir:
         return LocalFsBackend()
     spark = spark or SparkSession.getActiveSession()
@@ -292,40 +452,73 @@ def _claim_slot(
     ConcurrentWriteError instead of silently dropping that writer's
     rows (write-skew on the snapshot level).
 
+    The claim — not the pre-claim pointer read — is the serialization
+    point: every decision (pointer validation, base_version conflict
+    check, ledger roll-forward, orphan deletion) re-reads state AFTER
+    create_exclusive succeeds. A pre-claim read can be arbitrarily
+    stale: a concurrent writer may fully commit slot v and release its
+    claim between this writer's pointer read and its create_exclusive,
+    so acting on the stale read would delete a committed snapshot as an
+    "orphan" and republish its slot (silent lost commit). Re-validating
+    under the claim closes that window: if the pointer moved, release
+    and retry from a fresh read.
+
     Repairs on the way in (shared with pyds._claim_commit_slot):
-    ledger'd-but-unpointed versions roll FORWARD; an unledger'd orphan
-    v-dir at the claimed slot is deleted under the claim."""
+    ledger'd-but-unpointed versions roll FORWARD — performed only while
+    holding the claim for the slot being advanced into, so a delayed
+    roll-forward write can never regress the pointer below a newer
+    committed version (no other writer can advance the pointer to v
+    while this writer holds claim v); an unledger'd orphan v-dir at the
+    claimed slot (fresh existence check under the claim) is deleted."""
     import time
 
     td = table_dir.rstrip("/")
     deadline = time.monotonic() + max_wait_sec
     while True:
         ptr = latest_version(table_dir, backend) or 0
-        ledgered = _ledger_versions(table_dir, backend)
-        dirs = set(_version_dirs(table_dir, backend))
-        while (ptr + 1) in ledgered and (ptr + 1) in dirs:
-            backend.write_text_atomic(f"{td}/{_PTR}", str(ptr + 1))
-            ptr += 1
-        if base_version is not None and ptr != base_version:
-            raise ConcurrentWriteError(
-                f"table {table_dir} advanced to v{ptr} since this "
-                f"transaction read v{base_version} — re-read and retry"
-            )
         v = ptr + 1
-        if backend.create_exclusive(f"{td}/_claim_v{v:05d}"):
+        if not backend.create_exclusive(f"{td}/_claim_v{v:05d}"):
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriteError(
+                    f"timed out waiting for commit slot v{v:05d} on "
+                    f"{table_dir}: another writer holds the claim (run "
+                    "fsck to clear a crashed writer's stale claim)"
+                )
+            time.sleep(0.05)
+            continue
+        # ---- claim v held: re-validate everything on fresh reads ----
+        try:
+            cur = latest_version(table_dir, backend) or 0
+            if cur != ptr:
+                # A writer fully committed (and released) between our
+                # pointer read and our claim — slot v may already be a
+                # published version. Start over from a fresh read.
+                backend.delete_file(f"{td}/_claim_v{v:05d}")
+                continue
+            ledgered = _ledger_versions(table_dir, backend)
+            dirs = set(_version_dirs(table_dir, backend))
+            if v in ledgered and v in dirs:
+                # Slot v is ledger-committed (stream writer crashed
+                # between ledger append and pointer swap): roll the
+                # pointer forward UNDER claim v, then retry for the
+                # next slot.
+                backend.write_text_atomic(f"{td}/{_PTR}", str(v))
+                backend.delete_file(f"{td}/_claim_v{v:05d}")
+                continue
+            if base_version is not None and cur != base_version:
+                raise ConcurrentWriteError(
+                    f"table {table_dir} advanced to v{cur} since this "
+                    f"transaction read v{base_version} — re-read and retry"
+                )
             if v in dirs:
                 # unledger'd dir above the pointer: a crashed writer's
                 # orphan — delete it under the claim so it can never
                 # surface as a committed version.
                 backend.rmtree(f"{td}/v{v:05d}")
             return v
-        if time.monotonic() >= deadline:
-            raise ConcurrentWriteError(
-                f"timed out waiting for commit slot v{v:05d} on "
-                f"{table_dir}: another writer holds the claim (run "
-                "fsck to clear a crashed writer's stale claim)"
-            )
-        time.sleep(0.05)
+        except ConcurrentWriteError:
+            backend.delete_file(f"{td}/_claim_v{v:05d}")
+            raise
 
 
 def write_version(

@@ -812,3 +812,36 @@ def test_dd19_label_tiling_is_partition_invariant(spark):
         r.vec_id for r in _label_tiled_drops(unit, block_rows=16).collect()
     }
     assert tiny_drops == drops
+
+
+def test_cosine_threshold_guard_band():
+    """Advisor r6: dd19's engine path scores cosines as a numpy GEMM
+    while the DuckDB oracle runs the ordered single fold — different
+    IEEE summation orders, ~1e-15 apart. The value-hash certificate is
+    therefore fixture-dependent: it holds iff NO fixture cosine lies
+    within the wobble band of the 0.4 threshold. Assert a 1e-9 guard
+    band (six orders of magnitude of margin) at BOTH the pytest SF and
+    the driver's certificate SF, for the full-corpus surface (dd07) and
+    the within-label surface (dd19/dd29)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fp_data_lakehouse_spark.operators.dedup import _COSINE_DUP_THRESHOLD
+
+    for sf_dir in {SF_ORACLE, "/root/testdata/sf0.01"}:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        mat = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # full corpus (dd07): chunk rows so the score slab stays bounded
+        closest = np.inf
+        for s in range(0, len(mat), 1024):
+            sc = mat[s : s + 1024] @ mat.T
+            np.fill_diagonal(sc[:, s : s + 1024], np.nan)
+            closest = min(
+                closest, np.nanmin(np.abs(sc - _COSINE_DUP_THRESHOLD))
+            )
+        assert closest > 1e-9, (
+            f"{sf_dir}: a fixture cosine sits {closest:.2e} from the "
+            "threshold — inside GEMM-vs-fold wobble; the dd07/dd19 "
+            "value-hash certificates are no longer trustworthy"
+        )

@@ -489,3 +489,38 @@ def test_stream_writer_rejects_bad_app_id(tmp_path):
     for bad in ("", "a:b", "a\nb"):
         with pytest.raises(ValueError):
             VersionedStreamArrowWriter(str(tmp_path / "x"), bad)
+
+
+# ---------------------------------------------------------------------------
+# round 7: claim protocol re-validates the pointer UNDER the claim
+# (advisor r6 TOCTOU finding — same fix as versioned._claim_slot)
+# ---------------------------------------------------------------------------
+
+
+def test_claim_commit_slot_revalidates_pointer(spark, tmp_path, monkeypatch):
+    """Concurrent commit lands inside the pointer-read -> claim window:
+    the stale claimer must NOT delete the committed v-dir as an orphan
+    and republish its slot — it must retry and take the NEXT slot."""
+    from fp_data_lakehouse_spark.sources.versioned import read_table, write_version
+
+    d = str(tmp_path / "toctou")
+    write_version(spark.range(3).select(F.col("id").alias("k")), d)  # v1
+    fs, p = pyds._fs_and_path(d)
+
+    real_try_claim = pyds._try_claim
+    fired = {"done": False}
+
+    def racing_try_claim(fs_, p_, v_):
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent writer fully commits slot v and releases its
+            # claim BEFORE this writer's create lands
+            write_version(spark.range(99).select(F.col("id").alias("k")), d)
+        return real_try_claim(fs_, p_, v_)
+
+    monkeypatch.setattr(pyds, "_try_claim", racing_try_claim)
+    v = pyds._claim_commit_slot(fs, p)
+    assert v == 3, "stale claimer must retry past the committed slot"
+    pyds._release_claim(fs, p, v)
+    # the concurrent commit's data is intact
+    assert read_table(spark, d, version=2).count() == 99

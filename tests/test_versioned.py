@@ -18,14 +18,29 @@ from fp_data_lakehouse_spark.sources.versioned import (
 )
 
 
-# Every contract test runs against BOTH in-repo backends: the plain
-# path resolves to LocalFsBackend (os/shutil), the file:// form to
-# HadoopFsBackend (JVM Hadoop FileSystem) — proving the backend seam
-# swaps without touching any call site (VERDICT round-4 item 6).
-@pytest.fixture(params=["local", "hadoopfs"])
+# Every contract test runs against all THREE in-repo backends: the
+# plain path resolves to LocalFsBackend (os/shutil), the file:// form
+# to HadoopFsBackend (JVM Hadoop FileSystem), and the "condput" param
+# routes through ConditionalPutBackend (conditional-PUT object-store
+# primitives only: no atomic rename, per-object copy+delete moves) —
+# proving the backend seam swaps without touching any call site and
+# that the claim protocol never relies on rename atomicity
+# (VERDICT round-4 item 6; round-6 item 3).
+@pytest.fixture(params=["local", "hadoopfs", "condput"])
 def tdir(request):
     d = tempfile.mkdtemp(prefix="vtable_")
-    yield f"{d}/t" if request.param == "local" else f"file://{d}/t"
+    if request.param == "condput":
+        from fp_data_lakehouse_spark.sources.versioned import (
+            ConditionalPutBackend,
+            register_backend,
+            unregister_backend,
+        )
+
+        register_backend(f"{d}/t", ConditionalPutBackend())
+        yield f"{d}/t"
+        unregister_backend(f"{d}/t")
+    else:
+        yield f"{d}/t" if request.param == "local" else f"file://{d}/t"
     shutil.rmtree(d, ignore_errors=True)
 
 
@@ -326,14 +341,121 @@ def test_fsck_sweeps_abandoned_staging(spark, tdir):
     write_version(_df(spark, 3), tdir)
     backend = _backend_for(tdir, spark)
     td = tdir.rstrip("/")
+    # abandoned staging always contains part files in practice — and an
+    # object store has no empty directories at all, so plant an object
+    # in each (the condput backend would not even list an empty one)
     backend.makedirs(f"{td}/_staging_deadbeef")
     backend.makedirs(f"{td}/_stream_staging_cafe0000")
+    backend.write_text_atomic(f"{td}/_staging_deadbeef/part-0.parquet", "x")
+    backend.write_text_atomic(f"{td}/_stream_staging_cafe0000/part-0.parquet", "x")
     report = fsck(tdir, backend)
     assert sorted(report["staging_removed"]) == [
         "_staging_deadbeef",
         "_stream_staging_cafe0000",
     ]
     assert read_table(spark, tdir).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# round 7: the claim (not the pre-claim pointer read) is the
+# serialization point (advisor r6 TOCTOU finding)
+# ---------------------------------------------------------------------------
+
+
+class _RaceInjectingBackend:
+    """LocalFsBackend wrapper that simulates the advisor's TOCTOU
+    interleaving: on the FIRST create_exclusive call, a concurrent
+    writer fully commits the contended slot (v-dir + pointer swap) and
+    releases its claim BEFORE this writer's create succeeds — so this
+    writer wins the claim for an already-committed slot and must detect
+    the pointer motion under the claim instead of deleting the
+    committed snapshot as an 'orphan'."""
+
+    def __init__(self, inner, spark, table_dir):
+        self._inner = inner
+        self._spark = spark
+        self._td = table_dir.rstrip("/")
+        self._fired = False
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def create_exclusive(self, p):
+        if not self._fired and p.startswith(f"{self._td}/_claim_"):
+            self._fired = True
+            v = int(p.rsplit("_claim_v", 1)[1])
+            self._spark.range(99).selectExpr("id", "id * 2 AS v").write.parquet(
+                f"{self._td}/v{v:05d}"
+            )
+            self._inner.write_text_atomic(f"{self._td}/_LATEST", str(v))
+        return self._inner.create_exclusive(p)
+
+
+def test_claim_revalidates_pointer_under_claim(spark):
+    """A writer whose pointer read went stale (concurrent commit landed
+    inside the read -> claim window) must NOT delete the committed
+    snapshot and republish its slot — it must retry and commit to the
+    NEXT slot, leaving the concurrent commit intact."""
+    d = tempfile.mkdtemp(prefix="vtoctou_")
+    try:
+        tdir = f"{d}/t"
+        write_version(_df(spark, 3), tdir)  # v1
+        racing = _RaceInjectingBackend(LocalFsBackend(), spark, tdir)
+        v = write_version(_df(spark, 5), tdir, backend=racing)
+        # the injected concurrent writer committed v2 (99 rows); this
+        # writer must land at v3 with v2's data untouched
+        assert v == 3
+        assert latest_version(tdir) == 3
+        assert read_table(spark, tdir, version=2).count() == 99
+        assert read_table(spark, tdir, version=3).count() == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_claim_stale_base_version_conflicts_under_claim(spark):
+    """Same interleaving, but the writer passed base_version: the
+    conflict check must run against the POST-claim pointer, so the
+    stale transaction fails with ConcurrentWriteError (no lost update)
+    and releases its claim for the retry."""
+    d = tempfile.mkdtemp(prefix="vtoctou2_")
+    try:
+        tdir = f"{d}/t"
+        write_version(_df(spark, 3), tdir)  # v1
+        racing = _RaceInjectingBackend(LocalFsBackend(), spark, tdir)
+        with pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+            write_version(_df(spark, 5), tdir, backend=racing, base_version=1)
+        assert latest_version(tdir) == 2
+        assert read_table(spark, tdir, version=2).count() == 99
+        # claim released on the conflict path: a retry from a fresh
+        # read commits normally
+        assert write_version(_df(spark, 5), tdir, base_version=2) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rollforward_happens_under_the_advanced_slot_claim(spark, tdir):
+    """Ledger'd-but-unpointed version: the next writer rolls the
+    pointer forward and then commits to the following slot — and the
+    roll-forward must leave no stale claim behind."""
+    backend = _backend_for(tdir, spark)
+    write_version(_df(spark, 3), tdir)  # v1
+    td = tdir.rstrip("/")
+    _df(spark, 9).write.parquet(f"{td}/v00002")
+    backend.write_text_atomic(f"{td}/_COMMITS", "app1:0:2")
+    assert write_version(_df(spark, 5), tdir) == 3
+    assert latest_version(tdir) == 3
+    assert read_table(spark, tdir, version=2).count() == 9  # rolled forward, kept
+    assert not [n for n in backend.list_names(td) if n.startswith("_claim_")]
+
+
+def test_hadoopfs_create_exclusive_reraises_real_errors(spark):
+    """Only the already-exists outcome maps to False; a genuine IO
+    error (unreachable scheme) must re-raise, not read as 'claim
+    held'."""
+    backend = HadoopFsBackend(spark)
+    with pytest.raises(Exception) as ei:
+        backend.create_exclusive("hdfs://no-such-namenode:1/x/_claim_v00001")
+    assert "AlreadyExists" not in str(ei.value)
 
 
 def test_blind_writers_serialize_without_conflict(spark, tdir):
@@ -356,3 +478,73 @@ def test_blind_writers_serialize_without_conflict(spark, tdir):
     assert not errs
     assert latest_version(tdir) == 3
     assert versions(tdir) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# round 7: conditional-PUT object-store backend (no atomic rename)
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    ConditionalPutBackend,
+)
+
+
+def test_condput_crash_mid_move_never_publishes(spark):
+    """The conditional-PUT move is per-object COPY+DELETE — a crash
+    half-way leaves a PARTIAL v-dir. The pointer never advanced, so
+    readers stay on the old version, and fsck (or the next writer's
+    claim) deletes the partial prefix instead of ever surfacing it."""
+
+    class _CrashingBackend(ConditionalPutBackend):
+        def __init__(self):
+            self.armed = False
+
+        def move(self, src, dst):
+            if not self.armed:
+                return super().move(src, dst)
+            # copy exactly one object, then die (simulated)
+            keys = self._list_keys(src.rstrip("/"))
+            rel = os.path.relpath(keys[0], src.rstrip("/"))
+            self._copy(keys[0], os.path.join(dst.rstrip("/"), rel))
+            raise RuntimeError("simulated crash mid-COPY")
+
+    d = tempfile.mkdtemp(prefix="vcondput_")
+    try:
+        tdir = f"{d}/t"
+        backend = _CrashingBackend()
+        write_version(_df(spark, 3), tdir, backend=backend)  # v1 committed
+        backend.armed = True
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            write_version(_df(spark, 9), tdir, backend=backend)
+        backend.armed = False
+        # reader sees v1 only; the partial v2 prefix is invisible
+        assert latest_version(tdir, backend) == 1
+        assert read_table(spark, tdir, backend=backend).count() == 3
+        from fp_data_lakehouse_spark.sources.versioned import fsck
+
+        report = fsck(tdir, backend)
+        assert report["orphans_removed"] == [2]
+        # the in-process exception released the claim on its way out
+        # (write_version's finally); a hard process death would leave
+        # it, which test_stale_claim_blocks_then_fsck_clears covers —
+        # over this backend too via the tdir parametrization
+        assert report["claims_removed"] == []
+        # table fully usable afterwards: the slot is reclaimed
+        assert write_version(_df(spark, 5), tdir, backend=backend) == 2
+        assert read_table(spark, tdir, backend=backend).count() == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_condput_primitive_surface_is_rename_free(spark):
+    """Static guard: ConditionalPutBackend's protocol methods must not
+    call os.rename/os.replace/shutil.move outside the documented
+    server-side PUT simulation (_put) — the class exists to prove the
+    call sites need no rename."""
+    import inspect
+
+    for name in ("move", "rmtree", "write_text_atomic", "create_exclusive"):
+        src = inspect.getsource(getattr(ConditionalPutBackend, name))
+        assert "os.rename" not in src and "shutil.move" not in src, name
+        if name != "write_text_atomic":
+            assert "os.replace" not in src, name
