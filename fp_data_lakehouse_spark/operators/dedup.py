@@ -1557,8 +1557,123 @@ def _label_tiled_drops(unit: DataFrame, block_rows: int = _DD07_BLOCK_ROWS) -> D
 
 
 # ---------------------------------------------------------------------------
-# dd20: asymmetric containment pairs (sub-document duplication)
+# dd19b: production-shaped SemDeDup (k-means re-quantization, k ∝ N)
 # ---------------------------------------------------------------------------
+
+# Target expected cluster population: SemDeDup's production recipe
+# scales k WITH the corpus so per-cluster pairwise work stays constant
+# — the regime where the whole operator is linear in N (the round-6
+# third-decade sweep measured what happens when clusters grow instead:
+# exponent 1.98 before the GEMM fix).
+_DD19B_CLUSTER_POP = 64
+_DD19B_LLOYD_ROUNDS = 3
+# Centroid model broadcast guard: k*d doubles ship to every task via
+# closure. 2M doubles = 16 MB — the pr02-style explicit ceiling; above
+# it (k ∝ N at extreme corpus sizes) assignment must go through a
+# distributed centroid join / hierarchical quantizer instead, and this
+# operator raises rather than silently collecting gigabytes.
+_DD19B_MAX_MODEL_DOUBLES = 2_000_000
+
+
+def _gemm_assign(v: DataFrame, cents: "np.ndarray") -> DataFrame:
+    """Nearest-centroid assignment as one Arrow GEMM pass: squared
+    Euclidean argmin via |v|^2 - 2 v.C^T + |c|^2, ties to the lowest
+    centroid id (np.argmin picks the first). The centroid matrix rides
+    the task closure — model-scale, guarded by the caller."""
+    c = cents
+    c_norms = (c * c).sum(axis=1)
+
+    def _assign(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            sq = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c.T) + c_norms[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": sq.argmin(axis=1).astype("int64"),
+                }
+            )
+
+    return v.mapInPandas(_assign, "vec_id long, label long")
+
+
+@register("dd19b_semantic_dedup_kmeans")
+def dd19b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as actually deployed (Abbas et al. 2023): re-quantize
+    the corpus with k-means at ``k = N / 64`` (constant expected
+    cluster population) instead of trusting fixture labels, then drop
+    within-cluster near-dups exactly as dd19. This is the regime where
+    the operator is LINEAR in N — per-cluster pairwise work is bounded
+    by the population target, and the 1eq third-decade sweep point
+    (bench.py --sweep-docs, dd family) measures it where fixed-k dd19
+    measured 1.98 before the GEMM rework.
+
+    Pipeline: deterministic seeding (first k vec_ids), 3 bounded Lloyd
+    rounds — assignment is one Arrow GEMM map pass (no shuffle of the
+    corpus; centroids ride the closure under an explicit 16 MB model
+    guard), update is a JVM-side posexplode + groupBy(cid, dim) mean
+    (mergeable partials, no ordered-fold parity needed here) — then
+    ``_label_tiled_drops`` on the learned labels and one anti-join for
+    the keep set.
+
+    Rows-only driver check: k-means float argmin ties and per-round
+    mean drift defy a bit-exact SQL twin across 3 iterations; pytest
+    pins the SemDeDup postcondition instead (no surviving
+    within-cluster pair above the threshold, population ≈ target,
+    partition invariance), and dd19 remains the hash-exact certificate
+    of the drop kernel itself."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).localCheckpoint(eager=False)
+    n = v.count()  # 1-row control scalar: sizes k
+    k = max(1, n // _DD19B_CLUSTER_POP)
+    dim = len(v.select("vec").head()["vec"])
+    if k * dim > _DD19B_MAX_MODEL_DOUBLES:
+        raise ValueError(
+            f"k-means model k={k} x d={dim} exceeds the closure-broadcast "
+            "guard; route assignment through a distributed centroid join"
+        )
+    cents = np.vstack(
+        [
+            r["vec"]
+            for r in v.orderBy("vec_id").limit(k).select("vec").collect()
+        ]
+    ).astype(np.float64)  # deterministic seed: first k vec_ids (model-scale collect)
+    for _ in range(_DD19B_LLOYD_ROUNDS):
+        assign = _gemm_assign(v, cents)
+        upd = (
+            v.join(assign, "vec_id")
+            .select("label", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("label")
+            .agg(F.expr("array_sort(collect_list(struct(dim, m)))").alias("ms"))
+            .select("label", F.expr("transform(ms, s -> s.m)").alias("cvec"))
+            .collect()
+        )
+        new = cents.copy()  # dead centroids keep their position
+        for r in upd:
+            new[r["label"]] = np.asarray(r["cvec"], dtype=np.float64)
+        cents = new
+    labels = _gemm_assign(v, cents)
+    from .similarity import _NORM
+
+    # let-bound norm (the CollapseProject gotcha): transform over a
+    # 1-element array evaluates the fold ONCE, not per element
+    unit = (
+        v.join(labels, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "element_at(transform(array(vec),"
+                f" v -> transform(v, x -> x / {_NORM.format(v='v')})), 1)"
+            ).alias("vec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    drops = _label_tiled_drops(unit)
+    return unit.select("vec_id", "label").join(drops, "vec_id", "left_anti")
 
 # Containment |A ∩ B| / |A| >= 0.8 as an integer predicate.
 _CONT_NUM, _CONT_DEN = 4, 5

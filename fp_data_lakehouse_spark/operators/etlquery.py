@@ -603,3 +603,116 @@ def et07_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cents_maintained") == F.col("cents_full"))
         ).alias("consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# et08: S2 PDF byte->text decode, end to end (round-7 item 2)
+# ---------------------------------------------------------------------------
+
+_ET08_SQL = f"""
+WITH course AS (
+    SELECT o_custkey,
+           CAST(o_orderkey % 6 + 1 AS INT) AS sks,
+           {_SQL_GRADE} AS huruf
+    FROM orders
+), per_grade AS (
+    SELECT huruf,
+           COUNT(*) AS n_rows,
+           CAST(SUM(sks) AS BIGINT) AS sum_sks,
+           COUNT(DISTINCT o_custkey) AS n_students
+    FROM course GROUP BY huruf
+), census AS (
+    SELECT '_students' AS huruf,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey % 50 + 100) AS BIGINT) AS sum_sks,
+           COUNT(DISTINCT c_custkey) AS n_students
+    FROM customer
+)
+SELECT * FROM per_grade UNION ALL SELECT * FROM census
+"""
+
+
+# PDF fixture corpus memoized per (process, sf_dir) — the same pattern
+# as gr01/gr02's co-order edge artifact: synthesis is test-fixture
+# construction (production corpora arrive on storage already), so the
+# bench's min-of-2 measures the OPERATOR (scan -> decode -> extract),
+# paying the one-time build on the first pass only.
+_ET08_PDF_DIRS: dict[str, str] = {}
+
+
+def _et08_pdf_corpus(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..etl.pdf import write_pdf_corpus
+    from ..sources.sinks import alloc_scratch
+
+    cached = _ET08_PDF_DIRS.get(sf_dir)
+    if cached and os.path.exists(f"{cached}/_DONE"):
+        return cached
+    pdf_dir = alloc_scratch(spark, "et08") + "/pdfs"
+    n = write_pdf_corpus(synth_transcript_docs(spark, sf_dir), pdf_dir)
+    assert n > 0, "PDF synthesis wrote no files"
+    with open(f"{pdf_dir}/_DONE", "w") as f:
+        f.write(str(n))
+    _ET08_PDF_DIRS[sf_dir] = pdf_dir
+    return pdf_dir
+
+
+@register("et08_pdf_decode_pipeline", oracle=_ET08_SQL)
+def et08_pdf_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 on the hard signal, ALL the way from PDF bytes (reference
+    ``ETL_FINAL.py:137-145``: directory scan -> pdfplumber
+    page-concatenated flatten): synthesize one multi-page FlateDecode
+    transcript PDF per customer (``etl/pdf.py``, stdlib zlib writer),
+    write the files from the executors, scan them back with Spark's
+    ``binaryFile`` source, decode bytes -> text in an Arrow
+    mapInPandas kernel (stdlib inflate + Tj/TJ string extraction,
+    pdfplumber's flatten shape), and push the decoded text through the
+    certified T1-T11 regex layer. The rollup (per-grade course census
+    + a '_students' header-field census) is reconstructed by the
+    oracle directly from orders/customer — DuckDB never sees a PDF, so
+    a green row certifies the byte->text decode is LOSSLESS for the
+    transcript grammar: any dropped line, broken escape, or page-order
+    slip changes the census.
+
+    Scale: one file per document — the binaryFile scan parallelizes
+    per file and the decode kernel is pure per-batch CPU; the regex
+    layer and rollup are the et01/et02-certified plans. Real-world
+    multi-producer PDF corpora still route through a real PDF lib at
+    the multimodal/binaryops.py codec seam (etl/pdf.py docstring)."""
+    from ..etl.extract import extract_courses, extract_students, split_valid_invalid
+    from ..etl.pdf import decode_pdf_docs
+    from ..session import tune
+
+    tune(spark)  # caps the 10000-task distributed file-listing default
+    pdf_dir = _et08_pdf_corpus(spark, sf_dir)
+    binary = spark.read.format("binaryFile").load(f"{pdf_dir}/*.pdf")
+    # the decoded corpus feeds THREE consumers (reject gate, student
+    # and course extraction) — checkpoint so the 15k-file scan +
+    # inflate kernel runs once, not per branch (shared-subtree rule)
+    docs = (
+        decode_pdf_docs(binary)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    valid, invalid = split_valid_invalid(docs)
+    # the synthesized corpus is fully well-formed; a reject here means
+    # the decode mangled a header, which must fail loudly, not shrink
+    # the census silently
+    assert invalid.isEmpty(), "PDF decode corrupted at least one header"
+    students = extract_students(valid)
+    courses = extract_courses(valid)
+
+    per_grade = courses.groupBy(F.col("nilai").alias("huruf")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("sks").cast("bigint").alias("sum_sks"),
+        # doc_id is cust-{c_custkey}: one document per customer, so the
+        # distinct-document count IS the distinct-student count
+        F.countDistinct("doc_id").alias("n_students"),
+    )
+    census = students.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("sks_tempuh").cast("bigint").alias("sum_sks"),
+        F.countDistinct("nrp").alias("n_students"),
+    ).select(F.lit("_students").alias("huruf"), "n_rows", "sum_sks", "n_students")
+    return per_grade.unionByName(census)

@@ -51,77 +51,78 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 6: all 179 round-5 oracle-backed
-    # queries driver-green across r1-r5 (VERDICT r5 verified the union
-    # is exact). Round 6 front-loads (a) the three NEW certificates
-    # (vt06 fsck crash recovery, dd25 full banded-LSH pipeline, pr03
-    # bounded pagerank iteration), (b) every query whose implementation
-    # changed this round — the optimistic-concurrency claim protocol +
-    # fsck in sources/versioned.py behind vt01-vt05, the Python
-    # DataSource advisor fixes (app-scoped ledger, timestamp NTZ
-    # mapping, URI authority, staging scoping, orphan-slot reclaim)
-    # behind io08/io09/st06/st10, and the loud redelivery staging
-    # behind st05/st08 — then (c) rotates re-certification onto the
-    # oldest certificates: the ENTIRE remaining r1-vintage set (dd01,
-    # dd02, q16-q29 incl. the theta twin, q30-q37, tx01-tx08), whose
-    # newest driver rows predate round 2, plus the two oldest r2 rows.
-    "vt06_fsck_crash_recovery",
-    "dd25_lsh_banded_pipeline",
-    "pr03_pagerank_bounded_subgraph",
-    "dd26_simhash_signatures_exact",
-    "dd27_simhash_banded_pipeline",
-    "dd28_lsh_dedup_keep",
-    "sim10_int8_hyperplane_lsh",
-    "sim04_cosine_topk_ivf",  # oracle NEW in r6 (was rows-only)
-    "sim11_kmeans_train_exact",
-    "mm07_media_features_exact",
-    "sk10_portable_hll_state",
-    "sk11_sample_quantile_sketch",
-    "tx20_bpe_train_certified",
-    "dd29_int8_banded_neardup",
-    "tx21_bpe_tokenize_corpus",
-    "st11_stream_leftouter_interval_join",
-    "et07_incremental_join_view",
-    # changed in round 6 (third-decade scale rework) — re-certify
-    "dd18_edit_distance_pairs",
-    "dd19_semantic_dedup_keep",
-    # changed in round 6 — re-certify on the hard signal
+    # Cumulative record entering round 7: all 196 round-6 oracle-backed
+    # queries driver-green across r1-r6 (VERDICT r6 verified the union
+    # is exact). Round 7 front-loads (a) the two NEW certificates
+    # (et08 PDF byte->text decode pipeline closing S2 end-to-end, vt07
+    # conditional-PUT object-store backend lifecycle), (b) every query
+    # whose implementation changed this round — the TOCTOU fix making
+    # the claim (not the pre-claim pointer read) the serialization
+    # point in sources/versioned.py behind vt01-vt07, the same fix in
+    # sources/pyds.py behind io08/io09/st06/st10, and the Spark-side
+    # tile enumeration (sequence+explode, zero driver lists) behind
+    # dd07/dd19 — then (c) rotates re-certification onto the oldest
+    # names: the ENTIRE r1-vintage set (q33-q37, tx01-tx08) plus the
+    # 23 oldest r2-vintage rows (ag, dd10-14, ev01-ev16, mm03/mm04).
+    "et08_pdf_decode_pipeline",
+    "vt07_conditional_put_lifecycle",
+    # changed in round 7 (claim-protocol TOCTOU fix) — re-certify
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
     "vt03_time_travel_read",
     "vt04_retention_plan",
     "vt05_hadoopfs_backend_lifecycle",
+    "vt06_fsck_crash_recovery",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
-    "st05_stream_redelivery_dedup",
     "st06_python_stream_version_feed",
-    "st08_foreachbatch_exactly_once",
     "st10_python_stream_sink_versions",
+    # changed in round 7 (Spark-side tile enumeration) — re-certify
+    "dd07_embedding_neardup_pairs",
+    "dd19_semantic_dedup_keep",
     # rotation: the r1-vintage certificates (newest driver row = r1)
-    "dd01_exact_dup_groups",
-    "dd02_exact_dedup_keep",
-    "q16_customer_segment_binning",
-    "q17_balance_by_segment",
-    "q18_avg_discount_per_customer",
-    "q19_active_months_per_customer",
-    "q20_min_discount_per_customer",
-    "q21_order_detail_projection",
-    "q22_top10_order_value_jumps",
-    "q23_consistent_big_spenders",
-    "q24_avg_first_last_order_value",
-    "q25_count_customers_ending_small",
-    "q26_order_values_feed",
-    "q27_consecutive_order_pairs",
-    "q27_theta_selfjoin_pairs",
-    "q28_order_rank_within_month",
-    "q29_biggest_monthly_drop",
-    "q30_quantity_pivot_by_returnflag",
-    "q31_set_ops_rich_vs_active",
-    "q32_revenue_rollup",
-    # 50-row window ends here (17 new-certificate + 13 changed + 20
-    # r1-vintage); q33-q37, tx01-tx08 plus the r2-vintage families
-    # (ag, dd1x, ev, mm, q38+, sim, sk, sp) rotate in round 7;
-    # everything stays covered by tests/test_oracle_parity.py locally.
+    "q33_sql_above_average_balance",
+    "q34_balance_quartiles",
+    "q35_order_value_stats_by_status",
+    "q36_calendar_rollup",
+    "q37_revenue_cube",
+    "tx01_language_id",
+    "tx02_quality_scores",
+    "tx03_quality_filter",
+    "tx04_token_counts",
+    "tx05_corpus_token_budget",
+    "tx06_fingerprints",
+    "tx07_curation_pipeline",
+    "tx08_tfidf_top_terms",
+    # rotation: the 23 oldest r2-vintage certificates
+    "ag01_customer_spend_slope",
+    "ag02_event_value_outliers",
+    "dd10_ngram_jaccard_capped",
+    "dd11_cross_split_contamination",
+    "dd12_duplicated_segments",
+    "dd13_neardup_dedup_keep",
+    "dd14_latest_per_key",
+    "ev01_hourly_tumbling_counts",
+    "ev02_user_sessions",
+    "ev03_top_events_per_type_day",
+    "ev04_error_rate_by_user_bucket",
+    "ev05_purchase_click_attribution",
+    "ev06_session_windows",
+    "ev07_props_json_rollup",
+    "ev10_conversion_funnel",
+    "ev11_weekly_retention",
+    "ev12_interevent_gaps",
+    "ev13_hourly_anomaly_zscore",
+    "ev14_gapfill_locf",
+    "ev15_markov_transitions",
+    "ev16_time_to_conversion",
+    "mm03_frame_sample",
+    "mm04_audio_energy_windows",
+    # 50-row window ends here (2 new + 12 changed + 13 r1-vintage + 23
+    # r2-vintage); the remaining r2 rows (q38/q39, sim01/03/05,
+    # sk01/03/05, sp01-sp05, tx09-tx13) plus the r3 tranche rotate in
+    # round 8; everything stays covered by tests/test_oracle_parity.py
+    # locally on every pytest run.
 ]
 
 

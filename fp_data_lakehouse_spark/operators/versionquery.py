@@ -528,3 +528,108 @@ def vt06_fsck_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = read_table(spark, dir_a).withColumn("outcome", F.lit("rolled_back"))
     b = read_table(spark, dir_b).withColumn("outcome", F.lit("rolled_forward"))
     return a.unionByName(b).select("outcome", "o_custkey", "n_orders", "total_cents")
+
+
+# ---------------------------------------------------------------------------
+# vt07: conditional-PUT object-store backend lifecycle (round-7 item 3)
+# ---------------------------------------------------------------------------
+
+_VT07_SQL = f"""
+WITH v2 AS (
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+), v3 AS (
+    SELECT * FROM v2 WHERE n_orders >= {_DELETE_BELOW_ORDERS}
+)
+SELECT v2.o_custkey,
+       v2.n_orders AS n_orders_v2,
+       v2.total_cents AS total_cents_v2,
+       (v3.o_custkey IS NOT NULL) AS in_head
+FROM v2 LEFT JOIN v3 ON v2.o_custkey = v3.o_custkey
+"""
+
+
+@register("vt07_conditional_put_lifecycle", oracle=_VT07_SQL)
+def vt07_conditional_put_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table lifecycle with every metadata operation
+    constrained to conditional-PUT object-store primitives
+    (``ConditionalPutBackend``, sources/versioned.py): no atomic
+    rename exists anywhere on the path — the commit claim is a
+    conditional PUT, the pointer swap a plain whole-object PUT, and
+    snapshot publication a per-object COPY+DELETE loop. This is the
+    S3-shaped deployment SCALE.md argues ``_claim_slot`` maps onto,
+    exercised on the driver's hard signal.
+
+    The query additionally plants the backend's worst crash artifact —
+    a writer that died MID-COPY, leaving a partial v2 prefix and no
+    pointer motion — and proves it never surfaces: the pre-fsck read
+    still resolves v1, fsck deletes the partial prefix, and the
+    subsequent lifecycle (MERGE v2 full history, DELETE v3 small
+    customers, vacuum keep_last=2) commits into the reclaimed slots.
+    Returns the retained v2 image next to head survival per customer,
+    reconstructed relationally by the oracle.
+
+    Scale: metadata ops are O(#objects per snapshot) LIST/COPY/DELETE
+    calls — the same cost profile as a real S3 commit; data scans are
+    plain parquet. At 100 TB the per-object COPY loop is the one piece
+    a log-based format (Delta/Iceberg) removes by making the staged
+    files themselves the snapshot and committing only a manifest; the
+    claim/pointer protocol is unchanged there (SCALE.md round-7
+    note)."""
+    from ..sources.versioned import (
+        ConditionalPutBackend,
+        delete_from_version,
+        fsck,
+        latest_version,
+        merge_into_version,
+        read_table,
+        vacuum,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = alloc_scratch(spark, "vt07") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    backend = ConditionalPutBackend()
+
+    pre = _cust_totals(
+        orders.filter(F.col("o_orderdate") < F.lit(_SPLIT).cast("timestamp"))
+    )
+    write_version(pre, table_dir, backend=backend)  # v1 via COPY+DELETE publish
+
+    # crash artifact: a writer died mid-COPY publishing v2 — one object
+    # landed, no pointer motion, the claim marker still held
+    pre.limit(50).write.parquet(f"{table_dir}/_staging_crashed")
+    staged = [
+        k for k in backend._list_keys(f"{table_dir}/_staging_crashed")
+        if k.endswith(".parquet")
+    ]
+    backend._copy(staged[0], f"{table_dir}/v00002/{staged[0].rsplit('/', 1)[1]}")
+    backend.create_exclusive(f"{table_dir}/_claim_v00002")
+    assert latest_version(table_dir, backend) == 1  # partial prefix invisible
+    report = fsck(table_dir, backend)
+    assert report["orphans_removed"] == [2] and report["claims_removed"], report
+
+    v2 = merge_into_version(
+        spark, table_dir, _cust_totals(orders), keys=["o_custkey"], backend=backend
+    )
+    assert v2 == 2, f"fsck must have reclaimed slot 2, got v{v2}"
+    delete_from_version(spark, table_dir, F.col("n_orders") < _DELETE_BELOW_ORDERS, backend=backend)
+    dropped = vacuum(table_dir, keep_last=2, backend=backend)
+    assert dropped == [1], f"vacuum must expire exactly v1, got {dropped}"
+
+    as_of_v2 = read_table(spark, table_dir, version=v2, backend=backend)
+    head = read_table(spark, table_dir, backend=backend)
+    return (
+        as_of_v2.alias("v2")
+        .join(head.alias("h"), "o_custkey", "left")
+        .select(
+            "o_custkey",
+            F.col("v2.n_orders").alias("n_orders_v2"),
+            F.col("v2.total_cents").alias("total_cents_v2"),
+            F.col("h.n_orders").isNotNull().alias("in_head"),
+        )
+    )

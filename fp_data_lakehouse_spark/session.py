@@ -34,6 +34,13 @@ _RUNTIME_CONFS = {
     # reader rejects by default; read as long and normalize in the
     # catalog (sources/catalog.py) — value-lossless.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Distributed file-STATUS listing defaults to a 10000-task job once
+    # a source has >32 paths — for et08's 15k tiny PDFs that is two
+    # 10000-empty-task stages (~16 s of pure scheduling at sf0.1,
+    # measured r7) against milliseconds of actual listing. Cores-scaled
+    # parallelism keeps listing distributed (an object-store deployment
+    # still fans out) without the fixed-10000 scheduling tax.
+    "spark.sql.sources.parallelPartitionDiscovery.parallelism": "64",
 }
 
 

@@ -845,3 +845,50 @@ def test_cosine_threshold_guard_band():
             "threshold — inside GEMM-vs-fold wobble; the dd07/dd19 "
             "value-hash certificates are no longer trustworthy"
         )
+
+
+def test_dd19b_kmeans_semdedup_postcondition(spark):
+    """dd19b (production-shaped SemDeDup): the k-means re-quantization
+    must hit the constant-population regime (k = N/64), and the keep
+    set must satisfy the SemDeDup postcondition — NO surviving
+    within-cluster pair above the cosine threshold. Precision is exact
+    by construction (the tiled GEMM verifies true cosines); this pins
+    the approximation surface that has no SQL twin."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fp_data_lakehouse_spark.operators.dedup import (
+        _COSINE_DUP_THRESHOLD,
+        _DD19B_CLUSTER_POP,
+        dd19b_semantic_dedup_kmeans,
+    )
+
+    rows = dd19b_semantic_dedup_kmeans(spark, SF_ORACLE).collect()
+    emb = pq.read_table(f"{SF_ORACLE}/embeddings.parquet").to_pandas()
+    n = len(emb)
+    by_label: dict[int, list[int]] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.vec_id)
+    # k ∝ N: every learned label is a valid centroid index, and the
+    # mean surviving population sits near the target
+    assert max(by_label) < max(1, n // _DD19B_CLUSTER_POP)
+    mean_pop = len(rows) / len(by_label)
+    assert 0.25 * _DD19B_CLUSTER_POP <= mean_pop <= 4 * _DD19B_CLUSTER_POP
+    vecs = emb.set_index("vec_id")["embedding"]
+    viol = 0
+    for ids in by_label.values():
+        if len(ids) < 2:
+            continue
+        m = np.vstack(vecs.loc[sorted(ids)].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sc = m @ m.T
+        np.fill_diagonal(sc, 0.0)
+        viol += int((sc > _COSINE_DUP_THRESHOLD).sum())
+    assert viol == 0, f"{viol} surviving within-cluster near-dup pairs"
+    # determinism / partition invariance: a re-run over a differently
+    # partitioned input produces the identical keep set
+    again = {
+        (r.vec_id, r.label)
+        for r in dd19b_semantic_dedup_kmeans(spark, SF_ORACLE).collect()
+    }
+    assert again == {(r.vec_id, r.label) for r in rows}

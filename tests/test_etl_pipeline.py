@@ -197,3 +197,84 @@ def test_ipk_final_term_is_weighted_gpa(star):
     )
     joined = last.join(total, "id_mahasiswa")
     assert joined.filter(F.abs(F.col("ipk") - F.col("gpa")) > 1e-9).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 7: S2 PDF byte->text decode (etl/pdf.py)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from fp_data_lakehouse_spark.etl.pdf import (  # noqa: E402
+    build_pdf,
+    extract_pdf_text,
+    paginate,
+)
+
+
+def test_pdf_roundtrip_fixture_corpus():
+    """decode(encode(text)) == text for every deterministic transcript
+    fixture document — the lossless property et08's certificate rides
+    on, including multi-page pagination and the TJ/Tj alternation."""
+    for doc_id, text in make_documents():
+        assert extract_pdf_text(build_pdf(paginate(text))) == text, doc_id
+    # multi-page shape: force tiny pages
+    long = "\n".join(f"line {i} (with) \\escapes" for i in range(57))
+    assert extract_pdf_text(build_pdf(paginate(long, lines_per_page=5))) == long
+
+
+def test_pdf_payload_ending_in_carriage_return():
+    """Regression: a FlateDecode payload whose last byte is 0x0D was
+    truncated by the old endstream-scanning decoder ('\\r?\\nendstream'
+    ate the payload byte) — 8/1500 sf0.01 docs hit it. The /Length
+    slice must be exact."""
+    text = "line one 99\nline two 99"  # compresses to ...0x0D (pinned)
+    from fp_data_lakehouse_spark.etl.pdf import _content_stream
+
+    assert _content_stream(text, False).endswith(b"\r"), "fixture drifted"
+    assert extract_pdf_text(build_pdf([text])) == text
+
+
+def test_pdf_lengthless_stream_fallback():
+    """A producer that omits /Length still decodes via the endstream
+    scan (trimming only the writer's own EOL)."""
+    import re
+
+    pdf = build_pdf(["alpha\nbeta"])
+    stripped = re.sub(rb"/Length \d+ ", b"", pdf)
+    assert b"/Length" not in stripped
+    assert extract_pdf_text(stripped) == "alpha\nbeta"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=40,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_pdf_roundtrip_property(lines):
+    """Any printable-ASCII multi-line text survives encode->decode —
+    parens, backslashes, empty lines and all."""
+    text = "\n".join(lines)
+    assert extract_pdf_text(build_pdf(paginate(text, lines_per_page=4))) == text
+
+
+def test_pdf_corpus_write_scan_decode(spark, tmp_path):
+    """The distributed path: executor-side PDF writes -> binaryFile
+    scan -> mapInPandas decode recovers every document byte-for-byte
+    with doc_id keyed by file stem."""
+    from fp_data_lakehouse_spark.etl.pdf import decode_pdf_docs, write_pdf_corpus
+
+    docs = make_documents()
+    df = spark.createDataFrame(docs, "doc_id STRING, text STRING")
+    out = str(tmp_path / "pdfs")
+    assert write_pdf_corpus(df, out) == len(docs)
+    binary = spark.read.format("binaryFile").load(f"{out}/*.pdf")
+    got = {r.doc_id: r.text for r in decode_pdf_docs(binary).collect()}
+    assert got == dict(docs)
