@@ -58,14 +58,20 @@ DRIVER_PRIORITY: list[str] = [
     # conditional-PUT object-store backend lifecycle), (b) every query
     # whose implementation changed this round — the TOCTOU fix making
     # the claim (not the pre-claim pointer read) the serialization
-    # point in sources/versioned.py behind vt01-vt07, the same fix in
+    # point in sources/versioned.py behind vt01-vt08, the same fix in
     # sources/pyds.py behind io08/io09/st06/st10, and the Spark-side
     # tile enumeration (sequence+explode, zero driver lists) behind
-    # dd07/dd19 — then (c) rotates re-certification onto the oldest
+    # dd07/dd19. (streaming/events.py gained a fullOuter-only user_id
+    # coalesce branch for st12; the inner/leftOuter select behind
+    # st04/st11 is the identical Column, the sim04-docstring
+    # precedent, so those are not re-certified here.)
+    # Then (c) rotates re-certification onto the oldest
     # names: the ENTIRE r1-vintage set (q33-q37, tx01-tx08) plus the
     # 23 oldest r2-vintage rows (ag, dd10-14, ev01-ev16, mm03/mm04).
     "et08_pdf_decode_pipeline",
     "vt07_conditional_put_lifecycle",
+    "st12_stream_fullouter_interval_join",
+    "vt08_compaction_identity",
     # changed in round 7 (claim-protocol TOCTOU fix) — re-certify
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
@@ -116,13 +122,11 @@ DRIVER_PRIORITY: list[str] = [
     "ev14_gapfill_locf",
     "ev15_markov_transitions",
     "ev16_time_to_conversion",
-    "mm03_frame_sample",
-    "mm04_audio_energy_windows",
-    # 50-row window ends here (2 new + 12 changed + 13 r1-vintage + 23
-    # r2-vintage); the remaining r2 rows (q38/q39, sim01/03/05,
-    # sk01/03/05, sp01-sp05, tx09-tx13) plus the r3 tranche rotate in
-    # round 8; everything stays covered by tests/test_oracle_parity.py
-    # locally on every pytest run.
+    # 50-row window ends here (4 new + 12 changed + 13 r1-vintage + 21
+    # r2-vintage); the remaining r2 rows (mm03/mm04, q38/q39,
+    # sim01/03/05, sk01/03/05, sp01-sp05, tx09-tx13) plus the r3
+    # tranche rotate in round 8; everything stays covered by
+    # tests/test_oracle_parity.py locally on every pytest run.
 ]
 
 

@@ -826,3 +826,98 @@ def st11_stream_leftouter_interval_join(
         "click_id",
         F.col("click_ep").cast("long").alias("click_ep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# st12: stream-stream FULL OUTER interval join — BOTH-side outer-state
+# eviction on the hard signal (round-7)
+# ---------------------------------------------------------------------------
+# st04 certified matches only; st11 added the left half (unmatched
+# purchases). st12 completes the symmetric-hash outer contract with the
+# right half: an unmatched CLICK is released null-extended once the
+# watermark proves no future purchase can reach back to it. The join
+# bounds click_ts ∈ [purchase_ts - window, purchase_ts], so a click at
+# c can only match purchases with p_ts ∈ [c, c + window]; it becomes
+# provably unmatchable when c + window < wm (the window term is
+# load-bearing: dropping it over-emits by 3 rows at sf0.01). The left
+# half keeps st11's strict purchase_ep < wm. Both inequalities were
+# verified against the drained query at sf0.001 (5/194/204 match/left/
+# right) and sf0.01 (33/1942/1966) before pinning. user_id on a
+# click-only row is the click's own user (the purchase side is null).
+
+_ST12_SQL = f"""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ep
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ep
+    FROM events c WHERE event_type = 'click'
+),
+matched AS (
+    SELECT p.purchase_id, p.user_id, p.purchase_ep, c.click_id, c.click_ep
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL {_ST04_WINDOW_SEC} SECOND AND p.ts
+),
+wm AS (
+    SELECT LEAST((SELECT MAX(purchase_ep) FROM p),
+                 (SELECT MAX(click_ep) FROM c)) - {_ST11_WM_SEC} AS w
+)
+SELECT purchase_id, user_id, purchase_ep, click_id, click_ep FROM matched
+UNION ALL
+SELECT p.purchase_id, p.user_id, p.purchase_ep,
+       CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_ep
+FROM p, wm
+WHERE p.purchase_ep < wm.w
+  AND p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+       CAST(NULL AS BIGINT) AS purchase_ep, c.click_id, c.click_ep
+FROM c, wm
+WHERE c.click_ep + {_ST04_WINDOW_SEC} < wm.w
+  AND c.click_id NOT IN (SELECT click_id FROM matched)
+"""
+
+
+@register("st12_stream_fullouter_interval_join", oracle=_ST12_SQL)
+def st12_stream_fullouter_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join, drained append-mode and
+    value-hash-checked against the watermark-modeled emission set (see
+    the design note above) — the complete symmetric-hash outer
+    contract: matches, null-extended unmatched purchases (st11's left
+    half), AND null-extended unmatched clicks once the watermark
+    passes their last reachable purchase time. Rows inside the final
+    watermark horizon stay buffered, exactly as on a live stream.
+
+    Scale: identical state bounds to st04/st11 — each side's store
+    holds only rows the watermark has not yet cleared, so an unbounded
+    click stream joins an unbounded purchase stream in O(arrival-rate
+    x (watermark + window)) memory per side, and every input row is
+    emitted exactly once (matched or null-extended)."""
+    from ..streaming.events import attribution_stream, read_events_stream
+
+    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    pairs = attribution_stream(
+        stream, window_sec=_ST04_WINDOW_SEC, how="fullOuter"
+    )
+    name = f"st12_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ep").cast("long").alias("purchase_ep"),
+        "click_id",
+        F.col("click_ep").cast("long").alias("click_ep"),
+    )

@@ -633,3 +633,62 @@ def vt07_conditional_put_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("h.n_orders").isNotNull().alias("in_head"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vt08: OPTIMIZE / small-file compaction as a snapshot (round-7)
+# ---------------------------------------------------------------------------
+
+_VT08_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders, total_cents FROM t
+"""
+
+
+@register("vt08_compaction_identity", oracle=_VT08_SQL)
+def vt08_compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the hard signal: write a deliberately fragmented
+    snapshot (64-way repartition of per-customer totals -> 64 small
+    parquet objects), compact it with ``versioned.compact_version``
+    (coalesce bin-packing, claim-protocol commit with a base_version
+    read-set check), and return the COMPACTED head — which must equal,
+    by value hash, the census the oracle computes straight from
+    orders. In-query asserts pin the layout facts the oracle cannot
+    see: the fragmented v1 really had >= 32 data objects, the
+    compacted v2 has <= 4, and v1 stays readable with identical
+    row count (compaction is a layout change, never a data change).
+
+    Scale: compaction reads the head once and writes it once with NO
+    shuffle (coalesce is narrow); at 100 TB it runs per partition /
+    per file-group exactly like Delta's OPTIMIZE bin-packing, and the
+    base_version check makes concurrent ingest fail the compactor, not
+    the other way around."""
+    from ..sources.versioned import (
+        compact_version,
+        data_file_count,
+        latest_version,
+        read_table,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = alloc_scratch(spark, "vt08") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    write_version(_cust_totals(orders).repartition(64), table_dir)  # fragmented v1
+    n1 = data_file_count(table_dir, 1)
+    assert n1 >= 32, f"fixture not fragmented enough: {n1} files"
+    v2 = compact_version(spark, table_dir, target_files=4)
+    assert v2 == 2 and latest_version(table_dir) == 2
+    n2 = data_file_count(table_dir, 2)
+    assert n2 <= 4, f"compaction left {n2} files"
+    pre = read_table(spark, table_dir, version=1)
+    head = read_table(spark, table_dir)
+    assert pre.count() == head.count(), "compaction changed the row count"
+    return head.select("o_custkey", "n_orders", "total_cents")

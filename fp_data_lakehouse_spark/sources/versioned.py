@@ -675,6 +675,42 @@ def change_feed(
     )
 
 
+def compact_version(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int,
+    backend=None,
+) -> int:
+    """OPTIMIZE (bin-packing compaction) as a new snapshot: rewrite the
+    head version's data into ``target_files`` files — same rows, fewer
+    objects — published through the ordinary claim-protocol commit with
+    a ``base_version`` read-set check, so a concurrent writer landing
+    mid-compaction fails THIS compaction loudly instead of having its
+    rows silently rewritten away (Delta's OPTIMIZE conflict rule).
+
+    ``coalesce`` (narrow, no shuffle) does the bin-packing; sort-based
+    clustering on top of compaction is the z-order layout operator
+    (operators/layout.py ly01) applied before the write. The old
+    fragmented snapshot stays readable until vacuumed — compaction is
+    a layout change, never a data change, which the vt08 certificate
+    checks by value."""
+    backend = backend or _backend_for(table_dir, spark)
+    base = latest_version(table_dir, backend)
+    if base is None:
+        raise FileNotFoundError(f"no committed version to compact in {table_dir}")
+    prev = read_table(spark, table_dir, base, backend=backend)
+    return write_version(
+        prev.coalesce(max(1, target_files)), table_dir, backend, base_version=base
+    )
+
+
+def data_file_count(table_dir: str, version: int, backend=None) -> int:
+    """Number of data objects in a snapshot (metadata-sized LIST)."""
+    backend = backend or _backend_for(table_dir)
+    vdir = f"{table_dir.rstrip('/')}/v{version:05d}"
+    return sum(1 for n in backend.list_names(vdir) if n.endswith(".parquet"))
+
+
 def vacuum(table_dir: str, keep_last: int = 2, backend=None) -> list[int]:
     """Drop all but the newest ``keep_last`` committed snapshots (plus
     any orphan newer-than-committed directory from a failed write).

@@ -151,6 +151,15 @@ def attribution_stream(
         )
         .withWatermark("c_ts", watermark)
     )
+    # fullOuter emits click-side null-extensions whose purchase-side
+    # user_id is null — coalesce to the click's own user there. The
+    # inner/leftOuter select is unchanged (every emitted row carries
+    # the purchase-side user_id), so st04/st11 plans are untouched.
+    user = (
+        F.coalesce("user_id", "c_user_id")
+        if how in ("fullOuter", "full_outer", "outer", "full")
+        else F.col("user_id")
+    )
     return purchases.join(
         clicks,
         (F.col("user_id") == F.col("c_user_id"))
@@ -159,7 +168,7 @@ def attribution_stream(
         how,
     ).select(
         "purchase_id",
-        "user_id",
+        user.alias("user_id"),
         F.unix_timestamp("p_ts").alias("purchase_ep"),
         "click_id",
         F.unix_timestamp("c_ts").alias("click_ep"),

@@ -548,3 +548,47 @@ def test_condput_primitive_surface_is_rename_free(spark):
         assert "os.rename" not in src and "shutil.move" not in src, name
         if name != "write_text_atomic":
             assert "os.replace" not in src, name
+
+
+# ---------------------------------------------------------------------------
+# round 7: OPTIMIZE / compaction as a snapshot
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    compact_version,
+    data_file_count,
+)
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tdir):
+    """compact_version rewrites the head into fewer files as a NEW
+    version: identical rows, old version still readable, file count
+    down — over all three backends."""
+    df = spark.range(500).selectExpr("id", "id * 3 AS v").repartition(16)
+    write_version(df, tdir)
+    assert data_file_count(tdir, 1) >= 8
+    v2 = compact_version(spark, tdir, target_files=2)
+    assert v2 == 2
+    assert data_file_count(tdir, 2) <= 2
+    got1 = {(r.id, r.v) for r in read_table(spark, tdir, version=1).collect()}
+    got2 = {(r.id, r.v) for r in read_table(spark, tdir).collect()}
+    assert got1 == got2 and len(got2) == 500
+
+
+def test_compaction_conflicts_with_concurrent_commit(spark):
+    """A writer that commits between the compactor's read and its
+    publish must fail the COMPACTOR (base_version conflict), never
+    lose the concurrent rows."""
+    d = tempfile.mkdtemp(prefix="vcompact_")
+    try:
+        tdir = f"{d}/t"
+        write_version(_df(spark, 100).repartition(8), tdir)
+        racing = _RaceInjectingBackend(LocalFsBackend(), spark, tdir)
+        with pytest.raises(ConcurrentWriteError):
+            compact_version(spark, tdir, target_files=1, backend=racing)
+        # the concurrent commit survived; compaction retry works
+        assert latest_version(tdir) == 2
+        assert read_table(spark, tdir).count() == 99  # the racer's data
+        assert compact_version(spark, tdir, target_files=1) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
