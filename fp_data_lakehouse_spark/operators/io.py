@@ -559,3 +559,71 @@ def io10_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.count(F.when(F.col("missing").isNull(), 1)).cast("long").alias("n_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# io11: built-in XML round-trip with nested rows (Spark 4 native XML)
+# ---------------------------------------------------------------------------
+
+_IO11_SQL = """
+WITH nested AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n.n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(n.cents) AS BIGINT) AS sum_cents
+FROM customer c JOIN nested n ON c.c_custkey = n.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("io11_xml_roundtrip_nested", oracle=_IO11_SQL)
+def io11_xml_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order summaries -> XML (Spark 4's built-in XML
+    datasource, one <cust> element per row with a nested struct) ->
+    read back with the EXPLICIT schema -> per-segment rollup matching
+    the oracle computed from the parquet originals. Certifies the XML
+    edge end to end: element/attribute encoding of strings and
+    decimals-as-doubles (exact integer-cents comparison on the re-read
+    values), nested struct fidelity, and schema-first reads (never
+    inference).
+
+    Scale: same shape as io01/io02 — one shuffle-free write pass, one
+    scan, one aggregate; XML is an ingestion/interchange edge (feeds,
+    legacy exports), never warehouse storage."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    nested = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.struct("n_orders", "cents").alias("totals"),
+        )
+    )
+    path = alloc_scratch(spark, "io11_xml") + "/cust_xml"
+    nested.write.mode("overwrite").format("xml").option("rowTag", "cust").save(path)
+    back = (
+        spark.read.schema(nested.schema)
+        .format("xml")
+        .option("rowTag", "cust")
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("totals.n_orders").cast("long").alias("n_orders"),
+        F.sum("totals.cents").cast("long").alias("sum_cents"),
+    )

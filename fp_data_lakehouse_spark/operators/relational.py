@@ -1672,3 +1672,46 @@ def q41_nation_customer_supplier_census(spark: SparkSession, sf_dir: str) -> Dat
         n_supp.alias("n_suppliers"),
         (n_cust - n_supp).alias("customer_surplus"),
     )
+
+
+@register(
+    "q43_recursive_ancestor_paths",
+    oracle="""
+    WITH RECURSIVE anc(c_custkey, ancestor, depth) AS (
+        SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+        UNION ALL
+        SELECT c_custkey, ancestor // 2, depth + 1 FROM anc WHERE ancestor > 1
+    )
+    SELECT c_custkey, ancestor, depth,
+           CAST(ancestor = 1 AS BOOLEAN) AS is_root
+    FROM anc
+    """,
+)
+def q43_recursive_ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (Spark 4) through the SQL entry path:
+    every customer's full ancestor chain in the implicit binary-heap
+    hierarchy parent(k) = k div 2 — one row per (customer, ancestor)
+    with the hop depth, down to the root. The recursion is genuinely
+    unrolled by the engine's UnionLoop (not a window or a driver
+    loop), and DuckDB runs the identical recursive CTE, so the hash
+    certifies termination, per-round integer arithmetic, and the
+    column-list binding of the recursive relation.
+
+    Scale: depth is log2(max key) (~21 at a billion keys), each round
+    is one filter + projection over the frontier (no joins, no
+    shuffle growth), output is N x depth rows — the benign recursion
+    shape; cyclic or exponential recursions are where dd09's bounded
+    driver loop with explicit convergence counting remains the
+    production pattern."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(c_custkey, ancestor, depth) AS (
+            SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM v_customer_rec
+            UNION ALL
+            SELECT c_custkey, ancestor DIV 2, depth + 1 FROM anc WHERE ancestor > 1
+        )
+        SELECT c_custkey, ancestor, depth, (ancestor = 1) AS is_root
+        FROM anc
+        """
+    )
