@@ -315,15 +315,22 @@ class ConditionalPutBackend:
         os.makedirs(os.path.dirname(dst_key), exist_ok=True)
         shutil.copyfile(src_key, dst_key)
 
+    def _list_children(self, d: str) -> list[str]:
+        """LIST with delimiter '/': immediate objects + common prefixes
+        under ``d/`` — the one-call form every real store provides
+        (S3 ListObjectsV2 delimiter='/', GCS delimiter, ABFS list).
+        One metadata call regardless of how many objects live below,
+        so pointer/claim operations never pay O(total snapshot
+        objects) the way a recursive walk would."""
+        try:
+            return os.listdir(d)
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
     # --- the VersionedBackend protocol, in store primitives only ---
 
     def list_names(self, d: str) -> list[str]:
-        # LIST with delimiter '/': common prefixes + objects under d/
-        d = d.rstrip("/")
-        names = set()
-        for key in self._list_keys(d):
-            names.add(os.path.relpath(key, d).split(os.sep, 1)[0])
-        return sorted(names)
+        return sorted(self._list_children(d.rstrip("/")))
 
     def makedirs(self, d: str) -> None:
         # object stores have no directories; the local data plane
