@@ -268,11 +268,16 @@ def sweep_docs() -> None:
 
     import threading
 
+    import re as _re
+
     spark = get_session("fp-lakehouse-sweep-docs")
+    # family = leading alpha run, so variant names (dd19b) stay in
+    # their family for the sweep (r7: the rstrip-digits rule silently
+    # dropped dd19b from the corpus-bound subset)
     subset = {
         n: spec
         for n, spec in REGISTRY.items()
-        if n.split("_", 1)[0].rstrip("0123456789") in ("dd", "sim", "tx", "mm")
+        if _re.match(r"[a-z]+", n).group(0) in ("dd", "sim", "tx", "mm")
     }
     sf1eq = _build_docs10x(spark)
     # (label, sf_dir, passes, per-query wall cap). The 10x point runs
