@@ -1371,3 +1371,74 @@ def ev27_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev28: session windows with a DYNAMIC (per-event) gap
+# ---------------------------------------------------------------------------
+
+# Purchases hold a session open 30 minutes, everything else 10 — the
+# "high-intent events extend the session" policy real funnels use.
+_EV28_GAP_PURCHASE_US = 30 * 60 * 1_000_000
+_EV28_GAP_OTHER_US = 10 * 60 * 1_000_000
+
+_EV28_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN event_type = 'purchase'
+                THEN {_EV28_GAP_PURCHASE_US} ELSE {_EV28_GAP_OTHER_US} END AS gap_us
+    FROM events
+),
+m AS (
+    SELECT *,
+           MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM e
+),
+f AS (
+    SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS is_new
+    FROM m
+),
+s AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM f
+)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS session_start_us,
+       CAST(MAX(us + gap_us) AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@register("ev28_dynamic_gap_sessions", oracle=_EV28_SQL)
+def ev28_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose gap is a PER-EVENT expression
+    (F.session_window with a Column gap — purchases hold the session
+    open 30 min, everything else 10): the dynamic-gap half of the
+    built-in operator ev27 certified with a static gap. The oracle
+    generalizes the gaps-and-islands closed form from LAG to a running
+    MAX of per-event window ends (a constant gap makes prev-event end
+    the max; a dynamic one does not), pinning Spark's merge rule —
+    windows merge while event_start < session_end, session_end =
+    MAX(event_ts + its own gap).
+
+    Plan shape: identical to ev27 — one exchange on user_id plus the
+    in-partition merge; the dynamic gap is evaluated per row before
+    the merge, so cost does not change with the gap policy."""
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

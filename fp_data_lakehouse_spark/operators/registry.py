@@ -74,6 +74,8 @@ DRIVER_PRIORITY: list[str] = [
     "vt08_compaction_identity",
     "io11_xml_roundtrip_nested",
     "q43_recursive_ancestor_paths",
+    "ev28_dynamic_gap_sessions",
+    "q44_lateral_top_orders",
     # changed in round 7 (claim-protocol TOCTOU fix) — re-certify
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
@@ -120,10 +122,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev10_conversion_funnel",
     "ev11_weekly_retention",
     "ev12_interevent_gaps",
-    "ev13_hourly_anomaly_zscore",
-    "ev14_gapfill_locf",
-    # 50-row window ends here (6 new + 12 changed + 13 r1-vintage + 19
-    # r2-vintage); the remaining r2 rows (ev15/ev16, mm03/mm04,
+    # 50-row window ends here (8 new + 12 changed + 13 r1-vintage + 17
+    # r2-vintage); the remaining r2 rows (ev13-ev16, mm03/mm04,
     # q38/q39, sim01/03/05, sk01/03/05, sp01-sp05, tx09-tx13) plus the
     # r3 tranche rotate in round 8; everything stays covered by
     # tests/test_oracle_parity.py locally on every pytest run.

@@ -1715,3 +1715,48 @@ def q43_recursive_ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc
         """
     )
+
+
+@register(
+    "q44_lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.cents
+    FROM customer c, LATERAL (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY cents DESC, o_orderkey ASC
+        LIMIT 2
+    ) t
+    """,
+)
+def q44_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders
+    per customer) through the SQL entry path — the per-row-subquery
+    surface Catalyst decorrelates into a ranked join rather than
+    executing N point queries (the reference's N+1 get_or_create
+    pattern is exactly what this operator exists to replace). DuckDB
+    runs the identical LATERAL text, so the hash certifies the
+    decorrelation is semantics-preserving, including the deterministic
+    (cents DESC, orderkey ASC) tie-break and the inner-lateral drop of
+    customers without orders.
+
+    Scale: Catalyst rewrites to window-rank-over-join — one shuffle on
+    the correlation key, never a driver loop; at 100 TB this is the
+    same plan as a groupBy top-k."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM v_cust_lat c, LATERAL (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM v_ord_lat
+            WHERE o_custkey = c.c_custkey
+            ORDER BY cents DESC, o_orderkey ASC
+            LIMIT 2
+        ) t
+        """
+    )
