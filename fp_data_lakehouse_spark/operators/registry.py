@@ -53,9 +53,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 DRIVER_PRIORITY: list[str] = [
     # Cumulative record entering round 7: all 196 round-6 oracle-backed
     # queries driver-green across r1-r6 (VERDICT r6 verified the union
-    # is exact). Round 7 front-loads (a) the two NEW certificates
-    # (et08 PDF byte->text decode pipeline closing S2 end-to-end, vt07
-    # conditional-PUT object-store backend lifecycle), (b) every query
+    # is exact). Round 7 front-loads (a) the NINE new certificates
+    # (et08 PDF byte->text decode closing S2 end-to-end, vt07
+    # conditional-PUT backend lifecycle, st12 full-outer interval
+    # join, vt08 compaction, io11 XML round-trip, q43 recursive CTE,
+    # ev28 dynamic-gap sessions, q44 LATERAL top-n, st13 streaming
+    # dynamic-gap sessions), (b) every query
     # whose implementation changed this round — the TOCTOU fix making
     # the claim (not the pre-claim pointer read) the serialization
     # point in sources/versioned.py behind vt01-vt08, the same fix in
@@ -67,7 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     # precedent, so those are not re-certified here.)
     # Then (c) rotates re-certification onto the oldest
     # names: the ENTIRE r1-vintage set (q33-q37, tx01-tx08) plus the
-    # 23 oldest r2-vintage rows (ag, dd10-14, ev01-ev16, mm03/mm04).
+    # 16 oldest r2-vintage rows (ag, dd10-14, ev01-ev11).
     "et08_pdf_decode_pipeline",
     "vt07_conditional_put_lifecycle",
     "st12_stream_fullouter_interval_join",
@@ -76,6 +79,7 @@ DRIVER_PRIORITY: list[str] = [
     "q43_recursive_ancestor_paths",
     "ev28_dynamic_gap_sessions",
     "q44_lateral_top_orders",
+    "st13_stream_dynamic_gap_sessions",
     # changed in round 7 (claim-protocol TOCTOU fix) — re-certify
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
@@ -121,9 +125,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev07_props_json_rollup",
     "ev10_conversion_funnel",
     "ev11_weekly_retention",
-    "ev12_interevent_gaps",
-    # 50-row window ends here (8 new + 12 changed + 13 r1-vintage + 17
-    # r2-vintage); the remaining r2 rows (ev13-ev16, mm03/mm04,
+    # 50-row window ends here (9 new + 12 changed + 13 r1-vintage + 16
+    # r2-vintage); the remaining r2 rows (ev12-ev16, mm03/mm04,
     # q38/q39, sim01/03/05, sk01/03/05, sp01-sp05, tx09-tx13) plus the
     # r3 tranche rotate in round 8; everything stays covered by
     # tests/test_oracle_parity.py locally on every pytest run.

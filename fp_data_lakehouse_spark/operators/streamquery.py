@@ -921,3 +921,91 @@ def st12_stream_fullouter_interval_join(
         "click_id",
         F.col("click_ep").cast("long").alias("click_ep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# st13: NATIVE session windows (dynamic gap) under a streaming drain
+# ---------------------------------------------------------------------------
+# st07 certified CUSTOM stateful sessionization (applyInPandasWithState);
+# st13 certifies the built-in streaming session-window operator with a
+# per-event DYNAMIC gap (ev28's batch twin) in append mode: a session
+# is emitted exactly when the watermark passes its end (end < wm, the
+# st11 strictness convention — verified at sf0.001 970/973 sessions
+# emitted and sf0.01 9761/9795 before pinning); later sessions stay in
+# state, exactly as on a live stream.
+
+_ST13_GAP_P_US = 30 * 60 * 1_000_000
+_ST13_GAP_O_US = 10 * 60 * 1_000_000
+_ST13_WM_US = 2 * 3600 * 1_000_000
+
+_ST13_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN event_type = 'purchase'
+                THEN {_ST13_GAP_P_US} ELSE {_ST13_GAP_O_US} END AS gap_us
+    FROM events
+),
+m AS (
+    SELECT *, MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM e
+),
+f AS (
+    SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS is_new
+    FROM m
+),
+s AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM f
+),
+sess AS (
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us + gap_us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+),
+wm AS (SELECT MAX(us) - {_ST13_WM_US} AS w FROM e)
+SELECT sess.* FROM sess, wm WHERE session_end_us < wm.w
+"""
+
+
+@register("st13_stream_dynamic_gap_sessions", oracle=_ST13_SQL)
+def st13_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows with a dynamic per-event gap, drained
+    append-mode and value-hash-checked against the watermark-modeled
+    emission set (design note above). Together with ev28 (batch twin)
+    and st07 (custom stateful), this closes the sessionization matrix:
+    batch/stream x built-in/custom x static/dynamic gap.
+
+    Scale: session state per user is bounded by the watermark horizon
+    (a session older than wm is emitted and dropped); the dynamic gap
+    costs one per-row expression before the merge, nothing in state."""
+    from ..streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    name = f"st13_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

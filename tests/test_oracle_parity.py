@@ -46,10 +46,10 @@ def test_registry_contract():
     assert set(o) <= set(q)
     # Pinned EXACT: a silently-swallowed extension import would shrink
     # the surface the driver sees; update deliberately when adding ops.
-    # round 7: +et08, +vt07, +st12, +vt08, +io11, +q43, +ev28, +q44,
-    # +dd19b (rows-only) -> 218 / 204
-    assert len(q) == 218, sorted(q)
-    assert len(o) == 204, sorted(o)
+    # round 7: +et08, +vt07, +st12, +st13, +vt08, +io11, +q43, +ev28,
+    # +q44, +dd19b (rows-only) -> 219 / 205
+    assert len(q) == 219, sorted(q)
+    assert len(o) == 205, sorted(o)
 
 
 def test_driver_priority_window():
