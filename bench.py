@@ -277,7 +277,8 @@ def sweep_docs() -> None:
     subset = {
         n: spec
         for n, spec in REGISTRY.items()
-        if _re.match(r"[a-z]+", n).group(0) in ("dd", "sim", "tx", "mm")
+        if (m := _re.match(r"[a-z]+", n)) is not None
+        and m.group(0) in ("dd", "sim", "tx", "mm")
     }
     sf1eq = _build_docs10x(spark)
     # (label, sf_dir, passes, per-query wall cap). The 10x point runs

@@ -66,7 +66,18 @@ def _content_stream(page_text: str, use_tj: bool) -> bytes:
         lit = f"({_esc(line)})"
         ops.append(f"[{lit} 0] TJ" if use_tj else f"{lit} Tj")
     ops.append("ET")
-    return zlib.compress("\n".join(ops).encode("latin-1", "replace"))
+    # STRICT encode: silently degrading non-latin-1 text to '?' would
+    # break the lossless decode(encode(text)) == text property et08's
+    # certificate depends on — fail loudly at write time instead.
+    try:
+        payload = "\n".join(ops).encode("latin-1")
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            "build_pdf content must be latin-1 encodable (the stdlib "
+            "writer emits unescaped PDF string literals); got "
+            f"non-latin-1 text: {e}"
+        ) from e
+    return zlib.compress(payload)
 
 
 def paginate(text: str, lines_per_page: int = _PAGE_LINES) -> list[str]:

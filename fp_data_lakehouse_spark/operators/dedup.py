@@ -1597,7 +1597,92 @@ def _gemm_assign(v: DataFrame, cents: "np.ndarray") -> DataFrame:
     return v.mapInPandas(_assign, "vec_id long, label long")
 
 
-@register("dd19b_semantic_dedup_kmeans")
+def _dd19b_oracle() -> str:
+    """dd19b's full pipeline reconstructed in DuckDB: k = max(1, N//64)
+    from a COUNT, seed = first k vec_ids (cid = rank-1), then the
+    _DD19B_LLOYD_ROUNDS Lloyd rounds unrolled as chained CTEs — the
+    sim11 move. Assignment is a squared-distance argmin with ties to
+    the lowest cid; the update is the SAME ordered fold the engine now
+    runs (members in vec_id order, sequential per-dimension sum / n),
+    with dead centroids keeping their previous position via a LEFT
+    JOIN + COALESCE. The final assignment labels the drop phase, which
+    is dd19's certified within-cluster cosine oracle verbatim.
+
+    The one cross-engine float asymmetry is the assignment: the engine
+    scores |v|^2 - 2 v.C^T + |c|^2 through BLAS, the oracle folds
+    (a-b)^2 sequentially — distinct ulps, same argmin as long as no
+    best/second-best margin sits inside the wobble band, which
+    tests/test_approx_quality.py::test_dd19b_argmin_guard_band pins at
+    >= 1e-6 for every round at both certificate SFs (the dd07/dd19
+    threshold-guard precedent applied to argmin)."""
+    from .similarity import _COSINE_SQL
+
+    sq = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, 65), i -> (v.vec[i] - {c}.cvec[i]) *"
+        " (v.vec[i] - {c}.cvec[i]))), (acc, x) -> acc + x)"
+    )
+    ctes = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec"
+        " FROM embeddings)",
+        f"kk AS (SELECT GREATEST(1, COUNT(*) // {_DD19B_CLUSTER_POP}) AS k"
+        " FROM base)",
+        "v AS (SELECT vec_id, vec,"
+        " ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk FROM base)",
+        "c0 AS (SELECT rnk AS cid, vec AS cvec FROM v, kk WHERE rnk < k)",
+    ]
+    for t in range(1, _DD19B_LLOYD_ROUNDS + 2):
+        c_prev = f"c{t - 1}"
+        ctes.append(
+            f"""d{t} AS (
+        SELECT v.vec_id, {c_prev}.cid, {sq.format(c=c_prev)} AS d
+        FROM v CROSS JOIN {c_prev})"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY d ASC, cid ASC) AS rn FROM d{t}) r WHERE rn = 1)"""
+        )
+        if t == _DD19B_LLOYD_ROUNDS + 1:
+            break  # final assignment: labels only, no further update
+        ctes.append(
+            f"""m{t} AS (
+        SELECT cid, list(vec ORDER BY vec_id) AS vs, COUNT(*) AS n
+        FROM v JOIN a{t} USING (vec_id) GROUP BY cid)"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+        SELECT {c_prev}.cid,
+               COALESCE(list_transform(range(1, 65), i ->
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(m{t}.vs, s -> s[i])),
+                       (acc, x) -> acc + x) / m{t}.n),
+                   {c_prev}.cvec) AS cvec
+        FROM {c_prev} LEFT JOIN m{t} USING (cid))"""
+        )
+    last = f"a{_DD19B_LLOYD_ROUNDS + 1}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain},
+    lv AS (
+        SELECT v.vec_id, {last}.cid AS label, v.vec
+        FROM v JOIN {last} USING (vec_id)
+    ),
+    pairs AS (
+        SELECT va.vec_id AS ia, vb.vec_id AS ib, va.vec AS a, vb.vec AS b
+        FROM lv va JOIN lv vb
+          ON va.label = vb.label AND va.vec_id < vb.vec_id
+    ),
+    drops AS (
+        SELECT DISTINCT ib FROM pairs
+        WHERE {_COSINE_SQL} > {_COSINE_DUP_THRESHOLD}
+    )
+    SELECT vec_id, label FROM lv WHERE vec_id NOT IN (SELECT ib FROM drops)
+    """
+
+
+@register("dd19b_semantic_dedup_kmeans", oracle=_dd19b_oracle())
 def dd19b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as actually deployed (Abbas et al. 2023): re-quantize
     the corpus with k-means at ``k = N / 64`` (constant expected
@@ -1611,21 +1696,25 @@ def dd19b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: deterministic seeding (first k vec_ids), 3 bounded Lloyd
     rounds — assignment is one Arrow GEMM map pass (no shuffle of the
     corpus; centroids ride the closure under an explicit 16 MB model
-    guard), update is a JVM-side posexplode + groupBy(cid, dim) mean
-    (mergeable partials, no ordered-fold parity needed here) — then
+    guard), update is the sim05 ordered fold (each cluster's members
+    summed in vec_id order, then / n) so the trained model is
+    bit-deterministic across runs AND partitionings — buffering a
+    cluster's members is bounded by the ~64-row population target, the
+    same price sim05/sim11 pay for cross-engine exactness — then
     ``_label_tiled_drops`` on the learned labels and one anti-join for
     the keep set.
 
-    Rows-only driver check: k-means float argmin ties and per-round
-    mean drift defy a bit-exact SQL twin across 3 iterations; pytest
-    pins the SemDeDup postcondition instead (no surviving
-    within-cluster pair above the threshold, population ≈ target,
-    partition invariance), and dd19 remains the hash-exact certificate
-    of the drop kernel itself."""
+    Driver-certified (r8): the DuckDB oracle unrolls the whole training
+    loop (seed, 3 ordered-fold Lloyd rounds, final assignment) and
+    replays dd19's within-cluster drop oracle on the learned labels;
+    the only cross-engine wobble is the GEMM-vs-fold assignment
+    scoring, pinned by an explicit argmin-margin guard-band test."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     ).localCheckpoint(eager=False)
     n = v.count()  # 1-row control scalar: sizes k
+    if n == 0:
+        raise ValueError("dd19b: embeddings table is empty — nothing to cluster")
     k = max(1, n // _DD19B_CLUSTER_POP)
     dim = len(v.select("vec").head()["vec"])
     if k * dim > _DD19B_MAX_MODEL_DOUBLES:
@@ -1641,14 +1730,25 @@ def dd19b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).astype(np.float64)  # deterministic seed: first k vec_ids (model-scale collect)
     for _ in range(_DD19B_LLOYD_ROUNDS):
         assign = _gemm_assign(v, cents)
+        # ordered-fold update (the sim05 parity fold): members in
+        # vec_id order, sequential per-dimension sum / n — no
+        # partial-merge float reassociation, so re-runs and
+        # re-partitionings reproduce the model bit-exactly
         upd = (
             v.join(assign, "vec_id")
-            .select("label", F.posexplode("vec").alias("dim", "x"))
-            .groupBy("label", "dim")
-            .agg(F.avg("x").alias("m"))
             .groupBy("label")
-            .agg(F.expr("array_sort(collect_list(struct(dim, m)))").alias("ms"))
-            .select("label", F.expr("transform(ms, s -> s.m)").alias("cvec"))
+            .agg(
+                F.expr("sort_array(collect_list(struct(vec_id, vec)))").alias("vs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "label",
+                F.expr(
+                    f"transform(sequence(1, {dim}), i -> aggregate(vs,"
+                    " cast(0.0 as double), (acc, s) -> acc +"
+                    " element_at(s.vec, i)) / n)"
+                ).alias("cvec"),
+            )
             .collect()
         )
         new = cents.copy()  # dead centroids keep their position

@@ -51,85 +51,79 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 7: all 196 round-6 oracle-backed
-    # queries driver-green across r1-r6 (VERDICT r6 verified the union
-    # is exact). Round 7 front-loads (a) the NINE new certificates
-    # (et08 PDF byte->text decode closing S2 end-to-end, vt07
-    # conditional-PUT backend lifecycle, st12 full-outer interval
-    # join, vt08 compaction, io11 XML round-trip, q43 recursive CTE,
-    # ev28 dynamic-gap sessions, q44 LATERAL top-n, st13 streaming
-    # dynamic-gap sessions), (b) every query
-    # whose implementation changed this round — the TOCTOU fix making
-    # the claim (not the pre-claim pointer read) the serialization
-    # point in sources/versioned.py behind vt01-vt08, the same fix in
-    # sources/pyds.py behind io08/io09/st06/st10, and the Spark-side
-    # tile enumeration (sequence+explode, zero driver lists) behind
-    # dd07/dd19. (streaming/events.py gained a fullOuter-only user_id
-    # coalesce branch for st12; the inner/leftOuter select behind
-    # st04/st11 is the identical Column, the sim04-docstring
-    # precedent, so those are not re-certified here.)
-    # Then (c) rotates re-certification onto the oldest
-    # names: the ENTIRE r1-vintage set (q33-q37, tx01-tx08) plus the
-    # 16 oldest r2-vintage rows (ag, dd10-14, ev01-ev11).
-    "et08_pdf_decode_pipeline",
-    "vt07_conditional_put_lifecycle",
-    "st12_stream_fullouter_interval_join",
-    "vt08_compaction_identity",
-    "io11_xml_roundtrip_nested",
-    "q43_recursive_ancestor_paths",
-    "ev28_dynamic_gap_sessions",
-    "q44_lateral_top_orders",
-    "st13_stream_dynamic_gap_sessions",
-    # changed in round 7 (claim-protocol TOCTOU fix) — re-certify
+    # Cumulative record entering round 8: all 205 round-7 oracle-backed
+    # queries driver-green across r1-r7 (VERDICT r7 verified the union
+    # is exact). Round 8 front-loads (a) the NEW certificates — dd19b
+    # (the production SemDeDup shape gains its unrolled-Lloyd
+    # ordered-fold DuckDB oracle, closing r7's only rows-only gap) and
+    # the certificates added this round (inserted below as they land);
+    # (b) every query whose implementation changed this round — the
+    # claim-release hardening (try/finally releasing the claim on EVERY
+    # non-return exit, ADVICE r7) in sources/versioned.py behind
+    # vt01-vt08 and sources/pyds.py behind io08/io09/st06/st10, the
+    # longest-prefix backend override resolution (also versioned.py),
+    # and the strict-latin-1 PDF content encode behind et08. Then
+    # (c) rotates re-certification onto the oldest vintages: ALL 25
+    # remaining r2-vintage rows plus the oldest r3-vintage names.
+    "dd19b_semantic_dedup_kmeans",
+    # changed in round 8 (claim-release hardening, longest-prefix
+    # backend override, strict PDF encode) — re-certify
     "vt01_version_change_feed",
     "vt02_scd2_priority_history",
     "vt03_time_travel_read",
     "vt04_retention_plan",
     "vt05_hadoopfs_backend_lifecycle",
     "vt06_fsck_crash_recovery",
+    "vt07_conditional_put_lifecycle",
+    "vt08_compaction_identity",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
     "st06_python_stream_version_feed",
     "st10_python_stream_sink_versions",
-    # changed in round 7 (Spark-side tile enumeration) — re-certify
-    "dd07_embedding_neardup_pairs",
-    "dd19_semantic_dedup_keep",
-    # rotation: the r1-vintage certificates (newest driver row = r1)
-    "q33_sql_above_average_balance",
-    "q34_balance_quartiles",
-    "q35_order_value_stats_by_status",
-    "q36_calendar_rollup",
-    "q37_revenue_cube",
-    "tx01_language_id",
-    "tx02_quality_scores",
-    "tx03_quality_filter",
-    "tx04_token_counts",
-    "tx05_corpus_token_budget",
-    "tx06_fingerprints",
-    "tx07_curation_pipeline",
-    "tx08_tfidf_top_terms",
-    # rotation: the 23 oldest r2-vintage certificates
-    "ag01_customer_spend_slope",
-    "ag02_event_value_outliers",
-    "dd10_ngram_jaccard_capped",
-    "dd11_cross_split_contamination",
-    "dd12_duplicated_segments",
-    "dd13_neardup_dedup_keep",
-    "dd14_latest_per_key",
-    "ev01_hourly_tumbling_counts",
-    "ev02_user_sessions",
-    "ev03_top_events_per_type_day",
-    "ev04_error_rate_by_user_bucket",
-    "ev05_purchase_click_attribution",
-    "ev06_session_windows",
-    "ev07_props_json_rollup",
-    "ev10_conversion_funnel",
-    "ev11_weekly_retention",
-    # 50-row window ends here (9 new + 12 changed + 13 r1-vintage + 16
-    # r2-vintage); the remaining r2 rows (ev12-ev16, mm03/mm04,
-    # q38/q39, sim01/03/05, sk01/03/05, sp01-sp05, tx09-tx13) plus the
-    # r3 tranche rotate in round 8; everything stays covered by
-    # tests/test_oracle_parity.py locally on every pytest run.
+    "et08_pdf_decode_pipeline",
+    # rotation: the 25 remaining r2-vintage certificates
+    "ev12_interevent_gaps",
+    "ev13_hourly_anomaly_zscore",
+    "ev14_gapfill_locf",
+    "ev15_markov_transitions",
+    "ev16_time_to_conversion",
+    "mm03_frame_sample",
+    "mm04_audio_energy_windows",
+    "q38_above_nation_avg_balance",
+    "q39_grouping_sets_revenue",
+    "sim01_cosine_topk_bruteforce",
+    "sim03_label_centroid_assignment",
+    "sim05_kmeans_lloyd_step",
+    "sk01_user_cardinality_exact",
+    "sk03_value_quantiles_exact",
+    "sk05_heavy_hitters",
+    "sp01_train_val_test_split",
+    "sp02_stratified_sample",
+    "sp03_language_rebalance",
+    "sp04_temporal_split",
+    "sp05_kfold_assignment",
+    "tx09_quality_percentile_gate",
+    "tx10_context_packing",
+    "tx11_pii_scrub",
+    "tx12_bigram_topk",
+    "tx13_repetition_score",
+    # rotation: the oldest r3-vintage certificates (dropped one-for-one
+    # as new r8 certificates land above, keeping the list at 50)
+    "ag04_winsorized_event_values",
+    "ag05_value_histogram",
+    "ev08_error_click_proximity",
+    "ev09_user_event_profile",
+    "ev17_asof_click_before_purchase",
+    "ev18_session_error_hour_overlap",
+    "ev19_session_path_trigrams",
+    "ev20_user_feature_assembly",
+    "ev21_cohort_ltv",
+    "ev22_churn_labels",
+    "ev23_ab_test_zscore",
+    # 50-row window ends here (1 new + 13 changed + 25 r2-vintage + 11
+    # r3-vintage); the remaining r3 rows (ev24/ev25, mm01/mm06,
+    # q40/q41, sk06/08/09, sp06-sp08) rotate next round; everything
+    # stays covered by tests/test_oracle_parity.py on every pytest run.
 ]
 
 

@@ -379,23 +379,30 @@ def _claim_commit_slot(fs: "pafs.FileSystem", p: str, max_wait_sec: float = 30.0
             time.sleep(0.05)
             continue
         # ---- claim v held: re-validate on fresh reads ----
-        cur = _read_pointer(fs, p) or 0
-        if cur != ptr:
+        try:
+            cur = _read_pointer(fs, p) or 0
+            if cur != ptr:
+                _release_claim(fs, p, v)
+                continue
+            vdir_exists = _dir_exists(fs, f"{p}/v{v:05d}")
+            if v in set(_ledger_entries(fs, p).values()) and vdir_exists:
+                # ledger-committed but unpointed (crash between ledger
+                # append and pointer swap): roll forward UNDER claim v,
+                # then retry for the next slot.
+                _write_pointer_file(fs, p, v)
+                _release_claim(fs, p, v)
+                continue
+            if vdir_exists:
+                # unledger'd dir above the pointer: a crashed writer's
+                # orphan — delete it under the claim.
+                fs.delete_dir(f"{p}/v{v:05d}")
+            return v
+        except BaseException:
+            # every non-return exit under the claim releases it, so a
+            # transient IO error during re-validation can never leak
+            # the marker and block later writers until timeout + fsck
             _release_claim(fs, p, v)
-            continue
-        vdir_exists = _dir_exists(fs, f"{p}/v{v:05d}")
-        if v in set(_ledger_entries(fs, p).values()) and vdir_exists:
-            # ledger-committed but unpointed (crash between ledger
-            # append and pointer swap): roll forward UNDER claim v,
-            # then retry for the next slot.
-            _write_pointer_file(fs, p, v)
-            _release_claim(fs, p, v)
-            continue
-        if vdir_exists:
-            # unledger'd dir above the pointer: a crashed writer's
-            # orphan — delete it under the claim.
-            fs.delete_dir(f"{p}/v{v:05d}")
-        return v
+            raise
 
 
 # Filters are shipped to executors as plain tuples (pyarrow expressions

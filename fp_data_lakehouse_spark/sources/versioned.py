@@ -387,9 +387,11 @@ def _backend_for(table_dir: str, spark: SparkSession | None = None):
     then scheme'd paths (including file://) go through Hadoop; bare
     paths stay on the local backend."""
     td = table_dir.rstrip("/")
-    for pfx, backend in _BACKEND_OVERRIDES.items():
+    # longest prefix wins (not dict insertion order), so a nested
+    # registration /a/b shadows its parent /a for tables under it
+    for pfx in sorted(_BACKEND_OVERRIDES, key=len, reverse=True):
         if td == pfx or td.startswith(pfx + "/"):
-            return backend
+            return _BACKEND_OVERRIDES[pfx]
     if "://" not in table_dir:
         return LocalFsBackend()
     spark = spark or SparkSession.getActiveSession()
@@ -523,7 +525,11 @@ def _claim_slot(
                 # surface as a committed version.
                 backend.rmtree(f"{td}/v{v:05d}")
             return v
-        except ConcurrentWriteError:
+        except BaseException:
+            # EVERY non-return exit under the claim releases it — a
+            # transient IO error (or Ctrl-C) during re-validation must
+            # not leak the marker and block all later writers until
+            # timeout + fsck.
             backend.delete_file(f"{td}/_claim_v{v:05d}")
             raise
 

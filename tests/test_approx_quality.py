@@ -892,3 +892,52 @@ def test_dd19b_kmeans_semdedup_postcondition(spark):
         for r in dd19b_semantic_dedup_kmeans(spark, SF_ORACLE).collect()
     }
     assert again == {(r.vec_id, r.label) for r in rows}
+
+
+def test_dd19b_argmin_guard_band():
+    """dd19b's r8 value-hash certificate scores assignment via BLAS
+    GEMM (|v|^2 - 2 v.C^T + |c|^2) while the DuckDB oracle folds
+    (a-b)^2 sequentially — distinct ulps, same argmin iff no vector's
+    best/second-best centroid margin sits inside the wobble band.
+    Recompute the whole training loop in numpy and assert >= 1e-6
+    margin (six orders of magnitude over double wobble) at EVERY
+    assignment round, for both the pytest and driver certificate SFs.
+    Mirrors the dd07/dd19 threshold guard for the argmin decision."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fp_data_lakehouse_spark.operators.dedup import (
+        _DD19B_CLUSTER_POP,
+        _DD19B_LLOYD_ROUNDS,
+    )
+
+    for sf_dir in {SF_ORACLE, "/root/testdata/sf0.01"}:
+        t = (
+            pq.read_table(f"{sf_dir}/embeddings.parquet")
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        mat = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+        n = len(mat)
+        k = max(1, n // _DD19B_CLUSTER_POP)
+        cents = mat[:k].copy()
+        min_margin = np.inf
+        for rnd in range(_DD19B_LLOYD_ROUNDS + 1):
+            sq = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            part = np.sort(sq, axis=1)
+            min_margin = min(min_margin, float((part[:, 1] - part[:, 0]).min()))
+            labels = sq.argmin(axis=1)
+            if rnd < _DD19B_LLOYD_ROUNDS:
+                new = cents.copy()
+                for c in np.unique(labels):
+                    new[c] = mat[labels == c].mean(axis=0)
+                cents = new
+        assert min_margin > 1e-6, (
+            f"{sf_dir}: an argmin margin of {min_margin:.2e} sits inside "
+            "GEMM-vs-fold wobble; dd19b's value-hash certificate is no "
+            "longer trustworthy"
+        )
