@@ -76,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "vt06_fsck_crash_recovery",
     "vt07_conditional_put_lifecycle",
     "vt08_compaction_identity",
+    "vt09_fsck_live_writer_lease",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
     "st06_python_stream_version_feed",
@@ -119,9 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev20_user_feature_assembly",
     "ev21_cohort_ltv",
     "ev22_churn_labels",
-    "ev23_ab_test_zscore",
-    # 50-row window ends here (1 new + 13 changed + 25 r2-vintage + 11
-    # r3-vintage); the remaining r3 rows (ev24/ev25, mm01/mm06,
+    # 50-row window ends here (2 new + 13 changed + 25 r2-vintage + 10
+    # r3-vintage); the remaining r3 rows (ev23-ev25, mm01/mm06,
     # q40/q41, sk06/08/09, sp06-sp08) rotate next round; everything
     # stays covered by tests/test_oracle_parity.py on every pytest run.
 ]

@@ -290,13 +290,42 @@ def _dir_exists(fs: "pafs.FileSystem", d: str) -> bool:
     return fs.get_file_info(d).type == pafs.FileType.Directory
 
 
+def _lease_bytes() -> bytes:
+    """Claim/staging lease: writer id + heartbeat epoch seconds — the
+    same format versioned.py writes, so versioned.fsck's TTL check
+    reads leases from EITHER writer family (mixed writers share the
+    marker files)."""
+    import time
+    import uuid
+
+    return f"{uuid.uuid4().hex[:12]} {time.time():.3f}".encode()
+
+
+def _write_lease_file(fs: "pafs.FileSystem", path: str) -> None:
+    """Atomically (tmp + rename) refresh a staging ``_lease`` marker so
+    a concurrent versioned.fsck sees the staging dir as live and does
+    not sweep it. Best-effort: a missed refresh degrades to the TTL
+    race fsck already tolerates."""
+    import uuid
+
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    try:
+        with fs.open_output_stream(tmp) as out:
+            out.write(_lease_bytes())
+        fs.move(tmp, path)
+    except OSError:
+        pass
+
+
 def _try_claim(fs: "pafs.FileSystem", p: str, v: int) -> bool:
-    """Atomically create the claim marker for version ``v``. On the
-    local filesystem this is a true O_EXCL create; on URI filesystems
-    pyarrow exposes no exclusive create, so this degrades to
-    check-then-create — the same object-store caveat as the pointer
-    rename (a log-based table format is the upgrade path there, see
-    versioned.py module docstring)."""
+    """Atomically create the claim marker for version ``v``, carrying a
+    lease (writer id + timestamp) so versioned.fsck can tell a live
+    claim from a crash leftover. On the local filesystem this is a
+    true O_EXCL create; on URI filesystems pyarrow exposes no exclusive
+    create, so this degrades to check-then-create — the same
+    object-store caveat as the pointer rename (a log-based table
+    format is the upgrade path there, see versioned.py module
+    docstring)."""
     import pyarrow.fs as pafs
 
     claim = f"{p}/_claim_v{v:05d}"
@@ -304,10 +333,14 @@ def _try_claim(fs: "pafs.FileSystem", p: str, v: int) -> bool:
         import os
 
         try:
-            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            return True
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return False
+        try:
+            os.write(fd, _lease_bytes())
+        finally:
+            os.close(fd)
+        return True
     import warnings
 
     warnings.warn(
@@ -321,7 +354,7 @@ def _try_claim(fs: "pafs.FileSystem", p: str, v: int) -> bool:
     if fs.get_file_info(claim).type != pafs.FileType.NotFound:
         return False
     with fs.open_output_stream(claim) as out:
-        out.write(b"")
+        out.write(_lease_bytes())
     return True
 
 
@@ -700,6 +733,12 @@ class VersionedArrowWriter(DataSourceArrowWriter):
 
         self._table_dir = table_dir
         self._staging = f"{table_dir}/_staging_{uuid.uuid4().hex[:12]}"
+        # driver-side staging lease (one-shot at job start): marks this
+        # staging dir live so a concurrent versioned.fsck within the
+        # lease TTL never sweeps it out from under the running job
+        fs, staging = _fs_and_path(self._staging)
+        fs.create_dir(staging, recursive=True)
+        _write_lease_file(fs, f"{staging}/_lease")
 
     def write(self, iterator):
         import uuid
@@ -836,6 +875,8 @@ class VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         except FileNotFoundError:
             return
         for i in infos:
+            if i.base_name == "_lease":
+                continue  # liveness marker persists across epochs
             try:
                 fs.delete_file(i.path)
             except (FileNotFoundError, OSError):
@@ -844,6 +885,11 @@ class VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId):  # noqa: N803 (Spark API)
         fs, p = _fs_and_path(self._table_dir)
         _, staging = _fs_and_path(self._staging)
+        # refresh the app-scoped staging lease every epoch (driver-side,
+        # atomic tmp+rename): a live stream's staged files stay
+        # fsck-proof as long as batches land within the lease TTL
+        fs.create_dir(staging, recursive=True)
+        _write_lease_file(fs, f"{staging}/_lease")
         files = [m.file_name for m in messages if m is not None and m.file_name]
         ledger = self._ledger(fs, p)
         key = (self._app, batchId)

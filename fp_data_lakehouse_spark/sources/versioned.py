@@ -52,6 +52,9 @@ import os
 import re
 import shutil
 import tempfile
+import threading
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +64,72 @@ _VDIR = re.compile(r"^v(\d{5})$")
 _CLAIM = re.compile(r"^_claim_v(\d{5})$")
 _LEDGER = "_COMMITS"
 _STAGING = re.compile(r"^(_staging_|_stream_staging)")
+
+# Claim/staging lease TTL: fsck reclaims a marker only when its lease
+# heartbeat is older than this (or absent — a pre-lease-era marker or a
+# crash before the lease write). Writers heartbeat at TTL/4 during long
+# operations, so a live writer's lease is never near expiry.
+_LEASE_TTL_SEC = 60.0
+
+
+def _lease_line(writer_id: str) -> str:
+    """Lease content carried INSIDE a claim/staging marker: writer id +
+    heartbeat epoch seconds. The id makes split-brain debuggable; the
+    timestamp is what fsck's TTL check reads."""
+    return f"{writer_id} {time.time():.3f}"
+
+
+def _lease_age_sec(text: str | None, now: float) -> float | None:
+    """Seconds since the lease's last heartbeat; None when the marker
+    carries no parseable lease (legacy empty claim, or a writer that
+    died between marker create and lease write) — callers treat None
+    as expired."""
+    if not text:
+        return None
+    try:
+        return now - float(text.strip().rsplit(" ", 1)[-1])
+    except ValueError:
+        return None
+
+
+class _Lease:
+    """Heartbeats a lease file while a long operation runs (the staging
+    parquet write; the per-object COPY publish on object-store
+    backends), so a concurrent ``fsck`` with a TTL never reclaims a
+    LIVE writer's marker. A daemon thread rewrites the lease every
+    TTL/4; exceptions from the refresh are swallowed (a missed
+    heartbeat degrades to the TTL race fsck already tolerates — the
+    operation itself still fails loudly on real IO errors)."""
+
+    def __init__(self, backend, path: str, writer_id: str,
+                 interval_sec: float = _LEASE_TTL_SEC / 4):
+        self._backend = backend
+        self._path = path
+        self._writer_id = writer_id
+        self._interval = interval_sec
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def __enter__(self) -> "_Lease":
+        self._backend.write_text_atomic(self._path, _lease_line(self._writer_id))
+
+        def _beat() -> None:
+            while not self._stop.wait(self._interval):
+                try:
+                    self._backend.write_text_atomic(
+                        self._path, _lease_line(self._writer_id)
+                    )
+                except Exception:
+                    pass
+
+        self._thread = threading.Thread(target=_beat, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -98,14 +167,20 @@ class LocalFsBackend:
     def rmtree(self, p: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
-    def create_exclusive(self, p: str) -> bool:
-        """Atomically create an empty marker file; False if it exists.
-        O_EXCL — the primitive the optimistic-commit claim rides on."""
+    def create_exclusive(self, p: str, content: str = "") -> bool:
+        """Atomically create a marker file carrying ``content`` (the
+        claim lease); False if it exists. O_EXCL — the primitive the
+        optimistic-commit claim rides on."""
         try:
-            os.close(os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            return True
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return False
+        try:
+            if content:
+                os.write(fd, content.encode())
+        finally:
+            os.close(fd)
+        return True
 
     def delete_file(self, p: str) -> None:
         try:
@@ -206,11 +281,13 @@ class HadoopFsBackend:
         if fs.exists(hp):
             fs.delete(hp, True)
 
-    def create_exclusive(self, p: str) -> bool:
+    def create_exclusive(self, p: str, content: str = "") -> bool:
         """``FileSystem.create(path, overwrite=false)`` — atomic on
         HDFS (namenode-serialized create); on S3-likes create-no-
         overwrite is check-then-act, the same caveat as the pointer
         rename (a log-based format is the upgrade path there).
+        ``content`` (the claim lease) is written through the same
+        create stream, so the marker never exists lease-less.
 
         Only the already-exists outcome maps to False; any other error
         (network, permission, transient IO) re-raises, so a genuine
@@ -219,12 +296,17 @@ class HadoopFsBackend:
         fs = self._fs(p)
         hp = self._path(p)
         try:
-            fs.create(hp, False).close()
-            return True
+            stream = fs.create(hp, False)
         except Exception as e:
             if _is_already_exists(e):
                 return False
             raise
+        try:
+            if content:
+                stream.write(bytearray(content, "utf-8"))
+        finally:
+            stream.close()
+        return True
 
     def delete_file(self, p: str) -> None:
         fs = self._fs(p)
@@ -281,13 +363,37 @@ class ConditionalPutBackend:
             f.write(data)
         os.replace(tmp, key)
 
-    def _put_if_absent(self, key: str) -> bool:
-        """Conditional PUT (If-None-Match: *) — atomic create-or-fail."""
+    def _put_if_absent(self, key: str, data: bytes = b"") -> bool:
+        """Conditional PUT (If-None-Match: *) — atomic create-or-fail,
+        body included (a real store PUTs key and body in one call)."""
         try:
-            os.close(os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            return True
+            fd = os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return False
+        try:
+            if data:
+                os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
+
+    # process-wide mutex simulating the store's SERVER-SIDE If-Match
+    # serialization (S3 conditional overwrite PUT, GCS
+    # ifGenerationMatch, ABFS ETag) — the store, not the client,
+    # guarantees read-compare-put atomicity on a real deployment
+    _CAS_LOCK = threading.Lock()
+
+    def _put_if_match(self, key: str, data: bytes, expected: bytes | None) -> bool:
+        """Conditional overwrite PUT: lands only when the object's
+        current body equals ``expected`` (None = object must not
+        exist). The compare-and-swap every major object store now
+        exposes on overwrite PUTs."""
+        with ConditionalPutBackend._CAS_LOCK:
+            cur = self._get(key)
+            if cur != expected:
+                return False
+            self._put(key, data)
+            return True
 
     def _get(self, key: str) -> bytes | None:
         try:
@@ -349,8 +455,19 @@ class ConditionalPutBackend:
             self._delete(key)
         shutil.rmtree(p, ignore_errors=True)  # empty local-dir husks
 
-    def create_exclusive(self, p: str) -> bool:
-        return self._put_if_absent(p)
+    def create_exclusive(self, p: str, content: str = "") -> bool:
+        return self._put_if_absent(p, content.encode())
+
+    def write_text_cas(self, p: str, content: str, expected: str | None) -> bool:
+        """Compare-and-swap text write (the pointer swap uses this when
+        the backend offers it): succeeds only when the current content
+        is ``expected`` (None = must not exist yet), making a pointer
+        regression structurally impossible rather than claim-protocol-
+        dependent — even a mis-run fsck racing a live writer cannot
+        silently lose an update."""
+        return self._put_if_match(
+            p, content.encode(), expected.encode() if expected is not None else None
+        )
 
     def delete_file(self, p: str) -> None:
         self._delete(p)
@@ -440,11 +557,33 @@ def _ledger_versions(table_dir: str, backend) -> set[int]:
     return out
 
 
+def _swap_pointer(backend, td: str, v: int, expected_prev: int) -> None:
+    """Advance the pointer ``expected_prev -> v``. On backends exposing
+    compare-and-swap (``write_text_cas``) the PUT is conditioned on the
+    expected prior value, so a pointer moved outside the claim protocol
+    (e.g. an fsck mis-run racing a live writer) surfaces as
+    ConcurrentWriteError instead of a silently lost update; elsewhere
+    the claim protocol alone guarantees exclusivity and the write is a
+    plain atomic swap."""
+    cas = getattr(backend, "write_text_cas", None)
+    if cas is None:
+        backend.write_text_atomic(f"{td}/{_PTR}", str(v))
+        return
+    expected = str(expected_prev) if expected_prev else None
+    if not cas(f"{td}/{_PTR}", str(v), expected):
+        raise ConcurrentWriteError(
+            f"pointer CAS failed advancing {td} to v{v}: expected prior "
+            f"value {expected!r} is gone — the pointer moved outside this "
+            "writer's claim (protocol violation or concurrent repair)"
+        )
+
+
 def _claim_slot(
     table_dir: str,
     backend,
     base_version: int | None,
     max_wait_sec: float = 30.0,
+    writer_id: str | None = None,
 ) -> int:
     """Optimistic-concurrency commit-slot allocation: returns version
     ``committed + 1`` with its ``_claim_v{N}`` marker held (the same
@@ -478,15 +617,19 @@ def _claim_slot(
     roll-forward write can never regress the pointer below a newer
     committed version (no other writer can advance the pointer to v
     while this writer holds claim v); an unledger'd orphan v-dir at the
-    claimed slot (fresh existence check under the claim) is deleted."""
-    import time
+    claimed slot (fresh existence check under the claim) is deleted.
 
+    The claim marker carries a LEASE (writer id + heartbeat timestamp):
+    fsck reclaims only claims whose lease is older than its TTL, so a
+    live (slow, not crashed) writer can no longer lose its claim to a
+    concurrent repair run."""
     td = table_dir.rstrip("/")
+    writer_id = writer_id or uuid.uuid4().hex[:12]
     deadline = time.monotonic() + max_wait_sec
     while True:
         ptr = latest_version(table_dir, backend) or 0
         v = ptr + 1
-        if not backend.create_exclusive(f"{td}/_claim_v{v:05d}"):
+        if not backend.create_exclusive(f"{td}/_claim_v{v:05d}", _lease_line(writer_id)):
             if time.monotonic() >= deadline:
                 raise ConcurrentWriteError(
                     f"timed out waiting for commit slot v{v:05d} on "
@@ -511,7 +654,7 @@ def _claim_slot(
                 # between ledger append and pointer swap): roll the
                 # pointer forward UNDER claim v, then retry for the
                 # next slot.
-                backend.write_text_atomic(f"{td}/{_PTR}", str(v))
+                _swap_pointer(backend, td, v, ptr)
                 backend.delete_file(f"{td}/_claim_v{v:05d}")
                 continue
             if base_version is not None and cur != base_version:
@@ -550,26 +693,37 @@ def write_version(
     detection: if another writer committed in between, raises
     ConcurrentWriteError and publishes nothing — the caller re-reads
     and retries. ``base_version=None`` is a blind append/overwrite that
-    serializes behind concurrent commits without conflicting."""
-    import uuid
+    serializes behind concurrent commits without conflicting.
 
+    Liveness vs fsck: the staging dir carries a heartbeated ``_lease``
+    file for the duration of the parquet write, and the claim lease is
+    heartbeated through the publish (the per-object COPY loop on
+    object-store backends can be long) — so a concurrent TTL-based
+    fsck never sweeps a LIVE writer's staging or claim."""
     backend = backend or _backend_for(table_dir, df.sparkSession)
     backend.makedirs(table_dir)
     td = table_dir.rstrip("/")
+    writer_id = uuid.uuid4().hex[:12]
     # Stage the (possibly slow, possibly huge) parquet write BEFORE
     # claiming the slot, so the claim is held only for the metadata-
     # sized rename + pointer swap — concurrent writers wait
-    # milliseconds, not a full 100 TB write.
-    staging = f"{td}/_staging_{uuid.uuid4().hex[:12]}"
-    df.write.mode("overwrite").parquet(staging)
+    # milliseconds, not a full 100 TB write. mode=append because the
+    # fresh staging dir already holds the lease file (underscore-
+    # prefixed: invisible to parquet readers).
+    staging = f"{td}/_staging_{writer_id}"
+    backend.makedirs(staging)
+    with _Lease(backend, f"{staging}/_lease", writer_id):
+        df.write.mode("append").parquet(staging)
     try:
-        v = _claim_slot(table_dir, backend, base_version)
+        v = _claim_slot(table_dir, backend, base_version, writer_id=writer_id)
     except ConcurrentWriteError:
         backend.rmtree(staging)
         raise
     try:
-        backend.move(staging, f"{td}/v{v:05d}")
-        backend.write_text_atomic(f"{td}/{_PTR}", str(v))
+        with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
+            backend.move(staging, f"{td}/v{v:05d}")
+            backend.delete_file(f"{td}/v{v:05d}/_lease")
+            _swap_pointer(backend, td, v, v - 1)
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
@@ -746,35 +900,66 @@ def vacuum(table_dir: str, keep_last: int = 2, backend=None) -> list[int]:
     return removed
 
 
-def fsck(table_dir: str, backend=None) -> dict:
-    """Offline consistency repair for a versioned table — run with NO
-    active writers (the janitor counterpart of the claim protocol; a
+def fsck(
+    table_dir: str, backend=None, claim_ttl_sec: float = _LEASE_TTL_SEC
+) -> dict:
+    """Consistency repair for a versioned table — SAFE to run against
+    live writers (the janitor counterpart of the claim protocol; a
     crashed writer can leave a stale claim that blocks every later
     commit, an orphan snapshot dir, or an abandoned staging dir).
 
+    Liveness is decided by the LEASE inside each claim/staging marker
+    (writer id + heartbeat timestamp, heartbeated at TTL/4 during long
+    operations): a marker whose lease is younger than ``claim_ttl_sec``
+    belongs to a live writer and is left untouched (reported under
+    ``claims_live`` / ``staging_live``); a lease past the TTL — or
+    absent, i.e. a writer that died between marker create and lease
+    write — is a crash leftover and is reclaimed. A live claim also
+    shields its slot's v-dir from orphan GC (the writer may be mid-
+    publish into it). Should a repair decision still race a writer
+    (e.g. a paused-then-resumed process past its TTL), the pointer
+    CAS on conditional-PUT backends turns the lost-update into a loud
+    ConcurrentWriteError on the slower side.
+
     Repairs, in order:
-    1. **roll forward**: versions present in the streaming ``_COMMITS``
+    1. **stale claims**: ``_claim_v*`` markers past the lease TTL are
+       deleted; live ones kept;
+    2. **roll forward**: versions present in the streaming ``_COMMITS``
        ledger with their snapshot dir on disk but above the pointer
        (crash between ledger write and pointer swap) are committed —
        the pointer advances to the highest such version;
-    2. **orphan GC**: snapshot dirs above the (repaired) pointer that
-       are NOT ledger'd are partial/unacknowledged writes — deleted, so
-       they can never surface as committed versions once the pointer
-       passes their number;
-    3. **stale claims**: all ``_claim_v*`` markers are deleted (no
-       writers are active, so every claim is a crash leftover);
-    4. **staging sweep**: abandoned ``_staging_*`` /
-       ``_stream_staging_*`` dirs from crashed batch/stream runs are
-       deleted.
+    3. **orphan GC**: snapshot dirs above the (repaired) pointer that
+       are NOT ledger'd and NOT shielded by a live claim are partial/
+       unacknowledged writes — deleted, so they can never surface as
+       committed versions once the pointer passes their number;
+    4. **staging sweep**: ``_staging_*`` / ``_stream_staging_*`` dirs
+       whose ``_lease`` is past the TTL (or absent) are deleted.
 
     Returns a report dict: ``{"pointer_before", "pointer_after",
     "rolled_forward", "orphans_removed", "claims_removed",
-    "staging_removed"}``."""
+    "claims_live", "staging_removed", "staging_live"}``."""
     backend = backend or _backend_for(table_dir)
     td = table_dir.rstrip("/")
+    now = time.time()
+
+    def _live(marker_path: str) -> bool:
+        age = _lease_age_sec(backend.read_text(marker_path), now)
+        return age is not None and age <= claim_ttl_sec
+
     ptr_before = latest_version(table_dir, backend) or 0
     ledgered = _ledger_versions(table_dir, backend)
     dirs = _version_dirs(table_dir, backend)
+    claims, claims_live, live_slots = [], [], set()
+    for name in backend.list_names(table_dir):
+        m = _CLAIM.match(name)
+        if not m:
+            continue
+        if _live(f"{td}/{name}"):
+            claims_live.append(name)
+            live_slots.add(int(m.group(1)))
+        else:
+            backend.delete_file(f"{td}/{name}")
+            claims.append(name)
     ptr = ptr_before
     rolled = []
     for v in sorted(d for d in dirs if d > ptr_before):
@@ -782,16 +967,25 @@ def fsck(table_dir: str, backend=None) -> dict:
             ptr = max(ptr, v)
             rolled.append(v)
     if ptr > ptr_before:
-        backend.write_text_atomic(f"{td}/{_PTR}", str(ptr))
-    orphans = [v for v in dirs if v > ptr and v not in ledgered]
+        try:
+            _swap_pointer(backend, td, ptr, ptr_before)
+        except ConcurrentWriteError:
+            # a live writer advanced the pointer mid-repair; its commit
+            # already covers (or supersedes) the roll-forward
+            ptr = latest_version(table_dir, backend) or ptr_before
+            rolled = [v for v in rolled if v <= ptr]
+    orphans = [
+        v for v in dirs if v > ptr and v not in ledgered and v not in live_slots
+    ]
     for v in orphans:
         backend.rmtree(f"{td}/v{v:05d}")
-    claims, staging = [], []
+    staging, staging_live = [], []
     for name in backend.list_names(table_dir):
-        if _CLAIM.match(name):
-            backend.delete_file(f"{td}/{name}")
-            claims.append(name)
-        elif _STAGING.match(name):
+        if not _STAGING.match(name):
+            continue
+        if _live(f"{td}/{name}/_lease"):
+            staging_live.append(name)
+        else:
             backend.rmtree(f"{td}/{name}")
             staging.append(name)
     return {
@@ -800,5 +994,7 @@ def fsck(table_dir: str, backend=None) -> dict:
         "rolled_forward": rolled,
         "orphans_removed": orphans,
         "claims_removed": claims,
+        "claims_live": claims_live,
         "staging_removed": staging,
+        "staging_live": staging_live,
     }

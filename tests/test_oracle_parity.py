@@ -48,9 +48,10 @@ def test_registry_contract():
     # the surface the driver sees; update deliberately when adding ops.
     # round 7: +et08, +vt07, +st12, +st13, +vt08, +io11, +q43, +ev28,
     # +q44, +dd19b (rows-only) -> 219 / 205
-    # round 8: dd19b gains its unrolled-Lloyd oracle -> 219 / 206
-    assert len(q) == 219, sorted(q)
-    assert len(o) == 206, sorted(o)
+    # round 8: dd19b gains its unrolled-Lloyd oracle -> 219 / 206;
+    # +vt09 (fsck-live-writer lease lifecycle) -> 220 / 207
+    assert len(q) == 220, sorted(q)
+    assert len(o) == 207, sorted(o)
 
 
 def test_driver_priority_window():

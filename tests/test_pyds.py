@@ -283,7 +283,8 @@ def test_stream_writer_replayed_epoch_publishes_nothing(tmp_path):
     w.commit([w.write(iter([batch]))], 0)
     fs, p = pyds._fs_and_path(d)
     assert pyds._list_versions(fs, p) == [1]
-    assert not os.path.exists(w._staging) or not os.listdir(w._staging)
+    # only the liveness lease may persist across epochs in staging
+    assert not os.path.exists(w._staging) or os.listdir(w._staging) in ([], ["_lease"])
 
     # next epoch publishes v2; empty epoch publishes nothing
     w.commit([w.write(iter([batch]))], 1)

@@ -380,7 +380,7 @@ class _RaceInjectingBackend:
     def __getattr__(self, name):
         return getattr(self._inner, name)
 
-    def create_exclusive(self, p):
+    def create_exclusive(self, p, content=""):
         if not self._fired and p.startswith(f"{self._td}/_claim_"):
             self._fired = True
             v = int(p.rsplit("_claim_v", 1)[1])
@@ -388,7 +388,7 @@ class _RaceInjectingBackend:
                 f"{self._td}/v{v:05d}"
             )
             self._inner.write_text_atomic(f"{self._td}/_LATEST", str(v))
-        return self._inner.create_exclusive(p)
+        return self._inner.create_exclusive(p, content)
 
 
 def test_claim_revalidates_pointer_under_claim(spark):
@@ -592,3 +592,176 @@ def test_compaction_conflicts_with_concurrent_commit(spark):
         assert compact_version(spark, tdir, target_files=1) == 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# round 8: claim LEASES — fsck is safe against LIVE writers, and the
+# conditional-PUT pointer swap is a real compare-and-swap (VERDICT r7 #2)
+# ---------------------------------------------------------------------------
+
+import threading  # noqa: E402
+import time  # noqa: E402
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    _backend_for,
+    _lease_age_sec,
+    _swap_pointer,
+    _Lease,
+    LocalFsBackend,
+    fsck,
+)
+
+
+class _SlowMoveBackend:
+    """Delegating wrapper that BLOCKS inside move() until released —
+    the live, slow (not crashed) writer mid-publish that a lease-less
+    fsck would have split-brained (r7 verdict scenario)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.entered = threading.Event()
+        self.release = threading.Event()
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def move(self, src, dst):
+        self.entered.set()
+        assert self.release.wait(60.0), "test never released the slow writer"
+        return self._inner.move(src, dst)
+
+
+def test_fsck_concurrent_with_live_writer(spark, tdir):
+    """fsck runs while a live slow writer holds the v2 claim mid-
+    publish: it must keep the claim (live lease), keep the writer's
+    staging, and the writer's commit must survive; the next writer
+    then lands in the NEXT slot — no split brain, no lost update."""
+    write_version(_df(spark, 3), tdir)
+    backend = _SlowMoveBackend(_backend_for(tdir, spark))
+    err: list[BaseException] = []
+
+    def _slow_commit():
+        try:
+            write_version(_df(spark, 7), tdir, backend=backend)
+        except BaseException as e:  # surface in the main thread
+            err.append(e)
+
+    t = threading.Thread(target=_slow_commit)
+    t.start()
+    try:
+        assert backend.entered.wait(60.0)
+        # writer is INSIDE move(): claim v2 held with a live lease
+        report = fsck(tdir)  # default TTL
+        assert report["claims_live"] == ["_claim_v00002"], report
+        assert report["claims_removed"] == [], report
+        assert report["orphans_removed"] == [], report
+        assert report["staging_removed"] == [], report
+    finally:
+        backend.release.set()
+        t.join(60.0)
+    assert not err, err
+    assert latest_version(tdir) == 2
+    assert read_table(spark, tdir).count() == 7  # live commit survived
+    assert write_version(_df(spark, 9), tdir) == 3  # next slot
+
+
+def test_fsck_shields_live_partial_prefix_condput(spark):
+    """Object-store shape of the same scenario: the live writer is
+    mid-COPY (a partial v2 prefix already exists). fsck must NOT GC
+    the prefix its live claim shields — deleting it would leave the
+    writer to point at a half-deleted snapshot."""
+    d = tempfile.mkdtemp(prefix="vlive_")
+    try:
+        tdir = f"{d}/t"
+
+        class _SlowCopyBackend(ConditionalPutBackend):
+            def __init__(self):
+                self.armed = False
+                self.entered = threading.Event()
+                self.release = threading.Event()
+
+            def move(self, src, dst):
+                if not self.armed:
+                    return super().move(src, dst)
+                keys = self._list_keys(src.rstrip("/"))
+                rel = os.path.relpath(keys[0], src.rstrip("/"))
+                self._copy(keys[0], os.path.join(dst.rstrip("/"), rel))
+                self.entered.set()
+                assert self.release.wait(60.0)
+                return super().move(src, dst)  # re-copy of keys[0] is idempotent
+
+        backend = _SlowCopyBackend()
+        write_version(_df(spark, 3), tdir, backend=backend)
+        backend.armed = True
+        err: list[BaseException] = []
+
+        def _slow_commit():
+            try:
+                write_version(_df(spark, 7), tdir, backend=backend)
+            except BaseException as e:
+                err.append(e)
+
+        t = threading.Thread(target=_slow_commit)
+        t.start()
+        try:
+            assert backend.entered.wait(60.0)
+            report = fsck(tdir, backend)
+            assert report["claims_live"] == ["_claim_v00002"], report
+            assert report["orphans_removed"] == [], report
+            assert backend._list_keys(f"{tdir}/v00002"), "partial prefix GC'd"
+        finally:
+            backend.release.set()
+            t.join(60.0)
+        assert not err, err
+        assert latest_version(tdir, backend) == 2
+        assert read_table(spark, tdir, backend=backend).count() == 7
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fsck_reclaims_expired_lease_claim(spark, tdir):
+    """A lease past the TTL is a crash leftover: reclaimed, commits
+    resume — the pre-lease behavior, now gated on actual staleness."""
+    write_version(_df(spark, 3), tdir)
+    backend = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    assert backend.create_exclusive(
+        f"{td}/_claim_v00002", f"deadwriter {time.time() - 120:.3f}"
+    )
+    report = fsck(tdir)
+    assert report["claims_removed"] == ["_claim_v00002"], report
+    assert report["claims_live"] == [], report
+    assert write_version(_df(spark, 5), tdir) == 2
+
+
+def test_pointer_cas_rejects_unexpected_prior(spark):
+    """The conditional-PUT pointer swap is If-Match CAS: a swap whose
+    expected prior value is stale fails loudly — pointer regression is
+    structurally impossible, not merely protocol-dependent."""
+    d = tempfile.mkdtemp(prefix="vcas_")
+    try:
+        tdir = f"{d}/t"
+        backend = ConditionalPutBackend()
+        write_version(_df(spark, 3), tdir, backend=backend)  # ptr = 1
+        assert backend.write_text_cas(f"{tdir}/_LATEST", "9", "7") is False
+        assert latest_version(tdir, backend) == 1
+        with pytest.raises(ConcurrentWriteError, match="CAS"):
+            _swap_pointer(backend, tdir, 3, 2)  # expects "2", actual "1"
+        assert latest_version(tdir, backend) == 1
+        assert write_version(_df(spark, 5), tdir, backend=backend) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lease_heartbeat_refreshes(tmp_path):
+    """_Lease keeps the marker young while a long operation runs, and
+    stops dead on exit (no post-release resurrection)."""
+    b = LocalFsBackend()
+    p = str(tmp_path / "_claim_v00001")
+    with _Lease(b, p, "w1", interval_sec=0.05):
+        time.sleep(0.5)
+        age = _lease_age_sec(b.read_text(p), time.time())
+        assert age is not None and age < 0.4, age
+    txt = b.read_text(p)
+    time.sleep(0.3)
+    assert b.read_text(p) == txt  # heartbeat really stopped
