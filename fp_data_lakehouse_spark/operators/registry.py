@@ -77,6 +77,7 @@ DRIVER_PRIORITY: list[str] = [
     "vt07_conditional_put_lifecycle",
     "vt08_compaction_identity",
     "vt09_fsck_live_writer_lease",
+    "vt10_manifest_commit_lifecycle",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
     "st06_python_stream_version_feed",
@@ -119,9 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev19_session_path_trigrams",
     "ev20_user_feature_assembly",
     "ev21_cohort_ltv",
-    "ev22_churn_labels",
-    # 50-row window ends here (2 new + 13 changed + 25 r2-vintage + 10
-    # r3-vintage); the remaining r3 rows (ev23-ev25, mm01/mm06,
+    # 50-row window ends here (3 new + 13 changed + 25 r2-vintage + 9
+    # r3-vintage); the remaining r3 rows (ev22-ev25, mm01/mm06,
     # q40/q41, sk06/08/09, sp06-sp08) rotate next round; everything
     # stays covered by tests/test_oracle_parity.py on every pytest run.
 ]

@@ -5,9 +5,16 @@ reduced to its essentials) for environments without one.
 Layout:
     table_dir/
         v00001/ v00002/ ...   immutable snapshot directories (parquet)
+        _manifest_v00003.json log-published snapshot: ONE object naming
+                              its data files under _data/ in place
+                              (write_version(manifest=True) — O(1)
+                              metadata per commit, the Delta/Iceberg
+                              publication shape)
+        _data/<writer>/       manifest-mode data files (never moved)
         _LATEST               text file holding the current version number
         _COMMITS              streaming-sink idempotence ledger (pyds)
         _claim_v00003         transient commit-slot claim markers
+                              (each carries a heartbeated lease)
 
 Writers never mutate a published snapshot: a new version is fully
 written to its own directory FIRST, then the pointer file swaps via
@@ -64,6 +71,8 @@ _VDIR = re.compile(r"^v(\d{5})$")
 _CLAIM = re.compile(r"^_claim_v(\d{5})$")
 _LEDGER = "_COMMITS"
 _STAGING = re.compile(r"^(_staging_|_stream_staging)")
+_MANIFEST = re.compile(r"^_manifest_v(\d{5})\.json$")
+_DATA_PREFIX = "_data"
 
 # Claim/staging lease TTL: fsck reclaims a marker only when its lease
 # heartbeat is older than this (or absent — a pre-lease-era marker or a
@@ -530,9 +539,38 @@ def _version_dirs(table_dir: str, backend=None) -> list[int]:
     return sorted(out)
 
 
+def _manifest_versions(table_dir: str, backend=None) -> list[int]:
+    """Versions published as MANIFESTS (log-based commits): one
+    ``_manifest_v{N}.json`` object naming the snapshot's data files in
+    place — the O(1)-metadata publication path (see
+    :func:`write_version` ``manifest=True``)."""
+    backend = backend or _backend_for(table_dir)
+    out = []
+    for name in backend.list_names(table_dir):
+        m = _MANIFEST.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _manifest_files(table_dir: str, v: int, backend) -> list[str]:
+    """Table-relative data-file paths named by a manifest version."""
+    import json
+
+    txt = backend.read_text(f"{table_dir.rstrip('/')}/_manifest_v{v:05d}.json")
+    if txt is None:
+        raise FileNotFoundError(f"manifest v{v} missing in {table_dir}")
+    return json.loads(txt)["files"]
+
+
 def versions(table_dir: str, backend=None) -> list[int]:
-    """Retained (queryable) snapshot versions, ascending."""
-    return _version_dirs(table_dir, backend)
+    """Retained (queryable) snapshot versions, ascending — v-dir
+    (copy-published) and manifest-published versions together."""
+    backend = backend or _backend_for(table_dir)
+    return sorted(
+        set(_version_dirs(table_dir, backend))
+        | set(_manifest_versions(table_dir, backend))
+    )
 
 
 def latest_version(table_dir: str, backend=None) -> int | None:
@@ -576,6 +614,31 @@ def _swap_pointer(backend, td: str, v: int, expected_prev: int) -> None:
             f"value {expected!r} is gone — the pointer moved outside this "
             "writer's claim (protocol violation or concurrent repair)"
         )
+
+
+def _remove_snapshots(table_dir: str, vs: list[int], backend) -> None:
+    """Delete snapshots in whichever form each exists: the copy-
+    published v-dir, and/or the manifest plus those of its data files
+    not referenced by any SURVIVING manifest (manifests may share data
+    files — an append-style commit references its predecessor's files —
+    so file GC is reference-counted against the retained set)."""
+    import json
+
+    td = table_dir.rstrip("/")
+    doomed = set(vs)
+    keep_refs: set[str] = set()
+    for mv in _manifest_versions(table_dir, backend):
+        if mv not in doomed:
+            keep_refs.update(_manifest_files(table_dir, mv, backend))
+    for v in vs:
+        backend.rmtree(f"{td}/v{v:05d}")
+        mkey = f"{td}/_manifest_v{v:05d}.json"
+        txt = backend.read_text(mkey)
+        if txt is None:
+            continue
+        for rel in sorted(set(json.loads(txt)["files"]) - keep_refs):
+            backend.delete_file(f"{td}/{rel}")
+        backend.delete_file(mkey)
 
 
 def _claim_slot(
@@ -648,8 +711,10 @@ def _claim_slot(
                 backend.delete_file(f"{td}/_claim_v{v:05d}")
                 continue
             ledgered = _ledger_versions(table_dir, backend)
-            dirs = set(_version_dirs(table_dir, backend))
-            if v in ledgered and v in dirs:
+            present = set(_version_dirs(table_dir, backend)) | set(
+                _manifest_versions(table_dir, backend)
+            )
+            if v in ledgered and v in present:
                 # Slot v is ledger-committed (stream writer crashed
                 # between ledger append and pointer swap): roll the
                 # pointer forward UNDER claim v, then retry for the
@@ -662,11 +727,11 @@ def _claim_slot(
                     f"table {table_dir} advanced to v{cur} since this "
                     f"transaction read v{base_version} — re-read and retry"
                 )
-            if v in dirs:
-                # unledger'd dir above the pointer: a crashed writer's
-                # orphan — delete it under the claim so it can never
-                # surface as a committed version.
-                backend.rmtree(f"{td}/v{v:05d}")
+            if v in present:
+                # unledger'd dir/manifest above the pointer: a crashed
+                # writer's orphan — delete it under the claim so it can
+                # never surface as a committed version.
+                _remove_snapshots(table_dir, [v], backend)
             return v
         except BaseException:
             # EVERY non-return exit under the claim releases it — a
@@ -678,13 +743,27 @@ def _claim_slot(
 
 
 def write_version(
-    df: DataFrame, table_dir: str, backend=None, base_version: int | None = None
+    df: DataFrame,
+    table_dir: str,
+    backend=None,
+    base_version: int | None = None,
+    manifest: bool = False,
 ) -> int:
     """Publish a new immutable snapshot; returns its version number.
     The pointer swap is the commit point — a crash before it leaves the
     table at the previous version with an orphan directory (cleaned by
     fsck/vacuum, or deleted under the next writer's claim), never a
     torn table.
+
+    ``manifest=True`` is the LOG-BASED publication path (what Delta /
+    Iceberg commits actually do): the staged parquet files stay where
+    they were written (under ``_data/{writer}/``) and the commit writes
+    ONE manifest object naming them — O(1) metadata per commit instead
+    of the per-object COPY loop an object store's rename-free ``move``
+    costs. Readers resolve the manifest under the same pointer; both
+    publication forms coexist in one table and share the claim
+    protocol, vacuum (manifest file GC is reference-counted, so
+    append-style manifests sharing files stay safe) and fsck.
 
     Concurrency: the commit slot is allocated through the claim
     protocol (``_claim_slot``), so concurrent writers serialize instead
@@ -700,17 +779,22 @@ def write_version(
     heartbeated through the publish (the per-object COPY loop on
     object-store backends can be long) — so a concurrent TTL-based
     fsck never sweeps a LIVE writer's staging or claim."""
+    import json
+
     backend = backend or _backend_for(table_dir, df.sparkSession)
     backend.makedirs(table_dir)
     td = table_dir.rstrip("/")
     writer_id = uuid.uuid4().hex[:12]
     # Stage the (possibly slow, possibly huge) parquet write BEFORE
     # claiming the slot, so the claim is held only for the metadata-
-    # sized rename + pointer swap — concurrent writers wait
-    # milliseconds, not a full 100 TB write. mode=append because the
-    # fresh staging dir already holds the lease file (underscore-
-    # prefixed: invisible to parquet readers).
-    staging = f"{td}/_staging_{writer_id}"
+    # sized publish — concurrent writers wait milliseconds, not a full
+    # 100 TB write. mode=append because the fresh staging dir already
+    # holds the lease file (underscore-prefixed: invisible to parquet
+    # readers). In manifest mode the "staging" dir IS the final data
+    # location — publication never moves a byte.
+    staging = (
+        f"{td}/{_DATA_PREFIX}/{writer_id}" if manifest else f"{td}/_staging_{writer_id}"
+    )
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
         df.write.mode("append").parquet(staging)
@@ -721,9 +805,26 @@ def write_version(
         raise
     try:
         with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
-            backend.move(staging, f"{td}/v{v:05d}")
-            backend.delete_file(f"{td}/v{v:05d}/_lease")
+            if manifest:
+                files = sorted(
+                    n for n in backend.list_names(staging) if n.endswith(".parquet")
+                )
+                body = json.dumps(
+                    {
+                        "version": v,
+                        "files": [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in files],
+                    }
+                )
+                # the commit's ONLY data-plane metadata op: one PUT,
+                # whatever the snapshot's object count
+                backend.write_text_atomic(f"{td}/_manifest_v{v:05d}.json", body)
+            else:
+                backend.move(staging, f"{td}/v{v:05d}")
+                backend.delete_file(f"{td}/v{v:05d}/_lease")
             _swap_pointer(backend, td, v, v - 1)
+            if manifest:
+                # data prefix is now manifest-referenced; drop its lease
+                backend.delete_file(f"{staging}/_lease")
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
@@ -736,16 +837,24 @@ def read_table(
     travels to any retained snapshot; reading a vacuumed or uncommitted
     version raises."""
     backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
     if version is None:
         version = latest_version(table_dir, backend)
         if version is None:
             raise FileNotFoundError(f"no committed version in {table_dir}")
-    if version not in _version_dirs(table_dir, backend):
+    in_dirs = version in _version_dirs(table_dir, backend)
+    in_manifests = not in_dirs and version in _manifest_versions(table_dir, backend)
+    if not in_dirs and not in_manifests:
         raise FileNotFoundError(f"version {version} not retained in {table_dir}")
     committed = latest_version(table_dir, backend) or 0
     if version > committed:
         raise FileNotFoundError(f"version {version} not committed yet in {table_dir}")
-    return spark.read.parquet(f"{table_dir.rstrip('/')}/v{version:05d}")
+    if in_dirs:
+        return spark.read.parquet(f"{td}/v{version:05d}")
+    files = _manifest_files(table_dir, version, backend)
+    if not files:
+        raise FileNotFoundError(f"manifest v{version} names no files in {table_dir}")
+    return spark.read.parquet(*[f"{td}/{rel}" for rel in files])
 
 
 def merge_into_version(
@@ -755,6 +864,7 @@ def merge_into_version(
     keys: list[str],
     merge_schema: bool = False,
     backend=None,
+    manifest: bool = False,
 ) -> int:
     """MERGE INTO a versioned table: publishes a NEW snapshot holding
     (previous version WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
@@ -777,7 +887,7 @@ def merge_into_version(
         raise ValueError(f"updates are not unique on merge keys {keys}")
     base = latest_version(table_dir, backend)
     if base is None:
-        return write_version(updates, table_dir, backend)
+        return write_version(updates, table_dir, backend, manifest=manifest)
     # pin the snapshot this MERGE reads; committing with base_version
     # makes a concurrent commit in between fail THIS merge loudly
     # (ConcurrentWriteError -> caller re-reads and retries) instead of
@@ -789,18 +899,20 @@ def merge_into_version(
     merged = prev.join(updates.select(*keys), keys, "left_anti").unionByName(
         updates, allowMissingColumns=merge_schema
     )
-    return write_version(merged, table_dir, backend, base_version=base)
+    return write_version(merged, table_dir, backend, base_version=base, manifest=manifest)
 
 
 def delete_from_version(
-    spark: SparkSession, table_dir: str, condition, backend=None
+    spark: SparkSession, table_dir: str, condition, backend=None, manifest: bool = False
 ) -> int:
     """DELETE WHERE ``condition`` as a new snapshot (rows NOT matching
     the condition survive). Returns the new version number."""
     backend = backend or _backend_for(table_dir, spark)
     base = latest_version(table_dir, backend)
     prev = read_table(spark, table_dir, base, backend=backend)
-    return write_version(prev.filter(~condition), table_dir, backend, base_version=base)
+    return write_version(
+        prev.filter(~condition), table_dir, backend, base_version=base, manifest=manifest
+    )
 
 
 def change_feed(
@@ -847,6 +959,7 @@ def compact_version(
     table_dir: str,
     target_files: int,
     backend=None,
+    manifest: bool = False,
 ) -> int:
     """OPTIMIZE (bin-packing compaction) as a new snapshot: rewrite the
     head version's data into ``target_files`` files — same rows, fewer
@@ -867,13 +980,20 @@ def compact_version(
         raise FileNotFoundError(f"no committed version to compact in {table_dir}")
     prev = read_table(spark, table_dir, base, backend=backend)
     return write_version(
-        prev.coalesce(max(1, target_files)), table_dir, backend, base_version=base
+        prev.coalesce(max(1, target_files)), table_dir, backend,
+        base_version=base, manifest=manifest,
     )
 
 
 def data_file_count(table_dir: str, version: int, backend=None) -> int:
-    """Number of data objects in a snapshot (metadata-sized LIST)."""
+    """Number of data objects in a snapshot (metadata-sized LIST for a
+    copy-published version, one manifest GET for a log-published one)."""
     backend = backend or _backend_for(table_dir)
+    if version in _manifest_versions(table_dir, backend):
+        return sum(
+            1 for f in _manifest_files(table_dir, version, backend)
+            if f.endswith(".parquet")
+        )
     vdir = f"{table_dir.rstrip('/')}/v{version:05d}"
     return sum(1 for n in backend.list_names(vdir) if n.endswith(".parquet"))
 
@@ -891,12 +1011,12 @@ def vacuum(table_dir: str, keep_last: int = 2, backend=None) -> list[int]:
         return []
     ledgered = _ledger_versions(table_dir, backend)
     removed = []
-    for v in _version_dirs(table_dir, backend):
+    for v in versions(table_dir, backend):
         orphan = v > committed and v not in ledgered
         expired = v <= committed - keep_last
         if orphan or expired:
-            backend.rmtree(f"{table_dir.rstrip('/')}/v{v:05d}")
             removed.append(v)
+    _remove_snapshots(table_dir, removed, backend)
     return removed
 
 
@@ -933,11 +1053,15 @@ def fsck(
        unacknowledged writes — deleted, so they can never surface as
        committed versions once the pointer passes their number;
     4. **staging sweep**: ``_staging_*`` / ``_stream_staging_*`` dirs
-       whose ``_lease`` is past the TTL (or absent) are deleted.
+       whose ``_lease`` is past the TTL (or absent) are deleted;
+    5. **data-prefix GC** (manifest commits): ``_data/{writer}/``
+       prefixes referenced by NO manifest and carrying no live lease
+       are a manifest writer's crash leftovers — deleted.
 
     Returns a report dict: ``{"pointer_before", "pointer_after",
     "rolled_forward", "orphans_removed", "claims_removed",
-    "claims_live", "staging_removed", "staging_live"}``."""
+    "claims_live", "staging_removed", "staging_live", "data_removed",
+    "data_live"}``."""
     backend = backend or _backend_for(table_dir)
     td = table_dir.rstrip("/")
     now = time.time()
@@ -948,7 +1072,10 @@ def fsck(
 
     ptr_before = latest_version(table_dir, backend) or 0
     ledgered = _ledger_versions(table_dir, backend)
-    dirs = _version_dirs(table_dir, backend)
+    present = sorted(
+        set(_version_dirs(table_dir, backend))
+        | set(_manifest_versions(table_dir, backend))
+    )
     claims, claims_live, live_slots = [], [], set()
     for name in backend.list_names(table_dir):
         m = _CLAIM.match(name)
@@ -962,7 +1089,7 @@ def fsck(
             claims.append(name)
     ptr = ptr_before
     rolled = []
-    for v in sorted(d for d in dirs if d > ptr_before):
+    for v in (d for d in present if d > ptr_before):
         if v in ledgered:
             ptr = max(ptr, v)
             rolled.append(v)
@@ -975,10 +1102,9 @@ def fsck(
             ptr = latest_version(table_dir, backend) or ptr_before
             rolled = [v for v in rolled if v <= ptr]
     orphans = [
-        v for v in dirs if v > ptr and v not in ledgered and v not in live_slots
+        v for v in present if v > ptr and v not in ledgered and v not in live_slots
     ]
-    for v in orphans:
-        backend.rmtree(f"{td}/v{v:05d}")
+    _remove_snapshots(table_dir, orphans, backend)
     staging, staging_live = [], []
     for name in backend.list_names(table_dir):
         if not _STAGING.match(name):
@@ -988,6 +1114,21 @@ def fsck(
         else:
             backend.rmtree(f"{td}/{name}")
             staging.append(name)
+    data_removed, data_live = [], []
+    ref_prefixes = set()
+    for mv in _manifest_versions(table_dir, backend):
+        for rel in _manifest_files(table_dir, mv, backend):
+            parts = rel.split("/")
+            if len(parts) >= 2 and parts[0] == _DATA_PREFIX:
+                ref_prefixes.add(parts[1])
+    for wid in backend.list_names(f"{td}/{_DATA_PREFIX}"):
+        if wid in ref_prefixes:
+            continue
+        if _live(f"{td}/{_DATA_PREFIX}/{wid}/_lease"):
+            data_live.append(wid)
+        else:
+            backend.rmtree(f"{td}/{_DATA_PREFIX}/{wid}")
+            data_removed.append(wid)
     return {
         "pointer_before": ptr_before,
         "pointer_after": ptr,
@@ -997,4 +1138,6 @@ def fsck(
         "claims_live": claims_live,
         "staging_removed": staging,
         "staging_live": staging_live,
+        "data_removed": data_removed,
+        "data_live": data_live,
     }

@@ -49,9 +49,10 @@ def test_registry_contract():
     # round 7: +et08, +vt07, +st12, +st13, +vt08, +io11, +q43, +ev28,
     # +q44, +dd19b (rows-only) -> 219 / 205
     # round 8: dd19b gains its unrolled-Lloyd oracle -> 219 / 206;
-    # +vt09 (fsck-live-writer lease lifecycle) -> 220 / 207
-    assert len(q) == 220, sorted(q)
-    assert len(o) == 207, sorted(o)
+    # +vt09 (fsck-live-writer lease lifecycle) -> 220 / 207;
+    # +vt10 (manifest O(1)-metadata commits) -> 221 / 208
+    assert len(q) == 221, sorted(q)
+    assert len(o) == 208, sorted(o)
 
 
 def test_driver_priority_window():

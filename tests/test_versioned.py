@@ -765,3 +765,167 @@ def test_lease_heartbeat_refreshes(tmp_path):
     txt = b.read_text(p)
     time.sleep(0.3)
     assert b.read_text(p) == txt  # heartbeat really stopped
+
+
+# ---------------------------------------------------------------------------
+# round 8: MANIFEST publication — log-based commits, O(1) metadata
+# (VERDICT r7 #5)
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    _manifest_files,
+    _manifest_versions,
+    change_feed,
+    data_file_count,
+    delete_from_version,
+    merge_into_version,
+)
+
+
+def test_manifest_lifecycle(spark, tdir):
+    """write/read/time-travel/MERGE/DELETE/CDF over manifest-published
+    snapshots — same semantics as copy mode, zero data movement at
+    commit time, on all three backends."""
+    assert write_version(_df(spark, 3), tdir, manifest=True) == 1
+    assert write_version(_df(spark, 5), tdir, manifest=True) == 2
+    backend = _backend_for(tdir, spark)
+    assert _manifest_versions(tdir, backend) == [1, 2]
+    assert versions(tdir) == [1, 2]
+    assert read_table(spark, tdir).count() == 5
+    assert read_table(spark, tdir, version=1).count() == 3
+    # MERGE + DELETE publish manifests too
+    up = spark.range(2).selectExpr("id", "id * 100 AS v")
+    v3 = merge_into_version(spark, tdir, up, ["id"], manifest=True)
+    assert v3 == 3 and _manifest_versions(tdir, backend) == [1, 2, 3]
+    got = {(r.id, r.v) for r in read_table(spark, tdir).collect()}
+    assert got == {(0, 0), (1, 100), (2, 4), (3, 6), (4, 8)}
+    from pyspark.sql import functions as F
+
+    v4 = delete_from_version(spark, tdir, F.col("id") >= 3, manifest=True)
+    assert v4 == 4 and read_table(spark, tdir).count() == 3
+    cf = change_feed(spark, tdir, 3, 4, keys=["id"])
+    assert {r._change_type for r in cf.collect()} == {"delete"}
+    assert data_file_count(tdir, 4) >= 1
+
+
+def test_manifest_vacuum_gc_is_reference_counted(spark, tdir):
+    """vacuum of a manifest version deletes its manifest and ONLY the
+    data files no surviving manifest references — an append-style
+    manifest sharing a predecessor's files keeps them alive."""
+    import json
+
+    write_version(_df(spark, 3), tdir, manifest=True)
+    write_version(_df(spark, 5), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    # synthesize v3 as an APPEND-style manifest: v2's files plus v1's
+    # (sharing across manifests is the format's whole point)
+    f1 = _manifest_files(tdir, 1, backend)
+    f2 = _manifest_files(tdir, 2, backend)
+    backend.write_text_atomic(
+        f"{td}/_manifest_v00003.json", json.dumps({"version": 3, "files": f2 + f1})
+    )
+    backend.write_text_atomic(f"{td}/_LATEST", "3")
+    assert read_table(spark, tdir).count() == 8  # 5 + 3 shared-in
+    removed = vacuum(tdir, keep_last=1)
+    assert removed == [1, 2]
+    # v1/v2 manifests gone, but EVERY data file survives via v3's refs
+    assert _manifest_versions(tdir, backend) == [3]
+    assert read_table(spark, tdir).count() == 8
+    for rel in f1 + f2:
+        prefix, name = rel.rsplit("/", 1)
+        assert name in backend.list_names(f"{td}/{prefix}"), rel
+    # now drop v3 the hard way: a fresh manifest commit then vacuum
+    write_version(_df(spark, 2), tdir, manifest=True)
+    removed = vacuum(tdir, keep_last=1)
+    assert removed == [3]
+    # all of v1+v2's files are finally unreferenced and gone
+    leftover = [
+        k
+        for wid in backend.list_names(f"{td}/_data")
+        for k in backend.list_names(f"{td}/_data/{wid}")
+        if k.endswith(".parquet")
+    ]
+    files4 = {f.rsplit("/", 1)[1] for f in _manifest_files(tdir, 4, backend)}
+    assert set(leftover) == files4, leftover
+
+
+def test_manifest_commit_is_o1_metadata_condput(spark):
+    """The publication step of a manifest commit performs ZERO per-
+    object COPYs and exactly one manifest PUT + one pointer PUT, no
+    matter how many data objects the snapshot has — measured on the
+    conditional-PUT backend with a counting proxy."""
+    d = tempfile.mkdtemp(prefix="vmanif_")
+    try:
+        tdir = f"{d}/t"
+
+        class _CountingBackend(ConditionalPutBackend):
+            def __init__(self):
+                self.copies = 0
+                self.puts = 0
+                self.counting = False
+
+            def _copy(self, src, dst):
+                if self.counting:
+                    self.copies += 1
+                return super()._copy(src, dst)
+
+            def _put(self, key, data):
+                if self.counting:
+                    self.puts += 1
+                return super()._put(key, data)
+
+            def create_exclusive(self, p, content=""):
+                won = super().create_exclusive(p, content)
+                if won and "_claim_" in p:
+                    self.counting = True  # publish phase begins
+                return won
+
+        backend = _CountingBackend()
+        df64 = _df(spark, 10_000).repartition(64)
+        write_version(df64, tdir, backend=backend, manifest=True)
+        backend.counting = False
+        assert data_file_count(tdir, 1, backend) == 64
+        assert backend.copies == 0, "manifest commit must not COPY data"
+        # manifest PUT + pointer PUT + claim-lease heartbeat writes only
+        assert backend.puts <= 4, backend.puts
+        assert read_table(spark, tdir, backend=backend).count() == 10_000
+        # contrast: the copy-mode publish pays one COPY per object
+        backend.counting = False
+        backend.copies = 0
+        write_version(df64, tdir, backend=backend)  # v2, copy mode
+        backend.counting = False
+        assert backend.copies >= 64, backend.copies
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_crash_before_manifest_put_is_invisible(spark):
+    """A manifest writer that dies after staging data but before the
+    manifest PUT leaves only an unreferenced _data prefix: readers
+    never see it, and fsck GCs it once its lease expires."""
+    d = tempfile.mkdtemp(prefix="vmanifcrash_")
+    try:
+        tdir = f"{d}/t"
+        backend = ConditionalPutBackend()
+        write_version(_df(spark, 3), tdir, backend=backend, manifest=True)
+
+        class _DieBeforeManifest(ConditionalPutBackend):
+            def write_text_atomic(self, p, content):
+                if "_manifest_" in p:
+                    raise RuntimeError("simulated crash before manifest PUT")
+                super().write_text_atomic(p, content)
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            write_version(_df(spark, 9), tdir, backend=_DieBeforeManifest(), manifest=True)
+        assert latest_version(tdir, backend) == 1
+        assert read_table(spark, tdir, backend=backend).count() == 3
+        # dead prefix: lease still young -> kept; expired -> GC'd
+        report = fsck(tdir, backend, claim_ttl_sec=3600.0)
+        assert report["data_removed"] == [] and len(report["data_live"]) == 1
+        report = fsck(tdir, backend, claim_ttl_sec=-1.0)
+        assert len(report["data_removed"]) == 1, report
+        assert read_table(spark, tdir, backend=backend).count() == 3
+        assert write_version(_df(spark, 5), tdir, backend=backend, manifest=True) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
