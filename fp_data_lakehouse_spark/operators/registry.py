@@ -78,6 +78,7 @@ DRIVER_PRIORITY: list[str] = [
     "vt08_compaction_identity",
     "vt09_fsck_live_writer_lease",
     "vt10_manifest_commit_lifecycle",
+    "st14_stateful_checkpoint_restart",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
     "st06_python_stream_version_feed",
@@ -119,9 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev18_session_error_hour_overlap",
     "ev19_session_path_trigrams",
     "ev20_user_feature_assembly",
-    "ev21_cohort_ltv",
-    # 50-row window ends here (3 new + 13 changed + 25 r2-vintage + 9
-    # r3-vintage); the remaining r3 rows (ev22-ev25, mm01/mm06,
+    # 50-row window ends here (4 new + 13 changed + 25 r2-vintage + 8
+    # r3-vintage); the remaining r3 rows (ev21-ev25, mm01/mm06,
     # q40/q41, sk06/08/09, sp06-sp08) rotate next round; everything
     # stays covered by tests/test_oracle_parity.py on every pytest run.
 ]

@@ -1009,3 +1009,97 @@ def st13_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# st14: STATEFUL checkpoint restart — session-window state survives a
+# stop/resume and emits exactly once (round-8 item 4)
+# ---------------------------------------------------------------------------
+# st09 proved exact OFFSET resume for a stateless sink; st14 proves the
+# STATE STORE leg: the dynamic-gap session-window query (st13's shape)
+# is stopped mid-stream and resumed from its checkpoint, and the
+# sessions held in state at shutdown — including sessions whose events
+# all arrived BEFORE the stop — emit exactly once after resume.
+
+
+@register("st14_stateful_checkpoint_restart", oracle=_ST13_SQL)
+def st14_stateful_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-and-resume for a STATEFUL streaming query on the hard
+    signal: events are split at their time midpoint; run 1 drains the
+    early half through the st13 dynamic-gap session-window aggregation
+    (checkpointed, non-idempotent parquet-append sink via foreachBatch)
+    and stops; the late half then lands and run 2 resumes FROM THE
+    CHECKPOINT. Sessions still in the state store at shutdown (their
+    end had not been passed by run 1's watermark) must be restored and
+    emitted exactly once by run 2 — their constituent events exist in
+    NO file run 2 reads, so a lost or reset state store drops them
+    (and a replayed offset double-appends run 1's output); either
+    flips the value hash against the batch-reconstructed oracle over
+    the full events table (the st13 emission model: end < final
+    watermark). In-query asserts pin the split's bite: both runs emit,
+    and run 2 emits sessions that STARTED before the stop.
+
+    Scale: recovery cost is the state store snapshot + the last commit
+    log, independent of history length; state is O(open sessions)
+    per the watermark horizon, exactly what a deploy/crash restart
+    pays on a 1000-executor cluster."""
+    from ..sources.catalog import load_table
+    from ..streaming.events import read_events_stream
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = alloc_scratch(spark, "st14")
+    src, target, ckpt = f"{scratch}/src", f"{scratch}/table", f"{scratch}/ckpt"
+
+    bounds = events.agg(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    ).head()  # 1-row control scalar: the split point
+    cutoff = (bounds["lo"] + bounds["hi"]) // 2
+    us = F.unix_micros(F.col("ts"))
+
+    def _drain_once() -> None:
+        stream = read_events_stream(spark, src)
+        gap = F.when(
+            F.col("event_type") == "purchase", F.lit("30 minutes")
+        ).otherwise(F.lit("10 minutes"))
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                F.unix_micros(F.col("w.end")).alias("session_end_us"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(target)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _stage_single_file(events.filter(us <= cutoff), src, "early.parquet")
+    _drain_once()  # run 1: drains the early half, checkpoints, STOPS
+    n_run1 = spark.read.parquet(target).count()
+    _stage_single_file(events.filter(us > cutoff), src, "late.parquet")
+    _drain_once()  # run 2: resumes state + offsets from the checkpoint
+
+    out = spark.read.parquet(target)
+    n_total = out.count()
+    assert 0 < n_run1 < n_total, (
+        f"split did not bite: run1={n_run1}, total={n_total} — the restart "
+        "certificate needs both runs to emit"
+    )
+    # sessions that STARTED before the stop: every run-1 emission is one
+    # (its events are all early), so a STRICTLY larger count means run 2
+    # emitted sessions only a restored state store can produce
+    n_started_early = out.filter(F.col("session_start_us") <= F.lit(cutoff)).count()
+    assert n_started_early > n_run1, (
+        f"no held-over session emitted after resume ({n_started_early} started "
+        f"early vs {n_run1} emitted by run 1)"
+    )
+    return out

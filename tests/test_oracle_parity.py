@@ -50,9 +50,10 @@ def test_registry_contract():
     # +q44, +dd19b (rows-only) -> 219 / 205
     # round 8: dd19b gains its unrolled-Lloyd oracle -> 219 / 206;
     # +vt09 (fsck-live-writer lease lifecycle) -> 220 / 207;
-    # +vt10 (manifest O(1)-metadata commits) -> 221 / 208
-    assert len(q) == 221, sorted(q)
-    assert len(o) == 208, sorted(o)
+    # +vt10 (manifest O(1)-metadata commits) -> 221 / 208;
+    # +st14 (stateful checkpoint restart) -> 222 / 209
+    assert len(q) == 222, sorted(q)
+    assert len(o) == 209, sorted(o)
 
 
 def test_driver_priority_window():
