@@ -61,16 +61,45 @@ def mm01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm02_media_features")
+_MM02_FEAT_BYTES = ", ".join(
+    f"('0x' || substring(md5(text), {2 * i + 1}, 2))::INT" for i in range(8)
+)
+
+_MM02_SQL = f"""
+    SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+           'text' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           array_to_string([{_MM02_FEAT_BYTES}], ',') AS feat_bytes
+    FROM documents
+"""
+
+
+@register("mm02_media_features", oracle=_MM02_SQL)
 def mm02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Arrow decode/featurize pipeline over binary payloads
     (mapInPandas, deterministic fake codec): schema, batch shape and
     null handling are the real thing — only the codec body is the
-    documented stand-in. Rows-only driver check; determinism and
-    feature range pinned in pytest."""
+    documented stand-in. Hash-certified since round 8: the ARRAY
+    feature column stays produced by the kernel and is consumed by a
+    higher-order ``transform`` back to the exact md5 bytes
+    (``round(f * 256)`` — each feature is the dyadic rational b/256,
+    so the round-trip is exact, the dd07/dd19 guard-band argument with
+    zero wobble), joined to a CSV the driver can hash; the key is the
+    portable media_ref. mm07 remains the scalar-float twin keyed by
+    doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    media = _as_media(docs).select("media_id", "kind", "payload", "mime", "meta")
-    return decode_and_featurize(media, codec="fake")
+    media = _as_media(docs).withColumn(
+        "media_id", F.col("media_ref").cast("long")
+    ).select("media_id", "kind", "payload", "mime", "meta")
+    out = decode_and_featurize(media, codec="fake")
+    return out.select(
+        F.col("media_id").cast("string").alias("media_ref"),
+        "kind",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.expr("transform(features, f -> cast(round(f * 256) as int))")
+        ).alias("feat_bytes"),
+    )
 
 
 _FRAME_BYTES = 256  # fake codec: fixed-size frames

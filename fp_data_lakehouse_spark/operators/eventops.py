@@ -267,18 +267,45 @@ def ev09_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ev09b_user_event_profile_array")
+@register(
+    "ev09b_user_event_profile_array",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS types,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           types[i] AS event_type,
+           CAST(len(types) AS BIGINT) AS n_types,
+           n_events
+    FROM p, UNNEST(range(1, len(types) + 1)) AS t(i)
+    """,
+)
 def ev09b_user_event_profile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-typed aggregation output (rows-only: the driver's
-    canonicalizer cannot hash ndarray cells, so the oracle-checked
-    string twin is ev09): each user's sorted distinct event-type list,
-    plus distinct and total counts."""
+    """Array-typed aggregation, hash-certified through a sorted
+    POSITIONAL projection (round-8 conversion of the rows-only row):
+    the per-user sorted distinct event-type ARRAY is built exactly as
+    before (collect_set + sort_array) and then posexploded to
+    (pos, event_type) scalar rows the driver's canonicalizer can hash
+    — position, membership, order, and length of the array are all on
+    the hashed surface, so the array aggregation itself is what the
+    green row certifies (the ev09 string twin only pinned membership
+    via its comma join)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("user_id").agg(
+    prof = events.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    return prof.select(
+        "user_id",
+        F.posexplode("event_types").alias("pos", "event_type"),
+        "n_types",
+        "n_events",
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 @register(

@@ -79,6 +79,8 @@ DRIVER_PRIORITY: list[str] = [
     "vt09_fsck_live_writer_lease",
     "vt10_manifest_commit_lifecycle",
     "st14_stateful_checkpoint_restart",
+    "ev09b_user_event_profile_array",
+    "mm02_media_features",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
     "st06_python_stream_version_feed",
@@ -118,10 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev09_user_event_profile",
     "ev17_asof_click_before_purchase",
     "ev18_session_error_hour_overlap",
-    "ev19_session_path_trigrams",
-    "ev20_user_feature_assembly",
-    # 50-row window ends here (4 new + 13 changed + 25 r2-vintage + 8
-    # r3-vintage); the remaining r3 rows (ev21-ev25, mm01/mm06,
+    # 50-row window ends here (6 new + 13 changed + 25 r2-vintage + 6
+    # r3-vintage); the remaining r3 rows (ev19-ev25, mm01/mm06,
     # q40/q41, sk06/08/09, sp06-sp08) rotate next round; everything
     # stays covered by tests/test_oracle_parity.py on every pytest run.
 ]

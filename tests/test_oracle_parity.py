@@ -51,9 +51,10 @@ def test_registry_contract():
     # round 8: dd19b gains its unrolled-Lloyd oracle -> 219 / 206;
     # +vt09 (fsck-live-writer lease lifecycle) -> 220 / 207;
     # +vt10 (manifest O(1)-metadata commits) -> 221 / 208;
-    # +st14 (stateful checkpoint restart) -> 222 / 209
+    # +st14 (stateful checkpoint restart) -> 222 / 209;
+    # ev09b + mm02 convert from rows-only to oracle-backed -> 222 / 211
     assert len(q) == 222, sorted(q)
-    assert len(o) == 209, sorted(o)
+    assert len(o) == 211, sorted(o)
 
 
 def test_driver_priority_window():
