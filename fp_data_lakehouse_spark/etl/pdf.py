@@ -152,12 +152,164 @@ def _unescape(s: str) -> str:
     return re.sub(r"\\[()\\nrt]", lambda m: _UNESC[m.group(0)], s)
 
 
+def _shows_of_stream(head: bytes, payload: bytes) -> str | None:
+    """Decode one content stream's show-op text, or None when the
+    stream does not inflate / carries no show ops (fonts, images)."""
+    if b"/FlateDecode" in head:
+        try:
+            content = zlib.decompress(payload)
+        except zlib.error:
+            return None
+    else:
+        content = payload
+    try:
+        text_ops = content.decode("latin-1")
+    except UnicodeDecodeError:  # pragma: no cover - latin-1 total
+        return None
+    shows: list[str] = []
+    for sm in _SHOW_RE.finditer(text_ops):
+        lits = _STR_RE.findall(sm.group(0))
+        shows.append("".join(_unescape(x) for x in lits))
+    return "\n".join(shows) if shows else None
+
+
+# ---- xref-driven resolution (foreign producers: arbitrary object order) ----
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_SUB_RE = re.compile(rb"\s*(\d+)\s+(\d+)[ ]*\r?\n")
+_REF_RE = re.compile(rb"/(Root|Pages|Contents|Kids|Type)\s*")
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+
+
+def _xref_offsets(data: bytes) -> dict[int, int]:
+    """Object number -> byte offset from the LAST classic xref table
+    (the one startxref points to). Raises on anything it cannot parse
+    — the caller falls back to the linear scan."""
+    m = _STARTXREF_RE.search(data, max(0, len(data) - 256))
+    if m is None:  # trailing garbage may push startxref further back
+        m = _STARTXREF_RE.search(data)
+    if m is None:
+        raise ValueError("no startxref")
+    pos = int(m.group(1))
+    if not data.startswith(b"xref", pos):
+        raise ValueError("startxref does not point at a classic xref table")
+    cur = pos + 4
+    offsets: dict[int, int] = {}
+    while True:
+        sub = _XREF_SUB_RE.match(data, cur)
+        if sub is None:
+            break
+        first, count = int(sub.group(1)), int(sub.group(2))
+        cur = sub.end()
+        for i in range(count):
+            entry = data[cur : cur + 20]
+            if len(entry) < 18:
+                raise ValueError("truncated xref entry")
+            if entry[17:18] == b"n":
+                offsets[first + i] = int(entry[:10])
+            cur += 20
+    if not offsets:
+        raise ValueError("empty xref")
+    return offsets
+
+
+def _object_at(data: bytes, off: int) -> bytes:
+    """The object body at a byte offset (``N G obj`` .. ``endobj``);
+    stream payloads are skipped via /Length so binary content can
+    never alias the endobj keyword."""
+    m = _OBJ_HEAD_RE.match(data, off)
+    if m is None:
+        raise ValueError(f"no object at offset {off}")
+    start = m.end()
+    sm = _STREAM_START_RE.match(data, start) or _STREAM_START_RE.search(
+        data, start, data.find(b"endobj", start) if b"endobj" in data[start:] else len(data)
+    )
+    search_from = start
+    if sm is not None and sm.start() >= start:
+        lengths = _LENGTH_RE.findall(sm.group(1))
+        if lengths:
+            search_from = sm.end() + int(lengths[-1])
+    end = data.find(b"endobj", search_from)
+    if end < 0:
+        raise ValueError("unterminated object")
+    return data[start:end]
+
+
+def _ref_of(body: bytes, key: bytes) -> int:
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", body)
+    if m is None:
+        raise ValueError(f"missing {key.decode()} reference")
+    return int(m.group(1))
+
+
+def _page_content_refs(data: bytes, offsets: dict[int, int]) -> list[int]:
+    """Content-stream object numbers in PAGE-TREE order (catalog ->
+    pages -> kids, recursing /Pages nodes) — the order pdfplumber
+    reads, independent of where objects sit in the file."""
+    trailer_at = data.rfind(b"trailer")
+    if trailer_at < 0:
+        raise ValueError("no trailer")
+    root = _ref_of(data[trailer_at:], b"/Root")
+    catalog = _object_at(data, offsets[root])
+    out: list[int] = []
+
+    def _walk(node_num: int, depth: int) -> None:
+        if depth > 32:
+            raise ValueError("page tree too deep")
+        body = _object_at(data, offsets[node_num])
+        if b"/Kids" in body:
+            kids_src = body[body.find(b"/Kids") :]
+            lb, rb_ = kids_src.find(b"["), kids_src.find(b"]")
+            for km in re.finditer(rb"(\d+)\s+\d+\s+R", kids_src[lb : rb_ + 1]):
+                _walk(int(km.group(1)), depth + 1)
+        elif b"/Contents" in body:
+            out.append(_ref_of(body, b"/Contents"))
+
+    _walk(_ref_of(catalog, b"/Pages"), 0)
+    if not out:
+        raise ValueError("page tree names no content streams")
+    return out
+
+
+def _extract_via_xref(data: bytes) -> str:
+    offsets = _xref_offsets(data)
+    pages: list[str] = []
+    for num in _page_content_refs(data, offsets):
+        body = _object_at(data, offsets[num])
+        sm = _STREAM_START_RE.search(body)
+        if sm is None:
+            continue
+        lengths = _LENGTH_RE.findall(sm.group(1))
+        payload = (
+            body[sm.end() : sm.end() + int(lengths[-1])]
+            if lengths
+            else body[sm.end() :].rstrip(b"\r\n")
+        )
+        shows = _shows_of_stream(sm.group(1), payload)
+        if shows is not None:
+            pages.append(shows)
+    return "\n".join(pages)
+
+
 def extract_pdf_text(data: bytes) -> str:
-    """Page-concatenated text of a generated-grammar PDF: per content
-    stream, the show-op strings in order joined with ``\\n``; streams
-    (= pages, in object order) joined with ``\\n`` — pdfplumber's
-    flatten shape at ``ETL_FINAL.py:144-145``. Streams that do not
-    inflate or carry no show ops (fonts, images) are skipped."""
+    """Page-concatenated text: per content stream, the show-op strings
+    in order joined with ``\\n``; pages joined with ``\\n`` —
+    pdfplumber's flatten shape at ``ETL_FINAL.py:144-145``.
+
+    Resolution order (round-8 robustness, VERDICT r7 #6): first the
+    xref/page-tree path — startxref -> classic xref table -> catalog
+    -> pages -> kids -> per-page /Contents — which reads pages in TREE
+    order, so a foreign producer's arbitrary object placement (e.g.
+    objects emitted in reverse) still decodes losslessly; when any of
+    that fails to parse (damaged xref, truncation, exotic trailers),
+    fall back to the byte-order linear stream scan, which handles
+    length-less and xref-less producers. Files neither path can read
+    yield '' / garbled text and flow to the et04 reject quarantine
+    (certified by et09) — never a silent census shrink."""
+    try:
+        return _extract_via_xref(data)
+    except Exception:
+        pass
     pages: list[str] = []
     for m in _STREAM_START_RE.finditer(data):
         head, start = m.group(1), m.end()
@@ -171,24 +323,36 @@ def extract_pdf_text(data: bytes) -> str:
             if end < 0:
                 continue
             payload = data[start:end].rstrip(b"\r\n")
-        if b"/FlateDecode" in head:
-            try:
-                content = zlib.decompress(payload)
-            except zlib.error:
-                continue
-        else:
-            content = payload
-        try:
-            text_ops = content.decode("latin-1")
-        except UnicodeDecodeError:  # pragma: no cover - latin-1 total
-            continue
-        shows: list[str] = []
-        for sm in _SHOW_RE.finditer(text_ops):
-            lits = _STR_RE.findall(sm.group(0))
-            shows.append("".join(_unescape(x) for x in lits))
-        if shows:
-            pages.append("\n".join(shows))
+        shows = _shows_of_stream(head, payload)
+        if shows is not None:
+            pages.append(shows)
     return "\n".join(pages)
+
+
+def rewrite_objects_reversed(data: bytes) -> bytes:
+    """Re-emit a generated-grammar PDF with its objects in REVERSED
+    numeric order (body layout only — the xref table is rebuilt to the
+    new offsets, the trailer kept). Simulates the foreign producers
+    whose object placement does not follow page order: a byte-order
+    stream scan would read such a file's pages backwards; only the
+    xref/page-tree path decodes it correctly."""
+    offsets = _xref_offsets(data)
+    objs = {num: _object_at(data, off) for num, off in offsets.items()}
+    out = bytearray(b"%PDF-1.4\n")
+    new_offsets: dict[int, int] = {}
+    for num in sorted(objs, reverse=True):
+        new_offsets[num] = len(out)
+        out += f"{num} 0 obj".encode() + objs[num] + b"endobj\n"
+    xref_pos = len(out)
+    maxn = max(objs)
+    out += f"xref\n0 {maxn + 1}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, maxn + 1):
+        out += f"{new_offsets[num]:010d} 00000 n \n".encode()
+    trailer_at = data.rfind(b"trailer")
+    startxref_at = data.rfind(b"startxref")
+    out += data[trailer_at:startxref_at]
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

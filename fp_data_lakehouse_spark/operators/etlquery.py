@@ -716,3 +716,157 @@ def et08_pdf_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("nrp").alias("n_students"),
     ).select(F.lit("_students").alias("huruf"), "n_rows", "sum_sks", "n_students")
     return per_grade.unionByName(census)
+
+
+# ---------------------------------------------------------------------------
+# et09: multi-producer PDF robustness — quarantine census (round-8 item 6)
+# ---------------------------------------------------------------------------
+
+_ET09_SQL = f"""
+WITH course AS (
+    SELECT o_custkey,
+           CAST(o_orderkey % 6 + 1 AS INT) AS sks,
+           {_SQL_GRADE} AS huruf
+    FROM orders WHERE o_custkey % 13 NOT IN (7, 11)
+), per_grade AS (
+    SELECT huruf,
+           COUNT(*) AS n_rows,
+           CAST(SUM(sks) AS BIGINT) AS sum_sks,
+           COUNT(DISTINCT o_custkey) AS n_students
+    FROM course GROUP BY huruf
+), census AS (
+    SELECT '_students' AS huruf,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey % 50 + 100) AS BIGINT) AS sum_sks,
+           COUNT(DISTINCT c_custkey) AS n_students
+    FROM customer WHERE c_custkey % 13 NOT IN (7, 11)
+), quarantined AS (
+    SELECT '_quarantined' AS huruf,
+           COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS sum_sks,
+           COUNT(DISTINCT c_custkey) AS n_students
+    FROM customer WHERE c_custkey % 13 IN (7, 11)
+)
+SELECT * FROM per_grade
+UNION ALL SELECT * FROM census
+UNION ALL SELECT * FROM quarantined
+"""
+
+_ET09_PDF_DIRS: dict[str, str] = {}
+
+
+def _et09_mutated_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """One PDF per customer with DETERMINISTIC producer damage keyed by
+    custkey mod 13: residue 3 -> objects re-laid in reverse (a foreign
+    producer's placement; decodes only via the xref/page-tree path),
+    residue 7 -> truncated to 150 bytes, residue 11 -> non-PDF junk
+    (both undecodable, both kept NON-EMPTY — binaryFile silently skips
+    zero-byte files, so an empty corrupt file would vanish from the
+    census instead of reaching quarantine; the et09 scan-count
+    reconciliation below exists for exactly that failure mode)."""
+    import os
+
+    import pandas as _pd
+
+    from ..etl.pdf import build_pdf, paginate, rewrite_objects_reversed
+    from ..sources.sinks import alloc_scratch
+
+    cached = _ET09_PDF_DIRS.get(sf_dir)
+    if cached and os.path.exists(f"{cached}/_DONE"):
+        return cached
+    pdf_dir = alloc_scratch(spark, "et09") + "/pdfs"
+    os.makedirs(pdf_dir, exist_ok=True)
+    docs = synth_transcript_docs(spark, sf_dir)
+
+    def _write(batches):
+        for pdf in batches:
+            n = 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                k = int(doc_id.split("-", 1)[1])
+                data = build_pdf(paginate(text))
+                if k % 13 == 3:
+                    data = rewrite_objects_reversed(data)
+                elif k % 13 == 7:
+                    data = data[:150]
+                elif k % 13 == 11:
+                    data = b"\x89PNG\r\n\x1a\n junk-not-a-pdf " + data[:64]
+                with open(os.path.join(pdf_dir, f"{doc_id}.pdf"), "wb") as f:
+                    f.write(data)
+                n += 1
+            yield _pd.DataFrame({"n": [n]})
+
+    n = (
+        docs.select("doc_id", "text")
+        .mapInPandas(_write, "n long")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        or 0
+    )
+    assert n > 0, "PDF synthesis wrote no files"
+    with open(f"{pdf_dir}/_DONE", "w") as f:
+        f.write(str(n))
+    _ET09_PDF_DIRS[sf_dir] = pdf_dir
+    return pdf_dir
+
+
+@register("et09_pdf_quarantine_census", oracle=_ET09_SQL)
+def et09_pdf_quarantine_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-producer robustness for the S2 decode on the hard signal
+    (round-8 close of VERDICT r7 #6): the corpus carries three classes
+    of producer damage (reversed object layout, truncation, non-PDF
+    junk — see ``_et09_mutated_corpus``). The pipeline must (a) decode
+    the REORDERED files losslessly through the round-8 xref/page-tree
+    resolution — a byte-order scan would reverse their pages and smear
+    ~1/13 of the course census; (b) route every undecodable file to
+    the et04 reject quarantine; and (c) reconcile the scan count
+    against the customer census so a file silently skipped by the
+    source (binaryFile drops zero-byte files) fails loudly instead of
+    shrinking the census. The returned rollup carries the valid
+    per-grade + '_students' censuses PLUS a '_quarantined' row counted
+    from the ACTUAL rejected docs; the oracle reconstructs all three
+    from orders/customer by the mod-13 rule — the row only hashes
+    green if quarantine == exactly the corrupted set and the survivors
+    decoded byte-exactly.
+
+    Scale: identical plan shape to et08 (per-file scan, Arrow decode
+    kernel, certified regex layer); the robustness machinery adds one
+    integer parse per rejected doc_id, nothing on the valid path."""
+    from ..etl.extract import extract_courses, extract_students, split_valid_invalid
+    from ..etl.pdf import decode_pdf_docs
+    from ..session import tune
+    from ..sources.catalog import load_table
+
+    tune(spark)
+    pdf_dir = _et09_mutated_corpus(spark, sf_dir)
+    binary = spark.read.format("binaryFile").load(f"{pdf_dir}/*.pdf")
+    docs = (
+        decode_pdf_docs(binary)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    n_scanned = docs.count()
+    assert n_scanned == n_customers, (
+        f"scan reconciliation failed: {n_scanned} files decoded vs "
+        f"{n_customers} customers — a corrupt file was silently dropped"
+    )
+    valid, invalid = split_valid_invalid(docs)
+    students = extract_students(valid)
+    courses = extract_courses(valid)
+
+    per_grade = courses.groupBy(F.col("nilai").alias("huruf")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("sks").cast("bigint").alias("sum_sks"),
+        F.countDistinct("doc_id").alias("n_students"),
+    )
+    census = students.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("sks_tempuh").cast("bigint").alias("sum_sks"),
+        F.countDistinct("nrp").alias("n_students"),
+    ).select(F.lit("_students").alias("huruf"), "n_rows", "sum_sks", "n_students")
+    quarantined = invalid.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("bigint").alias("sum_sks"),
+        F.countDistinct("doc_id").alias("n_students"),
+    ).select(F.lit("_quarantined").alias("huruf"), "n_rows", "sum_sks", "n_students")
+    return per_grade.unionByName(census).unionByName(quarantined)

@@ -86,6 +86,7 @@ DRIVER_PRIORITY: list[str] = [
     "st06_python_stream_version_feed",
     "st10_python_stream_sink_versions",
     "et08_pdf_decode_pipeline",
+    "et09_pdf_quarantine_census",
     # rotation: the 25 remaining r2-vintage certificates
     "ev12_interevent_gaps",
     "ev13_hourly_anomaly_zscore",
@@ -119,9 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "ev08_error_click_proximity",
     "ev09_user_event_profile",
     "ev17_asof_click_before_purchase",
-    "ev18_session_error_hour_overlap",
-    # 50-row window ends here (6 new + 13 changed + 25 r2-vintage + 6
-    # r3-vintage); the remaining r3 rows (ev19-ev25, mm01/mm06,
+    # 50-row window ends here (7 new + 13 changed + 25 r2-vintage + 5
+    # r3-vintage); the remaining r3 rows (ev18-ev25, mm01/mm06,
     # q40/q41, sk06/08/09, sp06-sp08) rotate next round; everything
     # stays covered by tests/test_oracle_parity.py on every pytest run.
 ]

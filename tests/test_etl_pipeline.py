@@ -278,3 +278,109 @@ def test_pdf_corpus_write_scan_decode(spark, tmp_path):
     binary = spark.read.format("binaryFile").load(f"{out}/*.pdf")
     got = {r.doc_id: r.text for r in decode_pdf_docs(binary).collect()}
     assert got == dict(docs)
+
+
+# ---------------------------------------------------------------------------
+# round 8: multi-producer PDF robustness (VERDICT r7 #6) — reordered
+# objects decode via the xref/page-tree path; mutations never crash and
+# undecodable files flow to the quarantine, not a silent census shrink
+# ---------------------------------------------------------------------------
+
+_TEXT_LINES = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_TEXT_LINES)
+def test_pdf_reversed_objects_decode_exactly(lines):
+    """A producer that lays objects out in reverse file order still
+    decodes losslessly: the xref/page-tree resolution reads pages in
+    TREE order (a byte-order scan would reverse them)."""
+    from fp_data_lakehouse_spark.etl.pdf import rewrite_objects_reversed
+
+    text = "\n".join(lines)
+    pdf = build_pdf(paginate(text, lines_per_page=3))
+    assert extract_pdf_text(rewrite_objects_reversed(pdf)) == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(_TEXT_LINES, st.binary(min_size=0, max_size=300))
+def test_pdf_trailing_garbage_decodes_exactly(lines, garbage):
+    """Bytes appended after %%EOF (incremental-update debris, FTP
+    truncation padding) must not perturb the decode."""
+    text = "\n".join(lines)
+    pdf = build_pdf(paginate(text, lines_per_page=3))
+    assert extract_pdf_text(pdf + garbage) == text
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    _TEXT_LINES,
+    st.integers(min_value=0, max_value=10_000),
+    st.randoms(use_true_random=False),
+)
+def test_pdf_mutations_never_crash(lines, cut, rng):
+    """Truncations and random byte flips anywhere in the file must
+    never raise from the decoder — damaged files yield degraded text
+    (missing the NRP/Nama anchor) and are the quarantine's job."""
+    text = "\n".join(lines)
+    pdf = bytearray(build_pdf(paginate(text, lines_per_page=3)))
+    # random single-byte flips
+    for _ in range(3):
+        i = rng.randrange(len(pdf))
+        pdf[i] = rng.randrange(256)
+    out = extract_pdf_text(bytes(pdf[: max(1, cut % (len(pdf) + 1))]))
+    assert isinstance(out, str)
+
+
+def test_pdf_undecodable_files_flow_to_quarantine(spark, tmp_path):
+    """End-to-end reject path: a corpus where some files are truncated
+    or are not PDFs at all — the decoded text lacks the NRP/Nama
+    anchor, split_valid_invalid quarantines EXACTLY those files, and
+    the valid census is untouched (no silent shrink)."""
+    import os
+
+    from fp_data_lakehouse_spark.etl.extract import split_valid_invalid
+    from fp_data_lakehouse_spark.etl.pdf import (
+        decode_pdf_docs,
+        rewrite_objects_reversed,
+        write_pdf_corpus,
+    )
+
+    docs = make_documents()
+    df = spark.createDataFrame(docs, "doc_id STRING, text STRING")
+    out = str(tmp_path / "pdfs")
+    write_pdf_corpus(df, out)
+    # foreign producer: reverse-ordered objects for every even doc
+    for i, (doc_id, _) in enumerate(docs):
+        p = os.path.join(out, f"{doc_id}.pdf")
+        if i % 2 == 0:
+            data = open(p, "rb").read()
+            open(p, "wb").write(rewrite_objects_reversed(data))
+    # corruption: truncate one file mid-objects, replace one with junk
+    victim_trunc, victim_junk = docs[0][0], docs[1][0]
+    pt = os.path.join(out, f"{victim_trunc}.pdf")
+    head = open(pt, "rb").read()[:120]
+    open(pt, "wb").write(head)
+    open(os.path.join(out, f"{victim_junk}.pdf"), "wb").write(b"\x89PNG not a pdf")
+
+    binary = spark.read.format("binaryFile").load(f"{out}/*.pdf")
+    decoded = decode_pdf_docs(binary)
+    valid, rejected = split_valid_invalid(decoded)
+    # the fixture already ships anchor-less reject docs; the corrupted
+    # files must join EXACTLY that set — nothing more, nothing less
+    baseline = {d for d, t in docs if "NRP" not in t}
+    assert {r.doc_id for r in rejected.collect()} == baseline | {
+        victim_trunc,
+        victim_junk,
+    }
+    got = {r.doc_id: r.text for r in valid.collect()}
+    expect = {
+        d: t
+        for d, t in docs
+        if d not in (victim_trunc, victim_junk) and d not in baseline
+    }
+    assert got == expect  # reordered producers decode losslessly
