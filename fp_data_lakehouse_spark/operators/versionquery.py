@@ -604,10 +604,10 @@ def vt07_conditional_put_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
     # landed, no pointer motion, the claim marker still held
     pre.limit(50).write.parquet(f"{table_dir}/_staging_crashed")
     staged = [
-        k for k in backend._list_keys(f"{table_dir}/_staging_crashed")
+        k for k in backend.list_keys(f"{table_dir}/_staging_crashed")
         if k.endswith(".parquet")
     ]
-    backend._copy(staged[0], f"{table_dir}/v00002/{staged[0].rsplit('/', 1)[1]}")
+    backend.copy_object(staged[0], f"{table_dir}/v00002/{staged[0].rsplit('/', 1)[1]}")
     backend.create_exclusive(f"{table_dir}/_claim_v00002")
     assert latest_version(table_dir, backend) == 1  # partial prefix invisible
     report = fsck(table_dir, backend)
@@ -773,8 +773,8 @@ def vt09_fsck_live_writer_lease(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not self.armed:
                 return super().move(src, dst)
             self.armed = False
-            keys = self._list_keys(src.rstrip("/"))
-            self._copy(keys[0], f"{dst.rstrip('/')}/{keys[0].rsplit('/', 1)[1]}")
+            keys = self.list_keys(src.rstrip("/"))
+            self.copy_object(keys[0], f"{dst.rstrip('/')}/{keys[0].rsplit('/', 1)[1]}")
             self.entered.set()
             assert self.release.wait(120.0), "vt09 never released its writer"
             return super().move(src, dst)  # re-copy of keys[0] is idempotent
@@ -804,7 +804,7 @@ def vt09_fsck_live_writer_lease(spark: SparkSession, sf_dir: str) -> DataFrame:
         report = fsck(table_dir, backend)  # concurrent repair, default TTL
         assert report["claims_live"] == ["_claim_v00002"], report
         assert report["claims_removed"] == [] and report["orphans_removed"] == [], report
-        assert backend._list_keys(f"{table_dir}/v00002"), "live partial prefix GC'd"
+        assert backend.list_keys(f"{table_dir}/v00002"), "live partial prefix GC'd"
     finally:
         backend.release.set()
         t.join(120.0)
@@ -959,7 +959,7 @@ def vt10_manifest_commit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
     assert dropped == [1], f"vacuum must expire exactly v1, got {dropped}"
     # reference-counted GC really removed v1's 32 now-unreferenced objects
     live_objects = [
-        k for k in backend._list_keys(f"{table_dir}/_data") if k.endswith(".parquet")
+        k for k in backend.list_keys(f"{table_dir}/_data") if k.endswith(".parquet")
     ]
     expected = data_file_count(table_dir, 2, backend) + data_file_count(
         table_dir, 3, backend

@@ -464,6 +464,18 @@ class ConditionalPutBackend:
             self._delete(key)
         shutil.rmtree(p, ignore_errors=True)  # empty local-dir husks
 
+    # Public object-API hooks (the same five primitives, exported so
+    # certificate queries and tests plant crash artifacts without
+    # touching private members):
+    def list_keys(self, prefix: str) -> list[str]:
+        return self._list_keys(prefix)
+
+    def copy_object(self, src_key: str, dst_key: str) -> None:
+        self._copy(src_key, dst_key)
+
+    def put_object(self, key: str, data: bytes) -> None:
+        self._put(key, data)
+
     def create_exclusive(self, p: str, content: str = "") -> bool:
         return self._put_if_absent(p, content.encode())
 

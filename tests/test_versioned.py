@@ -474,7 +474,11 @@ def test_blind_writers_serialize_without_conflict(spark, tdir):
 
     ts = [threading.Thread(target=w, args=(n,)) for n in (5, 7)]
     [t.start() for t in ts]
-    [t.join(60) for t in ts]
+    # generous join: under full-suite load a staging parquet write can
+    # take tens of seconds, and an early-returning join would assert
+    # against a commit still in flight (observed flake, round 8)
+    [t.join(300) for t in ts]
+    assert not any(t.is_alive() for t in ts), "writer thread still running"
     assert not errs
     assert latest_version(tdir) == 3
     assert versions(tdir) == [1, 2, 3]
@@ -503,9 +507,9 @@ def test_condput_crash_mid_move_never_publishes(spark):
             if not self.armed:
                 return super().move(src, dst)
             # copy exactly one object, then die (simulated)
-            keys = self._list_keys(src.rstrip("/"))
+            keys = self.list_keys(src.rstrip("/"))
             rel = os.path.relpath(keys[0], src.rstrip("/"))
-            self._copy(keys[0], os.path.join(dst.rstrip("/"), rel))
+            self.copy_object(keys[0], os.path.join(dst.rstrip("/"), rel))
             raise RuntimeError("simulated crash mid-COPY")
 
     d = tempfile.mkdtemp(prefix="vcondput_")
@@ -683,9 +687,9 @@ def test_fsck_shields_live_partial_prefix_condput(spark):
             def move(self, src, dst):
                 if not self.armed:
                     return super().move(src, dst)
-                keys = self._list_keys(src.rstrip("/"))
+                keys = self.list_keys(src.rstrip("/"))
                 rel = os.path.relpath(keys[0], src.rstrip("/"))
-                self._copy(keys[0], os.path.join(dst.rstrip("/"), rel))
+                self.copy_object(keys[0], os.path.join(dst.rstrip("/"), rel))
                 self.entered.set()
                 assert self.release.wait(60.0)
                 return super().move(src, dst)  # re-copy of keys[0] is idempotent
@@ -708,7 +712,7 @@ def test_fsck_shields_live_partial_prefix_condput(spark):
             report = fsck(tdir, backend)
             assert report["claims_live"] == ["_claim_v00002"], report
             assert report["orphans_removed"] == [], report
-            assert backend._list_keys(f"{tdir}/v00002"), "partial prefix GC'd"
+            assert backend.list_keys(f"{tdir}/v00002"), "partial prefix GC'd"
         finally:
             backend.release.set()
             t.join(60.0)
