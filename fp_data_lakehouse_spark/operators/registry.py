@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "st14_stateful_checkpoint_restart",
     "ev09b_user_event_profile_array",
     "mm02_media_features",
+    "sp09_temperature_resample",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
     "st06_python_stream_version_feed",
@@ -119,9 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "ag05_value_histogram",
     "ev08_error_click_proximity",
     "ev09_user_event_profile",
-    "ev17_asof_click_before_purchase",
-    # 50-row window ends here (7 new + 13 changed + 25 r2-vintage + 5
-    # r3-vintage); the remaining r3 rows (ev18-ev25, mm01/mm06,
+    # 50-row window ends here (8 new + 13 changed + 25 r2-vintage + 4
+    # r3-vintage); the remaining r3 rows (ev17-ev25, mm01/mm06,
     # q40/q41, sk06/08/09, sp06-sp08) rotate next round; everything
     # stays covered by tests/test_oracle_parity.py on every pytest run.
 ]

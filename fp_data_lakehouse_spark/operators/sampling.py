@@ -387,3 +387,76 @@ def sp08_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sp09: temperature (alpha) mixture resampling — UNIMAX/multilingual-LM
+# style, integer-quantized for engine-exact reproducibility
+# ---------------------------------------------------------------------------
+# alpha = 0.5 (sqrt) — IEEE sqrt and multiply are correctly rounded, so
+# floor(sqrt(c) * 1000) is bit-identical in Spark and DuckDB; everything
+# downstream stays in exact BIGINT arithmetic (the sk10 discipline).
+
+_SP09_SQL = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+w AS (
+    SELECT lang, c,
+           CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS w
+    FROM cnt
+),
+tot AS (
+    SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(c) AS BIGINT) AS n
+    FROM w
+),
+rate AS (
+    SELECT lang,
+           LEAST(10000, 10000 * ((n // 2) * w // tw) // c) AS r
+    FROM w, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rate USING (lang)
+WHERE {_BUCKET_SQL} < r
+"""
+
+
+@register("sp09_temperature_resample", oracle=_SP09_SQL)
+def sp09_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual-LM
+    alpha-sampling move: keep probability proportional to
+    share^alpha, flattening head languages while boosting the tail;
+    alpha = 0.5 here) down to a half-corpus budget. Differs from sp03
+    (equalize to the minimum) and sp07 (explicit budget weights): the
+    mixture is a smooth function of observed shares.
+
+    Engine-exactness: per-language weight = floor(sqrt(c) * 1000) —
+    sqrt and multiply are IEEE correctly-rounded, so both engines
+    produce the identical BIGINT; expected counts and bucket rates
+    then stay in exact integer arithmetic, and selection reuses the
+    content-stable md5 bucket (reproducible across runs, engines,
+    shard counts, corpus growth).
+
+    Scale: a 5-row aggregate broadcast back onto the scan and a
+    map-side filter — no wide shuffle at any corpus size; the same
+    plan shape as sp02/sp03 whose pushdown is pinned in
+    test_plan_quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    w = cnt.select(
+        "lang",
+        "c",
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1000).cast("bigint").alias("w"),
+    )
+    tot = w.agg(
+        F.sum("w").cast("bigint").alias("tw"), F.sum("c").cast("bigint").alias("n")
+    )
+    rate = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(10000), F.expr("10000 * ((n div 2) * w div tw) div c")
+        ).alias("r"),
+    )
+    return (
+        docs.join(F.broadcast(rate), "lang")
+        .filter(F.expr(_BUCKET) < F.col("r"))
+        .select("doc_id", "lang")
+    )

@@ -53,9 +53,10 @@ def test_registry_contract():
     # +vt10 (manifest O(1)-metadata commits) -> 221 / 208;
     # +st14 (stateful checkpoint restart) -> 222 / 209;
     # ev09b + mm02 convert from rows-only to oracle-backed -> 222 / 211;
-    # +et09 (PDF quarantine census, xref-path robustness) -> 223 / 212
-    assert len(q) == 223, sorted(q)
-    assert len(o) == 212, sorted(o)
+    # +et09 (PDF quarantine census, xref-path robustness) -> 223 / 212;
+    # +sp09 (temperature mixture resample) -> 224 / 213
+    assert len(q) == 224, sorted(q)
+    assert len(o) == 213, sorted(o)
 
 
 def test_driver_priority_window():
