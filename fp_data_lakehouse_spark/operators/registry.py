@@ -82,6 +82,7 @@ DRIVER_PRIORITY: list[str] = [
     "ev09b_user_event_profile_array",
     "mm02_media_features",
     "sp09_temperature_resample",
+    "st15_stream_manifest_merge",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
     "st06_python_stream_version_feed",
@@ -119,9 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "ag04_winsorized_event_values",
     "ag05_value_histogram",
     "ev08_error_click_proximity",
-    "ev09_user_event_profile",
-    # 50-row window ends here (8 new + 13 changed + 25 r2-vintage + 4
-    # r3-vintage); the remaining r3 rows (ev17-ev25, mm01/mm06,
+    # 50-row window ends here (9 new + 13 changed + 25 r2-vintage + 3
+    # r3-vintage); the remaining r3 rows (ev09, ev17-ev25, mm01/mm06,
     # q40/q41, sk06/08/09, sp06-sp08) rotate next round; everything
     # stays covered by tests/test_oracle_parity.py on every pytest run.
 ]

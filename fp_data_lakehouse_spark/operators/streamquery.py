@@ -1103,3 +1103,119 @@ def st14_stateful_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFr
         f"early vs {n_run1} emitted by run 1)"
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# st15: streaming MANIFEST commits — the log-based publication path
+# driven from a stream, with checkpoint restart (round-8)
+# ---------------------------------------------------------------------------
+
+_ST15_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("st15_stream_manifest_merge", oracle=_ST15_SQL)
+def st15_stream_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a versioned table where every micro-batch
+    commit is a MANIFEST publication (``merge_into_version(...,
+    manifest=True)``) — the Delta-shaped streaming MERGE on the vt10
+    log-based path: per batch, the staged parquet files become the
+    snapshot via ONE manifest PUT, zero data movement. The run is
+    split st09-style across two checkpointed drains (stop after the
+    early half, resume for the late half), and the
+    foreachBatch body is an EVENT-KEYED idempotent MERGE (the st08
+    exactly-once contract), so a replayed epoch upserts the same keys
+    to the same values and the head state is replay-invariant; the
+    per-user census is derived at read time. In-query asserts pin
+    the publication shape: EVERY committed version is
+    manifest-published (zero v-dirs), and the counting backend saw
+    zero per-object COPYs across all commits. The returned head (per-
+    user event census) must hash-equal the batch census over the full
+    events table.
+
+    Scale: each micro-batch pays one manifest PUT + the MERGE's
+    anti-join — commit metadata is O(1) in file count at any rate;
+    vacuum's reference-counted GC (vt10) reclaims expired snapshots'
+    files without touching shared ones."""
+    from ..sources.catalog import load_table
+    from ..sources.versioned import (
+        ConditionalPutBackend,
+        _manifest_versions,
+        _version_dirs,
+        latest_version,
+        merge_into_version,
+        read_table,
+    )
+    from ..streaming.events import read_events_stream
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = alloc_scratch(spark, "st15")
+    src, table_dir, ckpt = f"{scratch}/src", f"{scratch}/table", f"{scratch}/ckpt"
+
+    class _CountingBackend(ConditionalPutBackend):
+        copies = 0
+
+        def _copy(self, s, d):
+            _CountingBackend.copies += 1
+            return super()._copy(s, d)
+
+    backend = _CountingBackend()
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # event-keyed idempotent MERGE (the st08 exactly-once contract):
+        # a replayed micro-batch upserts the same keys to the same
+        # values, so the head state is replay-invariant — which an
+        # accumulating rollup merge would NOT be. The census is derived
+        # at read time from the keyed table.
+        merge_into_version(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df.select("event_id", "user_id", "value").dropDuplicates(["event_id"]),
+            keys=["event_id"],
+            backend=backend,
+            manifest=True,
+        )
+
+    bounds = events.agg(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    ).head()
+    cutoff = (bounds["lo"] + bounds["hi"]) // 2
+    us = F.unix_micros(F.col("ts"))
+
+    def _drain_once() -> None:
+        q = (
+            read_events_stream(spark, src)
+            .writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _stage_single_file(events.filter(us <= cutoff), src, "early.parquet")
+    _drain_once()
+    _stage_single_file(events.filter(us > cutoff), src, "late.parquet")
+    _drain_once()
+
+    head_v = latest_version(table_dir, backend)
+    assert head_v and head_v >= 2, f"expected >=2 streamed commits, got {head_v}"
+    assert _version_dirs(table_dir, backend) == [], "a commit bypassed the manifest path"
+    assert len(_manifest_versions(table_dir, backend)) >= head_v
+    assert _CountingBackend.copies == 0, (
+        f"manifest commits must not COPY data ({_CountingBackend.copies})"
+    )
+    return (
+        read_table(spark, table_dir, backend=backend)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

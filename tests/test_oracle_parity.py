@@ -54,9 +54,10 @@ def test_registry_contract():
     # +st14 (stateful checkpoint restart) -> 222 / 209;
     # ev09b + mm02 convert from rows-only to oracle-backed -> 222 / 211;
     # +et09 (PDF quarantine census, xref-path robustness) -> 223 / 212;
-    # +sp09 (temperature mixture resample) -> 224 / 213
-    assert len(q) == 224, sorted(q)
-    assert len(o) == 213, sorted(o)
+    # +sp09 (temperature mixture resample) -> 224 / 213;
+    # +st15 (streaming manifest MERGE commits) -> 225 / 214
+    assert len(q) == 225, sorted(q)
+    assert len(o) == 214, sorted(o)
 
 
 def test_driver_priority_window():
