@@ -87,6 +87,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 _PTR = "_LATEST"
 _VDIR = re.compile(r"^v(\d{5})$")
+_MANIFEST = re.compile(r"^_manifest_v(\d{5})\.json$")
 
 
 # ---------------------------------------------------------------------------
@@ -104,17 +105,23 @@ def _fs_and_path(path: str) -> tuple["pafs.FileSystem", str]:
 
 
 def _list_versions(fs: "pafs.FileSystem", table_dir: str) -> list[int]:
+    """Retained versions: copy-published v-dirs AND manifest-published
+    versions (versioned.write_version(manifest=True)), so the Python
+    DataSource reads the same snapshot set the JVM reader resolves."""
     import pyarrow.fs as pafs
 
     try:
         infos = fs.get_file_info(pafs.FileSelector(table_dir, recursive=False))
     except FileNotFoundError:
         return []
-    out = []
+    out = set()
     for info in infos:
         m = _VDIR.match(info.base_name)
         if m and info.type == pafs.FileType.Directory:
-            out.append(int(m.group(1)))
+            out.add(int(m.group(1)))
+        mm = _MANIFEST.match(info.base_name)
+        if mm and info.type == pafs.FileType.File:
+            out.add(int(mm.group(1)))
     return sorted(out)
 
 
@@ -166,6 +173,33 @@ def _snapshot_files(
         uri_prefix + i.path
         for i in infos
         if i.type == pafs.FileType.File and i.base_name.endswith(".parquet")
+    )
+
+
+def _version_files(
+    fs: "pafs.FileSystem", table_dir: str, v: int, uri_prefix: str = ""
+) -> list[str]:
+    """Data files of version ``v`` in either publication form: the
+    copy-published v-dir, or the manifest's file list (paths relative
+    to the table root). Raises FileNotFoundError when neither form is
+    retained — same contract the v-dir-only path had."""
+    import json
+
+    import pyarrow.fs as pafs
+
+    snap = f"{table_dir}/v{v:05d}"
+    if fs.get_file_info(snap).type == pafs.FileType.Directory:
+        return _snapshot_files(fs, snap, uri_prefix)
+    mkey = f"{table_dir}/_manifest_v{v:05d}.json"
+    try:
+        with fs.open_input_stream(mkey) as f:
+            body = json.loads(f.read().decode())
+    except (FileNotFoundError, OSError) as e:
+        raise FileNotFoundError(f"version {v} not retained in {table_dir}") from e
+    return sorted(
+        f"{uri_prefix}{table_dir}/{rel}"
+        for rel in body["files"]
+        if rel.endswith(".parquet")
     )
 
 
@@ -243,11 +277,11 @@ def _arrow_schema_to_spark(schema) -> StructType:
 def _snapshot_schema(table_dir: str, version: int | None) -> StructType:
     import pyarrow.parquet as pq
 
-    fs, _ = _fs_and_path(table_dir)
-    _, snap = _resolve_version(table_dir, version)
-    files = _snapshot_files(fs, snap)
+    fs, p = _fs_and_path(table_dir)
+    v, _snap = _resolve_version(table_dir, version)
+    files = _version_files(fs, p, v)
     if not files:
-        raise FileNotFoundError(f"empty snapshot {snap}")
+        raise FileNotFoundError(f"empty snapshot v{v} in {table_dir}")
     return _arrow_schema_to_spark(pq.read_schema(files[0], filesystem=fs))
 
 
@@ -552,9 +586,9 @@ class VersionedReader(DataSourceReader):
 
     def partitions(self):
         fs, p = _fs_and_path(self._table_dir)
-        _, snap = _resolve_version(self._table_dir, self._version)
+        v, _snap = _resolve_version(self._table_dir, self._version)
         prefix = _uri_prefix(self._table_dir)
-        return [_FilePartition(f) for f in _snapshot_files(fs, snap, prefix)]
+        return [_FilePartition(f) for f in _version_files(fs, p, v, prefix)]
 
     def read(self, partition: _FilePartition):
         yield from _read_parquet_batches(
@@ -661,8 +695,7 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         prefix = _uri_prefix(self._table_dir)
         out = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            snap = f"{p}/v{v:05d}"
-            out.extend(_FilePartition(f, v) for f in _snapshot_files(fs, snap, prefix))
+            out.extend(_FilePartition(f, v) for f in _version_files(fs, p, v, prefix))
         # a zero-partition range is legal (no new versions this batch)
         self._dbg(f"partitions -> {[(x.version, x.file_path.rsplit('/',2)[-2:]) for x in out[:40]]} n={len(out)}")
         return out

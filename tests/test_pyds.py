@@ -525,3 +525,55 @@ def test_claim_commit_slot_revalidates_pointer(spark, tmp_path, monkeypatch):
     pyds._release_claim(fs, p, v)
     # the concurrent commit's data is intact
     assert read_table(spark, d, version=2).count() == 99
+
+
+# ---------------------------------------------------------------------------
+# round 8: the Python DataSource resolves MANIFEST-published versions —
+# both readers see the same snapshot set regardless of publication form
+# ---------------------------------------------------------------------------
+
+
+def test_batch_source_reads_manifest_versions(spark, tmp_path):
+    from fp_data_lakehouse_spark.sources.pyds import register_python_sources
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    register_python_sources(spark)
+    d = str(tmp_path / "mt")
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(9).selectExpr("id", "id * 3 AS v")
+    write_version(df1, d, manifest=True)
+    write_version(df2, d)  # mixed table: v2 copy-published
+    head = spark.read.format("fp_versioned").option("path", d).load()
+    assert head.count() == 9
+    tt = (
+        spark.read.format("fp_versioned")
+        .option("path", d)
+        .option("version", "1")
+        .load()
+    )
+    assert {(r.id, r.v) for r in tt.collect()} == {(i, 2 * i) for i in range(5)}
+
+
+def test_stream_feed_replays_manifest_versions(spark, tmp_path):
+    from fp_data_lakehouse_spark.sources.pyds import register_python_sources
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    register_python_sources(spark)
+    d = str(tmp_path / "mt2")
+    write_version(spark.range(3).selectExpr("id", "id AS v"), d, manifest=True)
+    write_version(spark.range(4).selectExpr("id", "id AS v"), d, manifest=True)
+    feed = (
+        spark.readStream.format("fp_versioned_feed").option("path", d).load()
+    )
+    import uuid as _uuid
+
+    name = f"mfeed_{_uuid.uuid4().hex[:6]}"
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r._version, r.id) for r in spark.table(name).collect()}
+    assert got == {(1, i) for i in range(3)} | {(2, i) for i in range(4)}
