@@ -627,3 +627,84 @@ def io11_xml_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("totals.n_orders").cast("long").alias("n_orders"),
         F.sum("totals.cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# io12: manifest file-stats DATA SKIPPING through the Python DataSource
+# (round-8: the lakehouse scan-pruning story on the hard signal)
+# ---------------------------------------------------------------------------
+
+_IO12_SQL = """
+WITH cut AS (SELECT MAX(o_custkey) // 8 AS mk FROM orders),
+t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS sum_orders,
+       CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_custkey
+FROM t, cut WHERE o_custkey <= mk
+"""
+
+
+@register("io12_manifest_data_skipping", oracle=_IO12_SQL)
+def io12_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level data skipping on the hard signal: a manifest commit
+    records per-file min/max column stats from the parquet footers
+    (``versioned._collect_file_stats``), the snapshot is laid out by
+    ``repartitionByRange(16, o_custkey)`` so files carry disjoint key
+    ranges (the clustering every skipping story assumes), and the
+    ``fp_versioned`` reader's ``pushFilters`` drops whole files whose
+    recorded range cannot intersect the predicate — BEFORE any task
+    runs. The cutoff is max_custkey/8 (data-relative, so the same
+    fraction prunes at every SF); in-query asserts measure the skip:
+    the unfiltered plan holds 16 file partitions, the filtered plan
+    must plan <= 4. Spark still re-applies
+    the filter above, so the rollup hash-matches the oracle's plain
+    relational answer — skipping is pure I/O elision, never a
+    semantics dependency (stats-less or foreign files are always
+    kept).
+
+    Scale: stats ride the manifest (one small GET at plan time); at
+    100 TB with date/tenant-clustered layout this is the difference
+    between scanning a day and scanning the lake — the same mechanism
+    as Delta/Iceberg file statistics, on the same commit object."""
+    from ..sources.pyds import (
+        VersionedDataSource,
+        _snapshot_schema,
+        register_python_sources,
+    )
+    from ..sources.versioned import write_version
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    totals = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum(cents).alias("total_cents")
+    )
+    table_dir = alloc_scratch(spark, "io12_pyds") + "/cust_totals"
+    write_version(totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True)
+    cutoff = orders.agg(F.max("o_custkey")).head()[0] // 8  # 1-row scalar
+
+    # measure the planner-side skip with the reader's own partition API
+    reader = VersionedDataSource({"path": table_dir}).reader(
+        _snapshot_schema(table_dir, None)
+    )
+    n_all = len(reader.partitions())
+    assert n_all == 16, f"range layout lost its file count: {n_all}"
+    reader._pushed = [("le", "o_custkey", cutoff)]
+    n_kept = len(reader.partitions())
+    assert n_kept <= 4, f"stats pruned nothing: {n_kept}/16 files survive"
+
+    register_python_sources(spark)
+    snap = (
+        spark.read.format("fp_versioned").option("path", table_dir).load()
+    )
+    return snap.filter(F.col("o_custkey") <= cutoff).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+        F.sum("total_cents").cast("long").alias("sum_cents"),
+        F.max("o_custkey").cast("long").alias("max_custkey"),
+    )

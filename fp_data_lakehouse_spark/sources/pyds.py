@@ -176,6 +176,50 @@ def _snapshot_files(
     )
 
 
+def _manifest_stats(fs: "pafs.FileSystem", table_dir: str, v: int) -> dict:
+    """Per-file min/max stats from a manifest commit ({} when the
+    version is copy-published or the manifest carries none)."""
+    import json
+
+    try:
+        with fs.open_input_stream(f"{table_dir}/_manifest_v{v:05d}.json") as f:
+            return json.loads(f.read().decode()).get("stats", {}) or {}
+    except (FileNotFoundError, OSError, ValueError):
+        return {}
+
+
+def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
+    """File-level skipping decision: False ONLY when the pushed
+    conjuncts prove no row of the file can match (min/max ranges are
+    sound over non-null values, and the supported comparison ops never
+    match nulls). Missing stats, unknown ops, or cross-type
+    comparisons keep the file — skipping is an optimization, never a
+    correctness dependency."""
+    if not stats:
+        return True
+    for op, col, val in pushed:
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        try:
+            if op == "eq" and (val < lo or val > hi):
+                return False
+            if op == "ge" and hi < val:
+                return False
+            if op == "gt" and hi <= val:
+                return False
+            if op == "le" and lo > val:
+                return False
+            if op == "lt" and lo >= val:
+                return False
+            if op == "in" and all(x < lo or x > hi for x in val):
+                return False
+        except TypeError:
+            continue  # cross-type comparison: keep the file
+    return True
+
+
 def _version_files(
     fs: "pafs.FileSystem", table_dir: str, v: int, uri_prefix: str = ""
 ) -> list[str]:
@@ -588,7 +632,24 @@ class VersionedReader(DataSourceReader):
         fs, p = _fs_and_path(self._table_dir)
         v, _snap = _resolve_version(self._table_dir, self._version)
         prefix = _uri_prefix(self._table_dir)
-        return [_FilePartition(f) for f in _version_files(fs, p, v, prefix)]
+        files = _version_files(fs, p, v, prefix)
+        if self._pushed:
+            # FILE-level data skipping from manifest min/max stats (the
+            # Delta/Iceberg move): a pushed conjunct whose value range
+            # cannot intersect a file's recorded range drops the whole
+            # file from the scan — planner-side, before any task runs.
+            # Spark still re-applies every filter above, so skipping is
+            # pure I/O savings, never a semantics dependency.
+            stats = _manifest_stats(fs, p, v)
+            if stats:
+                files = [
+                    f
+                    for f in files
+                    if _file_may_match(
+                        stats.get(f.rsplit("/", 1)[-1]), self._pushed
+                    )
+                ]
+        return [_FilePartition(f) for f in files]
 
     def read(self, partition: _FilePartition):
         yield from _read_parquet_batches(

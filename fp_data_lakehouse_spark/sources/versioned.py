@@ -754,6 +754,67 @@ def _claim_slot(
             raise
 
 
+def _collect_file_stats(staging: str, files: list[str]) -> dict:
+    """Per-file min/max for top-level primitive columns, read from the
+    parquet FOOTERS of the staged files (no data scan) — the
+    data-skipping index a manifest commit carries, Delta/Iceberg's
+    file-stats move. Only JSON-safe scalar types (int/float/str/bool)
+    are recorded; columns with absent or unusable statistics are
+    simply omitted (skipping is an optimization, never a correctness
+    dependency). Local-path staging only: scheme'd stores return {} —
+    there, a real deployment collects stats executor-side during the
+    write itself."""
+    if "://" in staging:
+        return {}
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return {}
+    out: dict[str, dict[str, list]] = {}
+    for name in files:
+        try:
+            md = pq.read_metadata(os.path.join(staging, name))
+        except Exception:
+            continue
+        cols: dict[str, list] = {}
+        seen: dict[str, int] = {}  # a column's range is SOUND for
+        # pruning only if every row group contributed stats — a single
+        # stats-less group could hold values outside the partial range
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                if st is None or not st.has_min_max or "." in c.path_in_schema:
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(lo, (int, float, str, bool)):
+                    continue
+                seen[c.path_in_schema] = seen.get(c.path_in_schema, 0) + 1
+                prev = cols.get(c.path_in_schema, ...)
+                if prev is Ellipsis:
+                    cols[c.path_in_schema] = [lo, hi]
+                elif prev is not None:
+                    try:
+                        prev[0] = min(prev[0], lo)
+                        prev[1] = max(prev[1], hi)
+                    except TypeError:  # mixed types: mark unusable
+                        cols[c.path_in_schema] = None
+        usable = {
+            k: v
+            for k, v in cols.items()
+            if v is not None and seen.get(k) == md.num_row_groups
+        }
+        if usable:
+            out[name] = usable
+    return out
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
@@ -810,6 +871,15 @@ def write_version(
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
         df.write.mode("append").parquet(staging)
+        if manifest:
+            # footer-only stats pass (min/max per file per primitive
+            # column — the data-skipping index readers prune files by);
+            # runs BEFORE the claim like the data write itself, so the
+            # claim window stays metadata-sized
+            files = sorted(
+                n for n in backend.list_names(staging) if n.endswith(".parquet")
+            )
+            stats = _collect_file_stats(staging, files)
     try:
         v = _claim_slot(table_dir, backend, base_version, writer_id=writer_id)
     except ConcurrentWriteError:
@@ -818,13 +888,11 @@ def write_version(
     try:
         with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
             if manifest:
-                files = sorted(
-                    n for n in backend.list_names(staging) if n.endswith(".parquet")
-                )
                 body = json.dumps(
                     {
                         "version": v,
                         "files": [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in files],
+                        "stats": stats,
                     }
                 )
                 # the commit's ONLY data-plane metadata op: one PUT,

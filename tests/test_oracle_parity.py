@@ -55,9 +55,10 @@ def test_registry_contract():
     # ev09b + mm02 convert from rows-only to oracle-backed -> 222 / 211;
     # +et09 (PDF quarantine census, xref-path robustness) -> 223 / 212;
     # +sp09 (temperature mixture resample) -> 224 / 213;
-    # +st15 (streaming manifest MERGE commits) -> 225 / 214
-    assert len(q) == 225, sorted(q)
-    assert len(o) == 214, sorted(o)
+    # +st15 (streaming manifest MERGE commits) -> 225 / 214;
+    # +io12 (manifest file-stats data skipping) -> 226 / 215
+    assert len(q) == 226, sorted(q)
+    assert len(o) == 215, sorted(o)
 
 
 def test_driver_priority_window():

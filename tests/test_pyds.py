@@ -577,3 +577,66 @@ def test_stream_feed_replays_manifest_versions(spark, tmp_path):
     q.awaitTermination()
     got = {(r._version, r.id) for r in spark.table(name).collect()}
     assert got == {(1, i) for i in range(3)} | {(2, i) for i in range(4)}
+
+
+def test_file_may_match_pruning_logic():
+    from fp_data_lakehouse_spark.sources.pyds import _file_may_match
+
+    st = {"k": [10, 20], "s": ["b", "d"]}
+    assert _file_may_match(st, [("eq", "k", 15)])
+    assert not _file_may_match(st, [("eq", "k", 9)])
+    assert not _file_may_match(st, [("eq", "k", 21)])
+    assert _file_may_match(st, [("ge", "k", 20)])
+    assert not _file_may_match(st, [("ge", "k", 21)])
+    assert not _file_may_match(st, [("gt", "k", 20)])
+    assert _file_may_match(st, [("le", "k", 10)])
+    assert not _file_may_match(st, [("le", "k", 9)])
+    assert not _file_may_match(st, [("lt", "k", 10)])
+    assert not _file_may_match(st, [("in", "k", (1, 2, 30))])
+    assert _file_may_match(st, [("in", "k", (1, 15))])
+    assert not _file_may_match(st, [("eq", "s", "a")])
+    assert _file_may_match(st, [("eq", "s", "c")])
+    # unknown column / missing stats / cross-type: never prune
+    assert _file_may_match(st, [("eq", "zzz", 1)])
+    assert _file_may_match(None, [("eq", "k", 999)])
+    assert _file_may_match({}, [("eq", "k", 999)])
+    assert _file_may_match(st, [("eq", "k", "not-an-int")])
+    # notnull carries no range information
+    assert _file_may_match(st, [("notnull", "k", None)])
+
+
+def test_manifest_stats_skip_files_end_to_end(spark, tmp_path):
+    """Range-layout manifest commit + a pushed filter: the reader must
+    plan FEWER file partitions than the snapshot holds, and the result
+    must still match the plain filter exactly (skipping is I/O-only)."""
+    from fp_data_lakehouse_spark.sources.pyds import (
+        VersionedDataSource,
+        _snapshot_schema,
+        register_python_sources,
+    )
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    register_python_sources(spark)
+    d = str(tmp_path / "sk")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    # range layout -> disjoint per-file k ranges (the z-order/cluster
+    # precondition every data-skipping story assumes)
+    write_version(df.repartitionByRange(8, "k"), d, manifest=True)
+
+    reader = VersionedDataSource({"path": d}).reader(_snapshot_schema(d, None))
+    assert len(reader.partitions()) == 8  # no filter: all files
+    reader._pushed = [("le", "k", 100)]
+    pruned = reader.partitions()
+    assert 1 <= len(pruned) <= 2, f"expected ~1 file to survive, got {len(pruned)}"
+
+    got = (
+        spark.read.format("fp_versioned")
+        .option("path", d)
+        .load()
+        .filter(F.col("k") <= 100)
+    )
+    want = df.filter(F.col("k") <= 100)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() == 101
