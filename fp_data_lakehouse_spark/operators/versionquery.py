@@ -978,3 +978,82 @@ def vt10_manifest_commit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("h.n_orders").isNotNull().alias("in_head"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vt11: file-granular copy-on-write DELETE (round-8)
+# ---------------------------------------------------------------------------
+
+_VT11_SQL = """
+WITH cut AS (SELECT MAX(o_custkey) // 8 AS mk FROM orders),
+t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders, total_cents
+FROM t, cut WHERE o_custkey > mk
+"""
+
+
+@register("vt11_cow_delete_lifecycle", oracle=_VT11_SQL)
+def vt11_cow_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE at 100 TB cost: ``delete_where_cow`` rewrites
+    ONLY the files containing matching rows and carries every other
+    file into the new manifest BY REFERENCE — the Delta/Iceberg
+    copy-on-write contract on the vt10 manifest path. The snapshot is
+    range-laid on o_custkey into 16 files; deleting the bottom 1/8 of
+    the key range touches at most 3 of them, so the in-query asserts
+    pin >= 13 files carried by reference (identical rel paths across
+    the two manifests), the old snapshot still time-travels intact,
+    and vacuum's reference-counted GC expires v1 WITHOUT harming the
+    shared files the head still reads. The returned head census must
+    hash-match the oracle's plain relational delete.
+
+    Scale: the hit-file probe is one scan with parquet pushdown that
+    collects one row per AFFECTED FILE (never per data row); rewrite
+    I/O is proportional to the damage, not the table — deleting one
+    tenant from a 10k-file snapshot rewrites that tenant's files and
+    PUTs one manifest."""
+    from ..sources.versioned import (
+        ConditionalPutBackend,
+        _manifest_files,
+        delete_where_cow,
+        latest_version,
+        read_table,
+        vacuum,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = alloc_scratch(spark, "vt11") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    backend = ConditionalPutBackend()
+
+    totals = _cust_totals(orders)
+    write_version(
+        totals.repartitionByRange(16, "o_custkey"), table_dir,
+        backend=backend, manifest=True,
+    )
+    cutoff = orders.agg(F.max("o_custkey")).head()[0] // 8  # 1-row scalar
+
+    rels1 = _manifest_files(table_dir, 1, backend)
+    assert len(rels1) == 16, f"range layout lost its file count: {len(rels1)}"
+    v2 = delete_where_cow(
+        spark, table_dir, F.col("o_custkey") <= F.lit(cutoff), backend=backend
+    )
+    assert v2 == 2
+    rels2 = _manifest_files(table_dir, 2, backend)
+    shared = set(rels1) & set(rels2)
+    assert len(shared) >= 13, (
+        f"copy-on-write rewrote too much: only {len(shared)}/16 carried"
+    )
+    n_v1 = read_table(spark, table_dir, version=1, backend=backend).count()
+    assert n_v1 == totals.count(), "old snapshot mutated by CoW delete"
+    dropped = vacuum(table_dir, keep_last=1, backend=backend)
+    assert dropped == [1], f"vacuum must expire exactly v1, got {dropped}"
+    assert latest_version(table_dir, backend) == 2
+    return read_table(spark, table_dir, backend=backend).select(
+        "o_custkey", "n_orders", "total_cents"
+    )

@@ -995,6 +995,100 @@ def delete_from_version(
     )
 
 
+def delete_where_cow(
+    spark: SparkSession, table_dir: str, condition, backend=None
+) -> int:
+    """DELETE WHERE ``condition`` with FILE-GRANULAR copy-on-write (the
+    Delta/Iceberg shape): only the files that actually CONTAIN matching
+    rows are rewritten; every untouched file carries into the new
+    manifest BY REFERENCE — zero data movement, zero rewrite for the
+    (at 100 TB, overwhelming) majority of the snapshot. Requires a
+    manifest-published head. Returns the new version; returns the HEAD
+    version unchanged when no file contains a match (a no-op delete
+    publishes nothing).
+
+    Mechanics: hit files are found with one scan carrying
+    ``_metadata.file_path`` (parquet pushdown prunes it); survivors of
+    ONLY the hit files are re-staged under a fresh ``_data`` prefix;
+    the new manifest lists carried rels + new rels, with per-file
+    stats carried over for the untouched files and recomputed for the
+    rewritten ones. Commits under the ordinary claim with a
+    ``base_version`` read-set check; vacuum's reference-counted GC
+    already understands the sharing (shared files survive the old
+    version's expiry)."""
+    import json
+
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    base = latest_version(table_dir, backend)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if base not in _manifest_versions(table_dir, backend):
+        raise ValueError(
+            "delete_where_cow requires a manifest-published head (copy-"
+            "published v-dirs are rewritten whole by delete_from_version)"
+        )
+    rels = _manifest_files(table_dir, base, backend)
+    old_stats = json.loads(
+        backend.read_text(f"{td}/_manifest_v{base:05d}.json")
+    ).get("stats", {})
+
+    paths = [f"{td}/{rel}" for rel in rels]
+    df = spark.read.parquet(*paths)
+    hit_uris = [
+        r[0]
+        for r in df.select(F.col("_metadata.file_path").alias("fp"))
+        .filter(condition)
+        .distinct()
+        .collect()
+    ]  # metadata-scale: one row per AFFECTED file, never per data row
+    hit_rels = {rel for rel in rels if any(u.endswith("/" + rel) for u in hit_uris)}
+    if not hit_rels:
+        return base
+    carried = [rel for rel in rels if rel not in hit_rels]
+
+    writer_id = uuid.uuid4().hex[:12]
+    staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
+    backend.makedirs(staging)
+    with _Lease(backend, f"{staging}/_lease", writer_id):
+        survivors = spark.read.parquet(
+            *[f"{td}/{rel}" for rel in sorted(hit_rels)]
+        ).filter(~condition)
+        survivors.write.mode("append").parquet(staging)
+        new_files = sorted(
+            n for n in backend.list_names(staging) if n.endswith(".parquet")
+        )
+        new_stats = _collect_file_stats(staging, new_files)
+    try:
+        v = _claim_slot(table_dir, backend, base, writer_id=writer_id)
+    except ConcurrentWriteError:
+        backend.rmtree(staging)
+        raise
+    try:
+        with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
+            stats = {
+                name: old_stats[name]
+                for rel in carried
+                for name in [rel.rsplit("/", 1)[1]]
+                if name in old_stats
+            }
+            stats.update(new_stats)
+            body = json.dumps(
+                {
+                    "version": v,
+                    "files": carried
+                    + [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files],
+                    "stats": stats,
+                }
+            )
+            backend.write_text_atomic(f"{td}/_manifest_v{v:05d}.json", body)
+            _swap_pointer(backend, td, v, v - 1)
+            backend.delete_file(f"{staging}/_lease")
+    finally:
+        backend.delete_file(f"{td}/_claim_v{v:05d}")
+    return v
+
+
 def change_feed(
     spark: SparkSession,
     table_dir: str,

@@ -56,9 +56,10 @@ def test_registry_contract():
     # +et09 (PDF quarantine census, xref-path robustness) -> 223 / 212;
     # +sp09 (temperature mixture resample) -> 224 / 213;
     # +st15 (streaming manifest MERGE commits) -> 225 / 214;
-    # +io12 (manifest file-stats data skipping) -> 226 / 215
-    assert len(q) == 226, sorted(q)
-    assert len(o) == 215, sorted(o)
+    # +io12 (manifest file-stats data skipping) -> 226 / 215;
+    # +vt11 (file-granular copy-on-write DELETE) -> 227 / 216
+    assert len(q) == 227, sorted(q)
+    assert len(o) == 216, sorted(o)
 
 
 def test_driver_priority_window():

@@ -933,3 +933,91 @@ def test_manifest_crash_before_manifest_put_is_invisible(spark):
         assert write_version(_df(spark, 5), tdir, backend=backend, manifest=True) == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# round 8: file-granular copy-on-write DELETE on the manifest path
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import delete_where_cow  # noqa: E402
+
+
+def test_cow_delete_rewrites_only_hit_files(spark, tdir):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1_000).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df.repartitionByRange(8, "k"), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+    rels1 = _manifest_files(tdir, 1, backend)
+    assert len(rels1) == 8
+    v2 = delete_where_cow(spark, tdir, F.col("k") < 100)
+    assert v2 == 2
+    rels2 = _manifest_files(tdir, 2, backend)
+    shared = set(rels1) & set(rels2)
+    # ~1 of 8 range files holds k < 100: at least 6 carry by reference
+    assert len(shared) >= 6, (len(rels1), len(rels2), len(shared))
+    assert set(rels2) - set(rels1), "no rewritten file appeared"
+    got = {(r.k, r.v) for r in read_table(spark, tdir).collect()}
+    assert got == {(k, 2 * k) for k in range(100, 1_000)}
+    # old snapshot still time-travels intact
+    assert read_table(spark, tdir, version=1).count() == 1_000
+    # vacuum expires v1: shared files must SURVIVE (ref-counted GC)
+    assert vacuum(tdir, keep_last=1) == [1]
+    assert {(r.k, r.v) for r in read_table(spark, tdir).collect()} == {
+        (k, 2 * k) for k in range(100, 1_000)
+    }
+    # no-op delete publishes nothing
+    assert delete_where_cow(spark, tdir, F.col("k") < 0) == 2
+    # stats carried over still prune (data-skipping intact post-CoW)
+    import json
+
+    stats = json.loads(
+        backend.read_text(f"{tdir.rstrip('/')}/_manifest_v00002.json")
+    )["stats"]
+    if "://" not in tdir:  # scheme'd staging records no stats by design
+        assert stats, "stats lost through copy-on-write"
+
+
+def test_cow_delete_requires_manifest_head(spark, tdir):
+    from pyspark.sql import functions as F
+
+    write_version(_df(spark, 5), tdir)  # copy-published head
+    with pytest.raises(ValueError, match="manifest"):
+        delete_where_cow(spark, tdir, F.col("id") < 2)
+
+
+def test_cow_delete_conflicts_with_concurrent_commit(spark, tdir):
+    """base_version read-set check: a commit landing between the CoW
+    delete's read and its claim fails the delete loudly."""
+    from pyspark.sql import functions as F
+
+    write_version(
+        spark.range(100).selectExpr("id AS k", "id AS v").repartitionByRange(4, "k"),
+        tdir,
+        manifest=True,
+    )
+    backend = _backend_for(tdir, spark)
+
+    class _RacingBackend:
+        def __init__(self, inner):
+            self._inner = inner
+            self._fired = False
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def create_exclusive(self, p, content=""):
+            if not self._fired and "_claim_" in p:
+                self._fired = True
+                write_version(
+                    spark.range(7).selectExpr("id AS k", "id AS v"),
+                    tdir,
+                    manifest=True,
+                )  # concurrent commit wins slot 2
+            return self._inner.create_exclusive(p, content)
+
+    with pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+        delete_where_cow(
+            spark, tdir, F.col("k") < 10, backend=_RacingBackend(backend)
+        )
+    assert latest_version(tdir) == 2  # the racer's commit, intact
