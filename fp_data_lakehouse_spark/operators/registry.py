@@ -85,6 +85,7 @@ DRIVER_PRIORITY: list[str] = [
     "st15_stream_manifest_merge",
     "io12_manifest_data_skipping",
     "vt11_cow_delete_lifecycle",
+    "vt12_cow_merge_lifecycle",
     "io08_python_datasource_timetravel",
     "io09_python_datasource_write",
     "st06_python_stream_version_feed",
@@ -119,9 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "tx13_repetition_score",
     # rotation: the oldest r3-vintage certificates (dropped one-for-one
     # as new r8 certificates land above, keeping the list at 50)
-    "ag04_winsorized_event_values",
-    # 50-row window ends here (11 new + 13 changed + 25 r2-vintage + 1
-    # r3-vintage); the remaining r3 rows (ag05, ev08, ev09, ev17-ev25,
+    # 50-row window ends here (12 new + 13 changed + 25 r2-vintage);
+    # the remaining r3 rows (ag04, ag05, ev08, ev09, ev17-ev25,
     # mm01/mm06, q40/q41, sk06/08/09, sp06-sp08) rotate next round;
     # everything
     # stays covered by tests/test_oracle_parity.py on every pytest run.

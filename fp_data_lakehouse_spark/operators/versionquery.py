@@ -1057,3 +1057,79 @@ def vt11_cow_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, table_dir, backend=backend).select(
         "o_custkey", "n_orders", "total_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# vt12: file-granular copy-on-write MERGE (round-8)
+# ---------------------------------------------------------------------------
+
+_VT12_SQL = """
+WITH cut AS (SELECT MAX(o_custkey) // 8 AS mk FROM orders),
+t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CASE WHEN o_custkey <= mk THEN n_orders + 100 ELSE n_orders END AS n_orders,
+       CASE WHEN o_custkey <= mk THEN total_cents * 2 ELSE total_cents END AS total_cents
+FROM t, cut
+"""
+
+
+@register("vt12_cow_merge_lifecycle", oracle=_VT12_SQL)
+def vt12_cow_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE at 100 TB cost — the write-side twin of vt11:
+    ``merge_into_version_cow`` rewrites only the files containing
+    MATCHED keys (their unmatched rows carried into the rewrite,
+    matched rows replaced by the updates) and carries every untouched
+    file by reference. The snapshot is range-laid on o_custkey into 16
+    files; the updates transform only the bottom 1/8 of the key range
+    (n_orders + 100, total_cents x2 — visible markers the oracle
+    reproduces with a CASE), so >= 13 files must carry by reference,
+    pinned in-query. The returned head must hash-match the oracle.
+
+    Scale: the matched-file probe is one broadcast semi-join
+    collecting one row per affected file; rewrite I/O tracks the
+    update's key locality, not the table size — the reason Delta
+    recommends clustering tables on their merge keys."""
+    from ..sources.versioned import (
+        ConditionalPutBackend,
+        _manifest_files,
+        merge_into_version_cow,
+        read_table,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = alloc_scratch(spark, "vt12") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    backend = ConditionalPutBackend()
+
+    totals = _cust_totals(orders)
+    write_version(
+        totals.repartitionByRange(16, "o_custkey"), table_dir,
+        backend=backend, manifest=True,
+    )
+    cutoff = orders.agg(F.max("o_custkey")).head()[0] // 8  # 1-row scalar
+
+    updates = totals.filter(F.col("o_custkey") <= F.lit(cutoff)).select(
+        "o_custkey",
+        (F.col("n_orders") + 100).alias("n_orders"),
+        (F.col("total_cents") * 2).alias("total_cents"),
+    )
+    rels1 = _manifest_files(table_dir, 1, backend)
+    assert len(rels1) == 16, f"range layout lost its file count: {len(rels1)}"
+    v2 = merge_into_version_cow(
+        spark, table_dir, updates, keys=["o_custkey"], backend=backend
+    )
+    assert v2 == 2
+    rels2 = _manifest_files(table_dir, 2, backend)
+    shared = set(rels1) & set(rels2)
+    assert len(shared) >= 13, (
+        f"copy-on-write merge rewrote too much: only {len(shared)}/16 carried"
+    )
+    return read_table(spark, table_dir, backend=backend).select(
+        "o_custkey", "n_orders", "total_cents"
+    )

@@ -1089,6 +1089,102 @@ def delete_where_cow(
     return v
 
 
+def merge_into_version_cow(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    backend=None,
+) -> int:
+    """MERGE (upsert) with FILE-GRANULAR copy-on-write: only the files
+    containing MATCHED keys are rewritten (their unmatched rows carried
+    into the rewrite, matched rows replaced); inserts land in the new
+    staged files; every untouched file carries into the new manifest by
+    reference — Delta's MERGE file-rewrite contract on the vt10
+    manifest path. Requires a manifest-published head; first merge into
+    an empty table is a plain manifest initial load. Same uniqueness
+    precondition and base_version conflict semantics as
+    :func:`merge_into_version`."""
+    import json
+
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    dup = updates.groupBy(*keys).count().filter("count > 1").limit(1).count()
+    if dup:
+        raise ValueError(f"updates are not unique on merge keys {keys}")
+    base = latest_version(table_dir, backend)
+    if base is None:
+        return write_version(updates, table_dir, backend, manifest=True)
+    if base not in _manifest_versions(table_dir, backend):
+        raise ValueError(
+            "merge_into_version_cow requires a manifest-published head"
+        )
+    rels = _manifest_files(table_dir, base, backend)
+    old_stats = json.loads(
+        backend.read_text(f"{td}/_manifest_v{base:05d}.json")
+    ).get("stats", {})
+
+    head = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
+    upd_keys = updates.select(*keys).localCheckpoint(eager=False)
+    # project the hidden _metadata column BEFORE the join (it is only
+    # resolvable directly above the scan)
+    head_fp = head.select(*keys, F.col("_metadata.file_path").alias("fp"))
+    hit_uris = [
+        r[0]
+        for r in head_fp.join(F.broadcast(upd_keys), keys, "left_semi")
+        .select("fp")
+        .distinct()
+        .collect()
+    ]  # one row per file containing a matched key
+    hit_rels = {rel for rel in rels if any(u.endswith("/" + rel) for u in hit_uris)}
+    carried = [rel for rel in rels if rel not in hit_rels]
+
+    writer_id = uuid.uuid4().hex[:12]
+    staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
+    backend.makedirs(staging)
+    with _Lease(backend, f"{staging}/_lease", writer_id):
+        if hit_rels:
+            hit_rows = spark.read.parquet(
+                *[f"{td}/{rel}" for rel in sorted(hit_rels)]
+            )
+            survivors = hit_rows.join(upd_keys, keys, "left_anti")
+            staged = survivors.unionByName(updates)
+        else:
+            staged = updates  # pure insert: no file rewritten
+        staged.write.mode("append").parquet(staging)
+        new_files = sorted(
+            n for n in backend.list_names(staging) if n.endswith(".parquet")
+        )
+        new_stats = _collect_file_stats(staging, new_files)
+    try:
+        v = _claim_slot(table_dir, backend, base, writer_id=writer_id)
+    except ConcurrentWriteError:
+        backend.rmtree(staging)
+        raise
+    try:
+        with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
+            stats = {
+                rel.rsplit("/", 1)[1]: old_stats[rel.rsplit("/", 1)[1]]
+                for rel in carried
+                if rel.rsplit("/", 1)[1] in old_stats
+            }
+            stats.update(new_stats)
+            body = json.dumps(
+                {
+                    "version": v,
+                    "files": carried
+                    + [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files],
+                    "stats": stats,
+                }
+            )
+            backend.write_text_atomic(f"{td}/_manifest_v{v:05d}.json", body)
+            _swap_pointer(backend, td, v, v - 1)
+            backend.delete_file(f"{staging}/_lease")
+    finally:
+        backend.delete_file(f"{td}/_claim_v{v:05d}")
+    return v
+
+
 def change_feed(
     spark: SparkSession,
     table_dir: str,

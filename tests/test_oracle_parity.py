@@ -57,9 +57,10 @@ def test_registry_contract():
     # +sp09 (temperature mixture resample) -> 224 / 213;
     # +st15 (streaming manifest MERGE commits) -> 225 / 214;
     # +io12 (manifest file-stats data skipping) -> 226 / 215;
-    # +vt11 (file-granular copy-on-write DELETE) -> 227 / 216
-    assert len(q) == 227, sorted(q)
-    assert len(o) == 216, sorted(o)
+    # +vt11 (file-granular copy-on-write DELETE) -> 227 / 216;
+    # +vt12 (file-granular copy-on-write MERGE) -> 228 / 217
+    assert len(q) == 228, sorted(q)
+    assert len(o) == 217, sorted(o)
 
 
 def test_driver_priority_window():

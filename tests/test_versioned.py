@@ -1021,3 +1021,44 @@ def test_cow_delete_conflicts_with_concurrent_commit(spark, tdir):
             spark, tdir, F.col("k") < 10, backend=_RacingBackend(backend)
         )
     assert latest_version(tdir) == 2  # the racer's commit, intact
+
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    merge_into_version_cow,
+)
+
+
+def test_cow_merge_upsert_semantics_and_sharing(spark, tdir):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1_000).selectExpr("id AS k", "id AS v")
+    assert merge_into_version_cow(spark, tdir, df, ["k"]) == 1  # initial load
+    backend = _backend_for(tdir, spark)
+    write_version(
+        read_table(spark, tdir).repartitionByRange(8, "k"), tdir,
+        backend=backend, manifest=True,
+    )  # v2: range layout so CoW has disjoint files to carry
+    rels2 = _manifest_files(tdir, 2, backend)
+    # updates touch a narrow key band + one pure insert
+    upd = spark.createDataFrame(
+        [(10, 999), (11, 999), (5_000, 1)], "k BIGINT, v BIGINT"
+    )
+    v3 = merge_into_version_cow(spark, tdir, upd, ["k"])
+    assert v3 == 3
+    rels3 = _manifest_files(tdir, 3, backend)
+    assert len(set(rels2) & set(rels3)) >= 6, "CoW merge rewrote too much"
+    got = {(r.k, r.v) for r in read_table(spark, tdir).collect()}
+    want = {(k, k) for k in range(1_000) if k not in (10, 11)}
+    want |= {(10, 999), (11, 999), (5_000, 1)}
+    assert got == want
+    # uniqueness precondition still enforced
+    with pytest.raises(ValueError, match="unique"):
+        merge_into_version_cow(
+            spark, tdir, spark.createDataFrame([(1, 1), (1, 2)], "k BIGINT, v BIGINT"), ["k"]
+        )
+    # pure insert rewrites nothing: every v3 file carries forward
+    ins = spark.createDataFrame([(6_000, 6)], "k BIGINT, v BIGINT")
+    v4 = merge_into_version_cow(spark, tdir, ins, ["k"])
+    rels4 = _manifest_files(tdir, v4, backend)
+    assert set(rels3) <= set(rels4), "pure insert must carry ALL files"
+    assert read_table(spark, tdir).count() == 1_002
