@@ -221,11 +221,12 @@ def _object_at(data: bytes, off: int) -> bytes:
     if m is None:
         raise ValueError(f"no object at offset {off}")
     start = m.end()
-    sm = _STREAM_START_RE.match(data, start) or _STREAM_START_RE.search(
-        data, start, data.find(b"endobj", start) if b"endobj" in data[start:] else len(data)
+    naive_end = data.find(b"endobj", start)  # may alias stream bytes
+    sm = _STREAM_START_RE.search(
+        data, start, naive_end if naive_end >= 0 else len(data)
     )
     search_from = start
-    if sm is not None and sm.start() >= start:
+    if sm is not None:
         lengths = _LENGTH_RE.findall(sm.group(1))
         if lengths:
             search_from = sm.end() + int(lengths[-1])

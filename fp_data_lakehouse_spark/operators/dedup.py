@@ -1733,7 +1733,29 @@ def dd19b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ordered-fold update (the sim05 parity fold): members in
         # vec_id order, sequential per-dimension sum / n — no
         # partial-merge float reassociation, so re-runs and
-        # re-partitionings reproduce the model bit-exactly
+        # re-partitionings reproduce the model bit-exactly. The fold
+        # BUFFERS each cluster's member list in one aggregation
+        # buffer, bounded by the ~64-row population target only in
+        # expectation — real near-dup-heavy corpora can skew a
+        # cluster arbitrarily, so guard the buffer explicitly and
+        # fail loudly with the mitigation instead of OOMing an
+        # executor (the mergeable posexplode+avg update is one edit
+        # away for deployments preferring speed/skew-tolerance over
+        # replayable bit-exactness; the r8 certificate requires the
+        # ordered fold).
+        assign = assign.localCheckpoint(eager=True)  # one GEMM, two consumers
+        biggest = (
+            assign.groupBy("label").count().agg(F.max("count")).head()[0] or 0
+        )
+        if biggest * dim > _DD19B_MAX_MODEL_DOUBLES:
+            raise ValueError(
+                f"dd19b: a cluster holds {biggest} vectors — the ordered-"
+                f"fold update would buffer {biggest * dim * 8 >> 20} MiB in "
+                "one aggregation buffer. Raise k (smaller clusters), "
+                "pre-shard the corpus, or switch the update to the "
+                "mergeable posexplode+avg form (sacrifices bit-exact "
+                "re-run determinism)."
+            )
         upd = (
             v.join(assign, "vec_id")
             .groupBy("label")

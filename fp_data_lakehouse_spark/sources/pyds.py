@@ -823,16 +823,37 @@ class VersionedArrowWriter(DataSourceArrowWriter):
     history is how the old data remains reachable."""
 
     def __init__(self, table_dir: str):
+        import threading
         import uuid
 
         self._table_dir = table_dir
         self._staging = f"{table_dir}/_staging_{uuid.uuid4().hex[:12]}"
-        # driver-side staging lease (one-shot at job start): marks this
-        # staging dir live so a concurrent versioned.fsck within the
-        # lease TTL never sweeps it out from under the running job
+        # driver-side staging lease, HEARTBEATED for as long as the
+        # staging dir exists (a write job can run far past the 60 s
+        # lease TTL; a one-shot lease would leave its staged files
+        # sweepable by a concurrent versioned.fsck mid-job). The daemon
+        # thread self-terminates when commit/abort removes the dir —
+        # writer instances in executor worker processes skip the
+        # thread entirely (the driver-side instance owns liveness).
         fs, staging = _fs_and_path(self._staging)
         fs.create_dir(staging, recursive=True)
         _write_lease_file(fs, f"{staging}/_lease")
+
+        def _beat() -> None:
+            import time as _t
+
+            import pyarrow.fs as pafs
+
+            while True:
+                _t.sleep(15.0)
+                try:
+                    if fs.get_file_info(staging).type == pafs.FileType.NotFound:
+                        return  # committed or aborted: staging is gone
+                    _write_lease_file(fs, f"{staging}/_lease")
+                except Exception:
+                    return
+
+        threading.Thread(target=_beat, daemon=True).start()
 
     def write(self, iterator):
         import uuid
@@ -981,7 +1002,11 @@ class VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         _, staging = _fs_and_path(self._staging)
         # refresh the app-scoped staging lease every epoch (driver-side,
         # atomic tmp+rename): a live stream's staged files stay
-        # fsck-proof as long as batches land within the lease TTL
+        # fsck-proof as long as batches land within the lease TTL —
+        # epochs LONGER than the TTL (e.g. multi-minute triggers over a
+        # slow store) should raise fsck's claim_ttl_sec accordingly;
+        # the lease protocol bounds the exposure, it cannot remove it
+        # without a per-executor heartbeat
         fs.create_dir(staging, recursive=True)
         _write_lease_file(fs, f"{staging}/_lease")
         files = [m.file_name for m in messages if m is not None and m.file_name]

@@ -138,7 +138,12 @@ class _Lease:
     def __exit__(self, *exc) -> None:
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=5.0)
+            # generous join: an in-flight heartbeat write that lands
+            # AFTER the caller deletes the marker would resurrect it
+            # (an unowned claim blocks writers for a full TTL) — wait
+            # out anything short of truly stuck IO, where the caller's
+            # own next backend op would hang identically anyway
+            self._thread.join(timeout=30.0)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -815,6 +820,69 @@ def _collect_file_stats(staging: str, files: list[str]) -> dict:
     return out
 
 
+def _verify_claim_ownership(backend, td: str, v: int, writer_id: str) -> None:
+    """A writer frozen past the lease TTL may have had its claim
+    reclaimed (and its partial output GC'd) by a concurrent repair;
+    publishing after that would commit a torn snapshot. Re-read the
+    claim lease immediately before the pointer swap and abort when it
+    is gone or owned by someone else — narrowing the resume-after-
+    reclaim race from the whole publish window to microseconds (the
+    pointer CAS covers the pointer value itself)."""
+    lease = backend.read_text(f"{td}/_claim_v{v:05d}")
+    if lease is None or not lease.strip().startswith(writer_id + " "):
+        raise ConcurrentWriteError(
+            f"claim v{v} on {td} is no longer owned by writer "
+            f"{writer_id}: its lease expired while the process was "
+            "stalled and a repair reclaimed the slot — aborting the "
+            "publish instead of committing a possibly-GC'd snapshot"
+        )
+
+
+def _publish(
+    backend,
+    td: str,
+    v: int,
+    writer_id: str,
+    *,
+    manifest_files: list[str] | None = None,
+    stats: dict | None = None,
+    staging: str | None = None,
+) -> None:
+    """The commit choreography every publish path shares (so a fix to
+    one cannot silently miss the others): manifest mode PUTs one
+    manifest naming ``manifest_files`` with ``stats``; copy mode moves
+    ``staging`` into the v-dir. Both then re-verify claim ownership
+    and CAS the pointer; manifest mode finally drops the now-referenced
+    data prefix's lease. Caller holds claim ``v`` under its heartbeat."""
+    import json
+
+    if manifest_files is not None:
+        body = json.dumps(
+            {"version": v, "files": manifest_files, "stats": stats or {}}
+        )
+        # the commit's ONLY data-plane metadata op: one PUT, whatever
+        # the snapshot's object count
+        backend.write_text_atomic(f"{td}/_manifest_v{v:05d}.json", body)
+    else:
+        backend.move(staging, f"{td}/v{v:05d}")
+        backend.delete_file(f"{td}/v{v:05d}/_lease")
+    _verify_claim_ownership(backend, td, v, writer_id)
+    _swap_pointer(backend, td, v, v - 1)
+    if manifest_files is not None and staging:
+        backend.delete_file(f"{staging}/_lease")
+
+
+def _carried_stats(old_stats: dict, carried_rels: list[str]) -> dict:
+    """Stats entries carried for by-reference files (keyed by file
+    NAME, matching _collect_file_stats and the reader lookup)."""
+    out = {}
+    for rel in carried_rels:
+        name = rel.rsplit("/", 1)[1]
+        if name in old_stats:
+            out[name] = old_stats[name]
+    return out
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
@@ -888,23 +956,16 @@ def write_version(
     try:
         with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
             if manifest:
-                body = json.dumps(
-                    {
-                        "version": v,
-                        "files": [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in files],
-                        "stats": stats,
-                    }
+                _publish(
+                    backend, td, v, writer_id,
+                    manifest_files=[
+                        f"{_DATA_PREFIX}/{writer_id}/{n}" for n in files
+                    ],
+                    stats=stats,
+                    staging=staging,
                 )
-                # the commit's ONLY data-plane metadata op: one PUT,
-                # whatever the snapshot's object count
-                backend.write_text_atomic(f"{td}/_manifest_v{v:05d}.json", body)
             else:
-                backend.move(staging, f"{td}/v{v:05d}")
-                backend.delete_file(f"{td}/v{v:05d}/_lease")
-            _swap_pointer(backend, td, v, v - 1)
-            if manifest:
-                # data prefix is now manifest-referenced; drop its lease
-                backend.delete_file(f"{staging}/_lease")
+                _publish(backend, td, v, writer_id, staging=staging)
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
@@ -1066,24 +1127,15 @@ def delete_where_cow(
         raise
     try:
         with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
-            stats = {
-                name: old_stats[name]
-                for rel in carried
-                for name in [rel.rsplit("/", 1)[1]]
-                if name in old_stats
-            }
+            stats = _carried_stats(old_stats, carried)
             stats.update(new_stats)
-            body = json.dumps(
-                {
-                    "version": v,
-                    "files": carried
-                    + [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files],
-                    "stats": stats,
-                }
+            _publish(
+                backend, td, v, writer_id,
+                manifest_files=carried
+                + [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files],
+                stats=stats,
+                staging=staging,
             )
-            backend.write_text_atomic(f"{td}/_manifest_v{v:05d}.json", body)
-            _swap_pointer(backend, td, v, v - 1)
-            backend.delete_file(f"{staging}/_lease")
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
@@ -1163,23 +1215,15 @@ def merge_into_version_cow(
         raise
     try:
         with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
-            stats = {
-                rel.rsplit("/", 1)[1]: old_stats[rel.rsplit("/", 1)[1]]
-                for rel in carried
-                if rel.rsplit("/", 1)[1] in old_stats
-            }
+            stats = _carried_stats(old_stats, carried)
             stats.update(new_stats)
-            body = json.dumps(
-                {
-                    "version": v,
-                    "files": carried
-                    + [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files],
-                    "stats": stats,
-                }
+            _publish(
+                backend, td, v, writer_id,
+                manifest_files=carried
+                + [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files],
+                stats=stats,
+                staging=staging,
             )
-            backend.write_text_atomic(f"{td}/_manifest_v{v:05d}.json", body)
-            _swap_pointer(backend, td, v, v - 1)
-            backend.delete_file(f"{staging}/_lease")
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
@@ -1276,13 +1320,25 @@ def vacuum(table_dir: str, keep_last: int = 2, backend=None) -> list[int]:
     commit point; its pointer swap was lost to a crash) — fsck rolls it
     forward instead."""
     backend = backend or _backend_for(table_dir)
+    td = table_dir.rstrip("/")
     committed = latest_version(table_dir, backend)
     if committed is None:
         return []
     ledgered = _ledger_versions(table_dir, backend)
+    now = time.time()
+    live_slots = set()
+    for name in backend.list_names(table_dir):
+        m = _CLAIM.match(name)
+        if m:
+            age = _lease_age_sec(backend.read_text(f"{td}/{name}"), now)
+            if age is not None and age <= _LEASE_TTL_SEC:
+                live_slots.add(int(m.group(1)))
     removed = []
     for v in versions(table_dir, backend):
-        orphan = v > committed and v not in ledgered
+        # a live claim shields its slot: the writer may be between its
+        # manifest/v-dir publish and its pointer swap — GC'ing there
+        # would leave a committed head pointing at deleted objects
+        orphan = v > committed and v not in ledgered and v not in live_slots
         expired = v <= committed - keep_last
         if orphan or expired:
             removed.append(v)
@@ -1347,13 +1403,22 @@ def fsck(
         | set(_manifest_versions(table_dir, backend))
     )
     claims, claims_live, live_slots = [], [], set()
+    live_wids: set[str] = set()  # live claims name their writer id —
+    # the SAME id that names the writer's _staging_/_data prefixes, so
+    # the sweeps below can protect a live writer's directories even
+    # when their own lease is stale or was already relocated by the
+    # publish (the r8 review's mid-move staging race)
     for name in backend.list_names(table_dir):
         m = _CLAIM.match(name)
         if not m:
             continue
-        if _live(f"{td}/{name}"):
+        lease_txt = backend.read_text(f"{td}/{name}")
+        if _lease_age_sec(lease_txt, now) is not None and _lease_age_sec(
+            lease_txt, now
+        ) <= claim_ttl_sec:
             claims_live.append(name)
             live_slots.add(int(m.group(1)))
+            live_wids.add(lease_txt.strip().split(" ", 1)[0])
         else:
             backend.delete_file(f"{td}/{name}")
             claims.append(name)
@@ -1379,7 +1444,8 @@ def fsck(
     for name in backend.list_names(table_dir):
         if not _STAGING.match(name):
             continue
-        if _live(f"{td}/{name}/_lease"):
+        owner = name.split("_staging_", 1)[-1]
+        if _live(f"{td}/{name}/_lease") or owner in live_wids:
             staging_live.append(name)
         else:
             backend.rmtree(f"{td}/{name}")
@@ -1394,7 +1460,7 @@ def fsck(
     for wid in backend.list_names(f"{td}/{_DATA_PREFIX}"):
         if wid in ref_prefixes:
             continue
-        if _live(f"{td}/{_DATA_PREFIX}/{wid}/_lease"):
+        if _live(f"{td}/{_DATA_PREFIX}/{wid}/_lease") or wid in live_wids:
             data_live.append(wid)
         else:
             backend.rmtree(f"{td}/{_DATA_PREFIX}/{wid}")

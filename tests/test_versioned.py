@@ -1062,3 +1062,101 @@ def test_cow_merge_upsert_semantics_and_sharing(spark, tdir):
     rels4 = _manifest_files(tdir, v4, backend)
     assert set(rels3) <= set(rels4), "pure insert must carry ALL files"
     assert read_table(spark, tdir).count() == 1_002
+
+
+# ---------------------------------------------------------------------------
+# round 8 (review hardening): claim-correlated sweeps, lease-aware
+# vacuum, and the pre-publish ownership re-check
+# ---------------------------------------------------------------------------
+
+
+def test_fsck_protects_staging_of_live_claim_even_without_lease(spark, tdir):
+    """Mid-publish, the copy-mode move may have already relocated the
+    staging _lease; fsck must still protect the staging dir by
+    correlating its name with the LIVE claim's writer id."""
+    write_version(_df(spark, 3), tdir)
+    backend = _SlowMoveBackend(_backend_for(tdir, spark))
+    err: list[BaseException] = []
+
+    def _slow_commit():
+        try:
+            write_version(_df(spark, 7), tdir, backend=backend)
+        except BaseException as e:
+            err.append(e)
+
+    t = threading.Thread(target=_slow_commit)
+    t.start()
+    try:
+        assert backend.entered.wait(60.0)
+        td = tdir.rstrip("/")
+        inner = backend._inner
+        staging_name = next(
+            n for n in inner.list_names(td) if n.startswith("_staging_")
+        )
+        # simulate the lease already relocated by the publish
+        inner.delete_file(f"{td}/{staging_name}/_lease")
+        report = fsck(tdir)
+        assert staging_name in report["staging_live"], report
+        assert report["staging_removed"] == [], report
+    finally:
+        backend.release.set()
+        t.join(60.0)
+    assert not err, err
+    assert read_table(spark, tdir).count() == 7
+
+
+def test_vacuum_skips_live_claim_slot(spark, tdir):
+    """A live claim shields its slot from vacuum's orphan GC — the
+    writer may sit between its manifest PUT and its pointer swap."""
+    write_version(_df(spark, 3), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    # a live writer: claim v2 held with a fresh lease, manifest already
+    # PUT, pointer not yet swapped
+    assert backend.create_exclusive(f"{td}/_claim_v00002", f"livew {time.time():.3f}")
+    backend.write_text_atomic(
+        f"{td}/_manifest_v00002.json", '{"version": 2, "files": [], "stats": {}}'
+    )
+    assert vacuum(tdir, keep_last=5) == []  # v2 shielded
+    from fp_data_lakehouse_spark.sources.versioned import _manifest_versions as mv
+
+    assert mv(tdir, backend) == [1, 2]
+    # once the claim is a stale leftover, the orphan GC proceeds
+    backend.delete_file(f"{td}/_claim_v00002")
+    backend.create_exclusive(
+        f"{td}/_claim_v00002", f"deadw {time.time() - 120:.3f}"
+    )
+    assert vacuum(tdir, keep_last=5) == [2]
+    assert mv(tdir, backend) == [1]
+
+
+def test_publish_aborts_when_claim_was_reclaimed(spark, tdir):
+    """The pre-publish ownership re-check: a writer whose claim was
+    reclaimed while it was stalled must abort with
+    ConcurrentWriteError instead of swapping the pointer onto a
+    possibly-GC'd snapshot."""
+
+    class _ClaimStealingBackend:
+        """Deletes the writer's claim right before its move() — the
+        fsck-reclaimed-while-frozen interleaving."""
+
+        def __init__(self, inner, td):
+            self._inner = inner
+            self._td = td
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def move(self, src, dst):
+            for n in self._inner.list_names(self._td):
+                if n.startswith("_claim_"):
+                    self._inner.delete_file(f"{self._td}/{n}")
+            return self._inner.move(src, dst)
+
+    write_version(_df(spark, 3), tdir)
+    backend = _ClaimStealingBackend(_backend_for(tdir, spark), tdir.rstrip("/"))
+    with pytest.raises(ConcurrentWriteError, match="no longer owned"):
+        write_version(_df(spark, 9), tdir, backend=backend)
+    # pointer untouched; table still serves v1
+    assert latest_version(tdir) == 1
+    assert read_table(spark, tdir).count() == 3
