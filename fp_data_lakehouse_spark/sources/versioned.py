@@ -245,18 +245,32 @@ class HadoopFsBackend:
         self._fs(d).mkdirs(self._path(d))
 
     def read_text(self, p: str) -> str | None:
-        fs = self._fs(p)
-        hp = self._path(p)
-        if not fs.exists(hp):
-            return None
-        stream = fs.open(hp)
-        try:
-            # one bulk JVM call, not one py4j round trip per byte
-            return self._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
+        """Read a small text object. Retries transient failures: a
+        reader racing a concurrent atomic replace (pointer swap, lease
+        heartbeat — both write-tmp + rename) can hit a checksum/IO
+        error mid-swap on the checksummed local Hadoop FS; the file is
+        never logically absent, and every caller re-validates under a
+        claim, so a short retry returning either side of the swap is
+        correct (observed as a rare Py4JJavaError in the two-writer
+        contention test)."""
+        for attempt in range(3):
+            fs = self._fs(p)
+            hp = self._path(p)
+            if not fs.exists(hp):
+                return None
+            try:
+                stream = fs.open(hp)
+                try:
+                    # one bulk JVM call, not one py4j round trip per byte
+                    return self._jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                finally:
+                    stream.close()
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(0.05)
 
     def write_text_atomic(self, p: str, content: str) -> None:
         # write-tmp + OVERWRITE-rename (FileContext): atomic on HDFS with
