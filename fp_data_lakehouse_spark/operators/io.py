@@ -661,8 +661,9 @@ def io12_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     recorded range cannot intersect the predicate — BEFORE any task
     runs. The cutoff is max_custkey/8 (data-relative, so the same
     fraction prunes at every SF); in-query asserts measure the skip:
-    the unfiltered plan holds 16 file partitions, the filtered plan
-    must plan <= 4. Spark still re-applies
+    the filtered plan must keep at most a quarter of the unfiltered
+    plan's file partitions (public ``pushFilters`` path, planner-
+    style Filter objects). Spark still re-applies
     the filter above, so the rollup hash-matches the oracle's plain
     relational answer — skipping is pure I/O elision, never a
     semantics dependency (stats-less or foreign files are always
@@ -688,15 +689,24 @@ def io12_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_version(totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True)
     cutoff = orders.agg(F.max("o_custkey")).head()[0] // 8  # 1-row scalar
 
-    # measure the planner-side skip with the reader's own partition API
+    # measure the planner-side skip through the PUBLIC reader API: the
+    # same pushFilters(...) call Spark's planner makes, with the same
+    # pyspark.sql.datasource Filter objects — no private state assigned
+    from pyspark.sql.datasource import LessThanOrEqual
+
     reader = VersionedDataSource({"path": table_dir}).reader(
         _snapshot_schema(table_dir, None)
     )
     n_all = len(reader.partitions())
-    assert n_all == 16, f"range layout lost its file count: {n_all}"
-    reader._pushed = [("le", "o_custkey", cutoff)]
+    assert n_all >= 8, f"range layout lost its file count: {n_all}"
+    reader.pushFilters([LessThanOrEqual(("o_custkey",), cutoff)])
     n_kept = len(reader.partitions())
-    assert n_kept <= 4, f"stats pruned nothing: {n_kept}/16 files survive"
+    # the cutoff is 1/8 of the key range over range-partitioned files:
+    # a proportional bound (<= 1/4 of the files survive) measures the
+    # skip without pinning Spark's exact file-emission count
+    assert n_kept <= max(2, n_all // 4), (
+        f"stats pruned nothing: {n_kept}/{n_all} files survive"
+    )
 
     register_python_sources(spark)
     snap = (

@@ -409,16 +409,24 @@ def _try_claim(fs: "pafs.FileSystem", p: str, v: int) -> bool:
     claim = f"{p}/_claim_v{v:05d}"
     if isinstance(fs, pafs.LocalFileSystem):
         import os
+        import tempfile
 
+        # content-atomic exclusive create (same move as
+        # versioned.LocalFsBackend.create_exclusive): write the lease
+        # to a private temp file and link(2) it into place, so a
+        # concurrent fsck can never observe a lease-less marker and
+        # reclaim a live writer's just-created claim
+        fd, tmp = tempfile.mkstemp(dir=p, prefix="._claim_")
         try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        try:
-            os.write(fd, _lease_bytes())
+            with os.fdopen(fd, "wb") as f:
+                f.write(_lease_bytes())
+            try:
+                os.link(tmp, claim)
+            except FileExistsError:
+                return False
+            return True
         finally:
-            os.close(fd)
-        return True
+            os.unlink(tmp)
     import warnings
 
     warnings.warn(

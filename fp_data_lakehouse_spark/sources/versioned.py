@@ -78,6 +78,16 @@ _DATA_PREFIX = "_data"
 # heartbeat is older than this (or absent — a pre-lease-era marker or a
 # crash before the lease write). Writers heartbeat at TTL/4 during long
 # operations, so a live writer's lease is never near expiry.
+#
+# CLOCK-SKEW ASSUMPTION: lease timestamps are the WRITER's wall clock
+# (time.time()) compared against the REPAIR process's wall clock —
+# liveness is only sound when inter-host skew stays well under the
+# TTL/4-heartbeat slack (~45 s at the 60 s default). NTP-disciplined
+# fleets sit at milliseconds, 3-4 orders of magnitude inside the
+# margin; on a fleet without clock sync, raise the TTL (fsck/vacuum
+# accept claim_ttl_sec) so slack >> worst-case skew, or run repairs
+# only from a host in the writers' clock domain. Monotonic clocks
+# can't help here: the stamp must be comparable ACROSS processes.
 _LEASE_TTL_SEC = 60.0
 
 
@@ -183,18 +193,23 @@ class LocalFsBackend:
 
     def create_exclusive(self, p: str, content: str = "") -> bool:
         """Atomically create a marker file carrying ``content`` (the
-        claim lease); False if it exists. O_EXCL — the primitive the
-        optimistic-commit claim rides on."""
+        claim lease); False if it exists. Content is written to a
+        private temp file first and link(2)'d into place — exclusive
+        (link fails if the name exists) AND content-atomic, so a
+        concurrent fsck can never observe the marker lease-less and
+        reclaim a live writer's just-created claim (the r8 review's
+        create-stream visibility window)."""
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), prefix="._claim_")
         try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        try:
-            if content:
-                os.write(fd, content.encode())
+            with os.fdopen(fd, "w") as f:
+                f.write(content)
+            try:
+                os.link(tmp, p)
+            except FileExistsError:
+                return False
+            return True
         finally:
-            os.close(fd)
-        return True
+            os.unlink(tmp)
 
     def delete_file(self, p: str) -> None:
         try:
@@ -204,17 +219,6 @@ class LocalFsBackend:
 
     def move(self, src: str, dst: str) -> None:
         os.rename(src, dst)  # same-filesystem dir rename: atomic
-
-
-def _is_already_exists(e: Exception) -> bool:
-    """True iff a JVM filesystem error is the file-already-exists
-    outcome of a no-overwrite create. HDFS raises
-    org.apache.hadoop.fs.FileAlreadyExistsException; the local
-    RawLocalFileSystem raises a plain IOException whose message says
-    "already exists" — match both, re-raise everything else."""
-    java_exc = getattr(e, "java_exception", None)
-    text = str(java_exc) if java_exc is not None else str(e)
-    return "AlreadyExists" in text or "already exists" in text.lower()
 
 
 class HadoopFsBackend:
@@ -310,31 +314,44 @@ class HadoopFsBackend:
             fs.delete(hp, True)
 
     def create_exclusive(self, p: str, content: str = "") -> bool:
-        """``FileSystem.create(path, overwrite=false)`` — atomic on
-        HDFS (namenode-serialized create); on S3-likes create-no-
-        overwrite is check-then-act, the same caveat as the pointer
-        rename (a log-based format is the upgrade path there).
-        ``content`` (the claim lease) is written through the same
-        create stream, so the marker never exists lease-less.
+        """Exclusive create WITH content, in two namenode-serialized
+        steps: the lease content is written to a writer-private temp
+        file, then ``FileSystem.rename``d into place — plain (non-
+        OVERWRITE) rename refuses an existing destination, so the
+        rename is the exclusivity point AND the marker becomes visible
+        already carrying its lease. The previous form (create(path,
+        overwrite=false) + write through the create stream) left a
+        window where a concurrent fsck read an empty lease and
+        reclaimed a LIVE writer's just-created claim — the r8 review's
+        finding. On S3-likes rename is non-atomic check-then-act, the
+        usual caveat (ConditionalPutBackend is the store-native path).
 
-        Only the already-exists outcome maps to False; any other error
-        (network, permission, transient IO) re-raises, so a genuine
-        failure is never mistaken for a held claim and spun on until
-        the ConcurrentWriteError timeout."""
+        Only the destination-exists outcome maps to False; any other
+        error (network, permission, transient IO) re-raises, so a
+        genuine failure is never mistaken for a held claim and spun on
+        until the ConcurrentWriteError timeout."""
         fs = self._fs(p)
         hp = self._path(p)
+        tmp = self._path(f"{p}.claimtmp.{uuid.uuid4().hex[:12]}")
+        stream = fs.create(tmp, True)
         try:
-            stream = fs.create(hp, False)
-        except Exception as e:
-            if _is_already_exists(e):
-                return False
-            raise
-        try:
-            if content:
-                stream.write(bytearray(content, "utf-8"))
+            stream.write(bytearray(content, "utf-8"))
         finally:
             stream.close()
-        return True
+        try:
+            if fs.rename(tmp, hp):
+                return True
+            # rename refused: the marker exists (held claim) — anything
+            # else (e.g. a vanished parent dir) is a real failure
+            if fs.exists(hp):
+                return False
+            raise OSError(
+                f"exclusive-create rename {tmp} -> {hp} failed with no "
+                "existing destination"
+            )
+        finally:
+            if fs.exists(tmp):
+                fs.delete(tmp, False)
 
     def delete_file(self, p: str) -> None:
         fs = self._fs(p)
@@ -863,20 +880,34 @@ def _publish(
     staging: str | None = None,
 ) -> None:
     """The commit choreography every publish path shares (so a fix to
-    one cannot silently miss the others): manifest mode PUTs one
-    manifest naming ``manifest_files`` with ``stats``; copy mode moves
+    one cannot silently miss the others): verify claim ownership BEFORE
+    the data-plane publish (a writer stalled past its lease TTL whose
+    slot was reclaimed and recommitted must not clobber the committed
+    version's manifest or merge stale objects into its v-dir), then
+    manifest mode conditional-PUTs one manifest naming
+    ``manifest_files`` with ``stats`` — put-if-absent, so even a writer
+    that passes the ownership check and then stalls can never overwrite
+    a manifest a faster re-claimer already committed (``_claim_slot``
+    clears any crash-leftover manifest at the claimed slot, so the
+    normal path never sees a survivor) — while copy mode moves
     ``staging`` into the v-dir. Both then re-verify claim ownership
     and CAS the pointer; manifest mode finally drops the now-referenced
     data prefix's lease. Caller holds claim ``v`` under its heartbeat."""
     import json
 
+    _verify_claim_ownership(backend, td, v, writer_id)
     if manifest_files is not None:
         body = json.dumps(
             {"version": v, "files": manifest_files, "stats": stats or {}}
         )
-        # the commit's ONLY data-plane metadata op: one PUT, whatever
-        # the snapshot's object count
-        backend.write_text_atomic(f"{td}/_manifest_v{v:05d}.json", body)
+        # the commit's ONLY data-plane metadata op: one conditional PUT,
+        # whatever the snapshot's object count
+        if not backend.create_exclusive(f"{td}/_manifest_v{v:05d}.json", body):
+            raise ConcurrentWriteError(
+                f"manifest for v{v} on {td} already exists — another "
+                "writer recommitted this slot after this writer's lease "
+                "expired; aborting instead of clobbering its snapshot"
+            )
     else:
         backend.move(staging, f"{td}/v{v:05d}")
         backend.delete_file(f"{td}/v{v:05d}/_lease")
@@ -1387,7 +1418,12 @@ def fsck(
     2. **roll forward**: versions present in the streaming ``_COMMITS``
        ledger with their snapshot dir on disk but above the pointer
        (crash between ledger write and pointer swap) are committed —
-       the pointer advances to the highest such version;
+       one slot at a time, each swap performed UNDER the claim marker
+       for the slot being advanced into (the _claim_slot discipline),
+       so the repair can never regress a pointer that live writers
+       advanced past the target mid-repair, even on backends whose
+       pointer write is a blind atomic swap (no CAS); a live claim on
+       the next slot defers the roll-forward to that writer;
     3. **orphan GC**: snapshot dirs above the (repaired) pointer that
        are NOT ledger'd and NOT shielded by a live claim are partial/
        unacknowledged writes — deleted, so they can never surface as
@@ -1436,20 +1472,41 @@ def fsck(
         else:
             backend.delete_file(f"{td}/{name}")
             claims.append(name)
-    ptr = ptr_before
+    # Roll forward one slot at a time, each swap performed UNDER the
+    # claim marker for the slot being advanced into — the exact
+    # discipline _claim_slot uses. Holding claim v pins the pointer (no
+    # writer can advance to v without that claim, and none can pass v
+    # without first advancing to it), so even on backends whose
+    # _swap_pointer is a blind atomic write (LocalFs/HadoopFs, no
+    # write_text_cas) fsck can never regress a pointer a live writer
+    # advanced past the roll-forward target mid-repair — the race the
+    # r8 review flagged, whose downstream was the next claimer GC'ing a
+    # newer committed-but-unledgered snapshot as an orphan.
     rolled = []
-    for v in (d for d in present if d > ptr_before):
-        if v in ledgered:
-            ptr = max(ptr, v)
-            rolled.append(v)
-    if ptr > ptr_before:
+    fsck_id = "fsck-" + uuid.uuid4().hex[:8]
+    present_set = set(present)
+    while True:
+        cur = latest_version(table_dir, backend) or 0
+        nxt = cur + 1
+        if nxt not in ledgered or nxt not in present_set:
+            break
+        if not backend.create_exclusive(
+            f"{td}/_claim_v{nxt:05d}", _lease_line(fsck_id)
+        ):
+            # a live writer holds the next slot: its own _claim_slot
+            # performs this same roll-forward (or commits past it)
+            break
         try:
-            _swap_pointer(backend, td, ptr, ptr_before)
-        except ConcurrentWriteError:
-            # a live writer advanced the pointer mid-repair; its commit
-            # already covers (or supersedes) the roll-forward
-            ptr = latest_version(table_dir, backend) or ptr_before
-            rolled = [v for v in rolled if v <= ptr]
+            if (latest_version(table_dir, backend) or 0) != cur:
+                continue  # a writer advanced between our read and claim
+            try:
+                _swap_pointer(backend, td, nxt, cur)
+            except ConcurrentWriteError:
+                break  # CAS backend saw movement — defer to the writer
+            rolled.append(nxt)
+        finally:
+            backend.delete_file(f"{td}/_claim_v{nxt:05d}")
+    ptr = max(ptr_before, latest_version(table_dir, backend) or 0)
     orphans = [
         v for v in present if v > ptr and v not in ledgered and v not in live_slots
     ]

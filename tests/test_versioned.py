@@ -915,10 +915,11 @@ def test_manifest_crash_before_manifest_put_is_invisible(spark):
         write_version(_df(spark, 3), tdir, backend=backend, manifest=True)
 
         class _DieBeforeManifest(ConditionalPutBackend):
-            def write_text_atomic(self, p, content):
+            # the manifest publish is a conditional PUT (put-if-absent)
+            def create_exclusive(self, p, content=""):
                 if "_manifest_" in p:
                     raise RuntimeError("simulated crash before manifest PUT")
-                super().write_text_atomic(p, content)
+                return super().create_exclusive(p, content)
 
         with pytest.raises(RuntimeError, match="simulated crash"):
             write_version(_df(spark, 9), tdir, backend=_DieBeforeManifest(), manifest=True)
@@ -1160,3 +1161,152 @@ def test_publish_aborts_when_claim_was_reclaimed(spark, tdir):
     # pointer untouched; table still serves v1
     assert latest_version(tdir) == 1
     assert read_table(spark, tdir).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# round 9: ADVICE hardening — pre-publish ownership check + put-if-absent
+# manifest, claim-scoped fsck roll-forward, content-atomic claim create
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    _lease_line,
+    _manifest_files,
+)
+
+
+def test_stalled_manifest_writer_cannot_clobber_recommitted_slot(spark, tdir):
+    """The r8 review's torn-snapshot race: writer A passes its claim
+    check, stalls past the lease TTL, its claim is reclaimed and slot v2
+    is recommitted by writer B — A's resumed manifest PUT must fail the
+    put-if-absent (never overwrite B's committed manifest) and the
+    table must keep serving B's snapshot."""
+    write_version(_df(spark, 3), tdir)
+    inner = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    fired = []
+
+    class _StallThenResume:
+        """Simulates A frozen between its pre-publish ownership check
+        and the manifest PUT: right before A's conditional PUT lands,
+        A's claim is reclaimed (lease expired) and B commits slot 2."""
+
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+        def create_exclusive(self, p, content=""):
+            if "_manifest_" in p and not fired:
+                fired.append(p)
+                for n in inner.list_names(td):
+                    if n.startswith("_claim_"):
+                        inner.delete_file(f"{td}/{n}")
+                write_version(_df(spark, 7), tdir, backend=inner, manifest=True)
+            return inner.create_exclusive(p, content)
+
+    with pytest.raises(ConcurrentWriteError):
+        write_version(_df(spark, 9), tdir, backend=_StallThenResume(), manifest=True)
+    # B's commit is intact: pointer at 2, manifest lists B's files, rows are B's
+    assert latest_version(tdir) == 2
+    assert read_table(spark, tdir).count() == 7
+    rels = _manifest_files(tdir, 2, inner)
+    assert rels, "B's manifest was clobbered or emptied"
+    # A's abandoned _data prefix is GC'd once its lease expires
+    report = fsck(tdir, inner, claim_ttl_sec=-1.0)
+    assert latest_version(tdir) == 2
+    assert read_table(spark, tdir).count() == 7
+
+
+def test_stalled_writer_ownership_checked_before_data_plane(spark, tdir):
+    """Ownership is re-verified BEFORE the data-plane publish: a copy-
+    mode writer whose claim was stolen while stalled must abort before
+    its move() merges stale objects into a (re)committed v-dir."""
+    write_version(_df(spark, 3), tdir)
+    inner = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    moved = []
+
+    class _StealBeforePublish:
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+        def read_text(self, p):
+            # first ownership probe of the publish: steal the claim
+            # just before it (the stall happened during staging)
+            if "_claim_" in p and not moved:
+                moved.append(p)
+                inner.delete_file(p)
+            return inner.read_text(p)
+
+        def move(self, src, dst):  # pragma: no cover - must not run
+            raise AssertionError("data-plane publish ran without ownership")
+
+    with pytest.raises(ConcurrentWriteError, match="no longer owned"):
+        write_version(_df(spark, 9), tdir, backend=_StealBeforePublish())
+    assert latest_version(tdir) == 1
+    assert read_table(spark, tdir).count() == 3
+
+
+def test_fsck_rollforward_defers_to_live_claim(spark, tdir):
+    """fsck's roll-forward runs under the claim for the slot being
+    advanced into: when a LIVE writer already holds that claim, fsck
+    must defer (no pointer write at all — the blind-swap backends are
+    exactly where a racing write could regress the pointer) and leave
+    the ledgered snapshot shielded from orphan GC."""
+    backend = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    write_version(_df(spark, 3), tdir)
+    _df(spark, 9).write.parquet(f"{td}/v00002")
+    backend.write_text_atomic(f"{td}/_COMMITS", "app1:0:2")
+    # a live writer holds claim v2 (fresh lease, other writer id)
+    assert backend.create_exclusive(f"{td}/_claim_v00002", _lease_line("livewriter00"))
+    report = fsck(tdir, backend)
+    assert report["rolled_forward"] == [], report
+    assert report["pointer_after"] == 1, report
+    assert report["orphans_removed"] == [], report
+    assert latest_version(tdir) == 1
+    # claim released (writer finished/crashed): fsck now rolls forward,
+    # one slot under its own claim, and leaves no marker behind
+    backend.delete_file(f"{td}/_claim_v00002")
+    report = fsck(tdir, backend)
+    assert report["rolled_forward"] == [2], report
+    assert latest_version(tdir) == 2
+    assert read_table(spark, tdir).count() == 9
+    leftover = [n for n in backend.list_names(td) if n.startswith("_claim_")]
+    assert leftover == [], leftover
+
+
+def test_fsck_rollforward_multi_slot(spark, tdir):
+    """Two ledgered-but-unpointed versions roll forward one slot at a
+    time (each under its own claim) to the highest ledgered version."""
+    backend = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    write_version(_df(spark, 3), tdir)
+    _df(spark, 5).write.parquet(f"{td}/v00002")
+    _df(spark, 9).write.parquet(f"{td}/v00003")
+    backend.write_text_atomic(f"{td}/_COMMITS", "app1:0:2\napp1:1:3")
+    report = fsck(tdir, backend)
+    assert report["rolled_forward"] == [2, 3], report
+    assert latest_version(tdir) == 3
+    assert read_table(spark, tdir).count() == 9
+
+
+def test_create_exclusive_is_content_atomic(spark, tdir):
+    """The claim marker must never exist lease-less (the r8 review's
+    create-stream visibility window): create_exclusive publishes the
+    lease atomically with the marker, a losing create leaves the
+    winner's lease untouched, and no temp files leak."""
+    backend = _backend_for(tdir, spark)
+    write_version(_df(spark, 3), tdir)  # table dir exists
+    td = tdir.rstrip("/")
+    p = f"{td}/_claim_v00099"
+    lease_a = _lease_line("writer-aaaa")
+    assert backend.create_exclusive(p, lease_a)
+    assert backend.read_text(p) == lease_a
+    assert not backend.create_exclusive(p, _lease_line("writer-bbbb"))
+    assert backend.read_text(p) == lease_a, "loser overwrote the winner's lease"
+    backend.delete_file(p)
+    junk = [
+        n
+        for n in backend.list_names(td)
+        if "claimtmp" in n or n.startswith("._claim_")
+    ]
+    assert junk == [], junk
