@@ -384,3 +384,69 @@ def test_pdf_undecodable_files_flow_to_quarantine(spark, tmp_path):
         if d not in (victim_trunc, victim_junk) and d not in baseline
     }
     assert got == expect  # reordered producers decode losslessly
+
+
+# ---------------------------------------------------------------------------
+# round 9: scale-safe surrogate assignment (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_scale_safe_surrogate_matches_window_form(spark):
+    """The two-pass range/offset assignment must produce ids IDENTICAL
+    to the single-partition window form (same natural-key order, dense
+    1..N, same int type) with no single-partition exchange in its
+    plan; the auto dispatcher picks the window under the threshold."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.etl.star import (
+        _surrogate,
+        _surrogate_scale_safe,
+        _surrogate_window,
+    )
+
+    dim = (
+        spark.range(5_000)
+        .select(
+            F.concat(
+                F.lit("k"),
+                F.format_string("%09d", (F.col("id") * 2654435761) % 999_999_937),
+            ).alias("nk"),
+            (F.col("id") % 13).alias("attr"),
+        )
+        .dropDuplicates(["nk"])
+    )
+    win = _surrogate_window(dim, "sid", "nk")
+    safe = _surrogate_scale_safe(dim, "sid", "nk")
+    auto = _surrogate(dim, "sid", "nk")
+    expect = {(r.nk, r.attr, r.sid) for r in win.collect()}
+    assert {(r.nk, r.attr, r.sid) for r in safe.collect()} == expect
+    assert {(r.nk, r.attr, r.sid) for r in auto.collect()} == expect
+    assert safe.schema == win.schema
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # ids dense 1..N in natural-key order
+    ordered = sorted(expect)
+    assert [sid for _, _, sid in ordered] == list(range(1, len(ordered) + 1))
+
+
+def test_scale_safe_surrogate_multi_column_key(spark):
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.etl.star import (
+        _surrogate_scale_safe,
+        _surrogate_window,
+    )
+
+    dim = (
+        spark.range(2_000)
+        .select(
+            (F.col("id") % 50 + 2000).alias("tahun"),
+            F.when(F.col("id") % 2 == 0, "Gasal").otherwise("Genap").alias("semester"),
+        )
+        .distinct()
+    )
+    win = {(r.tahun, r.semester, r.id_waktu)
+           for r in _surrogate_window(dim, "id_waktu", "tahun", "semester").collect()}
+    safe = {(r.tahun, r.semester, r.id_waktu)
+            for r in _surrogate_scale_safe(dim, "id_waktu", "tahun", "semester").collect()}
+    assert safe == win

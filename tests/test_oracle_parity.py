@@ -59,8 +59,9 @@ def test_registry_contract():
     # +io12 (manifest file-stats data skipping) -> 226 / 215;
     # +vt11 (file-granular copy-on-write DELETE) -> 227 / 216;
     # +vt12 (file-granular copy-on-write MERGE) -> 228 / 217
-    assert len(q) == 228, sorted(q)
-    assert len(o) == 217, sorted(o)
+    # round 9: +et10 (scale-safe surrogate ids) -> 229 / 218
+    assert len(q) == 229, sorted(q)
+    assert len(o) == 218, sorted(o)
 
 
 def test_driver_priority_window():
