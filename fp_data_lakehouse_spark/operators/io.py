@@ -694,7 +694,7 @@ def io12_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pyspark.sql.datasource Filter objects — no private state assigned
     from pyspark.sql.datasource import LessThanOrEqual
 
-    reader = VersionedDataSource({"path": table_dir}).reader(
+    reader = VersionedDataSource({"path": table_dir, "pushdown": "true"}).reader(
         _snapshot_schema(table_dir, None)
     )
     n_all = len(reader.partitions())
@@ -709,8 +709,13 @@ def io12_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_python_sources(spark)
+    # pushdown opt-in: this handle is consumed through exactly one
+    # filter context (the per-load contract the option accepts)
     snap = (
-        spark.read.format("fp_versioned").option("path", table_dir).load()
+        spark.read.format("fp_versioned")
+        .option("path", table_dir)
+        .option("pushdown", "true")
+        .load()
     )
     return snap.filter(F.col("o_custkey") <= cutoff).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

@@ -16,6 +16,18 @@ Two sources, registered via :func:`register_python_sources`:
   filter is RETURNED as unsupported so Spark re-applies it — double
   filtering is free compared to trusting a Python reimplementation of
   SQL comparison semantics (nulls, NaN, collation) to be exact.
+  Pruning is OPT-IN per load (``option("pushdown", "true")``): Spark
+  caches the planned scan on the relation behind one ``.load()``
+  handle with whatever state the LAST pushdown left in the reader, so
+  a derived filtered query would contaminate later unfiltered reads
+  of the same handle — the default keeps the reader stateless and the
+  shared handle always correct; the opt-in accepts a one-filter-
+  context-per-load contract in exchange for manifest-stats file
+  skipping + arrow row-group pruning (see
+  test_pushdown_state_is_per_load_opt_in). Tables with a column
+  mapping (versioned.rename_column/drop_column) read with their
+  manifest's LOGICAL schema; file access and pushdown translate to
+  the stable physical names.
 
 - ``fp_versioned_feed`` (streaming): the version LOG as a micro-batch
   stream — each committed version is one offset increment, so a
@@ -188,6 +200,21 @@ def _manifest_stats(fs: "pafs.FileSystem", table_dir: str, v: int) -> dict:
         return {}
 
 
+def _manifest_columns(fs: "pafs.FileSystem", table_dir: str, v: int) -> list | None:
+    """COLUMN MAPPING of a manifest version (None = identity): entries
+    {"id", "name" (logical), "physical"} — see versioned._manifest_columns.
+    Physical file columns never change; each version's manifest maps its
+    own logical names over them, so renamed/dropped columns read
+    correctly for every retained version."""
+    import json
+
+    try:
+        with fs.open_input_stream(f"{table_dir}/_manifest_v{v:05d}.json") as f:
+            return json.loads(f.read().decode()).get("columns")
+    except (FileNotFoundError, OSError, ValueError):
+        return None
+
+
 def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
     """File-level skipping decision: False ONLY when the pushed
     conjuncts prove no row of the file can match (min/max ranges are
@@ -326,7 +353,21 @@ def _snapshot_schema(table_dir: str, version: int | None) -> StructType:
     files = _version_files(fs, p, v)
     if not files:
         raise FileNotFoundError(f"empty snapshot v{v} in {table_dir}")
-    return _arrow_schema_to_spark(pq.read_schema(files[0], filesystem=fs))
+    physical = _arrow_schema_to_spark(pq.read_schema(files[0], filesystem=fs))
+    mapping = _manifest_columns(fs, p, v)
+    if not mapping:
+        return physical
+    by_phys = {f.name: f for f in physical.fields}
+    return StructType(
+        [
+            StructField(
+                c["name"],
+                by_phys[c["physical"]].dataType,
+                by_phys[c["physical"]].nullable,
+            )
+            for c in mapping
+        ]
+    )
 
 
 
@@ -609,7 +650,26 @@ class _FilePartition(InputPartition):
 
 
 class VersionedReader(DataSourceReader):
-    def __init__(self, schema: StructType, table_dir: str, version: int | None):
+    def __init__(
+        self,
+        schema: StructType,
+        table_dir: str,
+        version: int | None,
+        pushdown: bool = False,
+    ):
+        # Pruning from pushed filters is OPT-IN per load: Spark caches
+        # the planned scan (partitions + read function, with whatever
+        # state the LAST pushdown left in the reader) on the shared
+        # relation behind one .load() handle, so a derived filtered
+        # query would contaminate later UNFILTERED reads of the same
+        # handle with its pruning — silently missing rows (pinned by
+        # tests/test_pyds.py::test_pushdown_state_is_per_load_opt_in).
+        # With pushdown off (default) this reader keeps no filter
+        # state, making stale-scan reuse harmless; option("pushdown",
+        # "true") accepts the one-filter-context-per-load contract in
+        # exchange for file-level manifest-stats skipping + arrow
+        # row-group pruning.
+        self._pushdown = pushdown
         self._cols = [f.name for f in schema.fields]
         # NaN-ordering divergence makes float pushdown unsound (see
         # _translate_filters) — exclude those columns up front.
@@ -628,11 +688,22 @@ class VersionedReader(DataSourceReader):
         self._table_dir = table_dir
         self._version = version
         self._pushed: list[tuple] = []
+        # column mapping (logical <-> physical), resolved at plan time
+        # for THIS snapshot's manifest: file reads and stats lookups use
+        # physical names; Spark sees logical ones
+        fs, p = _fs_and_path(table_dir)
+        v, _snap = _resolve_version(table_dir, version)
+        mapping = _manifest_columns(fs, p, v) or []
+        self._log2phys = {c["name"]: c["physical"] for c in mapping}
+
+    def _phys(self, name: str) -> str:
+        return self._log2phys.get(name, name)
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (Spark API)
-        self._pushed = _translate_filters(filters, self._pushable)
+        if self._pushdown:
+            self._pushed = _translate_filters(filters, self._pushable)
         # Return EVERYTHING as unsupported: the pushed specs prune
-        # parquet row groups executor-side, Spark's own filter above
+        # files/row groups executor-side, Spark's own filter above
         # stays authoritative for SQL semantics.
         return iter(filters)
 
@@ -650,19 +721,35 @@ class VersionedReader(DataSourceReader):
             # pure I/O savings, never a semantics dependency.
             stats = _manifest_stats(fs, p, v)
             if stats:
+                pushed_phys = [
+                    (op, self._phys(col), val) for op, col, val in self._pushed
+                ]  # stats come from parquet footers: physical-keyed
                 files = [
                     f
                     for f in files
                     if _file_may_match(
-                        stats.get(f.rsplit("/", 1)[-1]), self._pushed
+                        stats.get(f.rsplit("/", 1)[-1]), pushed_phys
                     )
                 ]
         return [_FilePartition(f) for f in files]
 
     def read(self, partition: _FilePartition):
-        yield from _read_parquet_batches(
-            partition.file_path, self._cols, self._pushed
-        )
+        if not self._log2phys:
+            yield from _read_parquet_batches(
+                partition.file_path, self._cols, self._pushed
+            )
+            return
+        import pyarrow as pa
+
+        phys_cols = [self._phys(c) for c in self._cols]
+        pushed_phys = [
+            (op, self._phys(col), val) for op, col, val in self._pushed
+        ]
+        for batch in _read_parquet_batches(
+            partition.file_path, phys_cols, pushed_phys
+        ):
+            # zero-copy rename physical -> logical
+            yield pa.RecordBatch.from_arrays(list(batch.columns), names=self._cols)
 
 
 class VersionedDataSource(DataSource):
@@ -686,7 +773,8 @@ class VersionedDataSource(DataSource):
 
     def reader(self, schema: StructType) -> VersionedReader:
         path, version = self._target()
-        return VersionedReader(schema, path, version)
+        pushdown = str(self.options.get("pushdown", "false")).lower() == "true"
+        return VersionedReader(schema, path, version, pushdown=pushdown)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "VersionedStreamArrowWriter":  # noqa: N802
         path, _ = self._target()
@@ -726,6 +814,16 @@ class VersionFeedStreamReader(DataSourceStreamReader):
             )
         self._cols = [f.name for f in schema.fields[:-1]]
         self._table_dir = table_dir
+        # column mapping: the stream's declared schema is the LATEST
+        # version's logical one; physical file columns are stable
+        # across versions (rename/drop are metadata-only), so one
+        # logical->physical translation serves every replayed version
+        fs, p = _fs_and_path(table_dir)
+        vs = _list_versions(fs, p)
+        mapping = (_manifest_columns(fs, p, vs[-1]) if vs else None) or []
+        self._read_cols = [
+            {c["name"]: c["physical"] for c in mapping}.get(n, n) for n in self._cols
+        ] if mapping else self._cols
 
     def _dbg(self, msg: str) -> None:
         # The stream reader runs in a separate Python runner process
@@ -773,7 +871,15 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         import pyarrow as pa
 
         self._dbg(f"read v={partition.version} f={partition.file_path.rsplit('/',2)[-2:]}")
-        for batch in _read_parquet_batches(partition.file_path, self._cols, []):
+        # getattr: tolerate instances built without __init__ (tests,
+        # legacy pickles) — absent mapping means physical == logical
+        read_cols = getattr(self, "_read_cols", self._cols)
+        for raw in _read_parquet_batches(partition.file_path, read_cols, []):
+            batch = (
+                raw
+                if read_cols is self._cols
+                else pa.RecordBatch.from_arrays(list(raw.columns), names=self._cols)
+            )
             yield batch.append_column(
                 "_version",
                 pa.array([partition.version] * batch.num_rows, pa.int64()),

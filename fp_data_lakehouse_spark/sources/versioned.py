@@ -601,14 +601,55 @@ def _manifest_versions(table_dir: str, backend=None) -> list[int]:
     return sorted(out)
 
 
-def _manifest_files(table_dir: str, v: int, backend) -> list[str]:
-    """Table-relative data-file paths named by a manifest version."""
+def _manifest_body(table_dir: str, v: int, backend) -> dict:
+    """Parsed manifest JSON of version ``v`` (files + stats + optional
+    column mapping)."""
     import json
 
     txt = backend.read_text(f"{table_dir.rstrip('/')}/_manifest_v{v:05d}.json")
     if txt is None:
         raise FileNotFoundError(f"manifest v{v} missing in {table_dir}")
-    return json.loads(txt)["files"]
+    return json.loads(txt)
+
+
+def _manifest_files(table_dir: str, v: int, backend) -> list[str]:
+    """Table-relative data-file paths named by a manifest version."""
+    return _manifest_body(table_dir, v, backend)["files"]
+
+
+def _manifest_columns(table_dir: str, v: int, backend) -> list[dict] | None:
+    """COLUMN MAPPING of a manifest version (None = identity, i.e. the
+    parquet files' physical names ARE the logical schema). Each entry is
+    ``{"id": stable_field_id, "name": logical, "physical": physical}``
+    — the Delta/Iceberg column-mapping move: RENAME and DROP are
+    metadata-only commits that re-map logical names over unchanged
+    data files, so a renamed table never rewrites a byte and files
+    carried by reference across the rename read correctly under the
+    new schema. Physical names never change once written; field ids
+    survive every mapping commit, so a column's identity is stable
+    across any number of renames."""
+    try:
+        return _manifest_body(table_dir, v, backend).get("columns")
+    except FileNotFoundError:
+        return None
+
+
+def _to_logical(df: DataFrame, columns: list[dict] | None) -> DataFrame:
+    """Project a physically-named frame to the mapping's logical schema
+    (mapping order; unmapped physical columns — i.e. DROPPED ones still
+    present in old files — are excluded)."""
+    if not columns:
+        return df
+    return df.select(*[F.col(c["physical"]).alias(c["name"]) for c in columns])
+
+
+def _to_physical(df: DataFrame, columns: list[dict] | None) -> DataFrame:
+    """Rename a logically-named frame to physical names for a data-file
+    write, so files written after a rename stay byte-compatible with
+    the files carried by reference from before it."""
+    if not columns:
+        return df
+    return df.select(*[F.col(c["name"]).alias(c["physical"]) for c in columns])
 
 
 def versions(table_dir: str, backend=None) -> list[int]:
@@ -878,6 +919,7 @@ def _publish(
     manifest_files: list[str] | None = None,
     stats: dict | None = None,
     staging: str | None = None,
+    columns: list[dict] | None = None,
 ) -> None:
     """The commit choreography every publish path shares (so a fix to
     one cannot silently miss the others): verify claim ownership BEFORE
@@ -897,9 +939,10 @@ def _publish(
 
     _verify_claim_ownership(backend, td, v, writer_id)
     if manifest_files is not None:
-        body = json.dumps(
-            {"version": v, "files": manifest_files, "stats": stats or {}}
-        )
+        payload = {"version": v, "files": manifest_files, "stats": stats or {}}
+        if columns is not None:
+            payload["columns"] = columns
+        body = json.dumps(payload)
         # the commit's ONLY data-plane metadata op: one conditional PUT,
         # whatever the snapshot's object count
         if not backend.create_exclusive(f"{td}/_manifest_v{v:05d}.json", body):
@@ -1037,10 +1080,15 @@ def read_table(
         raise FileNotFoundError(f"version {version} not committed yet in {table_dir}")
     if in_dirs:
         return spark.read.parquet(f"{td}/v{version:05d}")
-    files = _manifest_files(table_dir, version, backend)
+    body = _manifest_body(table_dir, version, backend)
+    files = body["files"]
     if not files:
         raise FileNotFoundError(f"manifest v{version} names no files in {table_dir}")
-    return spark.read.parquet(*[f"{td}/{rel}" for rel in files])
+    raw = spark.read.parquet(*[f"{td}/{rel}" for rel in files])
+    # column mapping: this VERSION's logical names over the (never-
+    # renamed) physical file columns — time travel to a pre-rename
+    # version reads with that version's own names
+    return _to_logical(raw, body.get("columns"))
 
 
 def merge_into_version(
@@ -1134,19 +1182,24 @@ def delete_where_cow(
             "delete_where_cow requires a manifest-published head (copy-"
             "published v-dirs are rewritten whole by delete_from_version)"
         )
-    rels = _manifest_files(table_dir, base, backend)
-    old_stats = json.loads(
-        backend.read_text(f"{td}/_manifest_v{base:05d}.json")
-    ).get("stats", {})
+    head_body = _manifest_body(table_dir, base, backend)
+    rels = head_body["files"]
+    old_stats = head_body.get("stats", {})
+    mapping = head_body.get("columns")
 
     paths = [f"{td}/{rel}" for rel in rels]
     df = spark.read.parquet(*paths)
+    # ``condition`` is LOGICAL; project the mapping (plus the hidden
+    # file-path metadata, only resolvable directly above the scan)
+    # before evaluating it
+    probe = df.select(F.col("_metadata.file_path").alias("fp"), "*")
+    if mapping:
+        probe = probe.select(
+            "fp", *[F.col(c["physical"]).alias(c["name"]) for c in mapping]
+        )
     hit_uris = [
         r[0]
-        for r in df.select(F.col("_metadata.file_path").alias("fp"))
-        .filter(condition)
-        .distinct()
-        .collect()
+        for r in probe.filter(condition).select("fp").distinct().collect()
     ]  # metadata-scale: one row per AFFECTED file, never per data row
     hit_rels = {rel for rel in rels if any(u.endswith("/" + rel) for u in hit_uris)}
     if not hit_rels:
@@ -1157,10 +1210,13 @@ def delete_where_cow(
     staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
-        survivors = spark.read.parquet(
-            *[f"{td}/{rel}" for rel in sorted(hit_rels)]
+        survivors = _to_logical(
+            spark.read.parquet(*[f"{td}/{rel}" for rel in sorted(hit_rels)]),
+            mapping,
         ).filter(~condition)
-        survivors.write.mode("append").parquet(staging)
+        # rewrites keep PHYSICAL names so they stay byte-compatible
+        # with the files carried by reference
+        _to_physical(survivors, mapping).write.mode("append").parquet(staging)
         new_files = sorted(
             n for n in backend.list_names(staging) if n.endswith(".parquet")
         )
@@ -1180,6 +1236,7 @@ def delete_where_cow(
                 + [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files],
                 stats=stats,
                 staging=staging,
+                columns=mapping,
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1216,16 +1273,36 @@ def merge_into_version_cow(
         raise ValueError(
             "merge_into_version_cow requires a manifest-published head"
         )
-    rels = _manifest_files(table_dir, base, backend)
-    old_stats = json.loads(
-        backend.read_text(f"{td}/_manifest_v{base:05d}.json")
-    ).get("stats", {})
+    head_body = _manifest_body(table_dir, base, backend)
+    rels = head_body["files"]
+    old_stats = head_body.get("stats", {})
+    mapping = head_body.get("columns")
+    if mapping:
+        logical = {c["name"] for c in mapping}
+        extra = set(updates.columns) - logical
+        if extra:
+            raise ValueError(
+                f"updates carry columns {sorted(extra)} unknown to the "
+                "column-mapped head schema — evolve the mapping first "
+                "(full-rewrite merge_into_version with merge_schema "
+                "resets the mapping)"
+            )
 
-    head = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
+    head = _to_logical(
+        spark.read.parquet(*[f"{td}/{rel}" for rel in rels]), mapping
+    )
     upd_keys = updates.select(*keys).localCheckpoint(eager=False)
     # project the hidden _metadata column BEFORE the join (it is only
     # resolvable directly above the scan)
-    head_fp = head.select(*keys, F.col("_metadata.file_path").alias("fp"))
+    if mapping:
+        raw = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
+        phys = {c["name"]: c["physical"] for c in mapping}
+        head_fp = raw.select(
+            *[F.col(phys[k]).alias(k) for k in keys],
+            F.col("_metadata.file_path").alias("fp"),
+        )
+    else:
+        head_fp = head.select(*keys, F.col("_metadata.file_path").alias("fp"))
     hit_uris = [
         r[0]
         for r in head_fp.join(F.broadcast(upd_keys), keys, "left_semi")
@@ -1241,14 +1318,17 @@ def merge_into_version_cow(
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
         if hit_rels:
-            hit_rows = spark.read.parquet(
-                *[f"{td}/{rel}" for rel in sorted(hit_rels)]
+            hit_rows = _to_logical(
+                spark.read.parquet(*[f"{td}/{rel}" for rel in sorted(hit_rels)]),
+                mapping,
             )
             survivors = hit_rows.join(upd_keys, keys, "left_anti")
             staged = survivors.unionByName(updates)
         else:
             staged = updates  # pure insert: no file rewritten
-        staged.write.mode("append").parquet(staging)
+        # rewrites + inserts keep PHYSICAL names, byte-compatible with
+        # the carried files
+        _to_physical(staged, mapping).write.mode("append").parquet(staging)
         new_files = sorted(
             n for n in backend.list_names(staging) if n.endswith(".parquet")
         )
@@ -1268,10 +1348,106 @@ def merge_into_version_cow(
                 + [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files],
                 stats=stats,
                 staging=staging,
+                columns=mapping,
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
+
+
+def _mapping_commit(spark, table_dir, backend, mutate) -> int:
+    """Shared choreography of the metadata-only schema commits (RENAME /
+    DROP): derive the head's mapping (identity from the physical file
+    schema when none exists yet), apply ``mutate``, publish a new
+    manifest naming the SAME files and stats under the new mapping —
+    one conditional PUT, zero data movement, ordinary claim protocol
+    with a base-version conflict check."""
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    base = latest_version(table_dir, backend)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if base not in _manifest_versions(table_dir, backend):
+        raise ValueError(
+            "column mapping requires a manifest-published head (a copy-"
+            "published v-dir rewrites wholesale anyway — rename there "
+            "is a plain withColumnRenamed + write_version)"
+        )
+    body = _manifest_body(table_dir, base, backend)
+    cols = body.get("columns")
+    if cols is None:
+        first = next(
+            (rel for rel in body["files"] if rel.endswith(".parquet")), None
+        )
+        if first is None:
+            raise FileNotFoundError(f"manifest v{base} names no files in {table_dir}")
+        names = spark.read.parquet(f"{td}/{first}").columns
+        cols = [
+            {"id": i + 1, "name": n, "physical": n} for i, n in enumerate(names)
+        ]
+    new_cols = mutate([dict(c) for c in cols])
+    writer_id = uuid.uuid4().hex[:12]
+    v = _claim_slot(table_dir, backend, base, writer_id=writer_id)
+    try:
+        with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
+            _publish(
+                backend, td, v, writer_id,
+                manifest_files=body["files"],
+                stats=body.get("stats", {}),
+                columns=new_cols,
+            )
+    finally:
+        backend.delete_file(f"{td}/_claim_v{v:05d}")
+    return v
+
+
+def rename_column(
+    spark: SparkSession, table_dir: str, old: str, new: str, backend=None
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit (the
+    Delta/Iceberg column-mapping move, VERDICT r8 item 3): the new
+    manifest carries the same data files by reference with the field's
+    stable id re-mapped to the new logical name; physical file columns
+    never change, so every pre-rename file — and every pre-rename
+    SNAPSHOT via time travel — keeps reading correctly, each version
+    under its own mapping. Returns the new version."""
+
+    def mutate(cols):
+        names = {c["name"] for c in cols}
+        if old not in names:
+            raise ValueError(f"column {old!r} does not exist (have {sorted(names)})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for c in cols:
+            if c["name"] == old:
+                c["name"] = new
+        return cols
+
+    return _mapping_commit(spark, table_dir, backend, mutate)
+
+
+def drop_column(
+    spark: SparkSession, table_dir: str, name: str, backend=None
+) -> int:
+    """ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit: the
+    column's mapping entry is removed, so readers of the new version
+    prune it at projection time while the bytes stay in place — old
+    versions (whose manifests still map the field) time-travel
+    unchanged, and a later CoW rewrite of a file physically sheds the
+    dropped column for the rewritten rows only. Returns the new
+    version."""
+
+    def mutate(cols):
+        keep = [c for c in cols if c["name"] != name]
+        if len(keep) == len(cols):
+            raise ValueError(
+                f"column {name!r} does not exist (have {sorted(c['name'] for c in cols)})"
+            )
+        if not keep:
+            raise ValueError("cannot drop the last column")
+        return keep
+
+    return _mapping_commit(spark, table_dir, backend, mutate)
 
 
 def change_feed(

@@ -59,9 +59,10 @@ def test_registry_contract():
     # +io12 (manifest file-stats data skipping) -> 226 / 215;
     # +vt11 (file-granular copy-on-write DELETE) -> 227 / 216;
     # +vt12 (file-granular copy-on-write MERGE) -> 228 / 217
-    # round 9: +et10 (scale-safe surrogate ids) -> 229 / 218
-    assert len(q) == 229, sorted(q)
-    assert len(o) == 218, sorted(o)
+    # round 9: +et10 (scale-safe surrogate ids) -> 229 / 218;
+    # +vt13 (column-mapping schema evolution) -> 230 / 219
+    assert len(q) == 230, sorted(q)
+    assert len(o) == 219, sorted(o)
 
 
 def test_driver_priority_window():

@@ -133,7 +133,11 @@ def test_batch_source_filter_matches_unfiltered(spark, versioned_table):
     d, v1, _, totals = versioned_table
     register_python_sources(spark)
     src = (
-        spark.read.format("fp_versioned").option("path", d).option("version", v1).load()
+        spark.read.format("fp_versioned")
+        .option("path", d)
+        .option("version", v1)
+        .option("pushdown", "true")
+        .load()
     )
     # pushFilters prunes row groups source-side but Spark's own filter
     # stays authoritative — result must equal the plain-filter twin.
@@ -625,9 +629,13 @@ def test_manifest_stats_skip_files_end_to_end(spark, tmp_path):
     # precondition every data-skipping story assumes)
     write_version(df.repartitionByRange(8, "k"), d, manifest=True)
 
-    reader = VersionedDataSource({"path": d}).reader(_snapshot_schema(d, None))
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    reader = VersionedDataSource({"path": d, "pushdown": "true"}).reader(
+        _snapshot_schema(d, None)
+    )
     assert len(reader.partitions()) == 8  # no filter: all files
-    reader._pushed = [("le", "k", 100)]
+    reader.pushFilters([LessThanOrEqual(("k",), 100)])
     pruned = reader.partitions()
     assert 1 <= len(pruned) <= 2, f"expected ~1 file to survive, got {len(pruned)}"
 
@@ -640,3 +648,124 @@ def test_manifest_stats_skip_files_end_to_end(spark, tmp_path):
     want = df.filter(F.col("k") <= 100)
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     assert got.count() == 101
+
+
+# ---------------------------------------------------------------------------
+# round 9: column mapping through the Python DataSource
+# ---------------------------------------------------------------------------
+
+
+def test_batch_source_reads_column_mapping(spark, tmp_path):
+    """A renamed/dropped table reads through fp_versioned with the
+    mapped logical schema — latest under the new names, a pinned
+    pre-rename version under its own — and mapping-aware pushdown
+    still prunes correctly (translated to physical for stats and
+    arrow filters, re-applied by Spark above)."""
+    from fp_data_lakehouse_spark.sources.versioned import (
+        drop_column,
+        read_table,
+        rename_column,
+        write_version,
+    )
+
+    d = str(tmp_path / "mapped")
+    df = spark.range(1_000).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id % 5 AS INT) AS tag"
+    )
+    write_version(df.repartitionByRange(4, "k"), d, manifest=True)
+    rename_column(spark, d, "v", "value")
+    drop_column(spark, d, "tag")
+    register_python_sources(spark)
+
+    latest = spark.read.format("fp_versioned").option("path", d).load()
+    assert latest.columns == ["k", "value"]
+    got = {(r.k, r.value) for r in latest.collect()}
+    assert got == {(i, 2 * i) for i in range(1_000)}
+    # pushdown on a LOGICAL name over physically-named files/stats —
+    # fresh pushdown-enabled load (one filter context per load)
+    filt = (
+        spark.read.format("fp_versioned")
+        .option("path", d)
+        .option("pushdown", "true")
+        .load()
+        .filter(F.col("value") <= 100)
+    )
+    assert {(r.k, r.value) for r in filt.collect()} == {
+        (i, 2 * i) for i in range(51)
+    }
+    # pinned pre-rename version: its own names, same values
+    v1 = spark.read.format("fp_versioned").option("path", d).option("version", "1").load()
+    assert v1.columns == ["k", "v", "tag"]
+    assert v1.count() == 1_000
+    # pyds and JVM reader agree on the mapped head
+    jvm = read_table(spark, d)
+    assert latest.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(latest).count() == 0
+
+
+def test_stream_feed_replays_across_rename(spark, tmp_path):
+    """The version-feed stream declares the LATEST logical schema and
+    replays pre-rename versions through the stable physical names."""
+    from fp_data_lakehouse_spark.sources.versioned import (
+        merge_into_version_cow,
+        rename_column,
+        write_version,
+    )
+
+    d = str(tmp_path / "feedmap")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df, d, manifest=True)                      # v1 (old name)
+    rename_column(spark, d, "v", "value")                    # v2 (metadata)
+    upd = spark.range(10).selectExpr("id AS k", "id * 100 AS value")
+    merge_into_version_cow(spark, d, upd, ["k"])             # v3 (new name)
+    register_python_sources(spark)
+
+    feed = spark.readStream.format("fp_versioned_feed").option("path", d).load()
+    assert feed.columns == ["k", "value", "_version"]
+    out = str(tmp_path / "out")
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("feedmap_q")
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM feedmap_q").collect()
+    by_ver = {}
+    for r in rows:
+        by_ver.setdefault(r._version, {})[r.k] = r.value
+    assert set(by_ver) == {1, 2, 3}
+    assert by_ver[1][7] == 14          # pre-rename version, new logical name
+    assert by_ver[3][7] == 700         # post-merge values
+    assert by_ver[2] == by_ver[1]      # metadata-only commit: same rows
+
+
+def test_pushdown_state_is_per_load_opt_in(spark, tmp_path):
+    """Spark caches the planned scan (with the LAST pushdown's reader
+    state) on the relation behind one .load() handle, so a derived
+    filtered query would silently shrink later UNFILTERED reads of the
+    same handle. With pushdown OFF (the default) the reader keeps no
+    filter state and the shared handle stays correct; the opt-in
+    accepts the one-filter-context-per-load contract (and this test
+    documents the hazard the default closes)."""
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    d = str(tmp_path / "pdopt")
+    write_version(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v"), d, manifest=True
+    )
+    register_python_sources(spark)
+    base = spark.read.format("fp_versioned").option("path", d).load()
+    assert base.filter(F.col("v") <= 20).count() == 11
+    # the same handle, unfiltered, AFTER a filtered derivation ran:
+    # must still see every row (fails with 11 if pushdown state leaked)
+    assert base.count() == 100
+    # opt-in handle consumed through exactly one filter context prunes
+    pushed = (
+        spark.read.format("fp_versioned")
+        .option("path", d)
+        .option("pushdown", "true")
+        .load()
+    )
+    assert pushed.filter(F.col("v") <= 20).count() == 11

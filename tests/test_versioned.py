@@ -1310,3 +1310,92 @@ def test_create_exclusive_is_content_atomic(spark, tdir):
         if "claimtmp" in n or n.startswith("._claim_")
     ]
     assert junk == [], junk
+
+
+# ---------------------------------------------------------------------------
+# round 9: column-mapping schema evolution (rename/drop metadata-only)
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    drop_column,
+    merge_into_version_cow,
+    rename_column,
+)
+
+
+def test_rename_column_is_metadata_only(spark, tdir):
+    df = spark.range(200).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df.repartitionByRange(4, "k"), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+    rels1 = _manifest_files(tdir, 1, backend)
+    v2 = rename_column(spark, tdir, "v", "value")
+    assert v2 == 2
+    assert _manifest_files(tdir, 2, backend) == rels1  # zero data movement
+    assert read_table(spark, tdir).columns == ["k", "value"]
+    got = {(r.k, r.value) for r in read_table(spark, tdir).collect()}
+    assert got == {(i, 2 * i) for i in range(200)}
+    # pre-rename snapshot time-travels under its OWN mapping
+    assert read_table(spark, tdir, version=1).columns == ["k", "v"]
+    v1 = {(r.k, r.v) for r in read_table(spark, tdir, version=1).collect()}
+    assert v1 == got
+    # rename validation
+    with pytest.raises(ValueError, match="does not exist"):
+        rename_column(spark, tdir, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, tdir, "k", "value")
+
+
+def test_cow_merge_and_delete_under_renamed_schema(spark, tdir):
+    from pyspark.sql import functions as F
+
+    df = spark.range(400).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df.repartitionByRange(8, "k"), tdir, manifest=True)
+    rename_column(spark, tdir, "v", "value")
+    backend = _backend_for(tdir, spark)
+    # MERGE under the NEW name: rewrites only hit files, carries the
+    # rest (pre-rename physical files) by reference
+    upd = spark.range(50).selectExpr("id AS k", "id * 100 AS value")
+    v3 = merge_into_version_cow(spark, tdir, upd, ["k"])
+    assert v3 == 3
+    shared = set(_manifest_files(tdir, 1, backend)) & set(
+        _manifest_files(tdir, 3, backend)
+    )
+    assert len(shared) >= 6, len(shared)
+    got = {r.k: r.value for r in read_table(spark, tdir).collect()}
+    assert got[10] == 1000 and got[399] == 798
+    # updates naming a column unknown to the mapped schema fail loudly
+    bad = spark.range(3).selectExpr("id AS k", "id AS v")
+    with pytest.raises(ValueError, match="unknown to the column-mapped"):
+        merge_into_version_cow(spark, tdir, bad, ["k"])
+    # DELETE with a logical-name condition
+    v4 = delete_where_cow(spark, tdir, F.col("value") >= 700)
+    assert v4 == 4
+    vals = {r.k: r.value for r in read_table(spark, tdir).collect()}
+    assert max(vals.values()) < 700
+    assert 10 not in vals  # value 1000 >= 700: deleted
+
+
+def test_drop_column_metadata_only_and_time_travel(spark, tdir):
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v", "CAST(id % 3 AS INT) AS tag")
+    write_version(df, tdir, manifest=True)
+    v2 = drop_column(spark, tdir, "tag")
+    assert v2 == 2
+    assert read_table(spark, tdir).columns == ["k", "v"]
+    assert read_table(spark, tdir, version=1).columns == ["k", "v", "tag"]
+    with pytest.raises(ValueError, match="does not exist"):
+        drop_column(spark, tdir, "tag")
+    # rename after drop keeps working on the surviving mapping
+    v3 = rename_column(spark, tdir, "v", "val")
+    assert read_table(spark, tdir).columns == ["k", "val"]
+    # full-overwrite write_version RESETS the mapping (fresh logical)
+    v4 = write_version(
+        spark.range(10).selectExpr("id AS k", "id AS val"), tdir, manifest=True
+    )
+    assert read_table(spark, tdir).columns == ["k", "val"]
+    assert read_table(spark, tdir).count() == 10
+
+
+def test_mapping_requires_manifest_head(spark, tdir):
+    write_version(_df(spark, 5), tdir)  # copy-published v-dir
+    with pytest.raises(ValueError, match="manifest-published head"):
+        rename_column(spark, tdir, "v", "value")
