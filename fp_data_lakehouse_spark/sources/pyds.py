@@ -215,20 +215,43 @@ def _manifest_columns(fs: "pafs.FileSystem", table_dir: str, v: int) -> list | N
         return None
 
 
+def _stat_comparable(val):
+    """Normalize a pushed literal to the manifest-stats domain: DATE
+    literals become ISO 'YYYY-MM-DD' strings (how the stats collector
+    records date min/max; lexicographic == chronological), everything
+    else passes through."""
+    import datetime
+
+    if isinstance(val, datetime.date) and not isinstance(val, datetime.datetime):
+        return val.isoformat()
+    return val
+
+
 def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
     """File-level skipping decision: False ONLY when the pushed
-    conjuncts prove no row of the file can match (min/max ranges are
-    sound over non-null values, and the supported comparison ops never
-    match nulls). Missing stats, unknown ops, or cross-type
-    comparisons keep the file — skipping is an optimization, never a
-    correctness dependency."""
+    conjuncts prove no row of the file can match. Entries are
+    ``[min, max]`` (legacy manifests) or ``[min, max, nulls, rows]``;
+    min/max are sound over NON-NULL values, and the supported
+    comparison ops never match nulls, so range-pruning ignores null
+    rows safely; ``notnull`` prunes only on an explicit all-null count.
+    A min/max of None (all-null column) can never satisfy a comparison,
+    so comparison conjuncts prune those files too. Missing stats,
+    unknown ops, or cross-type comparisons keep the file — skipping is
+    an optimization, never a correctness dependency."""
     if not stats:
         return True
     for op, col, val in pushed:
         rng = stats.get(col)
         if rng is None:
             continue
-        lo, hi = rng
+        lo, hi = rng[0], rng[1]
+        if op == "notnull":
+            if len(rng) >= 4 and rng[2] == rng[3] and rng[3] > 0:
+                return False  # provably all-null: NOT NULL matches nothing
+            continue
+        if lo is None:
+            return False  # column all-null: no comparison can match
+        val = _stat_comparable(val)
         try:
             if op == "eq" and (val < lo or val > hi):
                 return False
@@ -240,7 +263,9 @@ def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
                 return False
             if op == "lt" and lo >= val:
                 return False
-            if op == "in" and all(x < lo or x > hi for x in val):
+            if op == "in" and all(
+                x < lo or x > hi for x in map(_stat_comparable, val)
+            ):
                 return False
         except TypeError:
             continue  # cross-type comparison: keep the file

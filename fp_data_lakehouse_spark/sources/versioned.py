@@ -721,6 +721,8 @@ def _remove_snapshots(table_dir: str, vs: list[int], backend) -> None:
             keep_refs.update(_manifest_files(table_dir, mv, backend))
     for v in vs:
         backend.rmtree(f"{td}/v{v:05d}")
+        # a stale interop export must not outlive its snapshot
+        backend.rmtree(f"{td}/{_SYMLINK_DIR}/v{v:05d}")
         mkey = f"{td}/_manifest_v{v:05d}.json"
         txt = backend.read_text(mkey)
         if txt is None:
@@ -832,15 +834,31 @@ def _claim_slot(
 
 
 def _collect_file_stats(staging: str, files: list[str]) -> dict:
-    """Per-file min/max for top-level primitive columns, read from the
-    parquet FOOTERS of the staged files (no data scan) — the
-    data-skipping index a manifest commit carries, Delta/Iceberg's
-    file-stats move. Only JSON-safe scalar types (int/float/str/bool)
-    are recorded; columns with absent or unusable statistics are
-    simply omitted (skipping is an optimization, never a correctness
-    dependency). Local-path staging only: scheme'd stores return {} —
-    there, a real deployment collects stats executor-side during the
-    write itself."""
+    """Per-file column statistics from the parquet FOOTERS of the
+    staged files (no data scan) — the data-skipping index a manifest
+    commit carries, Delta/Iceberg's file-stats move. Each recorded
+    entry is ``[min, max, null_count, row_count]``:
+
+    - min/max cover INT/FLOAT/STRING/BOOL natively and DATE columns as
+      ISO 'YYYY-MM-DD' strings (lexicographic == chronological, so the
+      reader compares a pushed date literal's isoformat directly);
+    - null_count/row_count make IsNotNull pruning possible (a file
+      whose column is ALL null provably matches no NOT NULL row) and
+      are recorded even when min/max are absent (an all-null column
+      has no min/max but a perfectly sound null count).
+
+    SOUNDNESS: a column's entry is kept only when EVERY row group
+    contributed statistics — one stats-less group could hold values
+    (or non-nulls) outside the partial picture, so such columns are
+    omitted and the reader keeps the file. min/max describe non-null
+    values only, which is sound for the comparison ops the reader
+    prunes on (SQL comparisons never match NULL rows). Columns with
+    absent or unusable statistics are simply omitted — skipping is an
+    optimization, never a correctness dependency. Local-path staging
+    only: scheme'd stores return {} — there, a real deployment
+    collects stats executor-side during the write itself."""
+    import datetime
+
     if "://" in staging:
         return {}
     try:
@@ -854,32 +872,49 @@ def _collect_file_stats(staging: str, files: list[str]) -> dict:
         except Exception:
             continue
         cols: dict[str, list] = {}
-        seen: dict[str, int] = {}  # a column's range is SOUND for
-        # pruning only if every row group contributed stats — a single
-        # stats-less group could hold values outside the partial range
+        seen: dict[str, int] = {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 c = g.column(ci)
                 st = c.statistics
-                if st is None or not st.has_min_max or "." in c.path_in_schema:
+                if (
+                    st is None
+                    or "." in c.path_in_schema
+                    or not st.has_null_count
+                ):
                     continue
-                lo, hi = st.min, st.max
-                if isinstance(lo, bytes):
-                    try:
-                        lo, hi = lo.decode(), hi.decode()
-                    except UnicodeDecodeError:
-                        continue
-                if not isinstance(lo, (int, float, str, bool)):
-                    continue
+                nulls, rows = st.null_count, g.num_rows
+                if st.has_min_max:
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            lo = hi = None
+                    elif isinstance(lo, datetime.date) and not isinstance(
+                        lo, datetime.datetime
+                    ):
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    if not isinstance(lo, (int, float, str, bool)):
+                        lo = hi = None
+                elif nulls == rows:
+                    lo = hi = None  # all-null group: no min/max to have
+                else:
+                    continue  # values exist but no min/max: stats-less group
                 seen[c.path_in_schema] = seen.get(c.path_in_schema, 0) + 1
                 prev = cols.get(c.path_in_schema, ...)
                 if prev is Ellipsis:
-                    cols[c.path_in_schema] = [lo, hi]
+                    cols[c.path_in_schema] = [lo, hi, nulls, rows]
                 elif prev is not None:
                     try:
-                        prev[0] = min(prev[0], lo)
-                        prev[1] = max(prev[1], hi)
+                        if prev[0] is None:
+                            prev[0], prev[1] = lo, hi
+                        elif lo is not None:
+                            prev[0] = min(prev[0], lo)
+                            prev[1] = max(prev[1], hi)
+                        prev[2] += nulls
+                        prev[3] += rows
                     except TypeError:  # mixed types: mark unusable
                         cols[c.path_in_schema] = None
         usable = {
@@ -1353,6 +1388,66 @@ def merge_into_version_cow(
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
+
+
+_SYMLINK_DIR = "_symlink_format_manifest"
+
+
+def export_symlink_manifest(
+    table_dir: str, version: int | None = None, backend=None
+) -> str:
+    """Interop export of a committed snapshot as a SYMLINK-FORMAT
+    manifest (the Trino/Athena/Presto pattern Delta generates for
+    external engines): one plain-text object at
+    ``_symlink_format_manifest/v{N:05d}/manifest`` listing the
+    snapshot's data files as absolute paths, one per line — so ANY
+    engine that can read a text file and parquet (vanilla
+    ``spark.read.parquet(*paths)``, Trino's SymlinkTextInputFormat,
+    DuckDB ``read_parquet([list])``) reproduces the exact snapshot
+    without this library or its Python DataSource. Works for both
+    publication forms (manifest and copy-published v-dirs) and for any
+    retained version (time-travel export). Re-export is idempotent
+    (snapshots are immutable). Vacuum removes the export with its
+    snapshot.
+
+    Column-mapped versions are REFUSED: a vanilla reader sees physical
+    file columns, which would silently diverge from the table's logical
+    schema after a rename/drop — the same restriction Delta places on
+    generating symlink manifests for column-mapping tables. Returns the
+    manifest path."""
+    backend = backend or _backend_for(table_dir)
+    td = table_dir.rstrip("/")
+    v = version if version is not None else latest_version(table_dir, backend)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    committed = latest_version(table_dir, backend) or 0
+    if v > committed or v not in set(versions(table_dir, backend)):
+        raise FileNotFoundError(f"version {v} not retained in {table_dir}")
+    if v in _manifest_versions(table_dir, backend):
+        body = _manifest_body(table_dir, v, backend)
+        if body.get("columns"):
+            raise ValueError(
+                f"version {v} uses column mapping (renamed/dropped "
+                "columns): a symlink export would expose PHYSICAL file "
+                "columns to vanilla readers — rewrite the table "
+                "(compact_version / write_version) to materialize the "
+                "logical schema first"
+            )
+        rels = [rel for rel in body["files"] if rel.endswith(".parquet")]
+        paths = [f"{td}/{rel}" for rel in rels]
+    else:
+        vdir = f"{td}/v{v:05d}"
+        paths = sorted(
+            f"{vdir}/{n}"
+            for n in backend.list_names(vdir)
+            if n.endswith(".parquet")
+        )
+    if not paths:
+        raise FileNotFoundError(f"version {v} names no data files in {table_dir}")
+    out_dir = f"{td}/{_SYMLINK_DIR}/v{v:05d}"
+    backend.makedirs(out_dir)
+    backend.write_text_atomic(f"{out_dir}/manifest", "\n".join(paths) + "\n")
+    return f"{out_dir}/manifest"
 
 
 def _mapping_commit(spark, table_dir, backend, mutate) -> int:

@@ -60,9 +60,11 @@ def test_registry_contract():
     # +vt11 (file-granular copy-on-write DELETE) -> 227 / 216;
     # +vt12 (file-granular copy-on-write MERGE) -> 228 / 217
     # round 9: +et10 (scale-safe surrogate ids) -> 229 / 218;
-    # +vt13 (column-mapping schema evolution) -> 230 / 219
-    assert len(q) == 230, sorted(q)
-    assert len(o) == 219, sorted(o)
+    # +vt13 (column-mapping schema evolution) -> 230 / 219;
+    # +io13 (symlink-manifest interop export) -> 231 / 220;
+    # +io14 (string/date/null-count stats skipping) -> 232 / 221
+    assert len(q) == 232, sorted(q)
+    assert len(o) == 221, sorted(o)
 
 
 def test_driver_priority_window():

@@ -769,3 +769,104 @@ def test_pushdown_state_is_per_load_opt_in(spark, tmp_path):
         .load()
     )
     assert pushed.filter(F.col("v") <= 20).count() == 11
+
+
+# ---------------------------------------------------------------------------
+# round 9: stats-skipping breadth + explicit soundness
+# ---------------------------------------------------------------------------
+
+
+def test_file_may_match_soundness_matrix():
+    from fp_data_lakehouse_spark.sources.pyds import _file_may_match
+
+    import datetime
+
+    d = datetime.date(1995, 6, 30)
+    # legacy 2-entry stats still work
+    assert not _file_may_match({"k": [10, 20]}, [("le", "k", 5)])
+    assert _file_may_match({"k": [10, 20]}, [("le", "k", 15)])
+    # 4-entry with values: range pruning + notnull kept (some non-null)
+    assert not _file_may_match({"k": [10, 20, 3, 9]}, [("gt", "k", 20)])
+    assert _file_may_match({"k": [10, 20, 3, 9]}, [("notnull", "k", None)])
+    # all-null column: notnull prunes, comparisons prune
+    assert not _file_may_match({"k": [None, None, 9, 9]}, [("notnull", "k", None)])
+    assert not _file_may_match({"k": [None, None, 9, 9]}, [("eq", "k", 1)])
+    # empty file (0 rows): never claim all-null proof
+    assert _file_may_match({"k": [None, None, 0, 0]}, [("notnull", "k", None)])
+    # date literal vs ISO-string stats: chronological pruning
+    assert not _file_may_match(
+        {"d": ["1996-01-01", "1996-12-31", 0, 5]}, [("le", "d", d)]
+    )
+    assert _file_may_match(
+        {"d": ["1995-01-01", "1995-12-31", 0, 5]}, [("le", "d", d)]
+    )
+    # string ranges
+    assert not _file_may_match({"s": ["K000", "K099", 0, 5]}, [("ge", "s", "K100")])
+    # missing stats for the column, or no stats at all: keep
+    assert _file_may_match({"other": [1, 2]}, [("le", "k", 0)])
+    assert _file_may_match({}, [("le", "k", 0)])
+    assert _file_may_match(None, [("le", "k", 0)])
+
+
+def test_statsless_file_is_never_skipped(spark, tmp_path):
+    """THE soundness pin for the skipping index: a data file whose row
+    groups carry no statistics (write_statistics=False) joins the
+    manifest WITHOUT a stats entry, and every pushed filter must keep
+    it — pruning is an optimization, never a correctness dependency."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    from fp_data_lakehouse_spark.sources.pyds import (
+        VersionedDataSource,
+        _snapshot_schema,
+    )
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    d = str(tmp_path / "nostats")
+    df = spark.range(1_000).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df.repartitionByRange(4, "k"), d, manifest=True)
+
+    # plant a stats-less file into the committed manifest's prefix
+    mpath = f"{d}/_manifest_v00001.json"
+    body = json.loads(open(mpath).read())
+    prefix = os.path.dirname(f"{d}/{body['files'][0]}")
+    extra = "part-nostats.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([5_000], pa.int64()), "v": pa.array([1], pa.int64())}),
+        f"{prefix}/{extra}",
+        write_statistics=False,
+    )
+    rel = f"{os.path.relpath(prefix, d)}/{extra}"
+    body["files"].append(rel)
+    assert extra not in body["stats"], "stats-less file must carry no entry"
+    open(mpath, "w").write(json.dumps(body))
+
+    reader = VersionedDataSource({"path": d, "pushdown": "true"}).reader(
+        _snapshot_schema(d, None)
+    )
+    assert len(reader.partitions()) == 5
+    # k=5000 lives ONLY in the stats-less file; a k>=4000 filter prunes
+    # every stats-bearing file but must keep the blind one
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    reader.pushFilters([GreaterThanOrEqual(("k",), 4_000)])
+    kept = reader.partitions()
+    assert len(kept) == 1 and kept[0].file_path.endswith(extra), [
+        p.file_path for p in kept
+    ]
+    # and a full read through the format still sees the planted row
+    register_python_sources(spark)
+    got = (
+        spark.read.format("fp_versioned")
+        .option("path", d)
+        .option("pushdown", "true")
+        .load()
+        .filter(F.col("k") >= 4_000)
+        .collect()
+    )
+    assert {(r.k, r.v) for r in got} == {(5_000, 1)}

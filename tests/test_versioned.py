@@ -1399,3 +1399,42 @@ def test_mapping_requires_manifest_head(spark, tdir):
     write_version(_df(spark, 5), tdir)  # copy-published v-dir
     with pytest.raises(ValueError, match="manifest-published head"):
         rename_column(spark, tdir, "v", "value")
+
+
+# ---------------------------------------------------------------------------
+# round 9: symlink-manifest interop export
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    export_symlink_manifest,
+)
+
+
+def test_symlink_export_all_forms_and_vacuum(spark, tdir):
+    """Export works for both publication forms and any retained
+    version; a vanilla spark.read.parquet over the listed paths equals
+    the library reader; vacuum removes the export with its snapshot;
+    column-mapped versions are refused."""
+    backend = _backend_for(tdir, spark)
+    write_version(_df(spark, 5), tdir)                    # v1 copy-published
+    write_version(_df(spark, 9), tdir, manifest=True)     # v2 manifest
+    for ver, n in ((1, 5), (2, 9)):
+        mp = export_symlink_manifest(tdir, ver, backend=backend)
+        paths = [ln for ln in backend.read_text(mp).splitlines() if ln]
+        got = {(r.id, r.v) for r in spark.read.parquet(*paths).collect()}
+        want = {(r.id, r.v) for r in read_table(spark, tdir, version=ver).collect()}
+        assert got == want and len(got) == n
+    # uncommitted / unretained versions are refused
+    with pytest.raises(FileNotFoundError):
+        export_symlink_manifest(tdir, 7, backend=backend)
+    # column-mapped head is refused (vanilla readers would see
+    # physical names)
+    write_version(_df(spark, 4), tdir, manifest=True)     # v3
+    rename_column(spark, tdir, "v", "value", backend=backend)  # v4
+    with pytest.raises(ValueError, match="column mapping"):
+        export_symlink_manifest(tdir, backend=backend)
+    # vacuum drops expired snapshots' exports alongside the data
+    export_symlink_manifest(tdir, 2, backend=backend)
+    vacuum(tdir, keep_last=2, backend=backend)
+    names = backend.list_names(f"{tdir.rstrip('/')}/_symlink_format_manifest")
+    assert "v00002" not in names, names
