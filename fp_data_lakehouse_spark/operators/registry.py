@@ -51,80 +51,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 8: all 205 round-7 oracle-backed
-    # queries driver-green across r1-r7 (VERDICT r7 verified the union
-    # is exact). Round 8 front-loads (a) the NEW certificates — dd19b
-    # (the production SemDeDup shape gains its unrolled-Lloyd
-    # ordered-fold DuckDB oracle, closing r7's only rows-only gap) and
-    # the certificates added this round (inserted below as they land);
-    # (b) every query whose implementation changed this round — the
-    # claim-release hardening (try/finally releasing the claim on EVERY
-    # non-return exit, ADVICE r7) in sources/versioned.py behind
-    # vt01-vt08 and sources/pyds.py behind io08/io09/st06/st10, the
-    # longest-prefix backend override resolution (also versioned.py),
-    # and the strict-latin-1 PDF content encode behind et08. Then
-    # (c) rotates re-certification onto the oldest vintages: ALL 25
-    # remaining r2-vintage rows plus the oldest r3-vintage names.
-    "dd19b_semantic_dedup_kmeans",
-    # changed in round 8 (claim-release hardening, longest-prefix
-    # backend override, strict PDF encode) — re-certify
-    "vt01_version_change_feed",
-    "vt02_scd2_priority_history",
-    "vt03_time_travel_read",
-    "vt04_retention_plan",
-    "vt05_hadoopfs_backend_lifecycle",
-    "vt06_fsck_crash_recovery",
-    "vt07_conditional_put_lifecycle",
-    "vt08_compaction_identity",
-    "vt09_fsck_live_writer_lease",
-    "vt10_manifest_commit_lifecycle",
-    "st14_stateful_checkpoint_restart",
-    "ev09b_user_event_profile_array",
-    "mm02_media_features",
-    "sp09_temperature_resample",
-    "st15_stream_manifest_merge",
-    "io12_manifest_data_skipping",
-    "vt11_cow_delete_lifecycle",
-    "vt12_cow_merge_lifecycle",
-    "io08_python_datasource_timetravel",
-    "io09_python_datasource_write",
-    "st06_python_stream_version_feed",
-    "st10_python_stream_sink_versions",
-    "et08_pdf_decode_pipeline",
-    "et09_pdf_quarantine_census",
-    # rotation: the 25 remaining r2-vintage certificates
-    "ev12_interevent_gaps",
-    "ev13_hourly_anomaly_zscore",
-    "ev14_gapfill_locf",
-    "ev15_markov_transitions",
-    "ev16_time_to_conversion",
-    "mm03_frame_sample",
-    "mm04_audio_energy_windows",
-    "q38_above_nation_avg_balance",
-    "q39_grouping_sets_revenue",
-    "sim01_cosine_topk_bruteforce",
-    "sim03_label_centroid_assignment",
-    "sim05_kmeans_lloyd_step",
-    "sk01_user_cardinality_exact",
-    "sk03_value_quantiles_exact",
-    "sk05_heavy_hitters",
-    "sp01_train_val_test_split",
-    "sp02_stratified_sample",
-    "sp03_language_rebalance",
-    "sp04_temporal_split",
-    "sp05_kfold_assignment",
-    "tx09_quality_percentile_gate",
-    "tx10_context_packing",
-    "tx11_pii_scrub",
-    "tx12_bigram_topk",
-    "tx13_repetition_score",
-    # rotation: the oldest r3-vintage certificates (dropped one-for-one
-    # as new r8 certificates land above, keeping the list at 50)
-    # 50-row window ends here (12 new + 13 changed + 25 r2-vintage);
-    # the remaining r3 rows (ag04, ag05, ev08, ev09, ev17-ev25,
-    # mm01/mm06, q40/q41, sk06/08/09, sp06-sp08) rotate next round;
-    # everything
-    # stays covered by tests/test_oracle_parity.py on every pytest run.
+    # Cumulative record entering round 9: ALL 217 round-8 oracle-backed
+    # queries driver-green across r1-r8 (VERDICT r8 verified the union
+    # is exact). Round 9 front-loads (a) the FIVE new certificates —
+    # et10 (scale-safe surrogate ids), vt13 (column-mapping schema
+    # evolution), io13 (symlink-manifest interop export), io14
+    # (string/date/null-count stats skipping), st16 (streaming sink vs
+    # compactor race); then (b) the CERTIFICATION ROTATION the r8
+    # verdict named its #1 ask: all 23 remaining r3-vintage rows plus
+    # 22 of the 30 r4-vintage rows (including et01/et02/et04, whose
+    # star-build implementation changed this round with the surrogate
+    # dispatch, and ly01-ly03/dq01-dq04 adjacent to the stats-collector
+    # change). The 8 deferred r4 rows (dd17, dd20, sim09, tx14-tx18)
+    # are exactly 5 rounds old at r9 — they lead the r10 window,
+    # joined by sim07/sim08 (bumped for the late vt14/vt15 certs).
+    # Everything stays re-validated locally by
+    # tests/test_oracle_parity.py on every pytest run.
+    "et10_scale_safe_surrogate_ids",
+    "vt13_column_mapping_evolution",
+    "io13_symlink_manifest_interop",
+    "io14_stats_skipping_breadth",
+    "st16_stream_sink_vs_compactor",
+    "vt14_deletion_vector_delete",
+    "vt15_restore_version",
+    # rotation: the 23 r3-vintage rows (oldest first discipline)
+    "ag04_winsorized_event_values",
+    "ag05_value_histogram",
+    "ev08_error_click_proximity",
+    "ev09_user_event_profile",
+    "ev17_asof_click_before_purchase",
+    "ev18_session_error_hour_overlap",
+    "ev19_session_path_trigrams",
+    "ev20_user_feature_assembly",
+    "ev21_cohort_ltv",
+    "ev22_churn_labels",
+    "ev23_ab_test_zscore",
+    "ev24_dow_seasonality",
+    "ev25_touch_attribution",
+    "mm01_media_metadata",
+    "mm06_perceptual_hash_pairs",
+    "q40_unpivot_lineitem_measures",
+    "q41_nation_customer_supplier_census",
+    "sk06_count_min_heavy_users",
+    "sk08_kmv_distinct_users",
+    "sk09_kmv_set_overlap",
+    "sp06_priority_sample",
+    "sp07_mixture_allocation_sample",
+    "sp08_group_holdout_split",
+    # rotation: 22 of the 30 r4-vintage rows
+    "ag03_user_value_ewma",
+    "dd03_ngram_jaccard_pairs",
+    "dd15_prefix_filter_jaccard",
+    "dd21_canonical_text_dedup",
+    "dd22_minhash_estimate_pairs",
+    "dq01_constraint_audit",
+    "dq02_column_profile",
+    "dq03_distribution_drift",
+    "dq04_ledger_reconciliation",
+    "et01_star_schema_build",
+    "et02_student_dim_rollup",
+    "et04_reject_quarantine",
+    "ev26_timebound_funnel",
+    "ev27_native_session_windows",
+    "ly01_zorder_layout",
+    "ly02_skipping_comparison",
+    "ly03_compaction_plan",
+    "mm05_multimodal_batch_assembly",
+    "q42_salted_skew_join",
+    "sk07_bloom_join_prune",
+    # 50-row window ends here (7 new + 23 r3 + 20 r4; sim07/sim08
+    # join the 8 deferred r4 rows leading the r10 window)
 ]
 
 

@@ -25,6 +25,7 @@ availableNow drain here is the bounded-fixture projection of that.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1219,3 +1220,171 @@ def st15_stream_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# st16: streaming manifest-MERGE sink vs a concurrent compactor (VERDICT
+# r8 item 5 — vt08's adversary test, on the STREAMING path, all backends)
+# ---------------------------------------------------------------------------
+
+_ST16_SQL = """
+WITH census AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY user_id
+),
+backends(backend) AS (VALUES ('local'), ('hadoopfs'), ('condput'))
+SELECT b.backend, c.user_id, c.n_events, c.value_cents
+FROM census c CROSS JOIN backends b
+"""
+
+
+@register("st16_stream_sink_vs_compactor", oracle=_ST16_SQL)
+def st16_stream_sink_vs_compactor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming manifest-MERGE sink (st15) under a COMPACTOR
+    adversary, on ALL THREE backends: while the sink's micro-batch is
+    between its head read and its commit claim, ``compact_version``
+    commits first. The claim protocol's base-version check makes the
+    sink LOSE LOUDLY (ConcurrentWriteError) instead of silently
+    rewriting the compaction away; the foreachBatch body retries the
+    whole MERGE against the new head — and because the merge is
+    event-keyed idempotent, the retried epoch lands exactly once.
+
+    Interleaving is deterministic, not sleep-based: a backend wrapper
+    triggers the compactor synchronously inside the sink's FIRST
+    commit-claim attempt, so the adversary always wins the slot. Per
+    backend, in-query asserts pin that (a) the race fired, (b) the
+    sink actually lost once and retried, (c) the compaction's snapshot
+    SURVIVED (its version compacts the seeded 8 files to 2), and (d)
+    versions are dense with no lost/duplicated epoch. The returned
+    3-backend census must hash-equal the batch census of the full
+    events table — value-level proof that the race lost no rows.
+
+    Scale: this is the Delta OPTIMIZE-vs-stream contract — maintenance
+    and ingest serialize through commit claims, the loser pays one
+    re-merge of ITS OWN increment, never a table rewrite."""
+    from ..sources.catalog import load_table
+    from ..sources.versioned import (
+        ConcurrentWriteError,
+        ConditionalPutBackend,
+        HadoopFsBackend,
+        LocalFsBackend,
+        compact_version,
+        data_file_count,
+        latest_version,
+        merge_into_version,
+        versions,
+        write_version,
+    )
+    from ..sources.versioned import read_table as read_versioned
+    from ..streaming.events import read_events_stream
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    ).head()
+    cutoff = (bounds["lo"] + bounds["hi"]) // 2
+    us = F.unix_micros(F.col("ts"))
+    early = events.filter(us <= cutoff).select("event_id", "user_id", "value")
+    scratch = alloc_scratch(spark, "st16")
+
+    class _CompactorAmbush:
+        """Delegating backend: the first commit-claim attempt triggers
+        a synchronous compact_version through the UNWRAPPED backend —
+        the adversary commits inside the sink's read->claim window."""
+
+        def __init__(self, inner, table_dir):
+            self._inner = inner
+            self._td = table_dir
+            self.fired = 0
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def create_exclusive(self, p, content=""):
+            if "_claim_" in p and self.fired == 0:
+                self.fired = 1
+                compact_version(
+                    spark, self._td, target_files=2,
+                    backend=self._inner, manifest=True,
+                )
+            return self._inner.create_exclusive(p, content)
+
+    legs = []
+    for label in ("local", "hadoopfs", "condput"):
+        base = f"{scratch}/{label}"
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        if label == "hadoopfs":
+            table_dir = f"file://{base}/table"
+            inner = HadoopFsBackend(spark)
+        elif label == "condput":
+            table_dir = f"{base}/table"
+            inner = ConditionalPutBackend()
+        else:
+            table_dir = f"{base}/table"
+            inner = LocalFsBackend()
+        src, ckpt = f"{base}/src", f"{base}/ckpt"
+        os.makedirs(src, exist_ok=True)
+
+        # seed v1: early half, deliberately fragmented (8 files) so the
+        # compaction is observable
+        write_version(
+            early.repartition(8), table_dir, backend=inner, manifest=True
+        )
+        ambush = _CompactorAmbush(inner, table_dir)
+        retries = {"lost": 0}
+
+        def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            rows = batch_df.select(
+                "event_id", "user_id", "value"
+            ).dropDuplicates(["event_id"])
+            for attempt in range(5):
+                try:
+                    merge_into_version(
+                        rows.sparkSession, table_dir, rows,
+                        keys=["event_id"], backend=ambush, manifest=True,
+                    )
+                    return
+                except ConcurrentWriteError:
+                    retries["lost"] += 1  # re-read head, retry the epoch
+            raise RuntimeError("merge lost the commit race 5 times")
+
+        _stage_single_file(events.filter(us > cutoff), src, "late.parquet")
+        q = (
+            read_events_stream(spark, src)
+            .writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        assert ambush.fired == 1, f"[{label}] the compactor never raced"
+        assert retries["lost"] >= 1, (
+            f"[{label}] the sink never lost to the compactor — the race "
+            "did not exercise the conflict path"
+        )
+        head = latest_version(table_dir, inner)
+        vs = versions(table_dir, inner)
+        assert vs == list(range(1, head + 1)), f"[{label}] non-dense versions {vs}"
+        assert data_file_count(table_dir, 2, inner) == 2, (
+            f"[{label}] the compaction snapshot did not survive the race"
+        )
+        legs.append(
+            read_versioned(spark, table_dir, backend=inner)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .select(F.lit(label).alias("backend"), "*")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -1249,3 +1249,180 @@ def vt13_column_mapping_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("total_cents").alias("cents"),
     )
     return out_head.unionByName(out_pyds).unionByName(out_v1)
+
+
+# ---------------------------------------------------------------------------
+# vt14: deletion-vector (merge-on-read) DELETE — round-9 extension
+# ---------------------------------------------------------------------------
+
+_VT14_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+),
+head AS (SELECT * FROM t WHERE o_custkey % 8 NOT IN (3, 5))
+SELECT 'head' AS stage, o_custkey, n_orders, total_cents FROM head
+UNION ALL
+SELECT 'pyds', o_custkey, n_orders, total_cents FROM head
+UNION ALL
+SELECT 'compacted', o_custkey, n_orders, total_cents FROM head
+UNION ALL
+SELECT 'v1', o_custkey, n_orders, total_cents FROM t
+"""
+
+
+@register("vt14_deletion_vector_delete", oracle=_VT14_SQL)
+def vt14_deletion_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level DELETE via deletion vectors
+    (``versioned.delete_where_dv`` — the Delta DV / Iceberg
+    position-delete shape): the delete pattern is a SCATTER
+    (o_custkey % 8 == 3 hits ~1/8 of EVERY file — the GDPR-erasure
+    shape where copy-on-write would rewrite the whole table), and the
+    commit touches ZERO data files: the v2 manifest lists the
+    identical file list (asserted) plus ONE dv parquet of deleted
+    (file, row-position) pairs covering all 16 files (asserted). A
+    second scatter delete (% 8 == 5) stacks by dv UNION. Readers apply
+    dvs as a broadcast positional anti-join (JVM) / numpy positional
+    mask over a full-file arrow scan (pyds) — both emitted as hashed
+    legs, plus the time-traveled pre-delete v1 and the post-
+    ``compact_version`` head (dv map cleared — asserted — values
+    unchanged).
+
+    Scale: a scatter delete costs one small parquet + one manifest PUT
+    at ANY table size; the max_file_fraction policy flips to CoW when
+    read amplification would exceed rewrite cost (Delta's hybrid
+    rule). Stats stay sound (dv only shrinks live rows)."""
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import (
+        _backend_for,
+        _manifest_body,
+        compact_version,
+        delete_where_dv,
+        read_table,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = alloc_scratch(spark, "vt14") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    totals = _cust_totals(orders)
+    write_version(
+        totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True
+    )
+    backend = _backend_for(table_dir, spark)
+    rels1 = _manifest_body(table_dir, 1, backend)["files"]
+
+    v2 = delete_where_dv(spark, table_dir, F.col("o_custkey") % 8 == 3)
+    assert v2 == 2
+    body2 = _manifest_body(table_dir, 2, backend)
+    assert body2["files"] == rels1, "dv delete moved data — must be metadata-only"
+    dv2 = body2.get("dv") or {}
+    assert len(dv2) == 16, f"scatter delete must dv every file: {len(dv2)}"
+    assert len(set(dv2.values())) == 1, "one dv object per commit"
+
+    v3 = delete_where_dv(spark, table_dir, F.col("o_custkey") % 8 == 5)
+    assert v3 == 3
+    assert _manifest_body(table_dir, 3, backend)["files"] == rels1
+
+    head = read_table(spark, table_dir)
+    register_python_sources(spark)
+    pyds = spark.read.format("fp_versioned").option("path", table_dir).load()
+
+    v4 = compact_version(spark, table_dir, 4, backend=backend, manifest=True)
+    assert not _manifest_body(table_dir, v4, backend).get("dv"), (
+        "compaction must apply and clear deletion vectors"
+    )
+    compacted = read_table(spark, table_dir)
+
+    cols = ["o_custkey", "n_orders", "total_cents"]
+    legs = [
+        head.select(F.lit("head").alias("stage"), *cols),
+        pyds.select(F.lit("pyds").alias("stage"), *cols),
+        compacted.select(F.lit("compacted").alias("stage"), *cols),
+        read_table(spark, table_dir, version=1).select(
+            F.lit("v1").alias("stage"), *cols
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# vt15: RESTORE to a retained version as a new commit — round-9 extension
+# ---------------------------------------------------------------------------
+
+_VT15_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT 'restored_full' AS stage, o_custkey, n_orders, total_cents FROM t
+UNION ALL
+SELECT 'restored_dv', o_custkey, n_orders, total_cents
+FROM t WHERE o_custkey % 8 <> 3
+"""
+
+
+@register("vt15_restore_version", oracle=_VT15_SQL)
+def vt15_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF as a NEW commit
+    (``versioned.restore_version``, Delta RESTORE): the rollback
+    manifest carries the target's files, stats, mapping, and deletion
+    vectors BY REFERENCE — one conditional PUT, zero data movement,
+    and the rolled-back versions stay time-travelable (the restore is
+    itself an auditable commit). Exercised both ways: restore PAST a
+    dv delete back to the full v1 (asserted file-list identical to v1,
+    no dv), then restore FORWARD onto the dv'd v2 (asserted the dv map
+    carries by reference). Both resulting heads are hashed legs.
+
+    Scale: operational rollback of a bad pipeline run on a 100 TB
+    table costs one manifest PUT; vacuum's reference counting already
+    understands the sharing (a restored version's files survive the
+    doomed intermediate's expiry)."""
+    from ..sources.versioned import (
+        _backend_for,
+        _manifest_body,
+        delete_where_dv,
+        read_table,
+        restore_version,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = alloc_scratch(spark, "vt15") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    totals = _cust_totals(orders)
+    write_version(
+        totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True
+    )
+    backend = _backend_for(table_dir, spark)
+    body1 = _manifest_body(table_dir, 1, backend)
+
+    v2 = delete_where_dv(spark, table_dir, F.col("o_custkey") % 8 == 3)
+    assert v2 == 2
+    v3 = restore_version(spark, table_dir, 1)
+    assert v3 == 3
+    body3 = _manifest_body(table_dir, 3, backend)
+    assert body3["files"] == body1["files"] and not body3.get("dv"), (
+        "restore must reference the target's exact file list"
+    )
+    restored_full = read_table(spark, table_dir)
+
+    v4 = restore_version(spark, table_dir, 2)
+    assert v4 == 4
+    body4 = _manifest_body(table_dir, 4, backend)
+    assert body4.get("dv") == _manifest_body(table_dir, 2, backend).get("dv"), (
+        "restore must carry the target's deletion vectors by reference"
+    )
+    restored_dv = read_table(spark, table_dir)
+
+    cols = ["o_custkey", "n_orders", "total_cents"]
+    return restored_full.select(
+        F.lit("restored_full").alias("stage"), *cols
+    ).unionByName(restored_dv.select(F.lit("restored_dv").alias("stage"), *cols))

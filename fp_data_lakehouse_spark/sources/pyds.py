@@ -227,6 +227,19 @@ def _stat_comparable(val):
     return val
 
 
+def _manifest_dv(fs: "pafs.FileSystem", table_dir: str, v: int) -> dict:
+    """Deletion-vector map of a manifest version ({} = none): data-file
+    rel -> dv parquet rel of (file, pos) DELETED row positions. See
+    versioned._manifest_dv."""
+    import json
+
+    try:
+        with fs.open_input_stream(f"{table_dir}/_manifest_v{v:05d}.json") as f:
+            return json.loads(f.read().decode()).get("dv") or {}
+    except (FileNotFoundError, OSError, ValueError):
+        return {}
+
+
 def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
     """File-level skipping decision: False ONLY when the pushed
     conjuncts prove no row of the file can match. Entries are
@@ -669,9 +682,15 @@ def _read_parquet_batches(
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, version: int | None = None):
+    def __init__(
+        self,
+        file_path: str,
+        version: int | None = None,
+        dv_path: str | None = None,
+    ):
         self.file_path = file_path
         self.version = version
+        self.dv_path = dv_path
 
 
 class VersionedReader(DataSourceReader):
@@ -720,6 +739,13 @@ class VersionedReader(DataSourceReader):
         v, _snap = _resolve_version(table_dir, version)
         mapping = _manifest_columns(fs, p, v) or []
         self._log2phys = {c["name"]: c["physical"] for c in mapping}
+        # deletion vectors, keyed by data-file NAME at plan time; the
+        # dv parquet itself is read executor-side per partition
+        prefix = _uri_prefix(table_dir)
+        self._dv_by_name = {
+            rel.rsplit("/", 1)[-1]: f"{prefix}{p}/{dv_rel}"
+            for rel, dv_rel in _manifest_dv(fs, p, v).items()
+        }
 
     def _phys(self, name: str) -> str:
         return self._log2phys.get(name, name)
@@ -756,25 +782,64 @@ class VersionedReader(DataSourceReader):
                         stats.get(f.rsplit("/", 1)[-1]), pushed_phys
                     )
                 ]
-        return [_FilePartition(f) for f in files]
+        return [
+            _FilePartition(f, dv_path=self._dv_by_name.get(f.rsplit("/", 1)[-1]))
+            for f in files
+        ]
 
     def read(self, partition: _FilePartition):
-        if not self._log2phys:
-            yield from _read_parquet_batches(
-                partition.file_path, self._cols, self._pushed
-            )
-            return
         import pyarrow as pa
 
         phys_cols = [self._phys(c) for c in self._cols]
         pushed_phys = [
             (op, self._phys(col), val) for op, col, val in self._pushed
         ]
-        for batch in _read_parquet_batches(
-            partition.file_path, phys_cols, pushed_phys
-        ):
-            # zero-copy rename physical -> logical
-            yield pa.RecordBatch.from_arrays(list(batch.columns), names=self._cols)
+        dv_path = getattr(partition, "dv_path", None)
+        if dv_path is None:
+            for batch in _read_parquet_batches(
+                partition.file_path, phys_cols, pushed_phys
+            ):
+                if self._log2phys:
+                    # zero-copy rename physical -> logical
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns), names=self._cols
+                    )
+                yield batch
+            return
+        # deletion-vector file: scan WITHOUT arrow row/row-group
+        # filtering (positions are absolute row indexes over the full
+        # file; a pruned scan would shift them), mask deleted
+        # positions with a running offset, and let Spark re-apply its
+        # own filters above.
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        dfs, dp = _fs_and_path(dv_path)
+        fname = partition.file_path.rsplit("/", 1)[-1]
+        dv_tbl = pq.read_table(dp, filesystem=dfs, columns=["file", "pos"])
+        dead = np.sort(
+            np.asarray(
+                dv_tbl.filter(pa.compute.equal(dv_tbl.column("file"), fname))
+                .column("pos")
+                .to_pylist(),
+                dtype=np.int64,
+            )
+        )
+        offset = 0
+        for batch in _read_parquet_batches(partition.file_path, phys_cols, []):
+            n = batch.num_rows
+            lo = int(np.searchsorted(dead, offset, side="left"))
+            hi = int(np.searchsorted(dead, offset + n, side="left"))
+            if hi > lo:
+                mask = np.ones(n, dtype=bool)
+                mask[dead[lo:hi] - offset] = False
+                batch = batch.filter(pa.array(mask))
+            offset += n
+            if self._log2phys:
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns), names=self._cols
+                )
+            yield batch
 
 
 class VersionedDataSource(DataSource):
@@ -887,7 +952,16 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         prefix = _uri_prefix(self._table_dir)
         out = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            out.extend(_FilePartition(f, v) for f in _version_files(fs, p, v, prefix))
+            dv_by_name = {
+                rel.rsplit("/", 1)[-1]: f"{prefix}{p}/{dv_rel}"
+                for rel, dv_rel in _manifest_dv(fs, p, v).items()
+            }
+            out.extend(
+                _FilePartition(
+                    f, v, dv_path=dv_by_name.get(f.rsplit("/", 1)[-1])
+                )
+                for f in _version_files(fs, p, v, prefix)
+            )
         # a zero-partition range is legal (no new versions this batch)
         self._dbg(f"partitions -> {[(x.version, x.file_path.rsplit('/',2)[-2:]) for x in out[:40]]} n={len(out)}")
         return out
@@ -899,7 +973,36 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         # getattr: tolerate instances built without __init__ (tests,
         # legacy pickles) — absent mapping means physical == logical
         read_cols = getattr(self, "_read_cols", self._cols)
+        dv_path = getattr(partition, "dv_path", None)
+        dead = None
+        if dv_path is not None:
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            dfs, dp = _fs_and_path(dv_path)
+            fname = partition.file_path.rsplit("/", 1)[-1]
+            dv_tbl = pq.read_table(dp, filesystem=dfs, columns=["file", "pos"])
+            dead = np.sort(
+                np.asarray(
+                    dv_tbl.filter(pa.compute.equal(dv_tbl.column("file"), fname))
+                    .column("pos")
+                    .to_pylist(),
+                    dtype=np.int64,
+                )
+            )
+        offset = 0
         for raw in _read_parquet_batches(partition.file_path, read_cols, []):
+            n = raw.num_rows
+            if dead is not None and dead.size:
+                import numpy as np
+
+                lo = int(np.searchsorted(dead, offset, side="left"))
+                hi = int(np.searchsorted(dead, offset + n, side="left"))
+                if hi > lo:
+                    mask = np.ones(n, dtype=bool)
+                    mask[dead[lo:hi] - offset] = False
+                    raw = raw.filter(pa.array(mask))
+            offset += n
             batch = (
                 raw
                 if read_cols is self._cols

@@ -617,6 +617,27 @@ def _manifest_files(table_dir: str, v: int, backend) -> list[str]:
     return _manifest_body(table_dir, v, backend)["files"]
 
 
+def _manifest_dv(table_dir: str, v: int, backend) -> dict:
+    """DELETION-VECTOR map of a manifest version ({} = none): data-file
+    rel -> dv-file rel. A dv file is a parquet of (file STRING, pos
+    BIGINT) rows naming DELETED row positions (parquet row_index) per
+    data-file NAME — the merge-on-read row-level delete (Delta/Iceberg
+    deletion vectors / position deletes): a DELETE touches no data
+    file, it publishes one dv object + one manifest. Readers apply the
+    dv as a positional anti-join; compaction (or any full rewrite)
+    applies dvs physically and clears the map."""
+    try:
+        return _manifest_body(table_dir, v, backend).get("dv") or {}
+    except FileNotFoundError:
+        return {}
+
+
+def _manifest_all_rels(body: dict) -> list[str]:
+    """Every table-relative object a manifest references: data files
+    plus deletion-vector files — the reference set GC must respect."""
+    return list(body.get("files", [])) + sorted(set((body.get("dv") or {}).values()))
+
+
 def _manifest_columns(table_dir: str, v: int, backend) -> list[dict] | None:
     """COLUMN MAPPING of a manifest version (None = identity, i.e. the
     parquet files' physical names ARE the logical schema). Each entry is
@@ -718,7 +739,9 @@ def _remove_snapshots(table_dir: str, vs: list[int], backend) -> None:
     keep_refs: set[str] = set()
     for mv in _manifest_versions(table_dir, backend):
         if mv not in doomed:
-            keep_refs.update(_manifest_files(table_dir, mv, backend))
+            keep_refs.update(
+                _manifest_all_rels(_manifest_body(table_dir, mv, backend))
+            )
     for v in vs:
         backend.rmtree(f"{td}/v{v:05d}")
         # a stale interop export must not outlive its snapshot
@@ -727,7 +750,7 @@ def _remove_snapshots(table_dir: str, vs: list[int], backend) -> None:
         txt = backend.read_text(mkey)
         if txt is None:
             continue
-        for rel in sorted(set(json.loads(txt)["files"]) - keep_refs):
+        for rel in sorted(set(_manifest_all_rels(json.loads(txt))) - keep_refs):
             backend.delete_file(f"{td}/{rel}")
         backend.delete_file(mkey)
 
@@ -955,6 +978,7 @@ def _publish(
     stats: dict | None = None,
     staging: str | None = None,
     columns: list[dict] | None = None,
+    dv: dict | None = None,
 ) -> None:
     """The commit choreography every publish path shares (so a fix to
     one cannot silently miss the others): verify claim ownership BEFORE
@@ -977,6 +1001,8 @@ def _publish(
         payload = {"version": v, "files": manifest_files, "stats": stats or {}}
         if columns is not None:
             payload["columns"] = columns
+        if dv:
+            payload["dv"] = dv
         body = json.dumps(payload)
         # the commit's ONLY data-plane metadata op: one conditional PUT,
         # whatever the snapshot's object count
@@ -1120,6 +1146,26 @@ def read_table(
     if not files:
         raise FileNotFoundError(f"manifest v{version} names no files in {table_dir}")
     raw = spark.read.parquet(*[f"{td}/{rel}" for rel in files])
+    dv = body.get("dv") or {}
+    if dv:
+        # merge-on-read DELETE: drop deleted (file, row-position) pairs
+        # with a broadcast positional anti-join. Join key is the file
+        # NAME (part-file names carry a uuid — the same keying the
+        # stats map uses); _metadata.row_index is position-stable under
+        # Spark's row-group pruning, so pushed filters stay sound.
+        dv_df = spark.read.parquet(
+            *sorted({f"{td}/{rel}" for rel in dv.values()})
+        ).select(F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos"))
+        tagged = raw.select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "__dv_file"
+            ),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        raw = tagged.join(
+            F.broadcast(dv_df), ["__dv_file", "__dv_pos"], "left_anti"
+        ).drop("__dv_file", "__dv_pos")
     # column mapping: this VERSION's logical names over the (never-
     # renamed) physical file columns — time travel to a pre-rename
     # version reads with that version's own names
@@ -1218,6 +1264,13 @@ def delete_where_cow(
             "published v-dirs are rewritten whole by delete_from_version)"
         )
     head_body = _manifest_body(table_dir, base, backend)
+    if head_body.get("dv"):
+        raise ValueError(
+            "delete_where_cow on a head carrying deletion vectors would "
+            "resurrect dv-deleted rows in rewritten files — run "
+            "compact_version(...) to apply the dvs physically first, or "
+            "keep deleting through delete_where_dv"
+        )
     rels = head_body["files"]
     old_stats = head_body.get("stats", {})
     mapping = head_body.get("columns")
@@ -1309,6 +1362,12 @@ def merge_into_version_cow(
             "merge_into_version_cow requires a manifest-published head"
         )
     head_body = _manifest_body(table_dir, base, backend)
+    if head_body.get("dv"):
+        raise ValueError(
+            "merge_into_version_cow on a head carrying deletion vectors "
+            "would resurrect dv-deleted rows — run compact_version(...) "
+            "to apply the dvs physically first"
+        )
     rels = head_body["files"]
     old_stats = head_body.get("stats", {})
     mapping = head_body.get("columns")
@@ -1433,6 +1492,12 @@ def export_symlink_manifest(
                 "(compact_version / write_version) to materialize the "
                 "logical schema first"
             )
+        if body.get("dv"):
+            raise ValueError(
+                f"version {v} carries deletion vectors: a vanilla reader "
+                "cannot apply them and would resurrect deleted rows — "
+                "compact_version(...) applies them physically first"
+            )
         rels = [rel for rel in body["files"] if rel.endswith(".parquet")]
         paths = [f"{td}/{rel}" for rel in rels]
     else:
@@ -1448,6 +1513,185 @@ def export_symlink_manifest(
     backend.makedirs(out_dir)
     backend.write_text_atomic(f"{out_dir}/manifest", "\n".join(paths) + "\n")
     return f"{out_dir}/manifest"
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    backend=None,
+    max_file_fraction: float = 0.5,
+) -> int:
+    """DELETE WHERE ``condition`` via DELETION VECTORS (merge-on-read,
+    the Delta DV / Iceberg position-delete shape): NO data file is
+    touched — the commit writes ONE dv parquet naming the deleted
+    (file, row-position) pairs plus one manifest whose ``dv`` map
+    points every affected data file at it. Readers apply the dv as a
+    broadcast positional anti-join; ``compact_version`` (or any full
+    rewrite) applies dvs physically and clears the map. Successive dv
+    deletes UNION: the new dv object carries every previously deleted
+    position for files still referenced, so exactly one dv object is
+    live per snapshot and superseded ones become unreferenced (GC'd by
+    vacuum's reference counting alongside data files).
+
+    Why this exists next to :func:`delete_where_cow`: CoW rewrites
+    every file that contains ONE matching row — the right shape for
+    deletes that concentrate in few files. A delete that touches one
+    row in each of 10,000 files (GDPR user erasure over a
+    time-clustered 100 TB table) would rewrite 10,000 files under CoW;
+    under dvs it writes one small parquet and one manifest. The
+    ``max_file_fraction`` policy guards the flip side: when more than
+    that fraction of ANY file's rows is dv-deleted (read amplification
+    exceeds rewrite cost), the delete is refused with advice to use
+    CoW/compaction — Delta applies the same hybrid policy. The bound
+    needs per-file row counts from the manifest's file stats, so it is
+    best-effort where stats were not collected (scheme'd staging).
+
+    ``condition`` uses LOGICAL names (column-mapping aware). Stats stay
+    valid: a dv only shrinks a file's live rows, and min/max pruning
+    over a superset is sound. Returns the new version; returns the head
+    unchanged when nothing matches."""
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    base = latest_version(table_dir, backend)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if base not in _manifest_versions(table_dir, backend):
+        raise ValueError(
+            "delete_where_dv requires a manifest-published head (copy-"
+            "published v-dirs are rewritten whole by delete_from_version)"
+        )
+    body = _manifest_body(table_dir, base, backend)
+    rels = body["files"]
+    mapping = body.get("columns")
+    old_dv = body.get("dv") or {}
+
+    raw = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
+    tagged = raw.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    if mapping:
+        probe = tagged.select(
+            "file", "pos", *[F.col(c["physical"]).alias(c["name"]) for c in mapping]
+        )
+    else:
+        probe = tagged
+    new_hits = probe.filter(condition).select("file", "pos")
+    prev_counts: dict[str, int] = {}
+    if old_dv:
+        prev = spark.read.parquet(
+            *sorted({f"{td}/{rel}" for rel in old_dv.values()})
+        ).select("file", "pos")
+        prev_counts = {
+            r["file"]: r["n"]
+            for r in prev.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # rows already dv-deleted may re-match the condition; the union
+        # + distinct keeps each position once
+        all_dead = new_hits.unionByName(prev).distinct()
+    else:
+        all_dead = new_hits.distinct()
+    all_dead = all_dead.localCheckpoint(eager=False)
+
+    per_file = {
+        r["file"]: r["n"]
+        for r in all_dead.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not per_file or per_file == prev_counts:
+        return base  # nothing newly matched: no-op
+    stats = body.get("stats", {})
+    name_to_rel = {rel.rsplit("/", 1)[-1]: rel for rel in rels}
+    for fname, dead in per_file.items():
+        rel = name_to_rel.get(fname)
+        if rel is None:
+            continue
+        col_stats = stats.get(fname) or {}
+        rows = next((v[3] for v in col_stats.values() if len(v) >= 4), None)
+        if rows and dead / rows > max_file_fraction:
+            raise ValueError(
+                f"deletion vector would cover {dead}/{rows} rows of "
+                f"{fname} (> {max_file_fraction:.0%}): read amplification "
+                "now exceeds rewrite cost — use delete_where_cow / "
+                "compact_version for this delete"
+            )
+
+    writer_id = uuid.uuid4().hex[:12]
+    staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
+    backend.makedirs(staging)
+    with _Lease(backend, f"{staging}/_lease", writer_id):
+        all_dead.coalesce(1).write.mode("append").parquet(staging)
+        dv_files = sorted(
+            n for n in backend.list_names(staging) if n.endswith(".parquet")
+        )
+    dv_rel = f"{_DATA_PREFIX}/{writer_id}/{dv_files[0]}"
+    dv_map = {
+        name_to_rel[f]: dv_rel for f in per_file if f in name_to_rel
+    }
+    try:
+        v = _claim_slot(table_dir, backend, base, writer_id=writer_id)
+    except ConcurrentWriteError:
+        backend.rmtree(staging)
+        raise
+    try:
+        with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
+            _publish(
+                backend, td, v, writer_id,
+                manifest_files=rels,  # ZERO data movement
+                stats=stats,
+                staging=staging,
+                columns=mapping,
+                dv=dv_map,
+            )
+    finally:
+        backend.delete_file(f"{td}/_claim_v{v:05d}")
+    return v
+
+
+def restore_version(spark: SparkSession, table_dir: str, to_version: int, backend=None) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table back to a
+    retained snapshot as a NEW commit (Delta RESTORE): the new manifest
+    carries the target version's file list, stats, column mapping, and
+    deletion vectors BY REFERENCE — one conditional manifest PUT, zero
+    data movement, full history preserved (the bad versions stay
+    time-travelable until vacuumed, and the restore itself is an
+    auditable commit). Requires the target to be manifest-published:
+    a copy-published v-dir's files live inside the version directory
+    that vacuum deletes wholesale, so referencing them from a younger
+    manifest would dangle after retention — copy-published snapshots
+    restore via ``write_version(read_table(..., version=N), ...)``.
+    Returns the new version."""
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    head = latest_version(table_dir, backend)
+    if head is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if to_version == head:
+        return head
+    if to_version not in set(versions(table_dir, backend)) or to_version > head:
+        raise FileNotFoundError(f"version {to_version} not retained in {table_dir}")
+    if to_version not in _manifest_versions(table_dir, backend):
+        raise ValueError(
+            f"version {to_version} is copy-published: its files live in "
+            "the v-dir vacuum deletes wholesale — restore it with "
+            "write_version(read_table(..., version=N), ...) instead"
+        )
+    body = _manifest_body(table_dir, to_version, backend)
+    writer_id = uuid.uuid4().hex[:12]
+    v = _claim_slot(table_dir, backend, head, writer_id=writer_id)
+    try:
+        with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
+            _publish(
+                backend, td, v, writer_id,
+                manifest_files=body["files"],
+                stats=body.get("stats", {}),
+                columns=body.get("columns"),
+                dv=body.get("dv"),
+            )
+    finally:
+        backend.delete_file(f"{td}/_claim_v{v:05d}")
+    return v
 
 
 def _mapping_commit(spark, table_dir, backend, mutate) -> int:
@@ -1795,7 +2039,7 @@ def fsck(
     data_removed, data_live = [], []
     ref_prefixes = set()
     for mv in _manifest_versions(table_dir, backend):
-        for rel in _manifest_files(table_dir, mv, backend):
+        for rel in _manifest_all_rels(_manifest_body(table_dir, mv, backend)):
             parts = rel.split("/")
             if len(parts) >= 2 and parts[0] == _DATA_PREFIX:
                 ref_prefixes.add(parts[1])

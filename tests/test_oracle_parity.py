@@ -62,9 +62,12 @@ def test_registry_contract():
     # round 9: +et10 (scale-safe surrogate ids) -> 229 / 218;
     # +vt13 (column-mapping schema evolution) -> 230 / 219;
     # +io13 (symlink-manifest interop export) -> 231 / 220;
-    # +io14 (string/date/null-count stats skipping) -> 232 / 221
-    assert len(q) == 232, sorted(q)
-    assert len(o) == 221, sorted(o)
+    # +io14 (string/date/null-count stats skipping) -> 232 / 221;
+    # +st16 (streaming sink vs compactor race) -> 233 / 222;
+    # +vt14 (deletion-vector merge-on-read DELETE) -> 234 / 223;
+    # +vt15 (RESTORE to a retained version) -> 235 / 224
+    assert len(q) == 235, sorted(q)
+    assert len(o) == 224, sorted(o)
 
 
 def test_driver_priority_window():

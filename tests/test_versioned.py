@@ -1438,3 +1438,109 @@ def test_symlink_export_all_forms_and_vacuum(spark, tdir):
     vacuum(tdir, keep_last=2, backend=backend)
     names = backend.list_names(f"{tdir.rstrip('/')}/_symlink_format_manifest")
     assert "v00002" not in names, names
+
+
+# ---------------------------------------------------------------------------
+# round 9: deletion vectors + restore
+# ---------------------------------------------------------------------------
+
+from fp_data_lakehouse_spark.sources.versioned import (  # noqa: E402
+    compact_version,
+    delete_where_dv,
+    restore_version,
+)
+
+
+def test_dv_delete_lifecycle(spark, tdir):
+    """Scatter delete via deletion vectors: zero data movement, stacked
+    dv union, policy bound, compaction applies and clears, CoW ops
+    refuse a dv'd head, vacuum refcounts dv objects."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(800).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df.repartitionByRange(8, "k"), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+    rels1 = _manifest_files(tdir, 1, backend)
+    v2 = delete_where_dv(spark, tdir, F.col("k") % 10 == 7)
+    assert v2 == 2
+    from fp_data_lakehouse_spark.sources.versioned import _manifest_body
+
+    body2 = _manifest_body(tdir, 2, backend)
+    assert body2["files"] == rels1
+    assert len(body2["dv"]) == 8 and len(set(body2["dv"].values())) == 1
+    assert read_table(spark, tdir).count() == 720
+    assert read_table(spark, tdir, version=1).count() == 800
+    # stacked delete unions positions
+    assert delete_where_dv(spark, tdir, F.col("k") % 10 == 3) == 3
+    got = {r.k for r in read_table(spark, tdir).collect()}
+    assert got == {i for i in range(800) if i % 10 not in (3, 7)}
+    # no-op returns head
+    assert delete_where_dv(spark, tdir, F.col("k") < 0) == 3
+    # policy: a delete covering a whole file is refused — where file
+    # stats exist (scheme'd staging collects none, so the bound is
+    # best-effort there by documented design)
+    from fp_data_lakehouse_spark.sources.versioned import _manifest_body as _mb
+
+    if _mb(tdir, 1, backend).get("stats"):
+        with pytest.raises(ValueError, match="read amplification"):
+            delete_where_dv(spark, tdir, F.col("k") < 100)
+    # CoW ops refuse a dv'd head
+    with pytest.raises(ValueError, match="deletion vectors"):
+        delete_where_cow(spark, tdir, F.col("k") < 5)
+    upd = spark.range(3).selectExpr("id AS k", "id AS v")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        merge_into_version_cow(spark, tdir, upd, ["k"])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_symlink_manifest(tdir, backend=backend)
+    # compaction applies dvs physically and clears the map
+    v4 = compact_version(spark, tdir, 2, backend=backend, manifest=True)
+    assert not _manifest_body(tdir, v4, backend).get("dv")
+    assert {r.k for r in read_table(spark, tdir).collect()} == got
+    # vacuum: doomed dv objects GC'd, live data shared with v4 survives
+    vacuum(tdir, keep_last=1, backend=backend)
+    assert {r.k for r in read_table(spark, tdir).collect()} == got
+
+
+def test_dv_respects_column_mapping(spark, tdir):
+    from pyspark.sql import functions as F
+
+    df = spark.range(400).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df.repartitionByRange(4, "k"), tdir, manifest=True)
+    rename_column(spark, tdir, "v", "value")
+    v3 = delete_where_dv(spark, tdir, F.col("value") % 20 == 4)
+    assert v3 == 3
+    got = {(r.k, r.value) for r in read_table(spark, tdir).collect()}
+    assert got == {(i, 2 * i) for i in range(400) if (2 * i) % 20 != 4}
+
+
+def test_restore_version_semantics(spark, tdir):
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import _manifest_body
+
+    df = spark.range(300).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df.repartitionByRange(4, "k"), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+    merge_into_version_cow(
+        spark, tdir, spark.range(30).selectExpr("id AS k", "id * 100 AS v"), ["k"]
+    )
+    assert restore_version(spark, tdir, 1) == 3
+    assert _manifest_body(tdir, 3, backend)["files"] == _manifest_files(tdir, 1, backend)
+    got = {(r.k, r.v) for r in read_table(spark, tdir).collect()}
+    assert got == {(i, 2 * i) for i in range(300)}
+    # restore is itself a commit: the bad v2 stays time-travelable
+    assert read_table(spark, tdir, version=2).filter(F.col("v") == 900).count() == 1
+    # restore to head is a no-op; unretained/copy-published refused
+    assert restore_version(spark, tdir, 3) == 3
+    with pytest.raises(FileNotFoundError):
+        restore_version(spark, tdir, 9)
+    # vacuum the intermediate: restored head must keep its shared files
+    vacuum(tdir, keep_last=1, backend=backend)
+    assert {(r.k, r.v) for r in read_table(spark, tdir).collect()} == got
+
+
+def test_restore_refuses_copy_published_target(spark, tdir):
+    write_version(_df(spark, 5), tdir)            # v1 copy-published
+    write_version(_df(spark, 7), tdir, manifest=True)
+    with pytest.raises(ValueError, match="copy-published"):
+        restore_version(spark, tdir, 1)
