@@ -74,6 +74,7 @@ DRIVER_PRIORITY: list[str] = [
     "st16_stream_sink_vs_compactor",
     "vt14_deletion_vector_delete",
     "vt15_restore_version",
+    "vt16_timestamp_time_travel",
     # rotation: the 23 r3-vintage rows (oldest first discipline)
     "ag04_winsorized_event_values",
     "ag05_value_histogram",
@@ -117,9 +118,8 @@ DRIVER_PRIORITY: list[str] = [
     "ly02_skipping_comparison",
     "ly03_compaction_plan",
     "mm05_multimodal_batch_assembly",
-    "q42_salted_skew_join",
     "sk07_bloom_join_prune",
-    # 50-row window ends here (7 new + 23 r3 + 20 r4; sim07/sim08
+    # 50-row window ends here (8 new + 23 r3 + 19 r4; q42/sim07/sim08
     # join the 8 deferred r4 rows leading the r10 window)
 ]
 

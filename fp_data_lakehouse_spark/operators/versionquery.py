@@ -1426,3 +1426,73 @@ def vt15_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return restored_full.select(
         F.lit("restored_full").alias("stage"), *cols
     ).unionByName(restored_dv.select(F.lit("restored_dv").alias("stage"), *cols))
+
+
+# ---------------------------------------------------------------------------
+# vt16: TIMESTAMP AS OF time travel + commit history — round-9 extension
+# ---------------------------------------------------------------------------
+
+_VT16_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT 'asof_v1' AS stage, o_custkey, n_orders, total_cents FROM t
+UNION ALL
+SELECT 'asof_head', o_custkey, n_orders, total_cents
+FROM t WHERE o_custkey % 8 <> 3
+"""
+
+
+@register("vt16_timestamp_time_travel", oracle=_VT16_SQL)
+def vt16_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (Delta's second time-travel axis):
+    every manifest commit records its wall time; ``read_table(...,
+    as_of=ts)`` resolves the LATEST commit at or before ``ts``. The
+    query commits v1, then a dv-delete v2, reads as_of the midpoint
+    between the two recorded commit times (must be v1's full census)
+    and as_of v2's own time (must be the post-delete head) — both
+    hashed. ``history()`` (DESCRIBE HISTORY) is asserted in-query:
+    ascending versions, monotone timestamps, the dv flag on v2 only.
+
+    Scale: resolution is one manifest GET per retained version —
+    metadata-sized, no data I/O; the timestamp is the commit's wall
+    clock under the same bounded-skew assumption the lease TTL
+    documents (ordering between commits is serialized by the claim
+    protocol regardless)."""
+    import time as _time
+
+    from ..sources.versioned import (
+        delete_where_dv,
+        history,
+        read_table,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = alloc_scratch(spark, "vt16") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    totals = _cust_totals(orders)
+    write_version(
+        totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True
+    )
+    _time.sleep(0.05)  # distinct commit wall times at clock resolution
+    v2 = delete_where_dv(spark, table_dir, F.col("o_custkey") % 8 == 3)
+    assert v2 == 2
+
+    hist = history(table_dir)
+    assert [h["version"] for h in hist] == [1, 2], hist
+    ts1, ts2 = hist[0]["ts"], hist[1]["ts"]
+    assert ts1 is not None and ts2 is not None and ts1 < ts2, (ts1, ts2)
+    assert [h["deletion_vectors"] for h in hist] == [False, True]
+    assert all(h["form"] == "manifest" for h in hist)
+
+    mid = (ts1 + ts2) / 2
+    asof_v1 = read_table(spark, table_dir, as_of=mid)
+    asof_head = read_table(spark, table_dir, as_of=ts2)
+    cols = ["o_custkey", "n_orders", "total_cents"]
+    return asof_v1.select(F.lit("asof_v1").alias("stage"), *cols).unionByName(
+        asof_head.select(F.lit("asof_head").alias("stage"), *cols)
+    )

@@ -998,7 +998,15 @@ def _publish(
 
     _verify_claim_ownership(backend, td, v, writer_id)
     if manifest_files is not None:
-        payload = {"version": v, "files": manifest_files, "stats": stats or {}}
+        payload = {
+            "version": v,
+            "files": manifest_files,
+            "stats": stats or {},
+            # commit wall time: what timestamp time travel (read_table
+            # as_of / version_as_of_timestamp) resolves against — the
+            # same bounded-clock-skew assumption the lease TTL documents
+            "ts": time.time(),
+        }
         if columns is not None:
             payload["columns"] = columns
         if dv:
@@ -1121,13 +1129,23 @@ def write_version(
 
 
 def read_table(
-    spark: SparkSession, table_dir: str, version: int | None = None, backend=None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    backend=None,
+    as_of=None,
 ) -> DataFrame:
     """Read the committed snapshot (default: latest). ``version`` time
-    travels to any retained snapshot; reading a vacuumed or uncommitted
-    version raises."""
+    travels to any retained snapshot; ``as_of`` (epoch seconds,
+    datetime, or ISO string — mutually exclusive with ``version``)
+    resolves TIMESTAMP AS OF to the latest commit at or before that
+    time. Reading a vacuumed or uncommitted version raises."""
     backend = backend or _backend_for(table_dir, spark)
     td = table_dir.rstrip("/")
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_as_of_timestamp(table_dir, as_of, backend)
     if version is None:
         version = latest_version(table_dir, backend)
         if version is None:
@@ -1692,6 +1710,79 @@ def restore_version(spark: SparkSession, table_dir: str, to_version: int, backen
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
     return v
+
+
+def version_as_of_timestamp(table_dir: str, ts, backend=None) -> int:
+    """The LATEST committed version whose commit time is at or before
+    ``ts`` (Delta's TIMESTAMP AS OF semantics). ``ts`` is epoch seconds
+    (int/float), a ``datetime``, or an ISO-8601 string (naive = UTC).
+    Commit times are recorded in manifests at publish; copy-published
+    v-dir versions carry none and are skipped — a table older than its
+    first manifest commit raises instead of guessing."""
+    import datetime
+
+    backend = backend or _backend_for(table_dir)
+    if isinstance(ts, str):
+        dt = datetime.datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        ts = dt.timestamp()
+    elif isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        ts = ts.timestamp()
+    committed = latest_version(table_dir, backend) or 0
+    best = None
+    for v in _manifest_versions(table_dir, backend):
+        if v > committed:
+            continue  # published but not yet pointed: not a commit
+        cts = _manifest_body(table_dir, v, backend).get("ts")
+        if cts is not None and cts <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no commit in {table_dir} at or before timestamp {ts} "
+            "(copy-published versions carry no commit time)"
+        )
+    return best
+
+
+def history(table_dir: str, backend=None) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per retained version, ascending —
+    version, commit timestamp (None for copy-published snapshots),
+    publication form, data-file count, and whether the snapshot
+    carries a column mapping / deletion vectors. Metadata-sized: one
+    manifest GET per retained version, no data I/O."""
+    backend = backend or _backend_for(table_dir)
+    manifest_vs = set(_manifest_versions(table_dir, backend))
+    out = []
+    for v in versions(table_dir, backend):
+        if v in manifest_vs:
+            body = _manifest_body(table_dir, v, backend)
+            out.append(
+                {
+                    "version": v,
+                    "ts": body.get("ts"),
+                    "form": "manifest",
+                    "n_files": sum(
+                        1 for f in body["files"] if f.endswith(".parquet")
+                    ),
+                    "column_mapping": bool(body.get("columns")),
+                    "deletion_vectors": bool(body.get("dv")),
+                }
+            )
+        else:
+            out.append(
+                {
+                    "version": v,
+                    "ts": None,
+                    "form": "copy",
+                    "n_files": data_file_count(table_dir, v, backend),
+                    "column_mapping": False,
+                    "deletion_vectors": False,
+                }
+            )
+    return out
 
 
 def _mapping_commit(spark, table_dir, backend, mutate) -> int:

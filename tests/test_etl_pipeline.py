@@ -450,3 +450,28 @@ def test_scale_safe_surrogate_multi_column_key(spark):
     safe = {(r.tahun, r.semester, r.id_waktu)
             for r in _surrogate_scale_safe(dim, "id_waktu", "tahun", "semester").collect()}
     assert safe == win
+
+
+def test_surrogate_auto_dispatch_takes_scale_path_above_threshold(spark, monkeypatch):
+    """The auto dispatcher must actually take the two-pass branch above
+    the threshold (lowered here) and still produce window-identical
+    ids."""
+    from pyspark.sql import functions as F
+
+    import fp_data_lakehouse_spark.etl.star as star
+
+    monkeypatch.setattr(star, "_WINDOW_MAX_ROWS", 500)
+    dim = (
+        spark.range(2_000)
+        .select(F.format_string("n%06d", (F.col("id") * 7919) % 1_000_003).alias("nk"))
+        .dropDuplicates(["nk"])
+    )
+    auto = star._surrogate(dim, "sid", "nk")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "auto dispatch kept the window form"
+    got = sorted((r.nk, r.sid) for r in auto.collect())
+    assert [s for _, s in got] == list(range(1, len(got) + 1))
+    want = sorted(
+        (r.nk, r.sid) for r in star._surrogate_window(dim, "sid", "nk").collect()
+    )
+    assert got == want

@@ -65,9 +65,10 @@ def test_registry_contract():
     # +io14 (string/date/null-count stats skipping) -> 232 / 221;
     # +st16 (streaming sink vs compactor race) -> 233 / 222;
     # +vt14 (deletion-vector merge-on-read DELETE) -> 234 / 223;
-    # +vt15 (RESTORE to a retained version) -> 235 / 224
-    assert len(q) == 235, sorted(q)
-    assert len(o) == 224, sorted(o)
+    # +vt15 (RESTORE to a retained version) -> 235 / 224;
+    # +vt16 (TIMESTAMP AS OF + DESCRIBE HISTORY) -> 236 / 225
+    assert len(q) == 236, sorted(q)
+    assert len(o) == 225, sorted(o)
 
 
 def test_driver_priority_window():

@@ -1544,3 +1544,71 @@ def test_restore_refuses_copy_published_target(spark, tdir):
     write_version(_df(spark, 7), tdir, manifest=True)
     with pytest.raises(ValueError, match="copy-published"):
         restore_version(spark, tdir, 1)
+
+
+def test_full_rewrite_merge_applies_dvs(spark, tdir):
+    """merge_into_version (full rewrite) reads through the dv-aware
+    read_table, so the rewritten snapshot materializes the deletes and
+    carries no dv map."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import _manifest_body
+
+    write_version(
+        spark.range(200).selectExpr("id AS id", "id * 2 AS v").repartitionByRange(4, "id"),
+        tdir,
+        manifest=True,
+    )
+    delete_where_dv(spark, tdir, F.col("id") % 10 == 7)
+    v3 = merge_into_version(
+        spark, tdir, _kv(spark, [(1, 111), (900, 900)]), ["id"], manifest=True
+    )
+    assert v3 == 3
+    assert not _manifest_body(tdir, 3, _backend_for(tdir, spark)).get("dv")
+    got = {r.id: r.v for r in read_table(spark, tdir).collect()}
+    assert got[1] == 111 and got[900] == 900
+    assert 7 not in got and 17 not in got  # dv deletes stayed applied
+    assert got[8] == 16
+
+
+def test_timestamp_time_travel_and_history(spark, tdir):
+    import time as _time
+
+    from fp_data_lakehouse_spark.sources.versioned import (
+        history,
+        version_as_of_timestamp,
+    )
+
+    write_version(_df(spark, 3), tdir, manifest=True)
+    _time.sleep(0.05)
+    write_version(_df(spark, 7), tdir, manifest=True)
+    hist = history(tdir)
+    assert [h["version"] for h in hist] == [1, 2]
+    ts1, ts2 = hist[0]["ts"], hist[1]["ts"]
+    assert ts1 < ts2
+    assert version_as_of_timestamp(tdir, (ts1 + ts2) / 2) == 1
+    assert version_as_of_timestamp(tdir, ts2) == 2
+    assert read_table(spark, tdir, as_of=(ts1 + ts2) / 2).count() == 3
+    # ISO-string form (UTC)
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        (ts1 + ts2) / 2, tz=datetime.timezone.utc
+    ).isoformat()
+    assert read_table(spark, tdir, as_of=iso).count() == 3
+    # before the first commit: loud error; version+as_of: loud error
+    with pytest.raises(FileNotFoundError):
+        version_as_of_timestamp(tdir, ts1 - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, tdir, version=1, as_of=ts2)
+
+
+def test_history_mixed_publication_forms(spark, tdir):
+    from fp_data_lakehouse_spark.sources.versioned import history
+
+    write_version(_df(spark, 3), tdir)                  # copy-published
+    write_version(_df(spark, 7), tdir, manifest=True)
+    hist = history(tdir)
+    assert [h["form"] for h in hist] == ["copy", "manifest"]
+    assert hist[0]["ts"] is None and hist[1]["ts"] is not None
+    assert all(h["n_files"] >= 1 for h in hist)
