@@ -1248,6 +1248,27 @@ def delete_from_version(
     )
 
 
+def _live_tagged(spark, td: str, rels: list[str], dv_map: dict) -> DataFrame:
+    """Physical rows of the given files tagged with ``__file`` (file
+    name) and ``__pos`` (row position), with dv-deleted positions
+    already removed — the frame every CoW operation must reason over
+    on a head that carries deletion vectors."""
+    raw = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
+    tagged = raw.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+        "*",
+    )
+    rel_set = set(rels)
+    relevant = sorted({dv_map[rel] for rel in dv_map if rel in rel_set})
+    if relevant:
+        dv_df = spark.read.parquet(*[f"{td}/{r}" for r in relevant]).select(
+            F.col("file").alias("__file"), F.col("pos").alias("__pos")
+        )
+        tagged = tagged.join(F.broadcast(dv_df), ["__file", "__pos"], "left_anti")
+    return tagged
+
+
 def delete_where_cow(
     spark: SparkSession, table_dir: str, condition, backend=None
 ) -> int:
@@ -1282,44 +1303,39 @@ def delete_where_cow(
             "published v-dirs are rewritten whole by delete_from_version)"
         )
     head_body = _manifest_body(table_dir, base, backend)
-    if head_body.get("dv"):
-        raise ValueError(
-            "delete_where_cow on a head carrying deletion vectors would "
-            "resurrect dv-deleted rows in rewritten files — run "
-            "compact_version(...) to apply the dvs physically first, or "
-            "keep deleting through delete_where_dv"
-        )
     rels = head_body["files"]
     old_stats = head_body.get("stats", {})
     mapping = head_body.get("columns")
+    dv_map = head_body.get("dv") or {}
 
-    paths = [f"{td}/{rel}" for rel in rels]
-    df = spark.read.parquet(*paths)
-    # ``condition`` is LOGICAL; project the mapping (plus the hidden
-    # file-path metadata, only resolvable directly above the scan)
-    # before evaluating it
-    probe = df.select(F.col("_metadata.file_path").alias("fp"), "*")
+    # ``condition`` is LOGICAL and evaluated over LIVE rows only (dv
+    # positions already masked — a dv'd head composes with CoW: hit
+    # files are rewritten from their live rows, so the rewrite both
+    # applies the old dv physically and sheds the newly deleted rows)
+    live = _live_tagged(spark, td, rels, dv_map)
+    probe = live
     if mapping:
-        probe = probe.select(
-            "fp", *[F.col(c["physical"]).alias(c["name"]) for c in mapping]
+        probe = live.select(
+            "__file", *[F.col(c["physical"]).alias(c["name"]) for c in mapping]
         )
-    hit_uris = [
+    hit_names = {
         r[0]
-        for r in probe.filter(condition).select("fp").distinct().collect()
-    ]  # metadata-scale: one row per AFFECTED file, never per data row
-    hit_rels = {rel for rel in rels if any(u.endswith("/" + rel) for u in hit_uris)}
+        for r in probe.filter(condition).select("__file").distinct().collect()
+    }  # metadata-scale: one row per AFFECTED file, never per data row
+    hit_rels = {rel for rel in rels if rel.rsplit("/", 1)[-1] in hit_names}
     if not hit_rels:
         return base
     carried = [rel for rel in rels if rel not in hit_rels]
+    carried_dv = {rel: dv_map[rel] for rel in carried if rel in dv_map}
 
     writer_id = uuid.uuid4().hex[:12]
     staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
-        survivors = _to_logical(
-            spark.read.parquet(*[f"{td}/{rel}" for rel in sorted(hit_rels)]),
-            mapping,
-        ).filter(~condition)
+        hit_live = _live_tagged(spark, td, sorted(hit_rels), dv_map).drop(
+            "__file", "__pos"
+        )
+        survivors = _to_logical(hit_live, mapping).filter(~condition)
         # rewrites keep PHYSICAL names so they stay byte-compatible
         # with the files carried by reference
         _to_physical(survivors, mapping).write.mode("append").parquet(staging)
@@ -1343,6 +1359,7 @@ def delete_where_cow(
                 stats=stats,
                 staging=staging,
                 columns=mapping,
+                dv=carried_dv or None,
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1380,15 +1397,10 @@ def merge_into_version_cow(
             "merge_into_version_cow requires a manifest-published head"
         )
     head_body = _manifest_body(table_dir, base, backend)
-    if head_body.get("dv"):
-        raise ValueError(
-            "merge_into_version_cow on a head carrying deletion vectors "
-            "would resurrect dv-deleted rows — run compact_version(...) "
-            "to apply the dvs physically first"
-        )
     rels = head_body["files"]
     old_stats = head_body.get("stats", {})
     mapping = head_body.get("columns")
+    dv_map = head_body.get("dv") or {}
     if mapping:
         logical = {c["name"] for c in mapping}
         extra = set(updates.columns) - logical
@@ -1400,40 +1412,38 @@ def merge_into_version_cow(
                 "resets the mapping)"
             )
 
-    head = _to_logical(
-        spark.read.parquet(*[f"{td}/{rel}" for rel in rels]), mapping
-    )
     upd_keys = updates.select(*keys).localCheckpoint(eager=False)
-    # project the hidden _metadata column BEFORE the join (it is only
-    # resolvable directly above the scan)
+    # LIVE rows only (dv positions masked): a key matched solely by a
+    # dv-deleted row must not force that file's rewrite, and hit-file
+    # rewrites re-stage live rows — applying the old dv physically
+    live = _live_tagged(spark, td, rels, dv_map)
     if mapping:
-        raw = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
         phys = {c["name"]: c["physical"] for c in mapping}
-        head_fp = raw.select(
-            *[F.col(phys[k]).alias(k) for k in keys],
-            F.col("_metadata.file_path").alias("fp"),
+        head_keys = live.select(
+            "__file", *[F.col(phys[k]).alias(k) for k in keys]
         )
     else:
-        head_fp = head.select(*keys, F.col("_metadata.file_path").alias("fp"))
-    hit_uris = [
+        head_keys = live.select("__file", *keys)
+    hit_names = {
         r[0]
-        for r in head_fp.join(F.broadcast(upd_keys), keys, "left_semi")
-        .select("fp")
+        for r in head_keys.join(F.broadcast(upd_keys), keys, "left_semi")
+        .select("__file")
         .distinct()
         .collect()
-    ]  # one row per file containing a matched key
-    hit_rels = {rel for rel in rels if any(u.endswith("/" + rel) for u in hit_uris)}
+    }  # one row per file containing a matched LIVE key
+    hit_rels = {rel for rel in rels if rel.rsplit("/", 1)[-1] in hit_names}
     carried = [rel for rel in rels if rel not in hit_rels]
+    carried_dv = {rel: dv_map[rel] for rel in carried if rel in dv_map}
 
     writer_id = uuid.uuid4().hex[:12]
     staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
         if hit_rels:
-            hit_rows = _to_logical(
-                spark.read.parquet(*[f"{td}/{rel}" for rel in sorted(hit_rels)]),
-                mapping,
+            hit_live = _live_tagged(spark, td, sorted(hit_rels), dv_map).drop(
+                "__file", "__pos"
             )
+            hit_rows = _to_logical(hit_live, mapping)
             survivors = hit_rows.join(upd_keys, keys, "left_anti")
             staged = survivors.unionByName(updates)
         else:
@@ -1461,6 +1471,7 @@ def merge_into_version_cow(
                 stats=stats,
                 staging=staging,
                 columns=mapping,
+                dv=carried_dv or None,
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")

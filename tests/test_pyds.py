@@ -870,3 +870,61 @@ def test_statsless_file_is_never_skipped(spark, tmp_path):
         .collect()
     )
     assert {(r.k, r.v) for r in got} == {(5_000, 1)}
+
+
+def test_sql_view_over_fp_versioned(spark, tmp_path):
+    """The SQL surface the DataSource API exists for: CREATE TEMPORARY
+    VIEW ... USING fp_versioned, with time travel via OPTIONS."""
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    d = str(tmp_path / "sqlv")
+    write_version(spark.range(5).selectExpr("id AS k", "id * 2 AS v"), d, manifest=True)
+    write_version(spark.range(9).selectExpr("id AS k", "id * 2 AS v"), d, manifest=True)
+    register_python_sources(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW vhead USING fp_versioned OPTIONS (path '{d}')"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW vold USING fp_versioned "
+        f"OPTIONS (path '{d}', version '1')"
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM vhead").head()["n"] == 9
+    assert spark.sql("SELECT COUNT(*) AS n FROM vold").head()["n"] == 5
+    assert spark.sql("SELECT SUM(v) AS s FROM vold").head()["s"] == 20
+    spark.sql("DROP VIEW vhead")
+    spark.sql("DROP VIEW vold")
+
+
+def test_stream_feed_applies_deletion_vectors(spark, tmp_path):
+    """A dv-delete commit replays through the version feed with the
+    deleted positions masked — both for the dv'd version itself and
+    for later versions referencing the same files."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import (
+        delete_where_dv,
+        write_version,
+    )
+
+    d = str(tmp_path / "feeddv")
+    write_version(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartitionByRange(2, "k"),
+        d,
+        manifest=True,
+    )
+    delete_where_dv(spark, d, F.col("k") % 10 == 7)
+    register_python_sources(spark)
+    feed = spark.readStream.format("fp_versioned_feed").option("path", d).load()
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("feeddv_q")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM feeddv_q").collect()
+    v1 = {r.k for r in rows if r._version == 1}
+    v2 = {r.k for r in rows if r._version == 2}
+    assert v1 == set(range(100))
+    assert v2 == {i for i in range(100) if i % 10 != 7}

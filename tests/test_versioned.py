@@ -1484,12 +1484,7 @@ def test_dv_delete_lifecycle(spark, tdir):
     if _mb(tdir, 1, backend).get("stats"):
         with pytest.raises(ValueError, match="read amplification"):
             delete_where_dv(spark, tdir, F.col("k") < 100)
-    # CoW ops refuse a dv'd head
-    with pytest.raises(ValueError, match="deletion vectors"):
-        delete_where_cow(spark, tdir, F.col("k") < 5)
-    upd = spark.range(3).selectExpr("id AS k", "id AS v")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        merge_into_version_cow(spark, tdir, upd, ["k"])
+    # symlink export refuses a dv'd head (vanilla readers can't apply)
     with pytest.raises(ValueError, match="deletion vectors"):
         export_symlink_manifest(tdir, backend=backend)
     # compaction applies dvs physically and clears the map
@@ -1612,3 +1607,54 @@ def test_history_mixed_publication_forms(spark, tdir):
     assert [h["form"] for h in hist] == ["copy", "manifest"]
     assert hist[0]["ts"] is None and hist[1]["ts"] is not None
     assert all(h["n_files"] >= 1 for h in hist)
+
+
+def test_cow_ops_compose_with_deletion_vectors(spark, tdir):
+    """CoW DELETE/MERGE on a dv'd head: hit files are rewritten from
+    LIVE rows (applying their dv physically), untouched files carry
+    their dv entries by reference, and a key matched only by a
+    dv-deleted row does NOT force a rewrite."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import _manifest_body
+
+    df = spark.range(800).selectExpr("id AS k", "id * 2 AS v")
+    write_version(df.repartitionByRange(8, "k"), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+    delete_where_dv(spark, tdir, F.col("k") % 10 == 7)          # v2 (dv on all 8)
+    live = {i for i in range(800) if i % 10 != 7}
+
+    # CoW DELETE of a range hitting ~2 files: those rewrite (dv shed),
+    # the others carry their dv entries
+    v3 = delete_where_cow(spark, tdir, F.col("k") < 150)
+    assert v3 == 3
+    body3 = _manifest_body(tdir, 3, backend)
+    live -= set(range(150))
+    assert {r.k for r in read_table(spark, tdir).collect()} == live
+    assert body3.get("dv"), "untouched files must keep their dv entries"
+    rewritten = set(body3["files"]) - set(_manifest_body(tdir, 2, backend)["files"])
+    assert rewritten, "the hit range must have rewritten at least one file"
+    assert not set(body3["dv"]) & rewritten, "rewritten files must shed their dv"
+
+    # a key matched ONLY by a dv-deleted row must not rewrite its file:
+    # k=307 is dv-deleted (307 % 10 == 7); merge on it inserts fresh
+    upd = spark.createDataFrame([(307, 999)], "k BIGINT, v BIGINT")
+    v4 = merge_into_version_cow(spark, tdir, upd, ["k"])
+    assert v4 == 4
+    body4 = _manifest_body(tdir, 4, backend)
+    assert set(body4["files"]) - set(body3["files"]), "insert staged a new file"
+    assert len(set(body3["files"]) - set(body4["files"])) == 0, (
+        "no existing file contained a LIVE match — none may be rewritten"
+    )
+    got = {r.k: r.v for r in read_table(spark, tdir).collect()}
+    assert got[307] == 999 and 157 not in got and 100 not in got
+    # CoW MERGE updating a LIVE key in a dv'd file rewrites that file
+    # from live rows only (dv applied physically there)
+    upd2 = spark.createDataFrame([(555, 111)], "k BIGINT, v BIGINT")
+    v5 = merge_into_version_cow(spark, tdir, upd2, ["k"])
+    body5 = _manifest_body(tdir, v5, backend)
+    got = {r.k: r.v for r in read_table(spark, tdir).collect()}
+    assert got[555] == 111 and 557 not in got  # 557 %10==7: stays deleted
+    assert len(body5.get("dv", {})) < len(body4.get("dv", {})), (
+        "the rewritten file must shed its dv entry"
+    )
