@@ -258,12 +258,18 @@ def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
         if rng is None:
             continue
         lo, hi = rng[0], rng[1]
+        all_null = len(rng) >= 4 and rng[2] == rng[3] and rng[3] > 0
         if op == "notnull":
-            if len(rng) >= 4 and rng[2] == rng[3] and rng[3] > 0:
+            if all_null:
                 return False  # provably all-null: NOT NULL matches nothing
             continue
         if lo is None:
-            return False  # column all-null: no comparison can match
+            # min/max absent: either a provably all-null column (no
+            # comparison can match a null) or merely UNUSABLE statistics
+            # (decimal/binary min-max) — only the former may prune
+            if all_null:
+                return False
+            continue
         val = _stat_comparable(val)
         try:
             if op == "eq" and (val < lo or val > hi):
@@ -736,7 +742,12 @@ class VersionedReader(DataSourceReader):
         # for THIS snapshot's manifest: file reads and stats lookups use
         # physical names; Spark sees logical ones
         fs, p = _fs_and_path(table_dir)
+        # resolve the snapshot ONCE: mapping, dv map, and (via
+        # self._resolved_v in partitions()) the file list must all come
+        # from the SAME version, or a commit racing the plan would
+        # apply one version's mapping to another version's files
         v, _snap = _resolve_version(table_dir, version)
+        self._resolved_v = v
         mapping = _manifest_columns(fs, p, v) or []
         self._log2phys = {c["name"]: c["physical"] for c in mapping}
         # deletion vectors, keyed by data-file NAME at plan time; the
@@ -760,7 +771,9 @@ class VersionedReader(DataSourceReader):
 
     def partitions(self):
         fs, p = _fs_and_path(self._table_dir)
-        v, _snap = _resolve_version(self._table_dir, self._version)
+        v = getattr(self, "_resolved_v", None)
+        if v is None:  # instances built without __init__ (tests)
+            v, _snap = _resolve_version(self._table_dir, self._version)
         prefix = _uri_prefix(self._table_dir)
         files = _version_files(fs, p, v, prefix)
         if self._pushed:

@@ -332,6 +332,11 @@ class HadoopFsBackend:
         until the ConcurrentWriteError timeout."""
         fs = self._fs(p)
         hp = self._path(p)
+        if fs.exists(hp):
+            # fast path for the claim-wait spin: a held claim costs one
+            # RPC, not a temp-file create/write/rename/delete cycle;
+            # the rename below remains the exclusivity point
+            return False
         tmp = self._path(f"{p}.claimtmp.{uuid.uuid4().hex[:12]}")
         stream = fs.create(tmp, True)
         try:
@@ -1595,34 +1600,43 @@ def delete_where_dv(
     mapping = body.get("columns")
     old_dv = body.get("dv") or {}
 
+    # internal tag columns use collision-resistant names (a user table
+    # may legitimately have columns named file/pos); the dv parquet's
+    # public (file, pos) schema is applied only at write time below
     raw = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
     tagged = raw.select(
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file"),
-        F.col("_metadata.row_index").alias("pos"),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
         "*",
     )
     if mapping:
         probe = tagged.select(
-            "file", "pos", *[F.col(c["physical"]).alias(c["name"]) for c in mapping]
+            "__dv_file",
+            "__dv_pos",
+            *[F.col(c["physical"]).alias(c["name"]) for c in mapping],
         )
     else:
         probe = tagged
-    new_hits = probe.filter(condition).select("file", "pos")
+    new_hits = probe.filter(condition).select("__dv_file", "__dv_pos")
     prev_counts: dict[str, int] = {}
     if old_dv:
         prev = spark.read.parquet(
             *sorted({f"{td}/{rel}" for rel in old_dv.values()})
-        ).select("file", "pos")
+        ).select(F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos"))
         prev_counts = {
-            r["file"]: r["n"]
-            for r in prev.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+            r["__dv_file"]: r["n"]
+            for r in prev.groupBy("__dv_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         }
         # rows already dv-deleted may re-match the condition; the union
         # + distinct keeps each position once
         all_dead = new_hits.unionByName(prev).distinct()
     else:
         all_dead = new_hits.distinct()
-    all_dead = all_dead.localCheckpoint(eager=False)
+    all_dead = all_dead.select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    ).localCheckpoint(eager=False)
 
     per_file = {
         r["file"]: r["n"]
@@ -1788,7 +1802,16 @@ def history(table_dir: str, backend=None) -> list[dict]:
                     "version": v,
                     "ts": None,
                     "form": "copy",
-                    "n_files": data_file_count(table_dir, v, backend),
+                    # one v-dir LIST — not data_file_count, whose
+                    # manifest-versions probe would re-LIST the whole
+                    # table dir per version (O(V^2) metadata ops)
+                    "n_files": sum(
+                        1
+                        for n in backend.list_names(
+                            f"{table_dir.rstrip('/')}/v{v:05d}"
+                        )
+                        if n.endswith(".parquet")
+                    ),
                     "column_mapping": False,
                     "deletion_vectors": False,
                 }
@@ -1836,6 +1859,10 @@ def _mapping_commit(spark, table_dir, backend, mutate) -> int:
                 manifest_files=body["files"],
                 stats=body.get("stats", {}),
                 columns=new_cols,
+                # the head's deletion vectors MUST carry: dropping them
+                # here would silently resurrect dv-deleted rows on a
+                # metadata-only schema commit
+                dv=body.get("dv"),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -2049,7 +2076,10 @@ def fsck(
        whose ``_lease`` is past the TTL (or absent) are deleted;
     5. **data-prefix GC** (manifest commits): ``_data/{writer}/``
        prefixes referenced by NO manifest and carrying no live lease
-       are a manifest writer's crash leftovers — deleted.
+       are a manifest writer's crash leftovers — deleted;
+    6. **temp-file sweep**: content-atomic create leftovers
+       (``._claim_*`` / ``._latest_*`` / ``*.claimtmp.*``) past the
+       lease TTL (or lease-less) are deleted.
 
     Returns a report dict: ``{"pointer_before", "pointer_after",
     "rolled_forward", "orphans_removed", "claims_removed",
@@ -2138,6 +2168,27 @@ def fsck(
         else:
             backend.rmtree(f"{td}/{name}")
             staging.append(name)
+    # 6. temp-file sweep: crash leftovers of the content-atomic create
+    # paths (mkstemp '._claim_*'/'._latest_*' on LocalFs and pyds,
+    # '*.claimtmp.*' on HadoopFs) match none of the marker regexes and
+    # would otherwise accumulate forever. Claim temps carry a lease —
+    # reclaimed past the TTL like any marker; lease-less ones (pointer
+    # temps, partial writes) are deleted outright: the only loser is a
+    # writer caught in the microseconds between temp create and
+    # publish, whose own rename/link then fails LOUDLY and retries —
+    # never a silent data outcome.
+    tmp_removed = []
+    for name in backend.list_names(table_dir):
+        if not (
+            name.startswith("._claim_")
+            or name.startswith("._latest_")
+            or ".claimtmp." in name
+        ):
+            continue
+        age = _lease_age_sec(backend.read_text(f"{td}/{name}"), now)
+        if age is None or age > claim_ttl_sec:
+            backend.delete_file(f"{td}/{name}")
+            tmp_removed.append(name)
     data_removed, data_live = [], []
     ref_prefixes = set()
     for mv in _manifest_versions(table_dir, backend):
@@ -2164,4 +2215,5 @@ def fsck(
         "staging_live": staging_live,
         "data_removed": data_removed,
         "data_live": data_live,
+        "tmp_removed": tmp_removed,
     }

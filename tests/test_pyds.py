@@ -802,6 +802,12 @@ def test_file_may_match_soundness_matrix():
     )
     # string ranges
     assert not _file_may_match({"s": ["K000", "K099", 0, 5]}, [("ge", "s", "K100")])
+    # UNUSABLE min/max (decimal/binary stats) with real values: the
+    # entry is [None, None, nulls<rows] — comparisons must KEEP the
+    # file (only a proven all-null count may prune)
+    assert _file_may_match({"k": [None, None, 2, 9]}, [("eq", "k", 1)])
+    assert _file_may_match({"k": [None, None, 2, 9]}, [("le", "k", 0)])
+    assert _file_may_match({"k": [None, None, 2, 9]}, [("notnull", "k", None)])
     # missing stats for the column, or no stats at all: keep
     assert _file_may_match({"other": [1, 2]}, [("le", "k", 0)])
     assert _file_may_match({}, [("le", "k", 0)])

@@ -1658,3 +1658,75 @@ def test_cow_ops_compose_with_deletion_vectors(spark, tdir):
     assert len(body5.get("dv", {})) < len(body4.get("dv", {})), (
         "the rewritten file must shed its dv entry"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9 self-review fixes (rename-after-dv, tag collisions, tmp sweep)
+# ---------------------------------------------------------------------------
+
+
+def test_rename_after_dv_carries_deletion_vectors(spark, tdir):
+    """A metadata-only schema commit on a dv'd head must carry the dv
+    map — dropping it would silently resurrect deleted rows."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import _manifest_body
+
+    write_version(
+        spark.range(200).selectExpr("id AS k", "id * 2 AS v").repartitionByRange(4, "k"),
+        tdir,
+        manifest=True,
+    )
+    delete_where_dv(spark, tdir, F.col("k") % 10 == 7)
+    v3 = rename_column(spark, tdir, "v", "value")
+    assert v3 == 3
+    backend = _backend_for(tdir, spark)
+    assert _manifest_body(tdir, 3, backend).get("dv") == _manifest_body(
+        tdir, 2, backend
+    ).get("dv")
+    got = {r.k for r in read_table(spark, tdir).collect()}
+    assert got == {i for i in range(200) if i % 10 != 7}
+    # and drop_column likewise
+    drop_column(spark, tdir, "value")
+    assert {r.k for r in read_table(spark, tdir).collect()} == got
+
+
+def test_dv_delete_on_table_with_file_pos_columns(spark, tdir):
+    """User columns named file/pos must not collide with the dv
+    machinery's internal tags."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS file", "id * 3 AS pos"
+    )
+    write_version(df.repartitionByRange(2, "k"), tdir, manifest=True)
+    v2 = delete_where_dv(spark, tdir, F.col("pos") % 30 == 0)
+    assert v2 == 2
+    got = {(r.k, r.file, r.pos) for r in read_table(spark, tdir).collect()}
+    assert got == {(i, str(i), 3 * i) for i in range(100) if (3 * i) % 30 != 0}
+
+
+def test_fsck_sweeps_crash_leftover_temp_files(spark, tdir):
+    """Content-atomic create leftovers (._claim_*, ._latest_*,
+    *.claimtmp.*) are swept once past the lease TTL; a fresh-leased
+    claim temp survives a TTL'd run."""
+    import time as _time
+
+    from fp_data_lakehouse_spark.sources.versioned import _lease_line
+
+    write_version(_df(spark, 3), tdir)
+    backend = _backend_for(tdir, spark)
+    td = tdir.rstrip("/")
+    backend.write_text_atomic(f"{td}/._claim_stale123", f"deadwriter {_time.time() - 3600:.3f}")
+    backend.write_text_atomic(f"{td}/._latest_orphan", "2")
+    backend.write_text_atomic(f"{td}/_claim_v00009.claimtmp.abc123", f"w2 {_time.time() - 3600:.3f}")
+    backend.write_text_atomic(f"{td}/._claim_live456", _lease_line("livewriter"))
+    report = fsck(tdir, backend)
+    assert sorted(report["tmp_removed"]) == [
+        "._claim_stale123",
+        "._latest_orphan",
+        "_claim_v00009.claimtmp.abc123",
+    ], report["tmp_removed"]
+    assert backend.read_text(f"{td}/._claim_live456") is not None
+    backend.delete_file(f"{td}/._claim_live456")
+    assert read_table(spark, tdir).count() == 3
