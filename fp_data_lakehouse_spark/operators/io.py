@@ -447,6 +447,7 @@ def io08_python_datasource_timetravel(spark: SparkSession, sf_dir: str) -> DataF
         spark.read.format("fp_versioned")
         .option("path", table_dir)
         .option("version", v1)
+        .option("pushdown", "true")  # one filter context per load (r9 contract)
         .load()
     )
     return snap.filter(F.col("n_orders") >= _IO08_MIN_ORDERS).agg(
