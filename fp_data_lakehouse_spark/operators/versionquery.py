@@ -1496,3 +1496,142 @@ def vt16_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_v1.select(F.lit("asof_v1").alias("stage"), *cols).unionByName(
         asof_head.select(F.lit("asof_head").alias("stage"), *cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# vt17: ADD COLUMN as a metadata-only mapping commit — round-10 close of
+# the r9 verdict's #1 ranked gap (vt13 covered RENAME/DROP; ADD forced a
+# rewrite until now)
+# ---------------------------------------------------------------------------
+
+_VT17_SQL = """
+WITH cut AS (SELECT MAX(o_custkey) // 8 AS mk FROM orders),
+t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+),
+aug AS (
+    SELECT o_custkey, n_orders, total_cents,
+           CASE WHEN o_custkey <= mk THEN total_cents ELSE NULL END AS bonus
+    FROM t, cut
+),
+head AS (SELECT * FROM aug WHERE o_custkey % 8 <> 3)
+SELECT 'head' AS stage, o_custkey, n_orders, total_cents, CAST(bonus AS BIGINT) AS bonus FROM head
+UNION ALL
+SELECT 'pyds', o_custkey, n_orders, total_cents, CAST(bonus AS BIGINT) FROM head
+UNION ALL
+SELECT 'v2', o_custkey, n_orders, total_cents, CAST(NULL AS BIGINT) FROM t
+UNION ALL
+SELECT 'v1', o_custkey, n_orders, total_cents, CAST(NULL AS BIGINT) FROM t
+"""
+
+
+@register("vt17_add_column_evolution", oracle=_VT17_SQL)
+def vt17_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... ADD COLUMN as a METADATA-ONLY mapping commit
+    (``versioned.add_column``): v2 appends a typed mapping entry with a
+    fresh field id and a synthetic physical name — the commit publishes
+    the IDENTICAL file list (asserted), zero data movement, and every
+    pre-add file reads the column as typed NULL at projection time in
+    BOTH readers (JVM via mergeSchema + typed-NULL projection, pyds via
+    per-file arrow null-array backfill). v3 = CoW MERGE **under the new
+    column** filling bonus_cents = total_cents for the bottom 1/8 of
+    the key range (>= 13 of 16 pre-add files must carry by reference —
+    only rewritten rows ever materialize the column physically). v4 =
+    RENAME of the added column (composition with vt13's mapping moves),
+    v5 = a scatter deletion-vector DELETE over the mixed-schema file
+    set (composition with vt14). Hashed legs: the v5 head through the
+    JVM reader and through pyds (schema-heterogeneous scan + dv mask),
+    the post-add pre-merge v2 (all-NULL backfill), and the pre-add v1
+    time-traveled under its own mapping (no bonus column — emitted as
+    a NULL literal to keep the certificate's schema union-stable).
+
+    Scale: ADD costs one manifest PUT at any table size; the
+    mergeSchema footer merge is metadata-plane and only turns on once
+    a table actually carries an added column. The synthetic physical
+    name (random suffix) is what makes DROP x / ADD x safe — the new
+    column can never resurface a dropped column's stale bytes still
+    present in unrewritten files."""
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import (
+        _backend_for,
+        _manifest_body,
+        add_column,
+        delete_where_dv,
+        merge_into_version_cow,
+        read_table,
+        rename_column,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    table_dir = alloc_scratch(spark, "vt17") + "/cust_totals"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    totals = _cust_totals(orders)
+    write_version(
+        totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True
+    )
+    backend = _backend_for(table_dir, spark)
+    rels1 = _manifest_body(table_dir, 1, backend)["files"]
+
+    v2 = add_column(spark, table_dir, "bonus_cents", "bigint")
+    assert v2 == 2
+    body2 = _manifest_body(table_dir, 2, backend)
+    assert body2["files"] == rels1, "ADD COLUMN moved data — must be metadata-only"
+    added = [c for c in body2["columns"] if c["name"] == "bonus_cents"]
+    assert len(added) == 1 and added[0]["type"] == "bigint", body2["columns"]
+    assert added[0]["physical"] != "bonus_cents", (
+        "physical name must be synthetic (drop/re-add stale-byte safety)"
+    )
+    v2_read = read_table(spark, table_dir, version=2)
+    assert v2_read.columns == ["o_custkey", "n_orders", "total_cents", "bonus_cents"]
+
+    cutoff = orders.agg(F.max("o_custkey")).head()[0] // 8  # 1-row scalar
+    updates = (
+        v2_read.filter(F.col("o_custkey") <= F.lit(cutoff))
+        .select(
+            "o_custkey", "n_orders", "total_cents",
+            F.col("total_cents").alias("bonus_cents"),
+        )
+    )
+    v3 = merge_into_version_cow(spark, table_dir, updates, keys=["o_custkey"])
+    assert v3 == 3
+    rels3 = _manifest_body(table_dir, 3, backend)["files"]
+    shared = set(rels1) & set(rels3)
+    assert len(shared) >= 13, (
+        f"post-add CoW merge stopped sharing pre-add files: {len(shared)}/16"
+    )
+
+    v4 = rename_column(spark, table_dir, "bonus_cents", "bonus")
+    assert v4 == 4
+    assert _manifest_body(table_dir, 4, backend)["files"] == rels3
+
+    v5 = delete_where_dv(spark, table_dir, F.col("o_custkey") % 8 == 3)
+    assert v5 == 5
+    assert _manifest_body(table_dir, 5, backend)["files"] == rels3
+
+    head = read_table(spark, table_dir)
+    assert head.columns == ["o_custkey", "n_orders", "total_cents", "bonus"]
+    register_python_sources(spark)
+    pyds = spark.read.format("fp_versioned").option("path", table_dir).load()
+    assert pyds.columns == head.columns, pyds.columns
+
+    cols = ["o_custkey", "n_orders", "total_cents"]
+    null_bonus = F.lit(None).cast("bigint").alias("bonus")
+    legs = [
+        head.select(F.lit("head").alias("stage"), *cols, "bonus"),
+        pyds.select(F.lit("pyds").alias("stage"), *cols, "bonus"),
+        read_table(spark, table_dir, version=2).select(
+            F.lit("v2").alias("stage"), *cols,
+            F.col("bonus_cents").alias("bonus"),
+        ),
+        read_table(spark, table_dir, version=1).select(
+            F.lit("v1").alias("stage"), *cols, null_bonus
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

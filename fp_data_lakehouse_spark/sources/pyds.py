@@ -389,6 +389,59 @@ def _arrow_schema_to_spark(schema) -> StructType:
     )
 
 
+def _ddl_to_spark_type(ddl: str):
+    """Spark type for a manifest-recorded ADD COLUMN DDL string,
+    parsed WITHOUT the JVM: Python DataSource planning and reads run
+    in detached Python worker processes where no SparkContext exists,
+    so Spark's own DDL parser (a py4j call) is unreachable. Covers the
+    primitive/decimal/array types a metadata-only ADD realistically
+    declares; anything fancier fails loudly here while the JVM reader
+    (versioned.read_table) still handles it."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    s = ddl.strip().lower()
+    prim = {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "integer": T.IntegerType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),
+        "smallint": T.ShortType(),
+        "short": T.ShortType(),
+        "tinyint": T.ByteType(),
+        "byte": T.ByteType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "real": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+    }
+    if s in prim:
+        return prim[s]
+    m = _re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = _re.fullmatch(r"array\s*<(.+)>", s)
+    if m:
+        return T.ArrayType(_ddl_to_spark_type(m.group(1)))
+    raise ValueError(
+        f"unsupported added-column type for the pyds reader: {ddl!r}"
+    )
+
+
+def _ddl_to_arrow(ddl: str):
+    """Arrow type for a manifest-recorded ADD COLUMN DDL string (same
+    JVM-free constraint as _ddl_to_spark_type)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(_ddl_to_spark_type(ddl))
+
+
 def _snapshot_schema(table_dir: str, version: int | None) -> StructType:
     import pyarrow.parquet as pq
 
@@ -402,16 +455,19 @@ def _snapshot_schema(table_dir: str, version: int | None) -> StructType:
     if not mapping:
         return physical
     by_phys = {f.name: f for f in physical.fields}
-    return StructType(
-        [
-            StructField(
-                c["name"],
-                by_phys[c["physical"]].dataType,
-                by_phys[c["physical"]].nullable,
+    fields = []
+    for c in mapping:
+        f = by_phys.get(c["physical"])
+        if f is not None:
+            fields.append(StructField(c["name"], f.dataType, f.nullable))
+        else:
+            # ADDED column (metadata-only add_column commit) not yet
+            # present in the sampled file: the manifest's declared DDL
+            # type IS the schema; rows backfill NULL at read time
+            fields.append(
+                StructField(c["name"], _ddl_to_spark_type(c["type"]), True)
             )
-            for c in mapping
-        ]
-    )
+    return StructType(fields)
 
 
 
@@ -668,15 +724,45 @@ def _filters_to_arrow_expr(specs: list[tuple]):
 
 
 def _read_parquet_batches(
-    file_path: str, columns: list[str], filter_specs: list[tuple]
+    file_path: str,
+    columns: list[str],
+    filter_specs: list[tuple],
+    added_arrow: dict | None = None,
 ) -> Iterator:
     """One file -> arrow RecordBatches, with row-group pruning from the
     pushed predicate. Runs inside the executor's Python worker; the
-    filesystem handle is rebuilt here (non-serializable resource)."""
+    filesystem handle is rebuilt here (non-serializable resource).
+
+    ``added_arrow`` maps ADDED physical column names (metadata-only
+    add_column commits) to their arrow types: a pre-add file lacks
+    those columns, so they are appended as null arrays per batch —
+    keeping the emitted column order exactly ``columns`` — and pushed
+    specs referencing them are dropped for this file (pruning only;
+    Spark re-applies every filter above)."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
 
     fs, p = _fs_and_path(file_path)
     ds = pads.dataset(p, format="parquet", filesystem=fs)
+    have = set(ds.schema.names)
+    missing = [
+        c for c in columns if c not in have and added_arrow and c in added_arrow
+    ]
+    if missing:
+        present = [c for c in columns if c in have]
+        specs = [s for s in filter_specs if s[1] in have]
+        expr = _filters_to_arrow_expr(specs)
+        scanner = ds.scanner(columns=present, filter=expr, batch_size=65536)
+        idx = {c: i for i, c in enumerate(present)}
+        for b in scanner.to_batches():
+            arrays = [
+                b.column(idx[c])
+                if c in idx
+                else pa.nulls(b.num_rows, type=added_arrow[c])
+                for c in columns
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=columns)
+        return
     expr = _filters_to_arrow_expr(filter_specs)
     scanner = ds.scanner(columns=columns, filter=expr, batch_size=65536)
     yield from scanner.to_batches()
@@ -750,6 +836,12 @@ class VersionedReader(DataSourceReader):
         self._resolved_v = v
         mapping = _manifest_columns(fs, p, v) or []
         self._log2phys = {c["name"]: c["physical"] for c in mapping}
+        # ADDED columns (metadata-only) may be absent from pre-add
+        # files: arrow types resolved here, driver-side, for the
+        # executor-side null backfill
+        self._added_arrow = {
+            c["physical"]: _ddl_to_arrow(c["type"]) for c in mapping if "type" in c
+        }
         # deletion vectors, keyed by data-file NAME at plan time; the
         # dv parquet itself is read executor-side per partition
         prefix = _uri_prefix(table_dir)
@@ -807,10 +899,11 @@ class VersionedReader(DataSourceReader):
         pushed_phys = [
             (op, self._phys(col), val) for op, col, val in self._pushed
         ]
+        added_arrow = getattr(self, "_added_arrow", None)
         dv_path = getattr(partition, "dv_path", None)
         if dv_path is None:
             for batch in _read_parquet_batches(
-                partition.file_path, phys_cols, pushed_phys
+                partition.file_path, phys_cols, pushed_phys, added_arrow
             ):
                 if self._log2phys:
                     # zero-copy rename physical -> logical
@@ -839,7 +932,9 @@ class VersionedReader(DataSourceReader):
             )
         )
         offset = 0
-        for batch in _read_parquet_batches(partition.file_path, phys_cols, []):
+        for batch in _read_parquet_batches(
+            partition.file_path, phys_cols, [], added_arrow
+        ):
             n = batch.num_rows
             lo = int(np.searchsorted(dead, offset, side="left"))
             hi = int(np.searchsorted(dead, offset + n, side="left"))
@@ -927,6 +1022,11 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         self._read_cols = [
             {c["name"]: c["physical"] for c in mapping}.get(n, n) for n in self._cols
         ] if mapping else self._cols
+        # files replayed from pre-add versions lack ADDED columns:
+        # null-backfill them with the manifest's declared type
+        self._added_arrow = {
+            c["physical"]: _ddl_to_arrow(c["type"]) for c in mapping if "type" in c
+        }
 
     def _dbg(self, msg: str) -> None:
         # The stream reader runs in a separate Python runner process
@@ -1004,7 +1104,9 @@ class VersionFeedStreamReader(DataSourceStreamReader):
                 )
             )
         offset = 0
-        for raw in _read_parquet_batches(partition.file_path, read_cols, []):
+        for raw in _read_parquet_batches(
+            partition.file_path, read_cols, [], getattr(self, "_added_arrow", None)
+        ):
             n = raw.num_rows
             if dead is not None and dead.size:
                 import numpy as np

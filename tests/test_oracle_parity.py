@@ -67,8 +67,9 @@ def test_registry_contract():
     # +vt14 (deletion-vector merge-on-read DELETE) -> 234 / 223;
     # +vt15 (RESTORE to a retained version) -> 235 / 224;
     # +vt16 (TIMESTAMP AS OF + DESCRIBE HISTORY) -> 236 / 225
-    assert len(q) == 236, sorted(q)
-    assert len(o) == 225, sorted(o)
+    # round 10: +vt17 (metadata-only ADD COLUMN) -> 237 / 226
+    assert len(q) == 237, sorted(q)
+    assert len(o) == 226, sorted(o)
 
 
 def test_driver_priority_window():

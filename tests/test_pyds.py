@@ -934,3 +934,65 @@ def test_stream_feed_applies_deletion_vectors(spark, tmp_path):
     v2 = {r.k for r in rows if r._version == 2}
     assert v1 == set(range(100))
     assert v2 == {i for i in range(100) if i % 10 != 7}
+
+
+def test_pyds_added_column_backfill(spark, tmp_path):
+    """A metadata-only ADD COLUMN (versioned.add_column) reads through
+    the Python DataSource: schema declares the manifest's DDL type,
+    pre-add files NULL-backfill per batch, post-add rewrites carry real
+    values, pre-add versions time-travel without the column, and the
+    version feed replays mixed-schema files under the latest logical
+    schema."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import (
+        add_column,
+        merge_into_version_cow,
+        read_table,
+        write_version,
+    )
+
+    d = str(tmp_path / "addcol")
+    write_version(
+        spark.range(20).selectExpr("id AS k", "id * 2 AS v").repartitionByRange(2, "k"),
+        d,
+        manifest=True,
+    )
+    add_column(spark, d, "score", "double")
+    merge_into_version_cow(
+        spark,
+        d,
+        spark.createDataFrame([(1, 111, 9.5), (50, 500, 1.0)], "k long, v long, score double"),
+        ["k"],
+    )
+    register_python_sources(spark)
+    pyr = spark.read.format("fp_versioned").option("path", d).load()
+    assert pyr.schema["score"].dataType.typeName() == "double"
+    got = {(r.k, r.v, r.score) for r in pyr.collect()}
+    jvm = {(r.k, r.v, r.score) for r in read_table(spark, d).collect()}
+    assert got == jvm and (2, 4, None) in got and (1, 111, 9.5) in got
+    # pushed filter on a pre-add file's missing column is dropped for
+    # that file (pruning only; Spark refilters above)
+    filtered = (
+        spark.read.format("fp_versioned")
+        .option("path", d)
+        .option("pushdown", "true")
+        .load()
+        .filter(F.col("score").isNotNull())
+    )
+    assert {(r.k, r.score) for r in filtered.collect()} == {(1, 9.5), (50, 1.0)}
+    # pre-add time travel: no column at all
+    p1 = spark.read.format("fp_versioned").option("path", d).option("version", "1").load()
+    assert p1.columns == ["k", "v"] and p1.count() == 20
+    # feed replay across the add: v1/v2 files lack the physical column
+    feed = spark.readStream.format("fp_versioned_feed").option("path", d).load()
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("addcol_feed")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT _version, COUNT(*) n, COUNT(score) s FROM addcol_feed GROUP BY 1 ORDER BY 1").collect()
+    assert [(r[0], r.n, r.s) for r in rows] == [(1, 20, 0), (2, 20, 0), (3, 21, 2)], rows
