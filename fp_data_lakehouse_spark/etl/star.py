@@ -293,11 +293,17 @@ def build_star_schema(
     docs: DataFrame,
     students: DataFrame | None = None,
     courses: DataFrame | None = None,
+    scale_safe: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Full silver build from bronze documents (entry point A lifecycle,
     SURVEY.md §3.1, minus the per-row N+1 round-trips). Callers that
     already extracted (the incremental loader) pass students/courses in
-    so the regex pass over the text runs exactly once per batch."""
+    so the regex pass over the text runs exactly once per batch.
+
+    ``scale_safe``: None (default) measures the batch once (the union
+    count below) and dispatches every dim build; an explicit True/False
+    skips that probe job for callers that already know their corpus
+    size (a scheduled loader re-ingesting a known-shape daily batch)."""
     from .extract import extract_courses, extract_students
 
     # Lazy checkpoints: four dims + the fact each trigger their own job
@@ -321,12 +327,16 @@ def build_star_schema(
     # throughput; this union is one). The bound is conservative: a
     # huge corpus with few distinct keys takes the scale path for a
     # small dedup output, which stays parallel and correct.
-    n_bound = (
-        students.select(F.lit(1).alias("one"))
-        .unionByName(courses.select(F.lit(1).alias("one")))
-        .count()
-    )
-    scale_safe = n_bound > _WINDOW_MAX_ROWS
+    if scale_safe is None:
+        # TWO sequential counts, not one union count: courses' subtree
+        # JOINS the students checkpoint, so a single union job races
+        # both branches before the students cache is populated and
+        # re-runs the regex extraction inside the courses branch
+        # (measured ~12% of ETL throughput; sequential counts ~2%,
+        # SCALE.md round-10 note). Counting students first materializes
+        # its checkpoint once; the courses count then reuses it.
+        n_bound = students.count() + courses.count()
+        scale_safe = n_bound > _WINDOW_MAX_ROWS
     dim_nilai = build_dim_nilai(spark, courses)
     dim_mahasiswa = build_dim_mahasiswa(students, scale_safe=scale_safe)
     dim_matakuliah = build_dim_matakuliah(courses, scale_safe=scale_safe)

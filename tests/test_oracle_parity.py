@@ -67,9 +67,12 @@ def test_registry_contract():
     # +vt14 (deletion-vector merge-on-read DELETE) -> 234 / 223;
     # +vt15 (RESTORE to a retained version) -> 235 / 224;
     # +vt16 (TIMESTAMP AS OF + DESCRIBE HISTORY) -> 236 / 225
-    # round 10: +vt17 (metadata-only ADD COLUMN) -> 237 / 226
-    assert len(q) == 237, sorted(q)
-    assert len(o) == 226, sorted(o)
+    # round 10: +vt17 (metadata-only ADD COLUMN) -> 237 / 226;
+    # +io15 (materializing interop export) -> 238 / 227;
+    # +vt18 (manifest-diff file-granular change feed) -> 239 / 228;
+    # +st17 (version-feed replay across dv/compaction) -> 240 / 229
+    assert len(q) == 240, sorted(q)
+    assert len(o) == 229, sorted(o)
 
 
 def test_driver_priority_window():
