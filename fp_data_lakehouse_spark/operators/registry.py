@@ -54,25 +54,28 @@ DRIVER_PRIORITY: list[str] = [
     # Cumulative record entering round 10: ALL 225 round-9
     # oracle-backed queries driver-green across r1-r9 (VERDICT r9
     # verified the union; vintage histogram r4:11, r5:38, r6:39,
-    # r7:37, r8:50, r9:50). Round 10 front-loads (a) the FOUR new
+    # r7:37, r8:50, r9:50). Round 10 front-loads (a) the FIVE new
     # certificates — vt17 (ADD COLUMN as a metadata-only mapping
     # commit), io15 (materializing interop export: DVs applied +
     # logical names rewritten for vanilla readers), vt18
     # (manifest-diff change feed that never rescans carried files),
     # st17 (version-feed replay across dv-delete and compaction
-    # commits); plus vt14 re-certified because its read path changed
-    # this round (the dv broadcast size gate, r9 verdict finding #1);
-    # then (b) the CERTIFICATION ROTATION: the 11 rows exactly 5
-    # rounds old (r4 vintage: dd17, dd20, q42, sim07, sim08, sim09,
-    # tx14-tx18 — the r9 verdict's queued list), then 34 of the 38
-    # r5-vintage rows. The 4 deferred r5 rows (gr01, gr02, io10,
-    # st09 — code untouched this round) lead the r11 window, the same
-    # deferral precedent r9 set. Everything stays re-validated locally
-    # by tests/test_oracle_parity.py on every pytest run.
+    # commits), vt19 (clustered compaction — OPTIMIZE ZORDER BY on
+    # the manifest lifecycle); plus vt14 re-certified because its
+    # read path changed this round (the dv broadcast size gate, r9
+    # verdict finding #1); then (b) the CERTIFICATION ROTATION: the
+    # 11 rows exactly 5 rounds old (r4 vintage: dd17, dd20, q42,
+    # sim07, sim08, sim09, tx14-tx18 — the r9 verdict's queued list),
+    # then 33 of the 38 r5-vintage rows. The 5 deferred r5 rows
+    # (gr01, gr02, io10, st09, st07 — code untouched this round) lead
+    # the r11 window, the same deferral precedent r9 set. Everything
+    # stays re-validated locally by tests/test_oracle_parity.py on
+    # every pytest run.
     "vt17_add_column_evolution",
     "io15_materialized_interop_export",
     "vt18_manifest_diff_change_feed",
     "st17_version_feed_dv_replay",
+    "vt19_clustered_compaction",
     "vt14_deletion_vector_delete",
     # rotation: the 11 five-round-old r4-vintage rows
     "dd17_repeated_spans",
@@ -86,7 +89,7 @@ DRIVER_PRIORITY: list[str] = [
     "tx16_pmi_collocations",
     "tx17_bpe_merge_candidates",
     "tx18_chunk_windows",
-    # rotation: 34 of the 38 r5-vintage rows (gr01/gr02/io10/st09
+    # rotation: 33 of the 38 r5-vintage rows (gr01/gr02/io10/st09/st07
     # deferred to lead r11)
     "dd09_dup_clusters",
     "dd24_incremental_ingest_gate",
@@ -121,9 +124,8 @@ DRIVER_PRIORITY: list[str] = [
     "st02_stream_sliding_equivalence",
     "st03_stream_static_enrichment",
     "st04_stream_interval_join",
-    "st07_stateful_sessionization",
-    # 50-row window ends here (4 new + vt14 re-cert + 11 r4 + 34 r5;
-    # deferred to lead r11: gr01, gr02, io10, st09)
+    # 50-row window ends here (5 new + vt14 re-cert + 11 r4 + 33 r5;
+    # deferred to lead r11: gr01, gr02, io10, st09, st07)
 ]
 
 

@@ -1781,3 +1781,141 @@ def vt18_manifest_diff_change_feed(spark: SparkSession, sf_dir: str) -> DataFram
         feed12.select(F.lit("v1_v2").alias("step"), *out_cols)
         .unionByName(feed23.select(F.lit("v2_v3").alias("step"), *out_cols))
     )
+
+
+# ---------------------------------------------------------------------------
+# vt19: clustered compaction (OPTIMIZE ... ZORDER BY) — round-10
+# extension: ly01/ly02 hash-certified the Morton layout PLANNER; this
+# puts the same curve on the real manifest lifecycle (compaction
+# rewrite + file stats + dv apply) where the skipping actually happens
+# ---------------------------------------------------------------------------
+
+_VT19_SQL = """
+WITH b AS (
+    SELECT MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max FROM orders
+),
+t AS (
+    SELECT o_orderkey, o_custkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date_s,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 32 <> 7
+),
+w AS (
+    SELECT b.ck_min + (b.ck_max - b.ck_min + 1) // 4 AS lo,
+           b.ck_min + (b.ck_max - b.ck_min + 1) // 4
+             + (b.ck_max - b.ck_min + 1) // 8 - 1 AS hi
+    FROM b
+)
+SELECT 'clustered' AS stage, o_orderkey, o_custkey, o_date_s, cents FROM t
+UNION ALL
+SELECT 'window', t.o_orderkey, t.o_custkey, t.o_date_s, t.cents
+FROM t, w WHERE t.o_custkey BETWEEN w.lo AND w.hi
+"""
+
+
+@register("vt19_clustered_compaction", oracle=_VT19_SQL)
+def vt19_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY on the manifest lifecycle:
+    ``compact_version(cluster_by=[o_custkey, o_date])`` rewrites the
+    head ordered by the Morton interleave of both columns' range
+    buckets (one ``repartitionByRange`` shuffle on the z-value), so
+    every output file lands on a narrow rectangle of the
+    (customer, date) plane and the manifest's footer stats prune
+    single-column predicates on EITHER axis. The head it compacts
+    carries a scatter deletion vector (composition: clustering applies
+    and clears the dv, asserted on the manifest).
+
+    Layout asserts from the recorded per-file stats (the exact index
+    the pushdown reader consumes, io12/io14): under a 1/8-wide
+    customer-key window AND a 1/8-wide date window, the hash-scrambled
+    v1 layout overlaps >= 15/16 files on both axes while the clustered
+    rewrite overlaps <= 8 on each — simultaneous 2x+ file pruning on
+    two independent columns, which no linear sort gives. Value
+    certificate: the clustered head's full census and its key-window
+    slice both hash against the oracle's relational answer (layout
+    changes, values never).
+
+    Scale: this is the Delta OPTIMIZE ZORDER / liquid-clustering move
+    — at 100 TB, re-clustering is one shuffle of the live rows and one
+    manifest PUT, and it converts both tenant-keyed AND time-keyed
+    queries from table scans into narrow file subsets off the same
+    snapshot. Reference parity: the reference's MySQL tables rely on
+    B-tree indexes for this (SURVEY.md §2.1 S5); the z-curve + stats
+    manifest is the lake-native equivalent."""
+    from ..sources.versioned import (
+        _backend_for,
+        _manifest_body,
+        compact_version,
+        delete_where_dv,
+        read_table,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rows = orders.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+        cents.alias("cents"),
+    )
+    table_dir = alloc_scratch(spark, "vt19") + "/order_rows"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    write_version(rows.repartition(16), table_dir, manifest=True)  # scrambled
+    backend = _backend_for(table_dir, spark)
+
+    v2 = delete_where_dv(spark, table_dir, F.col("o_orderkey") % 32 == 7)
+    assert v2 == 2
+    v3 = compact_version(
+        spark, table_dir, 16, backend=backend, manifest=True,
+        cluster_by=["o_custkey", "o_date"],
+    )
+    assert v3 == 3
+    body3 = _manifest_body(table_dir, 3, backend)
+    assert not body3.get("dv"), "clustered compaction must clear the dv map"
+
+    # data-relative predicate windows (1/8 of each axis, off the grid
+    # origin so each sits inside one Morton quadrant)
+    import datetime as _dt
+
+    ck_min, ck_max, d_min, d_max = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min(F.col("o_orderdate").cast("date")),
+        F.max(F.col("o_orderdate").cast("date")),
+    ).head()  # 1-row scalar
+    ck_span = ck_max - ck_min + 1
+    ck_lo, ck_hi = ck_min + ck_span // 4, ck_min + ck_span // 4 + ck_span // 8 - 1
+    d_span = (d_max - d_min).days + 1
+    d_lo = (d_min + _dt.timedelta(days=d_span // 4)).isoformat()
+    d_hi = (d_min + _dt.timedelta(days=d_span // 4 + d_span // 8 - 1)).isoformat()
+
+    def _overlap(version: int, col: str, lo, hi) -> tuple[int, int]:
+        stats = _manifest_body(table_dir, version, backend).get("stats") or {}
+        n_total = n_hit = 0
+        for rel, cols in stats.items():
+            ent = (cols or {}).get(col)
+            n_total += 1
+            if not ent or ent[0] is None or ent[1] is None:
+                n_hit += 1  # stats-less file: the reader must keep it
+            elif ent[0] <= hi and ent[1] >= lo:
+                n_hit += 1
+        return n_hit, n_total
+
+    for col, lo, hi in (("o_custkey", ck_lo, ck_hi), ("o_date", d_lo, d_hi)):
+        hit1, tot1 = _overlap(1, col, lo, hi)
+        hit3, tot3 = _overlap(3, col, lo, hi)
+        assert tot1 >= 15 and hit1 >= tot1 - 1, (
+            f"scrambled layout should overlap ~all files on {col}: {hit1}/{tot1}"
+        )
+        assert hit3 <= tot3 // 2, (
+            f"clustered layout must halve {col}-window overlap: {hit3}/{tot3}"
+        )
+
+    head = read_table(spark, table_dir).withColumn(
+        "o_date_s", F.date_format("o_date", "yyyy-MM-dd")
+    )
+    cols = ["o_orderkey", "o_custkey", "o_date_s", "cents"]
+    return head.select(F.lit("clustered").alias("stage"), *cols).unionByName(
+        head.filter(F.col("o_custkey").between(ck_lo, ck_hi)).select(
+            F.lit("window").alias("stage"), *cols
+        )
+    )

@@ -998,7 +998,7 @@ class VersionedDataSource(DataSource):
 
 
 class VersionFeedStreamReader(DataSourceStreamReader):
-    def __init__(self, schema: StructType, table_dir: str):
+    def __init__(self, schema: StructType, table_dir: str, starting_version: int | None = None):
         # The declared schema must end with the _version provenance
         # column (the source's own schema() guarantees it); parquet
         # files carry everything before it. Guard explicitly so a
@@ -1012,6 +1012,7 @@ class VersionFeedStreamReader(DataSourceStreamReader):
             )
         self._cols = [f.name for f in schema.fields[:-1]]
         self._table_dir = table_dir
+        self._starting_version = starting_version
         # column mapping: the stream's declared schema is the LATEST
         # version's logical one; physical file columns are stable
         # across versions (rename/drop are metadata-only), so one
@@ -1044,10 +1045,24 @@ class VersionFeedStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:  # noqa: N802
         fs, p = _fs_and_path(self._table_dir)
         vs = _list_versions(fs, p)
-        self._dbg(f"initialOffset vs={vs}")
-        # start BEFORE the first retained version (vacuumed history is
-        # gone by operator decision, exactly like Delta's startingVersion
-        # floor).
+        # getattr: tolerate instances built without __init__ (tests,
+        # legacy pickles) — absent attribute means no startingVersion
+        sv = getattr(self, "_starting_version", None)
+        self._dbg(f"initialOffset vs={vs} starting={sv}")
+        # Default: start BEFORE the first retained version (vacuumed
+        # history is gone by operator decision). option("startingVersion",
+        # n) replays from version n inclusive instead — Delta's
+        # startingVersion contract, including its failure mode: asking
+        # for a vacuumed version fails loudly at first read rather than
+        # silently skipping ahead.
+        if sv is not None:
+            if vs and sv < vs[0]:
+                raise ValueError(
+                    f"startingVersion {sv} predates the earliest retained "
+                    f"version {vs[0]} in {self._table_dir} (vacuumed "
+                    "history cannot replay)"
+                )
+            return {"version": sv - 1}
         return {"version": (vs[0] - 1) if vs else 0}
 
     def latestOffset(self) -> dict:  # noqa: N802
@@ -1151,7 +1166,11 @@ class VersionFeedDataSource(DataSource):
         return StructType(list(base.fields) + [StructField("_version", LongType(), False)])
 
     def streamReader(self, schema: StructType) -> VersionFeedStreamReader:  # noqa: N802
-        return VersionFeedStreamReader(schema, self.options["path"])
+        sv = self.options.get("startingversion")  # option keys lowercase
+        return VersionFeedStreamReader(
+            schema, self.options["path"],
+            starting_version=int(sv) if sv is not None else None,
+        )
 
 
 

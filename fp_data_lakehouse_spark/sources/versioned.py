@@ -2203,12 +2203,16 @@ def change_feed(
     keys: list[str],
     backend=None,
     full_scan: bool = False,
+    preimages: bool = False,
 ) -> DataFrame:
     """Change-data-feed between two retained snapshots: one row per key
     whose payload changed, tagged ``_change_type`` in
-    {'insert','update_postimage','delete'} (the Delta CDF vocabulary,
-    minus preimages). Non-key columns carry the post-image for
-    inserts/updates and the pre-image for deletes.
+    {'insert','update_postimage','delete'} (the Delta CDF vocabulary).
+    Non-key columns carry the post-image for inserts/updates and the
+    pre-image for deletes. ``preimages=True`` completes the
+    vocabulary: every update emits an 'update_preimage' row (old
+    payload) alongside its postimage — same plan shape, one inline
+    explode, no extra join.
 
     Implemented as a single full-outer equi-join on the keys with a
     null-safe struct comparison over the payload — one shuffle, no
@@ -2266,14 +2270,104 @@ def change_feed(
     o = old.select(*keys, F.struct(*non_keys).alias("_old"))
     n = new.select(*keys, F.struct(*non_keys).alias("_new"))
     j = o.join(n, keys, "full_outer").filter(~F.col("_old").eqNullSafe(F.col("_new")))
-    img = F.coalesce("_new", "_old")
-    return j.select(
+    if not preimages:
+        img = F.coalesce("_new", "_old")
+        return j.select(
+            *keys,
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("_change_type"),
+            *[img.getField(c).alias(c) for c in non_keys],
+        )
+    # full Delta CDF vocabulary: updates emit a pre/post PAIR — one
+    # inline explode over a 1-or-2 element literal array, no extra
+    # join or shuffle versus the postimage-only form
+    pair = F.array(
+        F.struct(F.lit("update_preimage").alias("_ct"), F.col("_old").alias("_img")),
+        F.struct(F.lit("update_postimage").alias("_ct"), F.col("_new").alias("_img")),
+    )
+    single = F.array(
+        F.struct(
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_ct"),
+            F.coalesce("_new", "_old").alias("_img"),
+        )
+    )
+    both = F.when(
+        F.col("_old").isNotNull() & F.col("_new").isNotNull(), pair
+    ).otherwise(single)
+    return j.select(*keys, F.explode(both).alias("_e")).select(
         *keys,
-        F.when(F.col("_old").isNull(), F.lit("insert"))
-        .when(F.col("_new").isNull(), F.lit("delete"))
-        .otherwise(F.lit("update_postimage"))
-        .alias("_change_type"),
-        *[img.getField(c).alias(c) for c in non_keys],
+        F.col("_e._ct").alias("_change_type"),
+        *[F.col(f"_e._img.{c}").alias(c) for c in non_keys],
+    )
+
+
+_Z_BITS = 8  # per-dimension bucket resolution (256 range buckets)
+
+
+def _zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Append a ``__z`` Morton (bit-interleaved) clustering value over
+    ``cols`` — the ordering key behind OPTIMIZE ZORDER BY / liquid
+    clustering. Each column is range-bucketed to ``_Z_BITS`` bits
+    against a broadcast 1-row bounds aggregate (integer arithmetic —
+    the same grid formula operators/layout.py ly01 hash-certifies
+    against DuckDB), then bucket bits interleave round-robin so every
+    clustering column gets equal weight in the file order: sorting by
+    ``__z`` puts each output file on a narrow hyper-rectangle of the
+    clustering space, which is what makes the manifest's per-file
+    min/max stats prune on ANY clustered column, not just the first
+    sort key.
+
+    Column types: integral, date, or timestamp (dates/timestamps
+    bucket on their epoch scalar); NULLs bucket to 0 (lowest cell —
+    deterministic and sound, stats stay footer-derived). Anything
+    else raises — floats would need engine-exact bucket arithmetic
+    this integer path deliberately avoids."""
+    if not cols:
+        raise ValueError("cluster_by requires at least one column")
+    dtypes = dict(df.dtypes)
+    nums = []
+    for c in cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"cluster_by column {c!r} not in {sorted(dtypes)}")
+        if t == "date":
+            nums.append(F.datediff(F.col(c), F.lit("1970-01-01").cast("date")))
+        elif t.startswith("timestamp"):
+            nums.append(F.col(c).cast("timestamp").cast("long"))
+        elif t in ("tinyint", "smallint", "int", "bigint"):
+            nums.append(F.col(c).cast("long"))
+        else:
+            raise ValueError(
+                f"cluster_by column {c!r} has type {t}; integral/date/"
+                "timestamp only"
+            )
+    bounds = df.agg(
+        *[
+            agg(n).alias(f"__{side}_{i}")
+            for i, n in enumerate(nums)
+            for side, agg in (("lo", F.min), ("hi", F.max))
+        ]
+    )
+    withb = df.crossJoin(F.broadcast(bounds))
+    k = len(cols)
+    cells = 2**_Z_BITS
+    z = F.lit(0).cast("long")
+    for i, n in enumerate(nums):
+        lo, hi = F.col(f"__lo_{i}"), F.col(f"__hi_{i}")
+        bucket = F.coalesce(
+            F.floor((n - lo) * cells / (hi - lo + 1)).cast("int"), F.lit(0)
+        )
+        for b in range(_Z_BITS):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long"),
+                b * k + i,
+            )
+    return withb.withColumn("__z", z).drop(
+        *[f"__{side}_{i}" for i in range(k) for side in ("lo", "hi")]
     )
 
 
@@ -2283,6 +2377,7 @@ def compact_version(
     target_files: int,
     backend=None,
     manifest: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE (bin-packing compaction) as a new snapshot: rewrite the
     head version's data into ``target_files`` files — same rows, fewer
@@ -2291,20 +2386,39 @@ def compact_version(
     mid-compaction fails THIS compaction loudly instead of having its
     rows silently rewritten away (Delta's OPTIMIZE conflict rule).
 
-    ``coalesce`` (narrow, no shuffle) does the bin-packing; sort-based
-    clustering on top of compaction is the z-order layout operator
-    (operators/layout.py ly01) applied before the write. The old
+    ``coalesce`` (narrow, no shuffle) does the bin-packing. The old
     fragmented snapshot stays readable until vacuumed — compaction is
     a layout change, never a data change, which the vt08 certificate
-    checks by value."""
+    checks by value.
+
+    ``cluster_by`` turns the compaction into OPTIMIZE ... ZORDER BY
+    (Delta's clustered OPTIMIZE / liquid clustering): rows are ordered
+    by the Morton interleave of the named columns' range buckets
+    (``_zorder_value``) via ONE ``repartitionByRange`` shuffle +
+    within-partition sort, so each output file covers a narrow
+    hyper-rectangle of the clustering space and the manifest's
+    per-file min/max stats prune predicates on EVERY clustered column
+    (a linear sort prunes only its leading key). Same value identity,
+    same conflict semantics; the dv map is applied physically and
+    cleared exactly as in the plain path. vt19 certifies layout
+    quality (file-overlap bounds under single-column predicates,
+    scrambled vs clustered) and value identity through a dv."""
     backend = backend or _backend_for(table_dir, spark)
     base = latest_version(table_dir, backend)
     if base is None:
         raise FileNotFoundError(f"no committed version to compact in {table_dir}")
     prev = read_table(spark, table_dir, base, backend=backend)
+    if cluster_by:
+        out = (
+            _zorder_value(prev, list(cluster_by))
+            .repartitionByRange(max(1, target_files), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        out = prev.coalesce(max(1, target_files))
     return write_version(
-        prev.coalesce(max(1, target_files)), table_dir, backend,
-        base_version=base, manifest=manifest,
+        out, table_dir, backend, base_version=base, manifest=manifest,
     )
 
 

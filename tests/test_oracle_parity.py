@@ -70,9 +70,10 @@ def test_registry_contract():
     # round 10: +vt17 (metadata-only ADD COLUMN) -> 237 / 226;
     # +io15 (materializing interop export) -> 238 / 227;
     # +vt18 (manifest-diff file-granular change feed) -> 239 / 228;
-    # +st17 (version-feed replay across dv/compaction) -> 240 / 229
-    assert len(q) == 240, sorted(q)
-    assert len(o) == 229, sorted(o)
+    # +st17 (version-feed replay across dv/compaction) -> 240 / 229;
+    # +vt19 (clustered compaction, OPTIMIZE ZORDER BY) -> 241 / 230
+    assert len(q) == 241, sorted(q)
+    assert len(o) == 230, sorted(o)
 
 
 def test_driver_priority_window():

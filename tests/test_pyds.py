@@ -996,3 +996,44 @@ def test_pyds_added_column_backfill(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT _version, COUNT(*) n, COUNT(score) s FROM addcol_feed GROUP BY 1 ORDER BY 1").collect()
     assert [(r[0], r.n, r.s) for r in rows] == [(1, 20, 0), (2, 20, 0), (3, 21, 2)], rows
+
+
+def test_stream_feed_starting_version(spark, tmp_path):
+    """option('startingVersion', n) replays from version n inclusive
+    (Delta's startingVersion contract); asking for a version below the
+    earliest retained one fails loudly instead of silently skipping."""
+    from fp_data_lakehouse_spark.sources.pyds import (
+        VersionFeedDataSource,
+        register_python_sources,
+    )
+    from fp_data_lakehouse_spark.sources.versioned import write_version
+
+    register_python_sources(spark)
+    d = str(tmp_path / "svt")
+    for n in (2, 3, 4):
+        write_version(spark.range(n).selectExpr("id", "id AS v"), d, manifest=True)
+
+    feed = (
+        spark.readStream.format("fp_versioned_feed")
+        .option("path", d)
+        .option("startingVersion", 2)
+        .load()
+    )
+    import uuid as _uuid
+
+    name = f"svfeed_{_uuid.uuid4().hex[:6]}"
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r._version, r.id) for r in spark.table(name).collect()}
+    assert got == {(2, i) for i in range(3)} | {(3, i) for i in range(4)}
+
+    # below the earliest retained version: loud failure at first offset
+    ds = VersionFeedDataSource({"path": d, "startingversion": "0"})
+    reader = ds.streamReader(ds.schema())
+    with pytest.raises(ValueError, match="predates the earliest"):
+        reader.initialOffset()

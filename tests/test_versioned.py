@@ -1939,3 +1939,95 @@ def test_fsck_sweeps_crash_leftover_temp_files(spark, tdir):
     assert report2["tmp_removed"] == ["._latest_orphan"], report2["tmp_removed"]
     backend.delete_file(f"{td}/._claim_live456")
     assert read_table(spark, tdir).count() == 3
+
+
+def test_clustered_compaction_identity_and_layout(spark, tdir):
+    """compact_version(cluster_by=...) is a LAYOUT change only: same
+    rows (dv applied+cleared like the plain path), and the recorded
+    per-file stats become range-disjoint enough that a window on
+    EITHER clustered column overlaps at most half the files. NULLs in
+    a clustered column bucket to the lowest cell (never dropped);
+    non-integral cluster columns and unknown names are refused."""
+    from fp_data_lakehouse_spark.sources.versioned import (
+        _manifest_body,
+        compact_version,
+        delete_where_dv,
+    )
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST(pmod(id * 2654435761, 4096) AS BIGINT) AS x",  # scrambled
+        "CAST(pmod(id * 40503, 4096) AS BIGINT) AS y",
+        "CASE WHEN id % 97 = 0 THEN NULL ELSE id END AS maybe_null",
+    )
+    write_version(df.repartition(16), tdir, manifest=True)
+    assert delete_where_dv(spark, tdir, "id % 16 = 1") == 2
+    v3 = compact_version(spark, tdir, 16, manifest=True, cluster_by=["x", "y"])
+    assert v3 == 3
+    backend = _backend_for(tdir, spark)
+    body = _manifest_body(tdir, 3, backend)
+    assert not body.get("dv")
+
+    head = read_table(spark, tdir)
+    assert head.count() == n - n // 16
+    assert head.filter("id % 16 = 1").count() == 0  # dv applied
+    n_null_live = sum(1 for i in range(n) if i % 97 == 0 and i % 16 != 1)
+    assert head.filter("maybe_null IS NULL").count() == n_null_live  # nulls kept
+    # both clustered columns prune: a 1/8 window overlaps <= half the
+    # files. Stats come from local parquet footers only (scheme'd
+    # staging documents {} — a real object-store deployment collects
+    # them executor-side), so the layout check runs on the local leg.
+    stats = body.get("stats") or {}
+    if not stats:
+        assert "://" in tdir  # only scheme'd backends may skip stats
+        return
+    assert len(stats) >= 8
+    for col in ("x", "y"):
+        hit = sum(
+            1
+            for cols in stats.values()
+            if cols.get(col) and cols[col][0] <= 1535 and cols[col][1] >= 1024
+        )
+        assert hit <= len(stats) // 2, f"{col}: {hit}/{len(stats)}"
+
+    with pytest.raises(ValueError, match="not in"):
+        compact_version(spark, tdir, 4, manifest=True, cluster_by=["nope"])
+    with pytest.raises(ValueError, match="integral/date/"):
+        df2 = spark.range(4).selectExpr("id", "CAST(id AS DOUBLE) AS f")
+        write_version(df2, tdir + "_f", manifest=True)
+        compact_version(spark, tdir + "_f", 2, manifest=True, cluster_by=["f"])
+
+
+def test_change_feed_preimages(spark, tdir):
+    """preimages=True completes the Delta CDF vocabulary: every update
+    emits an update_preimage row (old payload) next to its postimage;
+    inserts/deletes stay single rows; dropping the preimage rows
+    reproduces the default form exactly."""
+    from fp_data_lakehouse_spark.sources.versioned import (
+        change_feed,
+        merge_into_version,
+    )
+
+    write_version(spark.range(4).selectExpr("id", "id * 10 AS v"), tdir)
+    # v2: update id=1 (v 10->99), insert id=10, drop id=3
+    upd = spark.createDataFrame([(0, 0), (1, 99), (2, 20), (10, 100)], "id long, v long")
+    merge_into_version(spark, tdir, upd, keys=["id"])
+    from fp_data_lakehouse_spark.sources.versioned import delete_from_version
+
+    from pyspark.sql import functions as F
+
+    delete_from_version(spark, tdir, F.col("id") == 3)
+
+    feed = change_feed(spark, tdir, 1, 3, ["id"], preimages=True)
+    got = {(r.id, r._change_type, r.v) for r in feed.collect()}
+    assert got == {
+        (1, "update_preimage", 10),
+        (1, "update_postimage", 99),
+        (10, "insert", 100),
+        (3, "delete", 30),
+    }, got
+    plain = change_feed(spark, tdir, 1, 3, ["id"])
+    assert {(r.id, r._change_type, r.v) for r in plain.collect()} == {
+        t for t in got if t[1] != "update_preimage"
+    }
