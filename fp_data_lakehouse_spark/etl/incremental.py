@@ -105,19 +105,23 @@ def incremental_load(
     docs: DataFrame,
     warehouse_dir: str,
     with_gold: bool = True,
+    scale_safe: bool | None = None,
 ) -> None:
     """Ingest one batch of transcript documents into the warehouse at
     ``warehouse_dir``, creating it on first call. Re-delivering any
     subset of already-loaded documents is a no-op. ``with_gold=False``
     skips the derived semester-fact recompute — for callers that only
     exercise the silver get-or-create contract (et06) and pipelines
-    that defer gold to a separate schedule."""
+    that defer gold to a separate schedule. ``scale_safe`` passes
+    through to :func:`build_star_schema`: a scheduled loader
+    re-ingesting a known-shape batch sets it explicitly and skips the
+    per-batch size-probe jobs."""
     from .star import build_dim_nilai, build_fact_nilai_mk
     from .extract import extract_courses, extract_students
 
     first_load = not os.path.exists(f"{warehouse_dir}/fact_nilai_mk.parquet")
     if first_load:
-        tables = build_star_schema(spark, docs)
+        tables = build_star_schema(spark, docs, scale_safe=scale_safe)
         # Independent sinks: submit the table writes concurrently so the
         # per-job driver round trips overlap (Spark's scheduler runs
         # concurrent jobs from separate threads; the shared extraction
@@ -141,7 +145,9 @@ def incremental_load(
         # batch-local shapes, ids discarded; extraction frames passed in
         # so the regex pass runs ONCE per batch (it previously ran twice:
         # here and again inside build_star_schema)
-        batch = build_star_schema(spark, docs, students=students, courses=courses)
+        batch = build_star_schema(
+            spark, docs, students=students, courses=courses, scale_safe=scale_safe
+        )
         # The four dim merges are independent single-job writes to
         # disjoint paths — run them concurrently (same rationale as the
         # first-load writes above); each still assigns ids

@@ -300,10 +300,11 @@ def build_star_schema(
     already extracted (the incremental loader) pass students/courses in
     so the regex pass over the text runs exactly once per batch.
 
-    ``scale_safe``: None (default) measures the batch once (the union
-    count below) and dispatches every dim build; an explicit True/False
-    skips that probe job for callers that already know their corpus
-    size (a scheduled loader re-ingesting a known-shape daily batch)."""
+    ``scale_safe``: None (default) measures the batch once (the two
+    sequential counts below) and dispatches every dim build; an
+    explicit True/False skips those probe jobs for callers that
+    already know their corpus size (the incremental loader passes it
+    through for scheduled re-ingests of a known-shape batch)."""
     from .extract import extract_courses, extract_students
 
     # Lazy checkpoints: four dims + the fact each trigger their own job

@@ -1062,7 +1062,7 @@ def io15_materialized_interop_export(spark: SparkSession, sf_dir: str) -> DataFr
     )
     paths = [ln for ln in backend.read_text(mpath).splitlines() if ln]
     assert paths and all(p.endswith(".parquet") for p in paths), paths[:3]
-    assert all("/data/" in p for p in paths), (
+    assert all("/data_" in p for p in paths), (
         "a dv'd/mapped version must export MATERIALIZED files"
     )
     # the clean v1 exports zero-copy even under apply=True
@@ -1070,7 +1070,7 @@ def io15_materialized_interop_export(spark: SparkSession, sf_dir: str) -> DataFr
         table_dir, 1, backend=backend, apply=True, spark=spark
     )
     paths1 = [ln for ln in backend.read_text(m1).splitlines() if ln]
-    assert paths1 and all("/data/" not in p for p in paths1), (
+    assert paths1 and all("/data_" not in p for p in paths1), (
         "a clean version must export pointers, not a rewrite"
     )
 

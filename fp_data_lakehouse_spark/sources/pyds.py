@@ -779,10 +779,16 @@ class _FilePartition(InputPartition):
         file_path: str,
         version: int | None = None,
         dv_path: str | None = None,
+        read_cols: list[str] | None = None,
+        added: dict | None = None,
     ):
         self.file_path = file_path
         self.version = version
         self.dv_path = dv_path
+        # per-version column translation (feed replay under column
+        # mapping): None = use the reader instance's defaults
+        self.read_cols = read_cols
+        self.added = added
 
 
 class VersionedReader(DataSourceReader):
@@ -1014,12 +1020,19 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         self._table_dir = table_dir
         self._starting_version = starting_version
         # column mapping: the stream's declared schema is the LATEST
-        # version's logical one; physical file columns are stable
-        # across versions (rename/drop are metadata-only), so one
-        # logical->physical translation serves every replayed version
+        # head's logical one, but each replayed version reads under a
+        # PER-VERSION logical->physical translation (partitions()
+        # resolves each version's own manifest mapping by stable field
+        # id) — a single latest-mapping translation breaks as soon as
+        # a full rewrite (compaction) resets the mapping over mapped
+        # history. The instance-level translation below is the
+        # fallback for versions WITHOUT their own mapping: pre-mapping
+        # files carry the latest mapping's physical names; mapping-
+        # reset rewrites carry the logical names — both resolve here.
         fs, p = _fs_and_path(table_dir)
         vs = _list_versions(fs, p)
         mapping = (_manifest_columns(fs, p, vs[-1]) if vs else None) or []
+        self._latest_mapping = mapping
         self._read_cols = [
             {c["name"]: c["physical"] for c in mapping}.get(n, n) for n in self._cols
         ] if mapping else self._cols
@@ -1028,6 +1041,139 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         self._added_arrow = {
             c["physical"]: _ddl_to_arrow(c["type"]) for c in mapping if "type" in c
         }
+        # arrow type per stream column, for per-version null backfill
+        # (tolerant: a column whose type arrow can't carry simply has
+        # no backfill entry and fails loudly only if a replay NEEDS it)
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        self._field_arrow = {}
+        for f in schema.fields[:-1]:
+            try:
+                self._field_arrow[f.name] = to_arrow_type(f.dataType)
+            except Exception:
+                pass
+
+    def _eras(self, fs, p):
+        """Contiguous runs of mapped versions ("mapping eras"), newest
+        first, each as (first_v, last_v, last_mapping). Eras are
+        separated by mapping-resetting full rewrites (compaction,
+        merge_schema rewrites), which publish UNMAPPED manifests; a
+        later rename/add then starts a fresh era with fresh field ids,
+        so ids are only meaningful WITHIN an era. Cached per retained-
+        version set (one manifest GET per version when history
+        changes)."""
+        vs = tuple(_list_versions(fs, p))
+        cache = getattr(self, "_era_cache", None)
+        if cache is not None and cache[0] == vs:
+            return cache[1]
+        runs = []
+        cur = None
+        for w in vs:
+            m = _manifest_columns(fs, p, w)
+            if m:
+                if cur is None:
+                    cur = [w, w, m]
+                else:
+                    cur[1], cur[2] = w, m
+            elif cur is not None:
+                runs.append(tuple(cur))
+                cur = None
+        if cur is not None:
+            runs.append(tuple(cur))
+        eras = tuple(runs[::-1])
+        self._era_cache = (vs, eras)
+        return eras
+
+    def _translation(self, fs, p, v: int):
+        """(read_cols, added_arrow) for replaying version ``v``: which
+        column name to request from its files per stream column, and
+        arrow null-backfill types for names the files may lack.
+
+        The stream schema is the HEAD's logical one; files of older
+        versions carry older physical names. Translation COMPOSES
+        through the mapping eras between head and v: crossing an era
+        boundary translates by NAME through that era's final mapping
+        (a mapping-resetting rewrite materializes exactly those
+        logical names physically), and inside v's own era the final
+        mapping aligns with v's mapping by STABLE FIELD ID (rename/
+        add/drop chains within the era). A column with no image in
+        some older era was added after v — it reads as typed NULL
+        (requested under a synthetic absent name, so the stale bytes
+        of a same-named DROPPED column in old files can never
+        resurface). This is strictly stronger than a single
+        latest-mapping translation, which breaks the moment a rewrite
+        resets the mapping over mapped history (round-10 review) and
+        could mis-join field ids across eras."""
+        cols = self._cols
+        field_arrow = getattr(self, "_field_arrow", {})
+        eras = self._eras(fs, p)
+        if not eras:
+            # no mapping anywhere in retained history: physical ==
+            # logical for every version
+            return (getattr(self, "_read_cols", cols), None)
+        # requested[i]: the name v's era (or the pre-era epoch) knows
+        # column i by; None = the column does not exist that far back
+        requested: list[str | None] = list(cols)
+        era_of_v = None
+        for first, last, mlast in eras:
+            if last <= v and not (first <= v <= last):
+                break  # eras older than v never affect v's files
+            if first <= v <= last:
+                era_of_v = (first, last, mlast)
+                break
+            # era strictly AFTER v: cross its boundary by name. An
+            # entry carrying a declared "type" was ADDED during this
+            # era (only add_column records one), so the column does
+            # not exist in anything older — it goes to None (typed
+            # NULL) from here down.
+            by_name = {c["name"]: c for c in mlast}
+            requested = [
+                (
+                    by_name[n]["physical"]
+                    if n is not None and n in by_name and "type" not in by_name[n]
+                    else None
+                )
+                for n in requested
+            ]
+        read_cols, added = [], {}
+        if era_of_v is not None:
+            _, _, mlast = era_of_v
+            mv = _manifest_columns(fs, p, v) or mlast
+            by_id = {c["id"]: c for c in mv}
+            last_by_name = {c["name"]: c for c in mlast}
+            for i, n in enumerate(requested):
+                ent = by_id.get(last_by_name[n]["id"]) if n in last_by_name else None
+                if n is not None and ent is not None:
+                    read_cols.append(ent["physical"])
+                    if "type" in ent:
+                        # added within the era: files carried by
+                        # reference from BEFORE the add lack the
+                        # physical column — register its backfill
+                        added[ent["physical"]] = _ddl_to_arrow(ent["type"])
+                    continue
+                self._append_absent(read_cols, added, cols[i], field_arrow, v)
+        else:
+            # v predates every era (or postdates the last reset with
+            # no era after it): its files carry ``requested`` verbatim
+            for i, n in enumerate(requested):
+                if n is not None:
+                    read_cols.append(n)
+                    continue
+                self._append_absent(read_cols, added, cols[i], field_arrow, v)
+        return read_cols, added
+
+    @staticmethod
+    def _append_absent(read_cols, added, logical_name, field_arrow, v):
+        """Request a column that does not exist in version ``v`` under
+        a SYNTHETIC name and register its typed-NULL backfill."""
+        if logical_name not in field_arrow:
+            raise ValueError(
+                f"cannot null-backfill column {logical_name!r} for "
+                f"version {v} (no arrow type for its declared schema)"
+            )
+        phys = f"__fp_absent_{logical_name}"
+        read_cols.append(phys)
+        added[phys] = field_arrow[logical_name]
 
     def _dbg(self, msg: str) -> None:
         # The stream reader runs in a separate Python runner process
@@ -1084,9 +1230,11 @@ class VersionFeedStreamReader(DataSourceStreamReader):
                 rel.rsplit("/", 1)[-1]: f"{prefix}{p}/{dv_rel}"
                 for rel, dv_rel in _manifest_dv(fs, p, v).items()
             }
+            read_cols_v, added_v = self._translation(fs, p, v)
             out.extend(
                 _FilePartition(
-                    f, v, dv_path=dv_by_name.get(f.rsplit("/", 1)[-1])
+                    f, v, dv_path=dv_by_name.get(f.rsplit("/", 1)[-1]),
+                    read_cols=read_cols_v, added=added_v,
                 )
                 for f in _version_files(fs, p, v, prefix)
             )
@@ -1098,9 +1246,16 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         import pyarrow as pa
 
         self._dbg(f"read v={partition.version} f={partition.file_path.rsplit('/',2)[-2:]}")
-        # getattr: tolerate instances built without __init__ (tests,
-        # legacy pickles) — absent mapping means physical == logical
-        read_cols = getattr(self, "_read_cols", self._cols)
+        # per-version translation rides the partition (set by
+        # partitions()); getattr tolerates instances/partitions built
+        # without __init__ (tests, legacy pickles) — absent mapping
+        # means physical == logical
+        read_cols = getattr(partition, "read_cols", None)
+        if read_cols is None:
+            read_cols = getattr(self, "_read_cols", self._cols)
+            added = getattr(self, "_added_arrow", None)
+        else:
+            added = getattr(partition, "added", None)
         dv_path = getattr(partition, "dv_path", None)
         dead = None
         if dv_path is not None:
@@ -1120,7 +1275,7 @@ class VersionFeedStreamReader(DataSourceStreamReader):
             )
         offset = 0
         for raw in _read_parquet_batches(
-            partition.file_path, read_cols, [], getattr(self, "_added_arrow", None)
+            partition.file_path, read_cols, [], added
         ):
             n = raw.num_rows
             if dead is not None and dead.size:
@@ -1135,7 +1290,7 @@ class VersionFeedStreamReader(DataSourceStreamReader):
             offset += n
             batch = (
                 raw
-                if read_cols is self._cols
+                if read_cols == self._cols
                 else pa.RecordBatch.from_arrays(list(raw.columns), names=self._cols)
             )
             yield batch.append_column(

@@ -779,11 +779,14 @@ def _to_logical(df: DataFrame, columns: list[dict] | None) -> DataFrame:
     for c in columns:
         if c["physical"] in have:
             out.append(F.col(c["physical"]).alias(c["name"]))
-        else:
+        elif "type" in c:
             # only entries that DECLARE a type may be absent from the
-            # files (add_column records it); anything else misresolving
-            # should fail loudly, so fall through to F.col for those
+            # files (add_column records it): NULL-backfill those
             out.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+        else:
+            # anything else misresolving must fail LOUDLY with the
+            # column name (AnalysisException), not a bare KeyError
+            out.append(F.col(c["physical"]).alias(c["name"]))
     return df.select(*out)
 
 
@@ -1732,8 +1735,17 @@ def export_symlink_manifest(
             if spark is None:
                 raise ValueError("apply=True requires the spark session")
             out_dir = f"{td}/{_SYMLINK_DIR}/v{v:05d}"
-            data_dir = f"{out_dir}/data"
-            backend.rmtree(data_dir)  # idempotent re-export
+            # a RUN-UNIQUE data prefix, manifest swapped LAST: deleting
+            # the previous copy before writing the new one would leave
+            # a window where the still-published manifest lists files
+            # that no longer exist — an external engine mid-read (the
+            # feature's whole audience) would fail on them. New
+            # readers follow the swapped manifest immediately; the
+            # superseded copy is removed only after the swap (readers
+            # that already fetched the OLD manifest text share
+            # vacuum's standard read-under-GC caveat).
+            run = uuid.uuid4().hex[:12]
+            data_dir = f"{out_dir}/data_{run}"
             df = read_table(spark, table_dir, version=v, backend=backend)
             df.write.mode("overwrite").parquet(data_dir)
             paths = sorted(
@@ -1744,6 +1756,9 @@ def export_symlink_manifest(
             backend.write_text_atomic(
                 f"{out_dir}/manifest", "\n".join(paths) + "\n"
             )
+            for stale in backend.list_names(out_dir):
+                if stale.startswith("data") and stale != f"data_{run}":
+                    backend.rmtree(f"{out_dir}/{stale}")
             return f"{out_dir}/manifest"
         if body.get("columns"):
             raise ValueError(
@@ -1848,9 +1863,18 @@ def delete_where_dv(
     new_hits = probe.filter(condition).select("__dv_file", "__dv_pos")
     prev_counts: dict[str, int] = {}
     if old_dv:
-        prev = spark.read.parquet(
-            *sorted({f"{td}/{rel}" for rel in old_dv.values()})
-        ).select(F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos"))
+        # a shared dv OBJECT may still carry pairs for files that a
+        # later CoW rewrite dropped from the table; re-carrying those
+        # phantom pairs would grow every successive dv object
+        # monotonically and inflate dv_rows (mis-gating the reader's
+        # broadcast hint) — keep only pairs of files the head manifest
+        # actually points at this object
+        live_names = sorted(rel.rsplit("/", 1)[-1] for rel in old_dv)
+        prev = (
+            spark.read.parquet(*sorted({f"{td}/{rel}" for rel in old_dv.values()}))
+            .select(F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos"))
+            .filter(F.col("__dv_file").isin(live_names))
+        )
         prev_counts = {
             r["__dv_file"]: r["n"]
             for r in prev.groupBy("__dv_file")
@@ -2177,6 +2201,23 @@ def add_column(
     from pyspark.sql.types import _parse_datatype_string
 
     _parse_datatype_string(dtype)  # fail fast on an invalid DDL type
+    # cross-reader parity gate: the Python DataSource plans schemas in
+    # JVM-free worker processes through its own DDL parser — admitting
+    # a type only the JVM reader understands (struct/map/char) would
+    # brick EVERY pyds read and feed of the table at construction
+    # time, not just this column. Reject at ADD time instead.
+    from .pyds import _ddl_to_arrow
+
+    try:
+        _ddl_to_arrow(dtype)
+    except Exception as exc:
+        raise ValueError(
+            f"ADD COLUMN type {dtype!r} is not representable by the "
+            "Python DataSource reader (JVM-free DDL parser) — adding "
+            "it would make the whole table unreadable through "
+            "format('fp_versioned'); use a primitive/decimal/array "
+            "type or rewrite the table with the new schema instead"
+        ) from exc
 
     def mutate(cols):
         names = {c["name"] for c in cols}
@@ -2220,13 +2261,20 @@ def change_feed(
     ordinary co-partitioned join (and shuffle-free entirely if the
     snapshots are bucketed on the keys).
 
+    PRECONDITION: ``keys`` must be unique within each snapshot — the
+    contract every MERGE path enforces on its inputs, but one a plain
+    ``write_version`` of a non-unique frame can violate. CDF over
+    duplicate keys is ill-defined in BOTH modes (the full-outer join
+    pairs every old/new duplicate combinatorially), and the pruned
+    mode additionally misses duplicates split across changed and
+    carried files — do not point this at non-keyed tables.
+
     FILE-GRANULAR pruning (r9 verdict item 7): when both versions are
     manifest-published, the manifests are diffed FIRST and only files
     that actually changed between the two versions are scanned — files
     carried by reference with an unchanged dv entry hold bit-identical
-    rows in both snapshots, and under the table's key-uniqueness
-    invariant (the MERGE/write precondition every publish path
-    enforces) such a row's key cannot appear on either changed side,
+    rows in both snapshots, and under the key-uniqueness precondition
+    above such a row's key cannot appear on either changed side,
     so it can never reach the feed. Between adjacent CoW/DV commits
     that touch k of N files this reads O(k) files instead of O(2N) —
     at 100 TB the difference between a CDF poll and a table scan.
@@ -2250,9 +2298,14 @@ def change_feed(
             cols = body.get("columns")
             if not rels:
                 # no changed files on this side: an EMPTY frame with
-                # the side's logical schema (filter-false prunes to a
-                # LocalRelation — no scan)
-                full = _read_physical(spark, td, sorted(rels_all), cols)
+                # the side's logical schema. ONE sample file suffices
+                # for the schema (the mapping NULL-backfills added
+                # columns a single file may lack) — planning over all
+                # N files would re-introduce the O(N) footer-listing
+                # this pruning exists to avoid; filter-false then
+                # prunes the scan itself to nothing at runtime.
+                sample = sorted(rels_all)[:1] or sorted(fo | fn)[:1]
+                full = _read_physical(spark, td, sample, cols)
                 return _to_logical(full, cols).filter(F.lit(False))
             live = _live_tagged(spark, td, rels, dv_map, dv_rows, cols).drop(
                 "__file", "__pos"
@@ -2312,9 +2365,11 @@ def _zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
     """Append a ``__z`` Morton (bit-interleaved) clustering value over
     ``cols`` — the ordering key behind OPTIMIZE ZORDER BY / liquid
     clustering. Each column is range-bucketed to ``_Z_BITS`` bits
-    against a broadcast 1-row bounds aggregate (integer arithmetic —
-    the same grid formula operators/layout.py ly01 hash-certifies
-    against DuckDB), then bucket bits interleave round-robin so every
+    against a broadcast 1-row bounds aggregate (the grid formula
+    operators/layout.py ly01 hash-certifies against DuckDB, computed
+    here in clamped double precision so bigint spans past 2^55 cannot
+    overflow — doubles only blur bucket edges, and layout is an
+    optimization), then bucket bits interleave round-robin so every
     clustering column gets equal weight in the file order: sorting by
     ``__z`` puts each output file on a narrow hyper-rectangle of the
     clustering space, which is what makes the manifest's per-file
@@ -2328,6 +2383,10 @@ def _zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
     this integer path deliberately avoids."""
     if not cols:
         raise ValueError("cluster_by requires at least one column")
+    if len(cols) > 7:
+        # 8 bits x 8 columns would need the sign bit of the long z;
+        # past ~4 columns the curve's locality is weak anyway
+        raise ValueError(f"cluster_by supports at most 7 columns, got {len(cols)}")
     dtypes = dict(df.dtypes)
     nums = []
     for c in cols:
@@ -2358,8 +2417,22 @@ def _zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
     z = F.lit(0).cast("long")
     for i, n in enumerate(nums):
         lo, hi = F.col(f"__lo_{i}"), F.col(f"__hi_{i}")
+        # double-precision bucket fraction, clamped: long arithmetic
+        # ((n-lo)*256) overflows for bigint spans past 2^55 (hash-
+        # spread keys — exactly the scrambled case clustering fixes)
+        # and would wrap into garbage z-values with no error. Doubles
+        # only blur bucket EDGES for spans past 2^53; layout is an
+        # optimization, so approximate boundaries are always sound.
+        frac = (
+            (n.cast("double") - lo.cast("double"))
+            * float(cells)
+            / (hi.cast("double") - lo.cast("double") + 1.0)
+        )
         bucket = F.coalesce(
-            F.floor((n - lo) * cells / (hi - lo + 1)).cast("int"), F.lit(0)
+            F.greatest(
+                F.lit(0), F.least(F.lit(cells - 1), F.floor(frac).cast("int"))
+            ),
+            F.lit(0),
         )
         for b in range(_Z_BITS):
             z = z + F.shiftleft(

@@ -1037,3 +1037,79 @@ def test_stream_feed_starting_version(spark, tmp_path):
     reader = ds.streamReader(ds.schema())
     with pytest.raises(ValueError, match="predates the earliest"):
         reader.initialOffset()
+
+
+def test_stream_feed_replays_across_mapping_reset(spark, tmp_path):
+    """A full rewrite (compaction) RESETS the column mapping; the feed
+    must still replay pre-reset versions — per-version translation by
+    stable field id (head mapped) or by name (head unmapped), instead
+    of one latest-mapping translation that breaks the moment the head
+    loses its mapping (round-10 review finding)."""
+    from fp_data_lakehouse_spark.sources.pyds import register_python_sources
+    from fp_data_lakehouse_spark.sources.versioned import (
+        add_column,
+        compact_version,
+        merge_into_version_cow,
+        write_version,
+    )
+
+    register_python_sources(spark)
+    d = str(tmp_path / "reset")
+    write_version(spark.range(3).selectExpr("id", "id * 10 AS v"), d, manifest=True)
+    assert add_column(spark, d, "score", "bigint") == 2
+    upd = spark.createDataFrame([(1, 10, 77)], "id long, v long, score long")
+    assert merge_into_version_cow(spark, d, upd, keys=["id"]) == 3
+    assert compact_version(spark, d, 1, manifest=True) == 4  # mapping reset
+
+    feed = spark.readStream.format("fp_versioned_feed").option("path", d).load()
+    import uuid as _uuid
+
+    name = f"reset_{_uuid.uuid4().hex[:6]}"
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r._version, r.id, r.v, r.score) for r in spark.table(name).collect()}
+    v1 = {(1, i, i * 10, None) for i in range(3)}
+    v2 = {(2, i, i * 10, None) for i in range(3)}  # post-add, all-NULL backfill
+    v3 = {(3, i, i * 10, 77 if i == 1 else None) for i in range(3)}
+    v4 = {(4, i, i * 10, 77 if i == 1 else None) for i in range(3)}
+    assert got == v1 | v2 | v3 | v4, sorted(got)
+
+
+def test_stream_feed_rename_across_mapping_reset(spark, tmp_path):
+    """Rename + mapping-resetting rewrite: the feed composes the
+    translation THROUGH the dead era (by name at the boundary, by
+    field id inside), so even pre-era versions replay with correct
+    values under the head's names — no silent NULLs, no refusal."""
+    from fp_data_lakehouse_spark.sources.pyds import register_python_sources
+    from fp_data_lakehouse_spark.sources.versioned import (
+        compact_version,
+        rename_column,
+        write_version,
+    )
+
+    register_python_sources(spark)
+    d = str(tmp_path / "renreset")
+    write_version(spark.range(3).selectExpr("id", "id * 10 AS v"), d, manifest=True)
+    assert rename_column(spark, d, "v", "w") == 2
+    assert compact_version(spark, d, 1, manifest=True) == 3
+
+    feed = spark.readStream.format("fp_versioned_feed").option("path", d).load()
+    assert feed.schema.names == ["id", "w", "_version"]
+    import uuid as _uuid
+
+    name = f"ren_{_uuid.uuid4().hex[:6]}"
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r._version, r.id, r.w) for r in spark.table(name).collect()}
+    per_version = {(ver, i, i * 10) for ver in (1, 2, 3) for i in range(3)}
+    assert got == per_version, sorted(got)

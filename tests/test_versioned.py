@@ -2031,3 +2031,102 @@ def test_change_feed_preimages(spark, tdir):
     assert {(r.id, r._change_type, r.v) for r in plain.collect()} == {
         t for t in got if t[1] != "update_preimage"
     }
+
+
+def test_dv_drops_pairs_of_rewritten_files(spark, tdir):
+    """A shared dv OBJECT may still carry pairs for files a later CoW
+    rewrite dropped; the next dv delete must NOT re-carry those phantom
+    pairs (they would grow every successive dv object monotonically and
+    inflate the manifest's dv_rows, mis-gating the reader's broadcast
+    hint) — round-10 review finding."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import (
+        _manifest_body,
+        delete_where_dv,
+        merge_into_version_cow,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    write_version(df.repartitionByRange(8, "id"), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+    # v2: dv across ALL files
+    assert delete_where_dv(spark, tdir, F.col("id") % 10 == 3) == 2
+    n2 = _manifest_body(tdir, 2, backend)["dv_rows"]
+    assert n2 == 100
+    # v3: CoW merge rewrites the bottom files (their dv pairs become
+    # phantoms in the shared object; the rewrite applied them)
+    upd = spark.range(250).selectExpr("id", "id * 3 AS v").filter("id % 10 <> 3")
+    assert merge_into_version_cow(spark, tdir, upd, keys=["id"]) == 3
+    body3 = _manifest_body(tdir, 3, backend)
+    rewritten = set(_manifest_body(tdir, 2, backend)["files"]) - set(body3["files"])
+    assert rewritten, "merge must rewrite at least one file"
+    # v4: another dv delete — the new object must cover ONLY live files
+    assert delete_where_dv(spark, tdir, F.col("id") % 10 == 7) == 4
+    body4 = _manifest_body(tdir, 4, backend)
+    dv_rel = next(iter(set(body4["dv"].values())))
+    pairs = spark.read.parquet(f"{tdir.rstrip('/')}/{dv_rel}")
+    live_names = {rel.rsplit("/", 1)[-1] for rel in body4["files"]}
+    phantom = pairs.filter(~F.col("file").isin(list(live_names))).count()
+    assert phantom == 0, f"{phantom} phantom pairs re-carried"
+    assert body4["dv_rows"] == pairs.count()
+    # value identity: survivors = not-%3-deleted (minus rewritten rows'
+    # own history) and not-%7-deleted
+    head = read_table(spark, tdir)
+    assert head.filter("id % 10 = 7").count() == 0
+    assert head.filter("id % 10 = 3").count() == 0
+
+
+def test_clustered_compaction_wide_bigint_range(spark, tdir):
+    """Bucket arithmetic must not overflow on hash-spread bigint keys
+    (span ~2^63): clustering still yields range-disjoint files — a
+    1/8-wide window overlaps at most half of them (long math would
+    wrap negative and scatter z-values) — round-10 review finding."""
+    from fp_data_lakehouse_spark.sources.versioned import (
+        _manifest_body,
+        compact_version,
+    )
+
+    # ids spread over nearly the full signed-64 range, scrambled layout
+    df = spark.range(4096).selectExpr(
+        "id",
+        "CAST(hash(id) AS BIGINT) * CAST(2147483647 AS BIGINT) AS x",
+    )
+    write_version(df.repartition(8), tdir, manifest=True)
+    v2 = compact_version(spark, tdir, 8, manifest=True, cluster_by=["x"])
+    assert v2 == 2
+    backend = _backend_for(tdir, spark)
+    stats = _manifest_body(tdir, 2, backend).get("stats") or {}
+    if not stats:
+        assert "://" in tdir
+        return
+    ents = [c["x"] for c in stats.values() if c.get("x")]
+    assert len(ents) >= 4
+    span = max(e[1] for e in ents) - min(e[0] for e in ents)
+    lo = min(e[0] for e in ents) + span // 4
+    hi = lo + span // 8
+    n_hit = sum(1 for e in ents if e[0] <= hi and e[1] >= lo)
+    assert n_hit <= len(ents) // 2, f"wide-range clustering lost locality: {n_hit}/{len(ents)}"
+    assert read_table(spark, tdir).count() == 4096
+
+
+def test_add_column_rejects_pyds_unrepresentable_type(spark, tdir):
+    """ADD COLUMN of a type only the JVM reader can parse would brick
+    every Python-DataSource read of the table at schema-construction
+    time; it must be refused at ADD time instead — round-10 review
+    finding."""
+    from fp_data_lakehouse_spark.sources.versioned import add_column
+
+    write_version(spark.range(3).selectExpr("id", "id AS v"), tdir, manifest=True)
+    with pytest.raises(ValueError, match="not representable"):
+        add_column(spark, tdir, "m", "map<string,int>")
+    # the table is untouched and still pyds-readable
+    from fp_data_lakehouse_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    got = (
+        spark.read.format("fp_versioned").option("path", tdir).load().count()
+    )
+    assert got == 3
+    # a representable type still works
+    assert add_column(spark, tdir, "arr", "array<double>") == 2
