@@ -1139,6 +1139,7 @@ def _publish(
     columns: list[dict] | None = None,
     dv: dict | None = None,
     dv_rows: int | None = None,
+    clustered: dict | None = None,
 ) -> None:
     """The commit choreography every publish path shares (so a fix to
     one cannot silently miss the others): verify claim ownership BEFORE
@@ -1177,6 +1178,14 @@ def _publish(
                 # size gate consults (None on pre-dv_rows manifests =>
                 # the reader never hints)
                 payload["dv_rows"] = dv_rows
+        if clustered:
+            # {"cols": [...], "files": [rels]}: which files are known
+            # to be z-clustered under cols — cluster_version's
+            # incremental bookkeeping. Dropping the field anywhere is
+            # always SAFE (the next clustering pass just re-clusters
+            # more files); carrying it wrong would only waste a
+            # rewrite, never corrupt data.
+            payload["clustered"] = clustered
         body = json.dumps(payload)
         # the commit's ONLY data-plane metadata op: one conditional PUT,
         # whatever the snapshot's object count
@@ -1193,6 +1202,17 @@ def _publish(
     _swap_pointer(backend, td, v, v - 1)
     if manifest_files is not None and staging:
         backend.delete_file(f"{staging}/_lease")
+
+
+def _carried_clustered(body: dict, carried_rels: list[str]) -> dict | None:
+    """The head's ``clustered`` bookkeeping restricted to files that
+    carry by reference into the new commit (rewritten/removed files
+    lose the mark; new files earn it only from cluster_version)."""
+    c = body.get("clustered")
+    if not c:
+        return None
+    files = sorted(set(c.get("files", ())) & set(carried_rels))
+    return {"cols": c["cols"], "files": files} if files else None
 
 
 def _carried_stats(old_stats: dict, carried_rels: list[str]) -> dict:
@@ -1212,6 +1232,7 @@ def write_version(
     backend=None,
     base_version: int | None = None,
     manifest: bool = False,
+    clustered_cols: list[str] | None = None,
 ) -> int:
     """Publish a new immutable snapshot; returns its version number.
     The pointer swap is the commit point — a crash before it leaves the
@@ -1279,13 +1300,18 @@ def write_version(
     try:
         with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
             if manifest:
+                mfiles = [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in files]
                 _publish(
                     backend, td, v, writer_id,
-                    manifest_files=[
-                        f"{_DATA_PREFIX}/{writer_id}/{n}" for n in files
-                    ],
+                    manifest_files=mfiles,
                     stats=stats,
                     staging=staging,
+                    # clustered_cols: the CALLER z-ordered df on these
+                    # columns (compact_version/cluster_version) — mark
+                    # every staged file for incremental clustering
+                    clustered={"cols": list(clustered_cols), "files": mfiles}
+                    if clustered_cols
+                    else None,
                 )
             else:
                 _publish(backend, td, v, writer_id, staging=staging)
@@ -1556,6 +1582,7 @@ def delete_where_cow(
                 # the head's total is a sound UPPER bound for the
                 # carried subset — never under-gates the broadcast
                 dv_rows=head_dv_rows if carried_dv else None,
+                clustered=_carried_clustered(head_body, carried),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1670,6 +1697,7 @@ def merge_into_version_cow(
                 columns=mapping,
                 dv=carried_dv or None,
                 dv_rows=head_dv_rows if carried_dv else None,
+                clustered=_carried_clustered(head_body, carried),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1941,6 +1969,8 @@ def delete_where_dv(
                 # exact total of (file, pos) pairs in the new dv
                 # object, counted above — the reader's broadcast gate
                 dv_rows=sum(per_file.values()),
+                # a dv only masks rows; the files' z-layout is intact
+                clustered=body.get("clustered"),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -1987,6 +2017,7 @@ def restore_version(spark: SparkSession, table_dir: str, to_version: int, backen
                 columns=body.get("columns"),
                 dv=body.get("dv"),
                 dv_rows=body.get("dv_rows"),
+                clustered=body.get("clustered"),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -2120,6 +2151,7 @@ def _mapping_commit(spark, table_dir, backend, mutate) -> int:
                 # metadata-only schema commit
                 dv=body.get("dv"),
                 dv_rows=body.get("dv_rows"),
+                clustered=body.get("clustered"),
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")
@@ -2492,7 +2524,106 @@ def compact_version(
         out = prev.coalesce(max(1, target_files))
     return write_version(
         out, table_dir, backend, base_version=base, manifest=manifest,
+        clustered_cols=list(cluster_by) if cluster_by else None,
     )
+
+
+def cluster_version(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int,
+    cluster_by: list[str],
+    backend=None,
+) -> int:
+    """INCREMENTAL clustering (Delta liquid-clustering / incremental
+    OPTIMIZE shape): rewrite ONLY the files not already z-clustered
+    under ``cluster_by`` — new ingest since the last pass — and carry
+    every already-clustered file by reference. Nightly maintenance on
+    a 100 TB table touches the day's files, not the lake: the cost is
+    proportional to NEW data, which is what makes clustering
+    sustainable at scale (a full ``compact_version(cluster_by=...)``
+    re-cluster is the once-ever bootstrap, this is the steady state).
+
+    Bookkeeping rides the manifest's ``clustered`` field
+    ({"cols", "files"}): cluster_version and clustered compaction set
+    it; CoW MERGE/DELETE carry it for untouched files (rewritten files
+    lose the mark and get re-clustered next pass); dv deletes and
+    metadata commits carry it verbatim (a dv only masks rows — the
+    z-layout is intact); plain rewrites drop it. Dropping the mark is
+    always SAFE — the next pass just re-clusters more files.
+
+    Tradeoff vs a full re-cluster: each pass buckets against its OWN
+    batch's value bounds, so different passes use different grids and
+    global z-order is only approximate — exactly liquid clustering's
+    contract. File-skipping is unaffected (per-file min/max stats are
+    real values, not buckets); only clustering QUALITY converges
+    incrementally. ``target_files`` sizes this pass's rewrite, not the
+    table. Deletion vectors on rewritten files are applied physically
+    (and their entries dropped); carried files keep theirs. Returns
+    the new version, or the head when nothing is pending."""
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    base = latest_version(table_dir, backend)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if base not in _manifest_versions(table_dir, backend):
+        raise ValueError("cluster_version requires a manifest-published head")
+    body = _manifest_body(table_dir, base, backend)
+    mapping = body.get("columns")
+    dv_map = body.get("dv") or {}
+    cmeta = body.get("clustered")
+    done = (
+        set(cmeta.get("files", ()))
+        if cmeta and list(cmeta.get("cols", ())) == list(cluster_by)
+        else set()
+    )
+    pending = [rel for rel in body["files"] if rel not in done]
+    if not pending:
+        return base
+    live = _live_tagged(
+        spark, td, pending, dv_map, body.get("dv_rows"), mapping
+    ).drop("__file", "__pos")
+    rows = _to_logical(live, mapping)
+    out = (
+        _zorder_value(rows, list(cluster_by))
+        .repartitionByRange(max(1, target_files), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    carried = [rel for rel in body["files"] if rel in done]
+    carried_dv = {rel: dv_map[rel] for rel in carried if rel in dv_map}
+    writer_id = uuid.uuid4().hex[:12]
+    staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
+    backend.makedirs(staging)
+    with _Lease(backend, f"{staging}/_lease", writer_id):
+        _to_physical(out, mapping).write.mode("append").parquet(staging)
+        new_files = sorted(
+            n for n in backend.list_names(staging) if n.endswith(".parquet")
+        )
+        new_stats = _collect_file_stats(staging, new_files)
+    try:
+        v = _claim_slot(table_dir, backend, base, writer_id=writer_id)
+    except ConcurrentWriteError:
+        backend.rmtree(staging)
+        raise
+    try:
+        with _Lease(backend, f"{td}/_claim_v{v:05d}", writer_id):
+            stats = _carried_stats(body.get("stats", {}), carried)
+            stats.update(new_stats)
+            new_rels = [f"{_DATA_PREFIX}/{writer_id}/{n}" for n in new_files]
+            _publish(
+                backend, td, v, writer_id,
+                manifest_files=carried + new_rels,
+                stats=stats,
+                staging=staging,
+                columns=mapping,
+                dv=carried_dv or None,
+                dv_rows=body.get("dv_rows") if carried_dv else None,
+                clustered={"cols": list(cluster_by), "files": carried + new_rels},
+            )
+    finally:
+        backend.delete_file(f"{td}/_claim_v{v:05d}")
+    return v
 
 
 def data_file_count(table_dir: str, version: int, backend=None) -> int:

@@ -2130,3 +2130,71 @@ def test_add_column_rejects_pyds_unrepresentable_type(spark, tdir):
     assert got == 3
     # a representable type still works
     assert add_column(spark, tdir, "arr", "array<double>") == 2
+
+
+def test_incremental_clustering_lifecycle(spark, tdir):
+    """cluster_version rewrites ONLY files not yet clustered under the
+    given columns: the bootstrap pass clusters everything, appended
+    ingest is pending next pass while clustered files carry by
+    reference, a no-op pass returns the head, and the bookkeeping
+    survives dv deletes / metadata commits and shrinks to the carried
+    set through a CoW merge."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import (
+        _manifest_body,
+        cluster_version,
+        delete_where_dv,
+        merge_into_version_cow,
+        rename_column,
+    )
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", "CAST(pmod(id * 2654435761, 100000) AS BIGINT) AS x"
+        )
+
+    write_version(mk(0, 4000).repartition(8), tdir, manifest=True)
+    backend = _backend_for(tdir, spark)
+
+    # bootstrap: everything pending -> full rewrite, all marked
+    v2 = cluster_version(spark, tdir, 8, ["x"])
+    assert v2 == 2
+    b2 = _manifest_body(tdir, 2, backend)
+    assert set(b2["clustered"]["files"]) == set(b2["files"])
+    assert b2["clustered"]["cols"] == ["x"]
+
+    # steady state: append new ingest (insert-only CoW merge carries
+    # every clustered file), cluster again -> only the new files move
+    v3 = merge_into_version_cow(spark, tdir, mk(4000, 5000), keys=["id"])
+    b3 = _manifest_body(tdir, v3, backend)
+    assert set(b3["clustered"]["files"]) == set(b2["files"])  # carried
+    new_ingest = set(b3["files"]) - set(b2["files"])
+    assert new_ingest
+    v4 = cluster_version(spark, tdir, 2, ["x"])
+    b4 = _manifest_body(tdir, v4, backend)
+    assert set(b2["files"]) < set(b4["files"])  # clustered files carried
+    assert not new_ingest & set(b4["files"])  # pending files rewritten
+    assert set(b4["clustered"]["files"]) == set(b4["files"])
+    assert read_table(spark, tdir).count() == 5000
+
+    # no-op: nothing pending
+    assert cluster_version(spark, tdir, 2, ["x"]) == v4
+
+    # dv delete + rename carry the bookkeeping verbatim
+    v5 = delete_where_dv(spark, tdir, F.col("id") % 50 == 7)
+    v6 = rename_column(spark, tdir, "x", "xr")
+    b6 = _manifest_body(tdir, v6, backend)
+    assert set(b6["clustered"]["files"]) == set(b4["files"])
+    # still a no-op under the renamed column? different cols -> full
+    # re-cluster is PENDING (cols are part of the mark), and the pass
+    # applies the dv physically for rewritten files
+    v7 = cluster_version(spark, tdir, 4, ["xr"])
+    assert v7 == v6 + 1
+    b7 = _manifest_body(tdir, v7, backend)
+    assert b7["clustered"]["cols"] == ["xr"]
+    assert not b7.get("dv"), "full re-cluster applies and clears dvs"
+    head = read_table(spark, tdir)
+    assert head.columns == ["id", "xr"]
+    assert head.count() == 5000 - 100
+    assert head.filter("id % 50 = 7").count() == 0
