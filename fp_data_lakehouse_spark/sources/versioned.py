@@ -2397,22 +2397,24 @@ def _zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
     """Append a ``__z`` Morton (bit-interleaved) clustering value over
     ``cols`` — the ordering key behind OPTIMIZE ZORDER BY / liquid
     clustering. Each column is range-bucketed to ``_Z_BITS`` bits
-    against a broadcast 1-row bounds aggregate (the grid formula
-    operators/layout.py ly01 hash-certifies against DuckDB, computed
-    here in clamped double precision so bigint spans past 2^55 cannot
-    overflow — doubles only blur bucket edges, and layout is an
-    optimization), then bucket bits interleave round-robin so every
-    clustering column gets equal weight in the file order: sorting by
-    ``__z`` puts each output file on a narrow hyper-rectangle of the
-    clustering space, which is what makes the manifest's per-file
-    min/max stats prune on ANY clustered column, not just the first
-    sort key.
+    against the column's observed min/max (ONE 1-row bounds collect —
+    metadata-sized, and it lets string bounds shape the expressions),
+    then bucket bits interleave round-robin so every clustering column
+    gets equal weight in the file order: sorting by ``__z`` puts each
+    output file on a narrow hyper-rectangle of the clustering space,
+    which is what makes the manifest's per-file min/max stats prune on
+    ANY clustered column, not just the first sort key.
 
-    Column types: integral, date, or timestamp (dates/timestamps
-    bucket on their epoch scalar); NULLs bucket to 0 (lowest cell —
-    deterministic and sound, stats stay footer-derived). Anything
-    else raises — floats would need engine-exact bucket arithmetic
-    this integer path deliberately avoids."""
+    Column types: integral, date, timestamp (bucketed on their epoch
+    scalar, in clamped double precision so bigint spans past 2^55
+    cannot overflow — doubles only blur bucket edges, and layout is an
+    optimization), or STRING. Strings rank by the first 7 BYTES of
+    their UTF-8 form AFTER stripping the longest common prefix of the
+    observed min/max (tenant-style keys share long literal prefixes —
+    without the strip every value would land in one bucket); keys
+    still identical past lcp+7 bytes share a bucket, degrading
+    clustering quality for that cluster only, never correctness.
+    NULLs bucket to 0 (lowest cell). Other types raise."""
     if not cols:
         raise ValueError("cluster_by requires at least one column")
     if len(cols) > 7:
@@ -2420,7 +2422,7 @@ def _zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
         # past ~4 columns the curve's locality is weak anyway
         raise ValueError(f"cluster_by supports at most 7 columns, got {len(cols)}")
     dtypes = dict(df.dtypes)
-    nums = []
+    nums: list = []  # numeric Column per col, or the string marker
     for c in cols:
         t = dtypes.get(c)
         if t is None:
@@ -2431,49 +2433,73 @@ def _zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
             nums.append(F.col(c).cast("timestamp").cast("long"))
         elif t in ("tinyint", "smallint", "int", "bigint"):
             nums.append(F.col(c).cast("long"))
+        elif t == "string":
+            nums.append(None)  # marker: rank expr built after bounds
         else:
             raise ValueError(
                 f"cluster_by column {c!r} has type {t}; integral/date/"
-                "timestamp only"
+                "timestamp/string only"
             )
-    bounds = df.agg(
-        *[
-            agg(n).alias(f"__{side}_{i}")
-            for i, n in enumerate(nums)
-            for side, agg in (("lo", F.min), ("hi", F.max))
-        ]
-    )
-    withb = df.crossJoin(F.broadcast(bounds))
-    k = len(cols)
+    # one tiny job: observed bounds per column (strings bound raw, so
+    # the lcp strip below can be computed driver-side)
+    aggs = []
+    for i, (c, n) in enumerate(zip(cols, nums)):
+        src = F.col(c) if n is None else n
+        aggs += [F.min(src).alias(f"lo{i}"), F.max(src).alias(f"hi{i}")]
+    brow = df.agg(*aggs).head()  # 1-row scalar
+
+    def _srank(b: bytes) -> int:
+        return int.from_bytes(b[:7].ljust(7, b"\0"), "big")
+
     cells = 2**_Z_BITS
     z = F.lit(0).cast("long")
-    for i, n in enumerate(nums):
-        lo, hi = F.col(f"__lo_{i}"), F.col(f"__hi_{i}")
-        # double-precision bucket fraction, clamped: long arithmetic
-        # ((n-lo)*256) overflows for bigint spans past 2^55 (hash-
-        # spread keys — exactly the scrambled case clustering fixes)
-        # and would wrap into garbage z-values with no error. Doubles
-        # only blur bucket EDGES for spans past 2^53; layout is an
-        # optimization, so approximate boundaries are always sound.
-        frac = (
-            (n.cast("double") - lo.cast("double"))
-            * float(cells)
-            / (hi.cast("double") - lo.cast("double") + 1.0)
-        )
-        bucket = F.coalesce(
-            F.greatest(
-                F.lit(0), F.least(F.lit(cells - 1), F.floor(frac).cast("int"))
-            ),
-            F.lit(0),
-        )
+    k = len(cols)
+    for i, (c, n) in enumerate(zip(cols, nums)):
+        lo, hi = brow[f"lo{i}"], brow[f"hi{i}"]
+        if n is None:  # string column
+            blo = (lo or "").encode("utf-8")
+            bhi = (hi or "").encode("utf-8")
+            lcp = 0
+            while lcp < min(len(blo), len(bhi)) and blo[lcp] == bhi[lcp]:
+                lcp += 1
+            expr = F.conv(
+                F.hex(
+                    F.rpad(
+                        F.substring(
+                            F.encode(F.coalesce(F.col(c), F.lit("")), "UTF-8"),
+                            lcp + 1,
+                            7,
+                        ),
+                        7,
+                        bytes([0]),
+                    )
+                ),
+                16,
+                10,
+            ).cast("long")
+            lo, hi = _srank(blo[lcp:]), _srank(bhi[lcp:])
+        else:
+            expr = n
+        if lo is None or hi is None:
+            bucket = F.lit(0)  # all-null column: one cell
+        else:
+            # clamped double-precision fraction with LITERAL bounds:
+            # no crossJoin, no long-overflow for wide spans
+            frac = (expr.cast("double") - float(lo)) * float(cells) / (
+                float(hi) - float(lo) + 1.0
+            )
+            bucket = F.coalesce(
+                F.greatest(
+                    F.lit(0), F.least(F.lit(cells - 1), F.floor(frac).cast("int"))
+                ),
+                F.lit(0),
+            )
         for b in range(_Z_BITS):
             z = z + F.shiftleft(
                 F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long"),
                 b * k + i,
             )
-    return withb.withColumn("__z", z).drop(
-        *[f"__{side}_{i}" for i in range(k) for side in ("lo", "hi")]
-    )
+    return df.withColumn("__z", z)
 
 
 def compact_version(

@@ -2198,3 +2198,33 @@ def test_incremental_clustering_lifecycle(spark, tdir):
     assert head.columns == ["id", "xr"]
     assert head.count() == 5000 - 100
     assert head.filter("id % 50 = 7").count() == 0
+
+
+def test_clustered_compaction_string_column(spark, tdir):
+    """cluster_by on a STRING key (tenant-style ids sharing a long
+    literal prefix): the longest common prefix of the observed bounds
+    is stripped before the 7-byte rank, so the shared prefix does not
+    collapse every value into one bucket — a 1/8 window of the key
+    space overlaps at most half the files."""
+    from fp_data_lakehouse_spark.sources.versioned import (
+        _manifest_body,
+        compact_version,
+    )
+
+    df = spark.range(4096).selectExpr(
+        "id",
+        "concat('tenant-', lpad(CAST(pmod(id * 2654435761, 8000) AS STRING), 6, '0')) AS tenant",
+    )
+    write_version(df.repartition(8), tdir, manifest=True)
+    assert compact_version(spark, tdir, 8, manifest=True, cluster_by=["tenant"]) == 2
+    backend = _backend_for(tdir, spark)
+    stats = _manifest_body(tdir, 2, backend).get("stats") or {}
+    if not stats:
+        assert "://" in tdir
+        return
+    ents = [c["tenant"] for c in stats.values() if c.get("tenant")]
+    assert len(ents) >= 4
+    lo, hi = "tenant-002000", "tenant-002999"  # ~1/8 of the key space
+    n_hit = sum(1 for e in ents if e[0] <= hi and e[1] >= lo)
+    assert n_hit <= len(ents) // 2, f"string clustering lost locality: {n_hit}/{len(ents)}"
+    assert read_table(spark, tdir).count() == 4096
