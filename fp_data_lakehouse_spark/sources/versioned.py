@@ -1326,12 +1326,29 @@ def read_table(
     version: int | None = None,
     backend=None,
     as_of=None,
+    skip_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read the committed snapshot (default: latest). ``version`` time
     travels to any retained snapshot; ``as_of`` (epoch seconds,
     datetime, or ISO string — mutually exclusive with ``version``)
     resolves TIMESTAMP AS OF to the latest commit at or before that
-    time. Reading a vacuumed or uncommitted version raises."""
+    time. Reading a vacuumed or uncommitted version raises.
+
+    ``skip_filters``: PLANNER-SIDE file skipping on the JVM read path
+    — ``[("col", op, value), ...]`` conjuncts with op in
+    {"eq","lt","le","gt","ge","in","notnull"} (value ignored for
+    notnull), evaluated against the manifest's per-file stats with the
+    same soundness rules as the Python DataSource's pushdown (missing
+    or unusable stats keep the file; min/max cover non-null values
+    only). Whole files whose recorded range cannot intersect the
+    conjunction are dropped from the scan BEFORE any task is planned —
+    on a clustered 100 TB table the difference between scheduling a
+    day's files and the lake's. These are I/O PRUNING HINTS, not a
+    filter: the returned frame still contains every row of the kept
+    files, so the caller applies the real predicate downstream exactly
+    as without hints (Spark additionally pushes it to row groups).
+    Column names are logical (mapping-aware). Ignored for
+    copy-published versions (no stats travel with those)."""
     backend = backend or _backend_for(table_dir, spark)
     td = table_dir.rstrip("/")
     if as_of is not None:
@@ -1355,6 +1372,25 @@ def read_table(
     files = body["files"]
     if not files:
         raise FileNotFoundError(f"manifest v{version} names no files in {table_dir}")
+    if skip_filters:
+        from .pyds import _file_may_match  # same skipping rules as pyds
+
+        mapping = body.get("columns") or []
+        phys = {c["name"]: c["physical"] for c in mapping}
+        pushed = [(op, phys.get(col, col), val) for col, op, val in skip_filters]
+        stats_map = body.get("stats") or {}
+        kept = [
+            rel
+            for rel in files
+            if _file_may_match(stats_map.get(rel.rsplit("/", 1)[-1]), pushed)
+        ]
+        if not kept:
+            # nothing can match: an EMPTY frame with the snapshot's
+            # logical schema (one sample file gives the schema; the
+            # false filter prunes the scan itself)
+            sample = _read_physical(spark, td, files[:1], body.get("columns"))
+            return _to_logical(sample, body.get("columns")).filter(F.lit(False))
+        files = kept
     raw = _read_physical(spark, td, files, body.get("columns"))
     dv = body.get("dv") or {}
     if dv:

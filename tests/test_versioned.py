@@ -2228,3 +2228,46 @@ def test_clustered_compaction_string_column(spark, tdir):
     n_hit = sum(1 for e in ents if e[0] <= hi and e[1] >= lo)
     assert n_hit <= len(ents) // 2, f"string clustering lost locality: {n_hit}/{len(ents)}"
     assert read_table(spark, tdir).count() == 4096
+
+
+def test_read_table_skip_filters(spark, tdir):
+    """skip_filters prunes whole files from the JVM read plan using the
+    manifest stats (same soundness rules as the pyds pushdown): the
+    plan lists only possibly-matching files, values after applying the
+    REAL filter equal the unpruned read, stats-less files are kept,
+    renamed columns resolve logically, and an impossible conjunct
+    yields an empty frame without a scan."""
+    from pyspark.sql import functions as F
+
+    from fp_data_lakehouse_spark.sources.versioned import rename_column
+
+    df = spark.range(1600).selectExpr("id", "id * 3 AS v")
+    write_version(df.repartitionByRange(8, "id"), tdir, manifest=True)
+
+    pruned = read_table(spark, tdir, skip_filters=[("id", "le", 199)])
+    full = read_table(spark, tdir)
+    backend = _backend_for(tdir, spark)
+    stats_known = bool(
+        __import__(
+            "fp_data_lakehouse_spark.sources.versioned", fromlist=["_manifest_body"]
+        )._manifest_body(tdir, 1, backend).get("stats")
+    )
+    if stats_known:
+        assert len(pruned.inputFiles()) <= len(full.inputFiles()) // 4
+    # superset-of-matching contract: real filter on top == unpruned
+    a = sorted(r.id for r in pruned.filter(F.col("id") <= 199).collect())
+    b = sorted(r.id for r in full.filter(F.col("id") <= 199).collect())
+    assert a == b == list(range(200))
+
+    # logical names resolve through a rename
+    assert rename_column(spark, tdir, "id", "key") == 2
+    pr = read_table(spark, tdir, skip_filters=[("key", "ge", 1400)])
+    got = sorted(r.key for r in pr.filter(F.col("key") >= 1400).collect())
+    assert got == list(range(1400, 1600))
+    if stats_known:
+        assert len(pr.inputFiles()) <= 2
+
+        # impossible conjunct: empty frame, no files planned
+        none = read_table(spark, tdir, skip_filters=[("key", "gt", 10_000_000)])
+        assert none.count() == 0
+        assert none.columns == ["key", "v"]
