@@ -1375,6 +1375,15 @@ def read_table(
     if skip_filters:
         from .pyds import _file_may_match  # same skipping rules as pyds
 
+        _SKIP_OPS = {"eq", "lt", "le", "gt", "ge", "in", "notnull"}
+        bad = [t for t in skip_filters if len(t) != 3 or t[1] not in _SKIP_OPS]
+        if bad:
+            # a typo'd op would silently disable pruning (unknown ops
+            # keep every file) — user-facing input fails loudly instead
+            raise ValueError(
+                f"skip_filters entries must be (col, op, value) with op "
+                f"in {sorted(_SKIP_OPS)}; got {bad}"
+            )
         mapping = body.get("columns") or []
         phys = {c["name"]: c["physical"] for c in mapping}
         pushed = [(op, phys.get(col, col), val) for col, op, val in skip_filters]
@@ -1392,7 +1401,10 @@ def read_table(
             return _to_logical(sample, body.get("columns")).filter(F.lit(False))
         files = kept
     raw = _read_physical(spark, td, files, body.get("columns"))
-    dv = body.get("dv") or {}
+    # only the SCANNED files' dv objects matter: skip-filter pruning
+    # must not read (or anti-join) dvs that mask pruned-away files
+    file_set = set(files)
+    dv = {rel: r for rel, r in (body.get("dv") or {}).items() if rel in file_set}
     if dv:
         # merge-on-read DELETE: drop deleted (file, row-position) pairs
         # with a positional anti-join. Join key is the file NAME
@@ -2173,6 +2185,25 @@ def _mapping_commit(spark, table_dir, backend, mutate) -> int:
             {"id": i + 1, "name": n, "physical": n} for i, n in enumerate(names)
         ]
     new_cols = mutate([dict(c) for c in cols])
+    # the clustered mark is keyed by LOGICAL names: translate it
+    # through the mutation by stable field id so a rename of a
+    # clustering column keeps the mark valid (the physical z-layout is
+    # untouched — invalidating would make the next cluster_version
+    # pass rewrite the whole table). A DROPPED clustering column
+    # invalidates the mark (correct: the clustering key is gone), and
+    # a drop/re-add of the same name gets a fresh id, so a stale mark
+    # can never falsely match it.
+    clustered = body.get("clustered")
+    if clustered:
+        old_by_name = {c["name"]: c["id"] for c in cols}
+        new_by_id = {c["id"]: c["name"] for c in new_cols}
+        try:
+            clustered = {
+                "cols": [new_by_id[old_by_name[n]] for n in clustered["cols"]],
+                "files": clustered["files"],
+            }
+        except KeyError:
+            clustered = None
     writer_id = uuid.uuid4().hex[:12]
     v = _claim_slot(table_dir, backend, base, writer_id=writer_id)
     try:
@@ -2187,7 +2218,7 @@ def _mapping_commit(spark, table_dir, backend, mutate) -> int:
                 # metadata-only schema commit
                 dv=body.get("dv"),
                 dv_rows=body.get("dv_rows"),
-                clustered=body.get("clustered"),
+                clustered=clustered,
             )
     finally:
         backend.delete_file(f"{td}/_claim_v{v:05d}")

@@ -2181,18 +2181,23 @@ def test_incremental_clustering_lifecycle(spark, tdir):
     # no-op: nothing pending
     assert cluster_version(spark, tdir, 2, ["x"]) == v4
 
-    # dv delete + rename carry the bookkeeping verbatim
+    # dv delete carries the bookkeeping verbatim; a RENAME of the
+    # clustering column translates the mark's cols by field id (the
+    # physical z-layout is untouched — invalidating would force an
+    # O(table) rewrite on a metadata-only commit)
     v5 = delete_where_dv(spark, tdir, F.col("id") % 50 == 7)
     v6 = rename_column(spark, tdir, "x", "xr")
     b6 = _manifest_body(tdir, v6, backend)
     assert set(b6["clustered"]["files"]) == set(b4["files"])
-    # still a no-op under the renamed column? different cols -> full
-    # re-cluster is PENDING (cols are part of the mark), and the pass
-    # applies the dv physically for rewritten files
-    v7 = cluster_version(spark, tdir, 4, ["xr"])
+    assert b6["clustered"]["cols"] == ["xr"], "rename must follow the mark"
+    assert cluster_version(spark, tdir, 4, ["xr"]) == v6  # still a no-op
+
+    # a genuinely DIFFERENT clustering key re-bootstraps: full rewrite,
+    # pending dvs applied physically and cleared
+    v7 = cluster_version(spark, tdir, 4, ["id"])
     assert v7 == v6 + 1
     b7 = _manifest_body(tdir, v7, backend)
-    assert b7["clustered"]["cols"] == ["xr"]
+    assert b7["clustered"]["cols"] == ["id"]
     assert not b7.get("dv"), "full re-cluster applies and clears dvs"
     head = read_table(spark, tdir)
     assert head.columns == ["id", "xr"]
