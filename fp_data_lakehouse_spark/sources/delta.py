@@ -9,9 +9,10 @@ above it (``add`` / ``remove`` keyed by file path; last ``metaData`` /
 ``protocol`` win), and scan the resulting file set with the schema the
 log declares. Hive-less partitioning is honored the way Delta defines
 it: partition column VALUES live in each ``add``'s ``partitionValues``
-map (the parquet files do not contain those columns), so files are
-grouped by partition tuple and each group's scan gets the values
-injected as typed literals.
+map (the parquet files do not contain those columns), joined back in
+during the scan (see :func:`read_delta`). The scan always uses the
+log's DECLARED schema — pre-ADD-COLUMN files null-backfill, never
+footer inference.
 
 Scope (documented, enforced): reader protocol version 1 tables, plus
 version-3 tables whose ``readerFeatures`` we actually implement (none
@@ -134,6 +135,19 @@ def delta_snapshot(table_dir: str, version: int | None = None, spark=None) -> di
             if d.get("protocol") and d["protocol"].get("minReaderVersion"):
                 protocol = d["protocol"]
         start = cp + 1
+    # REPLAY CONTIGUITY: every commit in (start, v] must exist, or the
+    # reconstructed state silently misses files/metaData/protocol (log
+    # retention deletes commits below a checkpoint; multi-part
+    # checkpoints — %020d.checkpoint.%010d.%010d.parquet — are not
+    # implemented and so cannot seed the replay). Fail loudly.
+    missing = [c for c in range(start, v + 1) if c not in set(commits)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot reconstruct version {v} of {table_dir}: commits "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} are absent "
+            f"and no usable single-part checkpoint covers them "
+            f"({'pass spark= to read checkpoints' if spark is None else 'multi-part checkpoints are not supported'})"
+        )
     for c in commits:
         if c < start or c > v:
             continue
@@ -177,44 +191,93 @@ def read_delta(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read a Delta table snapshot as a DataFrame (see module doc).
-    Partition columns are injected per partition-tuple group as typed
-    literals (cast from the log's string ``partitionValues`` under the
-    declared schema — Delta's own serialization rule), data columns are
-    selected under the declared schema; column order follows the
-    schema. An empty snapshot returns an empty frame with the declared
-    schema."""
+
+    The scan uses the log's DECLARED data schema explicitly — never
+    parquet footer inference — so files written before a metadata-only
+    ADD COLUMN read the new column as NULL (Delta's contract, the same
+    backfill this repo's own versioned layer implements). ``add.path``
+    is RFC 2396 URL-decoded per the spec, and absolute/URI paths
+    (shallow clones) are honored as-is. Partition columns — which live
+    only in the log's ``partitionValues`` — are joined back in ONE
+    broadcast hash join on the scanned file name and cast from Delta's
+    string serialization under the declared types; when file basenames
+    collide across directories (spec-legal though no real writer does
+    it) the reader falls back to one scan per partition tuple united
+    as a balanced tree. An empty snapshot returns an empty frame with
+    the declared schema."""
+    from urllib.parse import unquote
+
     snap = delta_snapshot(table_dir, version, spark=spark)
     td = table_dir.rstrip("/")
     schema = StructType.fromJson(json.loads(snap["schema_json"]))
     pcols = snap["partition_columns"]
-    dcols = [f.name for f in schema.fields if f.name not in pcols]
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
     out_order = [f.name for f in schema.fields]
 
     if not snap["files"]:
         return spark.createDataFrame([], schema)
 
-    # group files by partition tuple: Delta files do NOT contain the
-    # partition columns physically, so each group's scan injects them
-    # as typed literals (one scan per distinct tuple — partition counts
-    # are bounded by the table's layout; at pathological cardinality
-    # partitioning wasn't the right layout to begin with)
+    def _fs_path(raw: str) -> str:
+        p = unquote(raw)
+        return p if ("://" in p or p.startswith("/")) else f"{td}/{p}"
+
+    if not pcols:
+        return spark.read.schema(data_schema).parquet(
+            *sorted(_fs_path(p) for p in snap["files"])
+        )
+
+    def _typed(leg, key):
+        for c, val in zip(pcols, key):
+            lit = F.lit(val).cast(ptypes[c])  # Delta serializes as string
+            leg = leg.withColumn(c, lit)
+        return leg.select(*out_order)
+
+    basenames = {}
+    collision = False
+    for path, pvals in snap["files"].items():
+        b = unquote(path).rsplit("/", 1)[-1]
+        if b in basenames:
+            collision = True
+            break
+        basenames[b] = tuple((pvals or {}).get(c) for c in pcols)
+
+    if not collision:
+        # ONE scan of every file + one broadcast join: no per-partition
+        # plan fan-out (a daily-partitioned decade is ~3650 tuples — a
+        # union that deep would drown the driver in analysis)
+        scanned = spark.read.schema(data_schema).parquet(
+            *sorted(_fs_path(p) for p in snap["files"])
+        )
+        lookup_schema = ", ".join(
+            ["__fp_file string"] + [f"__fp_p{i} string" for i in range(len(pcols))]
+        )
+        lookup = spark.createDataFrame(
+            [(b, *vals) for b, vals in sorted(basenames.items())], lookup_schema
+        )
+        joined = scanned.withColumn(
+            "__fp_file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).join(F.broadcast(lookup), "__fp_file")
+        for i, c in enumerate(pcols):
+            joined = joined.withColumn(c, F.col(f"__fp_p{i}").cast(ptypes[c]))
+        return joined.select(*out_order)
+
+    # basename-collision fallback: per-tuple scans, balanced union
     groups: dict[tuple, list[str]] = {}
     for path, pvals in snap["files"].items():
         key = tuple((pvals or {}).get(c) for c in pcols)
-        groups.setdefault(key, []).append(f"{td}/{path}")
-    legs = []
-    for key, paths in sorted(groups.items()):
-        leg = spark.read.parquet(*sorted(paths)).select(*dcols)
-        for c, val in zip(pcols, key):
-            # Delta serializes partition values as strings (null for
-            # NULL); the declared schema's type drives the cast back
-            lit = F.lit(val).cast(ptypes[c]) if val is not None else F.lit(
-                None
-            ).cast(ptypes[c])
-            leg = leg.withColumn(c, lit)
-        legs.append(leg.select(*out_order))
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+        groups.setdefault(key, []).append(_fs_path(path))
+    legs = [
+        _typed(spark.read.schema(data_schema).parquet(*sorted(paths)), key)
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        )
+    ]
+    while len(legs) > 1:  # balanced tree: plan depth O(log n)
+        legs = [
+            legs[i].unionByName(legs[i + 1]) if i + 1 < len(legs) else legs[i]
+            for i in range(0, len(legs), 2)
+        ]
+    return legs[0]

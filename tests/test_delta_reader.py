@@ -250,3 +250,84 @@ def test_unpartitioned_and_empty(spark, tmp_path):
     empty = read_delta(spark, td)
     assert empty.count() == 0
     assert empty.columns == ["id", "v"]
+
+
+def test_schema_evolution_and_encoded_paths(spark, tmp_path):
+    """Files written before a metadata-only ADD COLUMN must read the
+    new column as NULL (declared-schema scan, never footer inference),
+    and add.path is RFC 2396 URL-decoded before touching the
+    filesystem."""
+    td = str(tmp_path / "evolve")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    schema_v0 = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    schema_v1 = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "w", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+
+    def meta(sch):
+        return {
+            "metaData": {
+                "id": "ev",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": sch,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+
+    # old file: id only, under a DIRECTORY WITH A SPACE (the log
+    # records the URL-encoded form)
+    tmp = f"{td}/_t1"
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(f"{td}/dir a", exist_ok=True)
+    os.replace(f"{tmp}/{src}", f"{td}/dir a/old.parquet")
+    _commit(
+        log, 0,
+        [
+            _protocol(),
+            meta(schema_v0),
+            {"add": {"path": "dir%20a/old.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    # ADD COLUMN w (metadata only), then a new file carrying both
+    tmp2 = f"{td}/_t2"
+    spark.range(5, 8).selectExpr("id", "id * 2 AS w").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp2)
+    src2 = next(n for n in os.listdir(tmp2) if n.endswith(".parquet"))
+    os.replace(f"{tmp2}/{src2}", f"{td}/new.parquet")
+    _commit(
+        log, 1,
+        [
+            meta(schema_v1),
+            {"add": {"path": "new.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    df = read_delta(spark, td)
+    got = {(r.id, r.w) for r in df.collect()}
+    assert got == {(i, None) for i in range(5)} | {(i, i * 2) for i in (5, 6, 7)}
+
+
+def test_contiguity_refusal(spark, delta_table):
+    """Retention-cleaned commits below a missing/unsupported checkpoint
+    must refuse loudly, never return a silently partial snapshot."""
+    os.remove(f"{delta_table}/_delta_log/{1:020d}.json")
+    with pytest.raises(FileNotFoundError, match="commits \\[1\\]"):
+        read_delta(spark, delta_table)
