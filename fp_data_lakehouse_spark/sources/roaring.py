@@ -1,0 +1,274 @@
+"""RoaringBitmapArray + Z85 codecs for Delta Lake deletion vectors —
+pure-Python, spec-derived, no external bitmap library.
+
+Everything here is implemented from PUBLIC format documents:
+
+- Delta PROTOCOL.md "Deletion Vectors" — descriptor fields, the on-disk
+  DV file layout (1 version byte, then per-DV ``[u32 BE size][data]
+  [u32 BE CRC-32 of data]`` at the descriptor's ``offset``), inline DVs
+  and UUID path encoding via **Z85** (the ZeroMQ base-85 alphabet), and
+  the bitmap payload: a 64-bit **RoaringBitmapArray** in its "portable"
+  serialization — ``u32 LE magic 1681511377`` followed by the standard
+  64-bit roaring portable format.
+- RoaringFormatSpec (github.com/RoaringBitmap/RoaringFormatSpec) — the
+  32-bit portable container format (cookies 12346/12347, array/bitmap/
+  run containers) and the 64-bit extension (``u64 LE bucket count``,
+  then per bucket ``u32 LE high-32 key`` + a 32-bit bitmap).
+- Z85: ZeroMQ RFC 32/Z85 (85-char alphabet, 4 bytes -> 5 chars,
+  big-endian base conversion). Known-answer vector (8 bytes
+  ``86 4F D2 6F B5 59 F7 5B`` -> ``"HelloWorld"``) is asserted in
+  tests/test_roaring.py.
+
+The SERIALIZER exists for the writer side (delta export / test-fixture
+synthesis): it emits array or bitmap containers with the no-run cookie
+(always spec-legal; run containers are an optional encoding). The
+PARSER accepts all three container kinds, so DV files produced by real
+Delta writers (which do emit run containers) decode correctly.
+
+Reference parity note: the reference system (kevin-079/FP-Data-Lakehouse)
+has no table format at all — this module exists for the commissioned
+Delta-interop extension (sources/delta.py), not for any reference
+behavior.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+# --- Z85 (ZeroMQ base-85) ---------------------------------------------------
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85-encode ``data`` (length must be a multiple of 4): each
+    big-endian 4-byte word becomes 5 alphabet chars, most significant
+    digit first."""
+    if len(data) % 4:
+        raise ValueError(f"Z85 input length must be a multiple of 4, got {len(data)}")
+    out = []
+    for i in range(0, len(data), 4):
+        word = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            word, rem = divmod(word, 85)
+            chunk.append(_Z85_ALPHABET[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    """Inverse of :func:`z85_encode` (length must be a multiple of 5)."""
+    if len(text) % 5:
+        raise ValueError(f"Z85 input length must be a multiple of 5, got {len(text)}")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        word = 0
+        for c in text[i : i + 5]:
+            if c not in _Z85_INDEX:
+                raise ValueError(f"invalid Z85 character {c!r}")
+            word = word * 85 + _Z85_INDEX[c]
+        if word > 0xFFFFFFFF:
+            raise ValueError(f"Z85 group {text[i:i+5]!r} overflows 32 bits")
+        out += word.to_bytes(4, "big")
+    return bytes(out)
+
+
+# --- 32-bit RoaringBitmap (portable) -----------------------------------------
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096  # cardinality above which a container serializes as bitmap
+
+
+def _serialize_bitmap32(values: list[int]) -> bytes:
+    """Serialize sorted distinct uint32 values as a portable 32-bit
+    roaring bitmap (no-run cookie; array or bitmap containers only —
+    always legal, run encoding is an optional optimization)."""
+    containers: list[tuple[int, list[int]]] = []
+    cur_key: int | None = None
+    cur: list[int] = []
+    for v in values:
+        key, low = v >> 16, v & 0xFFFF
+        if key != cur_key:
+            if cur_key is not None:
+                containers.append((cur_key, cur))
+            cur_key, cur = key, []
+        cur.append(low)
+    if cur_key is not None:
+        containers.append((cur_key, cur))
+
+    out = bytearray()
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(containers))
+    for key, lows in containers:
+        out += struct.pack("<HH", key, len(lows) - 1)
+    # offset header (mandatory with the no-run cookie): byte position
+    # of each container from the START of this bitmap's serialization
+    header_len = 8 + 4 * len(containers) + 4 * len(containers)
+    pos = header_len
+    blobs: list[bytes] = []
+    for _key, lows in containers:
+        if len(lows) <= _ARRAY_MAX:
+            blob = struct.pack(f"<{len(lows)}H", *lows)
+        else:
+            bits = bytearray(8192)
+            for lo in lows:
+                bits[lo >> 3] |= 1 << (lo & 7)
+            blob = bytes(bits)
+        out += struct.pack("<I", pos)
+        blobs.append(blob)
+        pos += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def _deserialize_bitmap32(buf: bytes, start: int) -> tuple[list[int], int]:
+    """Parse one portable 32-bit roaring bitmap at ``buf[start:]``;
+    returns (values, bytes consumed). Accepts array, bitmap AND run
+    containers (real writers emit runs)."""
+    (cookie,) = struct.unpack_from("<I", buf, start)
+    pos = start + 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        run_flags = buf[pos : pos + nbytes]
+        pos += nbytes
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        has_offsets = True
+    else:
+        raise ValueError(f"not a portable roaring bitmap (cookie {cookie})")
+
+    keys_cards = []
+    for i in range(n):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys_cards.append((key, card_m1 + 1))
+    if has_offsets:
+        pos += 4 * n  # offsets are redundant for sequential parsing
+
+    def _is_run(i: int) -> bool:
+        return bool(run_flags) and bool(run_flags[i >> 3] & (1 << (i & 7)))
+
+    values: list[int] = []
+    for i, (key, card) in enumerate(keys_cards):
+        base = key << 16
+        if _is_run(i):
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                # a run (start, len) covers start..start+len INCLUSIVE
+                # (len = cardinality - 1, per the RoaringFormatSpec)
+                lo, run_len = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(range(base + lo, base + lo + run_len + 1))
+        elif card > _ARRAY_MAX:
+            bits = buf[pos : pos + 8192]
+            pos += 8192
+            for byte_i, b in enumerate(bits):
+                while b:
+                    low_bit = b & (-b)
+                    values.append(base + (byte_i << 3) + low_bit.bit_length() - 1)
+                    b ^= low_bit
+        else:
+            lows = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(base + lo for lo in lows)
+    return values, pos - start
+
+
+# --- 64-bit RoaringBitmapArray (Delta's DV payload) ---------------------------
+
+MAGIC = 1681511377  # u32 LE prefix mandated by Delta PROTOCOL.md
+
+
+def serialize_rbm_array(positions: list[int]) -> bytes:
+    """Serialize row positions (uint64, sorted-or-not, duplicates
+    allowed) as Delta's portable RoaringBitmapArray: magic, u64 LE
+    bucket count, then per bucket ``u32 LE high-32 key`` + a 32-bit
+    portable bitmap of the low-32 values."""
+    buckets: dict[int, list[int]] = {}
+    for p in sorted(set(positions)):
+        if p < 0 or p > 0xFFFFFFFFFFFFFFFF:
+            raise ValueError(f"position {p} out of uint64 range")
+        buckets.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = bytearray()
+    out += struct.pack("<I", MAGIC)
+    out += struct.pack("<Q", len(buckets))
+    for key in sorted(buckets):
+        out += struct.pack("<I", key)
+        out += _serialize_bitmap32(buckets[key])
+    return bytes(out)
+
+
+def deserialize_rbm_array(data: bytes) -> list[int]:
+    """Inverse of :func:`serialize_rbm_array`; returns sorted positions."""
+    if len(data) < 12:
+        raise ValueError(f"DV bitmap too short ({len(data)} bytes)")
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic} (want {MAGIC})")
+    (n_buckets,) = struct.unpack_from("<Q", data, 4)
+    pos = 12
+    out: list[int] = []
+    for _ in range(n_buckets):
+        (key,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        lows, used = _deserialize_bitmap32(data, pos)
+        pos += used
+        base = key << 32
+        out.extend(base + lo for lo in lows)
+    return out
+
+
+# --- DV file framing ----------------------------------------------------------
+
+
+def pack_dv_blob(positions: list[int]) -> bytes:
+    """One DV entry as stored in a ``.bin`` file: ``[u32 BE size]
+    [bitmap data][u32 BE CRC-32 of data]`` (the descriptor's ``offset``
+    points at the size word; ``sizeInBytes`` is the data length)."""
+    data = serialize_rbm_array(positions)
+    return struct.pack(">I", len(data)) + data + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+
+
+def positions_from_dv_blob(blob: bytes, offset: int, size_in_bytes: int) -> list[int]:
+    """Decode the DV entry at ``offset`` in a DV file's bytes,
+    validating the size prefix and CRC-32 trailer."""
+    (stored_size,) = struct.unpack_from(">I", blob, offset)
+    if stored_size != size_in_bytes:
+        raise ValueError(
+            f"DV size mismatch at offset {offset}: file says {stored_size}, "
+            f"descriptor says {size_in_bytes}"
+        )
+    data = bytes(blob[offset + 4 : offset + 4 + size_in_bytes])
+    if len(data) != size_in_bytes:
+        raise ValueError(f"DV file truncated at offset {offset}")
+    (crc,) = struct.unpack_from(">I", blob, offset + 4 + size_in_bytes)
+    actual = zlib.crc32(data) & 0xFFFFFFFF
+    if crc != actual:
+        raise ValueError(f"DV checksum mismatch at offset {offset}")
+    return deserialize_rbm_array(data)
+
+
+def new_dv_file(entries: list[list[int]]) -> tuple[bytes, list[tuple[int, int]]]:
+    """Assemble a whole DV ``.bin`` file (version byte 1, then each
+    entry's framed blob); returns (file bytes, [(offset, sizeInBytes)]
+    per entry) for descriptor construction."""
+    out = bytearray(b"\x01")
+    spans: list[tuple[int, int]] = []
+    for positions in entries:
+        blob = pack_dv_blob(positions)
+        spans.append((len(out), len(blob) - 8))
+        out += blob
+    return bytes(out), spans

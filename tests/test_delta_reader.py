@@ -186,18 +186,21 @@ def test_checkpoint_replay(spark, delta_table):
 
 
 def test_protocol_refusals(spark, tmp_path):
-    td = str(tmp_path / "dv_table")
+    """Unknown reader features / protocol versions and id-mode column
+    mapping are refused loudly; features this reader DOES implement
+    (deletionVectors, columnMapping, timestampNtz) pass the gate."""
+    td = str(tmp_path / "v2cp_table")
     log = f"{td}/_delta_log"
     os.makedirs(log)
     a = _stage_file(spark, td, "f0.parquet", 0, 10, 0)
     _commit(
         log, 0,
-        [_protocol(mrv=3, reader_features=["deletionVectors"]), _meta([]), a],
+        [_protocol(mrv=3, reader_features=["v2Checkpoint"]), _meta([]), a],
     )
-    with pytest.raises(ValueError, match="deletionVectors"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         read_delta(spark, td)
 
-    td2 = str(tmp_path / "cm_table")
+    td2 = str(tmp_path / "cmid_table")
     log2 = f"{td2}/_delta_log"
     os.makedirs(log2)
     a2 = _stage_file(spark, td2, "f0.parquet", 0, 10, 0)
@@ -205,12 +208,35 @@ def test_protocol_refusals(spark, tmp_path):
         log2, 0,
         [
             _protocol(mrv=2),
-            _meta([], configuration={"delta.columnMapping.mode": "name"}),
+            _meta([], configuration={"delta.columnMapping.mode": "id"}),
             a2,
         ],
     )
-    with pytest.raises(ValueError, match="column mapping"):
+    with pytest.raises(ValueError, match="only 'name' mode"):
         read_delta(spark, td2)
+
+    td3 = str(tmp_path / "future_table")
+    log3 = f"{td3}/_delta_log"
+    os.makedirs(log3)
+    a3 = _stage_file(spark, td3, "f0.parquet", 0, 10, 0)
+    _commit(log3, 0, [_protocol(mrv=4, reader_features=["deletionVectors"]), _meta([]), a3])
+    with pytest.raises(ValueError, match="minReaderVersion 4"):
+        read_delta(spark, td3)
+
+    # a SUPPORTED v3 feature set passes the gate even when declared
+    td4 = str(tmp_path / "ok_table")
+    log4 = f"{td4}/_delta_log"
+    os.makedirs(log4)
+    a4 = _stage_file(spark, td4, "f0.parquet", 0, 10, 0)
+    _commit(
+        log4, 0,
+        [
+            _protocol(mrv=3, reader_features=["deletionVectors", "timestampNtz"]),
+            _meta(["part"]),
+            a4,
+        ],
+    )
+    assert read_delta(spark, td4).count() == 10
 
     with pytest.raises(FileNotFoundError, match="_delta_log"):
         read_delta(spark, str(tmp_path / "not_delta"))
