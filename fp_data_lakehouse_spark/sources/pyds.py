@@ -1208,6 +1208,23 @@ class VersionFeedStreamReader(DataSourceStreamReader):
                     f"version {vs[0]} in {self._table_dir} (vacuumed "
                     "history cannot replay)"
                 )
+            # the upper bound fails loudly too (Delta's contract: a
+            # startingVersion that does not exist is an error, not a
+            # stream silently idling at a future offset) — except
+            # sv == latest + 1, the documented "next commit only"
+            # tail-from-now idiom, which stays legal.
+            latest = vs[-1] if vs else None
+            if latest is None:
+                raise ValueError(
+                    f"startingVersion {sv} on {self._table_dir}: the "
+                    "table has no committed versions to replay"
+                )
+            if sv > latest + 1:
+                raise ValueError(
+                    f"startingVersion {sv} does not exist in "
+                    f"{self._table_dir} (latest committed version is "
+                    f"{latest}; {latest + 1} tails from the next commit)"
+                )
             return {"version": sv - 1}
         return {"version": (vs[0] - 1) if vs else 0}
 

@@ -106,6 +106,11 @@ _LEASE_TTL_SEC = 60.0
 # MEASURED size, which cannot OOM the way a blind hint can.
 _DV_BROADCAST_MAX_ROWS = 1_000_000
 
+# skip_filters ops read_table accepts — mirrors pyds._file_may_match's
+# pushdown vocabulary (shape-validated up front so a typo'd op fails
+# loudly instead of silently disabling pruning)
+_SKIP_OPS = frozenset({"eq", "lt", "le", "gt", "ge", "in", "notnull"})
+
 
 def _lease_line(writer_id: str) -> str:
     """Lease content carried INSIDE a claim/staging marker: writer id +
@@ -261,6 +266,23 @@ class LocalFsBackend:
             return os.path.getmtime(p)
         except OSError:
             return None
+
+    def file_size(self, p: str) -> int | None:
+        """Object size in bytes, None when absent (Delta-log export
+        needs ``add.size``)."""
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return None
+
+    def write_bytes(self, p: str, data: bytes) -> None:
+        """Write a fresh binary object (uuid-named immutable payloads —
+        deletion-vector ``.bin`` files — so no atomic-replace dance is
+        needed; local still writes tmp+rename for torn-read hygiene)."""
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), prefix="._bin_")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, p)
 
     def move(self, src: str, dst: str) -> None:
         os.rename(src, dst)  # same-filesystem dir rename: atomic
@@ -460,6 +482,25 @@ class HadoopFsBackend:
         except Exception:
             return None
 
+    def file_size(self, p: str) -> int | None:
+        fs = self._fs(p)
+        hp = self._path(p)
+        try:
+            if not fs.exists(hp):
+                return None
+            return int(fs.getFileStatus(hp).getLen())
+        except Exception:
+            return None
+
+    def write_bytes(self, p: str, data: bytes) -> None:
+        # uuid-named immutable payloads: a plain create(overwrite) is a
+        # single-object PUT on every Hadoop-compatible store
+        stream = self._fs(p).create(self._path(p), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
     def move(self, src: str, dst: str) -> None:
         fs = self._fs(dst)
         if not fs.rename(self._path(src), self._path(dst)):
@@ -637,6 +678,17 @@ class ConditionalPutBackend:
             return os.path.getmtime(p)
         except OSError:
             return None
+
+    def file_size(self, p: str) -> int | None:
+        """Object Content-Length (HEAD), None when absent."""
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return None
+
+    def write_bytes(self, p: str, data: bytes) -> None:
+        # a plain whole-object PUT — uuid-named immutable payloads
+        self._put(p, data)
 
     def move(self, src: str, dst: str) -> None:
         # NON-atomic per-object COPY+DELETE — the claim protocol makes
@@ -1351,6 +1403,17 @@ def read_table(
     copy-published versions (no stats travel with those)."""
     backend = backend or _backend_for(table_dir, spark)
     td = table_dir.rstrip("/")
+    if skip_filters:
+        # validate SHAPE up front — before any early return — so a
+        # typo'd op fails loudly on BOTH publication forms (a v-dir
+        # version prunes nothing, but malformed input is still a bug
+        # in the caller, not a silent no-op)
+        bad = [t for t in skip_filters if len(t) != 3 or t[1] not in _SKIP_OPS]
+        if bad:
+            raise ValueError(
+                f"skip_filters entries must be (col, op, value) with op "
+                f"in {sorted(_SKIP_OPS)}; got {bad}"
+            )
     if as_of is not None:
         if version is not None:
             raise ValueError("pass either version or as_of, not both")
@@ -1375,15 +1438,6 @@ def read_table(
     if skip_filters:
         from .pyds import _file_may_match  # same skipping rules as pyds
 
-        _SKIP_OPS = {"eq", "lt", "le", "gt", "ge", "in", "notnull"}
-        bad = [t for t in skip_filters if len(t) != 3 or t[1] not in _SKIP_OPS]
-        if bad:
-            # a typo'd op would silently disable pruning (unknown ops
-            # keep every file) — user-facing input fails loudly instead
-            raise ValueError(
-                f"skip_filters entries must be (col, op, value) with op "
-                f"in {sorted(_SKIP_OPS)}; got {bad}"
-            )
         mapping = body.get("columns") or []
         phys = {c["name"]: c["physical"] for c in mapping}
         pushed = [(op, phys.get(col, col), val) for col, op, val in skip_filters]

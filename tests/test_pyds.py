@@ -1038,6 +1038,29 @@ def test_stream_feed_starting_version(spark, tmp_path):
     with pytest.raises(ValueError, match="predates the earliest"):
         reader.initialOffset()
 
+    # ABOVE the latest committed version: equally loud (round-10
+    # ADVICE — a nonexistent future version must not silently idle),
+    # except latest+1, the legal "tail from the next commit" idiom
+    ds = VersionFeedDataSource({"path": d, "startingversion": "9"})
+    with pytest.raises(ValueError, match="does not exist"):
+        ds.streamReader(ds.schema()).initialOffset()
+    ds = VersionFeedDataSource({"path": d, "startingversion": "3"})
+    assert ds.streamReader(ds.schema()).initialOffset() == {"version": 2}
+    latest = 3  # versions 1..3 committed above
+    ds = VersionFeedDataSource({"path": d, "startingversion": str(latest + 1)})
+    assert ds.streamReader(ds.schema()).initialOffset() == {"version": latest}
+
+    # empty table: nothing to replay — already loud at schema
+    # resolution (there is no version to derive a schema from); the
+    # initialOffset guard behind it is defense in depth
+    import os as _os
+
+    empty = str(tmp_path / "svt_empty")
+    _os.makedirs(empty, exist_ok=True)
+    ds = VersionFeedDataSource({"path": empty, "startingversion": "1"})
+    with pytest.raises(FileNotFoundError, match="no versions"):
+        ds.schema()
+
 
 def test_stream_feed_replays_across_mapping_reset(spark, tmp_path):
     """A full rewrite (compaction) RESETS the column mapping; the feed

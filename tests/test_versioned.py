@@ -547,7 +547,7 @@ def test_condput_primitive_surface_is_rename_free(spark):
     call sites need no rename."""
     import inspect
 
-    for name in ("move", "rmtree", "write_text_atomic", "create_exclusive"):
+    for name in ("move", "rmtree", "write_text_atomic", "create_exclusive", "write_bytes"):
         src = inspect.getsource(getattr(ConditionalPutBackend, name))
         assert "os.rename" not in src and "shutil.move" not in src, name
         if name != "write_text_atomic":
@@ -2276,3 +2276,18 @@ def test_read_table_skip_filters(spark, tdir):
         none = read_table(spark, tdir, skip_filters=[("key", "gt", 10_000_000)])
         assert none.count() == 0
         assert none.columns == ["key", "v"]
+
+
+def test_skip_filters_shape_validated_on_vdir_versions(spark, tdir):
+    """Malformed skip_filters fail loudly on BOTH publication forms:
+    the copy-published (v-dir) early return must not skip the shape
+    validation (round-10 ADVICE) — a typo'd op is a caller bug whether
+    or not pruning could have happened."""
+    write_version(spark.range(10).selectExpr("id"), tdir)  # v-dir publish
+    with pytest.raises(ValueError, match="skip_filters entries"):
+        read_table(spark, tdir, skip_filters=[("id", "equals", 3)])
+    with pytest.raises(ValueError, match="skip_filters entries"):
+        read_table(spark, tdir, skip_filters=[("id", "le")])
+    # well-formed hints on a v-dir version are accepted (no stats
+    # travel with a copy publish, so they prune nothing)
+    assert read_table(spark, tdir, skip_filters=[("id", "le", 3)]).count() == 10
