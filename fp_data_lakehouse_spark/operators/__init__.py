@@ -29,6 +29,7 @@ for _mod in (
     "layout",
     "skew",
     "io",
+    "deltaquery",
     "streamquery",
 ):
     try:

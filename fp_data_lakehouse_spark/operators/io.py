@@ -1095,3 +1095,117 @@ def io15_materialized_interop_export(spark: SparkSession, sf_dir: str) -> DataFr
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# io16: Delta interop OUT — publish a versioned snapshot as a _delta_log
+# (round-11 close of the r10 verdict's task 6: completes the interop
+# matrix io13/io15 (vanilla readers) and read_delta (consume) started)
+# ---------------------------------------------------------------------------
+
+_IO16_SQL = """
+WITH cut AS (SELECT MAX(o_custkey) // 8 AS mk FROM orders),
+t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+readers(reader) AS (VALUES ('delta'), ('jvm'))
+SELECT r.reader, CAST(1 AS INT) AS ver, t.o_custkey, t.cents
+FROM t CROSS JOIN readers r
+UNION ALL
+SELECT r.reader, CAST(2 AS INT), t.o_custkey, t.cents
+FROM t CROSS JOIN readers r, cut WHERE t.o_custkey > cut.mk
+UNION ALL
+SELECT 'vanilla', CAST(2 AS INT), t.o_custkey, t.cents
+FROM t, cut WHERE t.o_custkey > cut.mk
+"""
+
+
+@register("io16_delta_log_export", oracle=_IO16_SQL)
+def io16_delta_log_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta interop OUT (``delta_export.publish_delta_log``): the
+    versioned table's snapshots become a spec-shaped ``_delta_log`` in
+    place — v1 (16-file range layout) exports as Delta commit 0, the
+    file-granular CoW DELETE v2 as an INCREMENTAL Delta commit 1
+    (removes for the rewritten files, adds for the fresh ones, carried
+    files untouched — asserted). Read back through THREE surfaces:
+    the spec-implemented ``read_delta`` at both Delta versions (time
+    travel through the exported log), the JVM ``read_table`` at both
+    native versions, and a VANILLA ``spark.read.parquet`` of the
+    log-listed head files (what any Delta-less engine does with the
+    log's file list). The driver hash certifies all three censuses
+    against ``orders`` directly.
+
+    Scale: export is metadata-sized (one JSON PUT per snapshot, file
+    list only — no data movement for clean snapshots); re-export
+    diffs against the replayed log, so a daily publish costs O(changed
+    files), never O(table). Lifecycle caveat documented on the module:
+    vacuum of an exported snapshot invalidates the export.
+
+    Reference parity: the reference publishes results for external
+    consumers by materializing MySQL tables (ETL_FINAL.py:38); this is
+    that seam emitting the ecosystem's table format instead."""
+    import json as _json
+    import os as _os
+
+    from ..sources.delta import delta_snapshot, read_delta
+    from ..sources.delta_export import publish_delta_log
+    from ..sources.versioned import delete_where_cow, read_table, write_version
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    totals = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    table_dir = alloc_scratch(spark, "io16_delta_out") + "/cust_totals"
+    write_version(totals.repartitionByRange(16, "o_custkey"), table_dir, manifest=True)
+    cutoff = orders.agg(F.max("o_custkey")).head()[0] // 8  # 1-row scalar
+    v2 = delete_where_cow(spark, table_dir, F.col("o_custkey") <= F.lit(cutoff))
+    assert v2 == 2
+
+    assert publish_delta_log(spark, table_dir, version=1) == 0
+    assert publish_delta_log(spark, table_dir, version=2) == 1
+    # the incremental commit is a DIFF, not a re-listing: the 16-file
+    # layout localizes the delete, so commit 1 must stay far below 16
+    with open(f"{table_dir}/_delta_log/{1:020d}.json", encoding="utf-8") as f:
+        actions = [_json.loads(ln) for ln in f if ln.strip()]
+    n_adds = sum(1 for a in actions if "add" in a)
+    assert 1 <= n_adds <= 4, f"re-export re-listed the table ({n_adds} adds)"
+
+    snap = delta_snapshot(table_dir, spark=spark)
+    head_paths = sorted(
+        p if ("://" in p or p.startswith("/")) else f"{table_dir}/{p}"
+        for p in snap["files"]
+    )
+    assert all(_os.path.sep in p for p in head_paths)
+    vanilla = spark.read.parquet(*head_paths)
+
+    legs = []
+    for delta_v, ver in ((0, 1), (1, 2)):
+        legs.append(
+            read_delta(spark, table_dir, version=delta_v).select(
+                F.lit("delta").alias("reader"),
+                F.lit(ver).cast("int").alias("ver"),
+                "o_custkey",
+                "cents",
+            )
+        )
+        legs.append(
+            read_table(spark, table_dir, version=ver).select(
+                F.lit("jvm").alias("reader"),
+                F.lit(ver).cast("int").alias("ver"),
+                "o_custkey",
+                "cents",
+            )
+        )
+    legs.append(
+        vanilla.select(
+            F.lit("vanilla").alias("reader"),
+            F.lit(2).cast("int").alias("ver"),
+            "o_custkey",
+            "cents",
+        )
+    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -51,81 +51,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 10: ALL 225 round-9
-    # oracle-backed queries driver-green across r1-r9 (VERDICT r9
-    # verified the union; vintage histogram r4:11, r5:38, r6:39,
-    # r7:37, r8:50, r9:50). Round 10 front-loads (a) the FIVE new
-    # certificates — vt17 (ADD COLUMN as a metadata-only mapping
-    # commit), io15 (materializing interop export: DVs applied +
-    # logical names rewritten for vanilla readers), vt18
-    # (manifest-diff change feed that never rescans carried files),
-    # st17 (version-feed replay across dv-delete and compaction
-    # commits), vt19 (clustered compaction — OPTIMIZE ZORDER BY on
-    # the manifest lifecycle); plus vt14 re-certified because its
-    # read path changed this round (the dv broadcast size gate, r9
-    # verdict finding #1); then (b) the CERTIFICATION ROTATION: the
-    # 11 rows exactly 5 rounds old (r4 vintage: dd17, dd20, q42,
-    # sim07, sim08, sim09, tx14-tx18 — the r9 verdict's queued list),
-    # then 33 of the 38 r5-vintage rows. The 5 deferred r5 rows
-    # (gr01, gr02, io10, st09, st07 — code untouched this round) lead
-    # the r11 window, the same deferral precedent r9 set. Everything
-    # stays re-validated locally by tests/test_oracle_parity.py on
-    # every pytest run.
-    "vt17_add_column_evolution",
-    "io15_materialized_interop_export",
-    "vt18_manifest_diff_change_feed",
-    "st17_version_feed_dv_replay",
-    "vt19_clustered_compaction",
-    "vt14_deletion_vector_delete",
-    # rotation: the 11 five-round-old r4-vintage rows
-    "dd17_repeated_spans",
-    "dd20_containment_pairs",
-    "q42_salted_skew_join",
-    "sim07_int8_quantize",
-    "sim08_int8_mips_topk",
-    "sim09_pq_adc_topk",
-    "tx14_boilerplate_ngram_ratio",
-    "tx15_char_diversity",
-    "tx16_pmi_collocations",
-    "tx17_bpe_merge_candidates",
-    "tx18_chunk_windows",
-    # rotation: 33 of the 38 r5-vintage rows (gr01/gr02/io10/st09/st07
-    # deferred to lead r11)
-    "dd09_dup_clusters",
-    "dd24_incremental_ingest_gate",
-    "et03_incremental_agg_maintenance",
-    "et05_multibatch_ingest_pipeline",
-    "et06_incremental_dim_identity",
-    "io01_csv_roundtrip_orders",
-    "io02_json_nested_roundtrip",
-    "io03_partition_pruned_scan",
-    "io04_schema_evolution_read",
-    "io05_corrupt_record_quarantine",
-    "io06_jdbc_roundtrip",
-    "io07_orc_roundtrip",
-    "pr01_pagerank_step",
-    "q01_avg_customer_revenue",
-    "q02_top10_customers_by_avg_item_value",
-    "q03_returnflag_distribution",
-    "q04_bottom5_parts_by_discount",
-    "q05_top5_parts_by_discount",
-    "q06_weighted_value_by_orderstatus",
-    "q07_weighted_value_by_year_month",
-    "q08_top5_most_ordered_parts",
-    "q09_discounted_quantity_per_customer",
-    "q10_returned_never_reordered",
-    "q10b_returned_then_reordered",
-    "q11_repeat_purchases",
-    "q12_avg_tax_discount_when_both_positive",
-    "q13_top5_customers_by_balance",
-    "q14_top5_suppliers_by_balance",
-    "q15_returned_vs_kept_per_part",
-    "st01_stream_tumbling_equivalence",
-    "st02_stream_sliding_equivalence",
-    "st03_stream_static_enrichment",
-    "st04_stream_interval_join",
-    # 50-row window ends here (5 new + vt14 re-cert + 11 r4 + 33 r5;
-    # deferred to lead r11: gr01, gr02, io10, st09, st07)
+    # Cumulative record entering round 11: ALL 230 round-10
+    # oracle-backed queries driver-green across r1-r10 (VERDICT r10
+    # verified the union; vintage histogram r5:5, r6:39, r7:37,
+    # r8:50, r9:49, r10:50). Round 11 front-loads (a) the FIVE
+    # deferred r5-vintage rows the r10 verdict queued to LEAD this
+    # window (gr01, gr02, io10, st07, st09); (b) the FOUR new
+    # certificates — dl01/dl02/dl03 (the spec-implemented Delta log
+    # reader: base replay + partition values, deletion vectors via
+    # real RoaringBitmapArray bitmaps, name-mode column mapping
+    # seeded from a multi-part checkpoint) and io16 (Delta interop
+    # OUT: publish_delta_log round-trip through read_delta + JVM +
+    # vanilla readers); then (c) the CERTIFICATION ROTATION: all 39
+    # r6-vintage rows, plus the first 2 r7-vintage rows (q33, q34)
+    # to fill the 50. After this window no row is older than 5
+    # rounds (r7 vintage). Everything stays re-validated locally by
+    # tests/test_oracle_parity.py on every pytest run.
+    "gr01_triangle_count",
+    "gr02_degree_assortativity",
+    "io10_variant_shred",
+    "st07_stateful_sessionization",
+    "st09_checkpoint_restart_resume",
+    # new round-11 certificates
+    "dl01_delta_log_read",
+    "dl02_delta_deletion_vectors",
+    "dl03_delta_mapped_checkpoint",
+    "io16_delta_log_export",
+    # rotation: the 39 r6-vintage rows
+    "dd01_exact_dup_groups",
+    "dd02_exact_dedup_keep",
+    "dd18_edit_distance_pairs",
+    "dd25_lsh_banded_pipeline",
+    "dd26_simhash_signatures_exact",
+    "dd27_simhash_banded_pipeline",
+    "dd28_lsh_dedup_keep",
+    "dd29_int8_banded_neardup",
+    "et07_incremental_join_view",
+    "mm07_media_features_exact",
+    "pr03_pagerank_bounded_subgraph",
+    "q16_customer_segment_binning",
+    "q17_balance_by_segment",
+    "q18_avg_discount_per_customer",
+    "q19_active_months_per_customer",
+    "q20_min_discount_per_customer",
+    "q21_order_detail_projection",
+    "q22_top10_order_value_jumps",
+    "q23_consistent_big_spenders",
+    "q24_avg_first_last_order_value",
+    "q25_count_customers_ending_small",
+    "q26_order_values_feed",
+    "q27_consecutive_order_pairs",
+    "q27_theta_selfjoin_pairs",
+    "q28_order_rank_within_month",
+    "q29_biggest_monthly_drop",
+    "q30_quantity_pivot_by_returnflag",
+    "q31_set_ops_rich_vs_active",
+    "q32_revenue_rollup",
+    "sim04_cosine_topk_ivf",
+    "sim10_int8_hyperplane_lsh",
+    "sim11_kmeans_train_exact",
+    "sk10_portable_hll_state",
+    "sk11_sample_quantile_sketch",
+    "st05_stream_redelivery_dedup",
+    "st08_foreachbatch_exactly_once",
+    "st11_stream_leftouter_interval_join",
+    "tx20_bpe_train_certified",
+    "tx21_bpe_tokenize_corpus",
+    # rotation: first 2 r7-vintage rows
+    "q33_sql_above_average_balance",
+    "q34_balance_quartiles",
+    # 50-row window ends here (5 deferred r5 + 4 new + 39 r6 + 2 r7)
 ]
 
 

@@ -1,0 +1,299 @@
+"""Delta interop OUT: publish a versioned-table snapshot as a Delta
+Lake transaction log (``_delta_log`` inside the table directory), so
+Delta-ecosystem engines consume this repo's tables DIRECTLY — the
+missing corner of the interop matrix io13/io15 (symlink manifests for
+vanilla readers) and sources/delta.py read_delta (consume) started.
+
+Everything written follows the PUBLIC Delta protocol spec
+(delta-io/delta PROTOCOL.md): JSON commits of ``protocol`` /
+``metaData`` / ``add`` / ``remove`` actions, schemaString in Spark's
+StructType JSON (the serialization Delta itself uses), and — when the
+snapshot carries them — this layer's features translated to Delta's
+vocabulary:
+
+- **column mapping** (vt13 RENAME/DROP/ADD): exported as name-mode
+  columnMapping — each logical field carries
+  ``delta.columnMapping.id`` (our stable field id) and
+  ``delta.columnMapping.physicalName`` (our physical column), protocol
+  (2, 5). Physical file bytes are shared as-is; ADDED columns whose
+  physical exists in no file null-backfill through any spec-compliant
+  reader (declared-schema scans).
+- **deletion vectors** (vt14 merge-on-read DELETE): our parquet
+  (file, pos) masks are re-serialized as the spec's RoaringBitmapArray
+  ``.bin`` files (sources/roaring.py) and attached as
+  ``deletionVector`` descriptors (storageType 'u'), protocol (3, 7)
+  with the deletionVectors feature. Bounded by a driver-side gate —
+  bitmap assembly is per-export driver work, so a snapshot whose DV
+  count exceeds ``max_dv_rows`` is refused with the standing advice
+  (compact first); the gate mirrors the read side's broadcast bound.
+
+Re-export is INCREMENTAL and idempotent: the existing exported log is
+replayed (sources/delta.py delta_snapshot — our own reader is the
+round-trip check) and only the delta (adds / removes / dv changes,
+detected via each add's ``tags.fpDvRel`` breadcrumb) becomes a new
+Delta commit; an unchanged snapshot writes nothing. Commits land via
+``create_exclusive`` (put-if-absent), the same primitive Delta's own
+LogStores require, so two concurrent exporters cannot tear the log.
+
+Lifecycle caveat (same as the symlink export): the Delta log
+references snapshot files by name; ``vacuum_versions`` of the exported
+snapshot invalidates the export — re-publish after retention moves.
+
+Reference parity: the reference has no table format (its interop OUT
+is a MySQL INSERT loop, ETL_FINAL.py); this module is part of the
+commissioned lakehouse extension surface (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid as _uuid
+
+from pyspark.sql import SparkSession
+
+from .delta import delta_snapshot
+from .roaring import new_dv_file, z85_encode
+from .versioned import (
+    _backend_for,
+    _manifest_body,
+    _manifest_versions,
+    latest_version,
+    read_table,
+    versions as _versions,
+)
+
+_DV_EXPORT_MAX_ROWS = 50_000_000  # driver-side bitmap assembly bound
+_DV_TAG = "fpDvRel"  # add.tags breadcrumb: which fp dv object this mask came from
+
+
+def _logical_schema_json(spark, table_dir, version, backend, columns) -> str:
+    """Delta ``schemaString`` for the snapshot: the LOGICAL schema (the
+    one read_table serves), with name-mode columnMapping metadata when
+    the snapshot is mapped."""
+    df = read_table(spark, table_dir, version, backend=backend)
+    schema = df.schema.jsonValue()
+    if columns:
+        by_name = {c["name"]: c for c in columns}
+        for field in schema["fields"]:
+            ent = by_name.get(field["name"])
+            if ent is None:
+                raise ValueError(
+                    f"snapshot column {field['name']!r} missing from the "
+                    "manifest mapping — cannot export a sound columnMapping"
+                )
+            field["metadata"] = {
+                **(field.get("metadata") or {}),
+                "delta.columnMapping.id": int(ent["id"]),
+                "delta.columnMapping.physicalName": ent["physical"],
+            }
+    return json.dumps(schema)
+
+
+def _dv_state(body: dict) -> dict[str, str]:
+    """data-file rel -> fp dv rel for the snapshot ({} when clean)."""
+    return dict(body.get("dv") or {})
+
+
+def _export_dv_bin(
+    spark, td, backend, dv_state, files, dv_rows, bound=_DV_EXPORT_MAX_ROWS
+) -> dict[str, dict]:
+    """Re-serialize the snapshot's dv parquet masks as ONE spec-format
+    ``.bin`` (RoaringBitmapArray entries at offsets) and return
+    rel -> deletionVector descriptor."""
+    if dv_rows is not None and dv_rows > bound:
+        raise ValueError(
+            f"snapshot carries {dv_rows} deletion-vector rows "
+            f"(> {bound}): bitmap assembly is driver-side "
+            "work — compact_version(...) applies the dvs physically, "
+            "then export the clean snapshot"
+        )
+    from pyspark.sql import functions as F
+
+    dv_parquets = sorted({f"{td}/{rel}" for rel in dv_state.values()})
+    # keep only (file, pos) rows read from the dv OBJECT the manifest
+    # maps that file to — a shared dv parquet must not leak another
+    # object's rows into this file's exported mask
+    tagged = spark.read.parquet(*dv_parquets).select(
+        "file",
+        "pos",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("src"),
+    )
+    rows = tagged.groupBy("src", "file").agg(F.collect_list("pos").alias("ps")).collect()
+    expected_src = {
+        rel.rsplit("/", 1)[-1]: dv_rel.rsplit("/", 1)[-1]
+        for rel, dv_rel in dv_state.items()
+    }
+    matched = [r for r in rows if expected_src.get(r["file"]) == r["src"]]
+    if dv_rows is None and sum(len(r["ps"]) for r in matched) > bound:
+        raise ValueError(
+            "snapshot's deletion-vector row count exceeds the export "
+            f"bound {bound}: compact_version(...) first"
+        )
+    by_name = {r["file"]: sorted(int(p) for p in r["ps"]) for r in matched}
+    # one entry per dv'd data file, in rel order, keyed by file NAME
+    # (the dv parquet keys) mapped back to the manifest rel
+    rel_of = {rel.rsplit("/", 1)[-1]: rel for rel in files}
+    ordered = [
+        (rel_of[name], positions)
+        for name, positions in sorted(by_name.items())
+        if name in rel_of
+    ]
+    blob, spans = new_dv_file([p for _rel, p in ordered])
+    u = _uuid.uuid4()
+    backend.write_bytes(f"{td}/deletion_vector_{u}.bin", blob)
+    return {
+        rel: {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": size,
+            "cardinality": len(positions),
+        }
+        for (rel, positions), (off, size) in zip(ordered, spans)
+    }
+
+
+def publish_delta_log(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    backend=None,
+    max_dv_rows: int = _DV_EXPORT_MAX_ROWS,
+) -> int:
+    """Publish the given snapshot as the next Delta commit under
+    ``{table_dir}/_delta_log`` (see module doc). Returns the Delta
+    version written (or the current one when the snapshot is already
+    exported — idempotent)."""
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    v = version if version is not None else latest_version(table_dir, backend)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if v not in set(_versions(table_dir, backend)):
+        raise FileNotFoundError(f"version {v} not retained in {table_dir}")
+
+    if v in _manifest_versions(table_dir, backend):
+        body = _manifest_body(table_dir, v, backend)
+        files = list(body["files"])
+        columns = body.get("columns")
+        dv_state = _dv_state(body)
+        stats = body.get("stats") or {}
+        dv_rows = body.get("dv_rows")
+    else:  # copy-published v-dir: plain files, no mapping, no dvs
+        vdir_rel = f"v{v:05d}"
+        files = sorted(
+            f"{vdir_rel}/{n}"
+            for n in backend.list_names(f"{td}/{vdir_rel}")
+            if n.endswith(".parquet")
+        )
+        columns, dv_state, stats, dv_rows = None, {}, {}, None
+    if not files:
+        raise FileNotFoundError(f"version {v} names no data files in {table_dir}")
+
+    schema_json = _logical_schema_json(spark, td, v, backend, columns)
+    configuration: dict[str, str] = {}
+    if columns:
+        configuration["delta.columnMapping.mode"] = "name"
+        configuration["delta.columnMapping.maxColumnId"] = str(
+            max(int(c["id"]) for c in columns)
+        )
+    if dv_state:
+        configuration["delta.enableDeletionVectors"] = "true"
+    reader_features = []
+    if dv_state:
+        reader_features.append("deletionVectors")
+        if columns:
+            reader_features.append("columnMapping")
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": reader_features,
+            "writerFeatures": list(reader_features),
+        }
+    elif columns:
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    # previously exported state (our own reader = the round-trip seam)
+    log_dir = f"{td}/_delta_log"
+    try:
+        prev = delta_snapshot(td, spark=spark, backend=backend)
+    except FileNotFoundError:
+        prev = None
+    meta_id = (prev or {}).get("metadata_id") or str(_uuid.uuid4())
+    next_delta_v = 0 if prev is None else prev["version"] + 1
+
+    prev_files = set((prev or {}).get("files") or {})
+    prev_tags = (prev or {}).get("tags") or {}
+    new_set = set(files)
+    removes = sorted(prev_files - new_set)
+    fresh = sorted(new_set - prev_files)
+    # dv-state change on a carried file = remove + re-add with the new
+    # mask (or none) — detected via the fpDvRel breadcrumb
+    changed = sorted(
+        rel
+        for rel in (new_set & prev_files)
+        if (prev_tags.get(rel) or {}).get(_DV_TAG) != dv_state.get(rel)
+    )
+    meta_changed = prev is None or (
+        prev["schema_json"] != schema_json
+        or (prev.get("configuration") or {}) != configuration
+    )
+    if not removes and not fresh and not changed and not meta_changed:
+        return prev["version"]  # already exported — idempotent no-op
+
+    descriptors: dict[str, dict] = {}
+    if dv_state:
+        descriptors = _export_dv_bin(
+            spark, td, backend, dv_state, files, dv_rows, bound=max_dv_rows
+        )
+
+    def _add_action(rel: str) -> dict:
+        a: dict = {
+            "path": rel,
+            "partitionValues": {},
+            "size": backend.file_size(f"{td}/{rel}") or 0,
+            "modificationTime": int((backend.mtime(f"{td}/{rel}") or 0) * 1000),
+            "dataChange": True,
+        }
+        fname = rel.rsplit("/", 1)[-1]
+        col_stats = stats.get(fname) or {}
+        n_rows = max((e[3] for e in col_stats.values() if len(e) > 3), default=None)
+        if n_rows is not None:
+            a["stats"] = json.dumps({"numRecords": int(n_rows)})
+        if rel in dv_state:
+            a["deletionVector"] = descriptors.get(rel)
+            a["tags"] = {_DV_TAG: dv_state[rel]}
+        return a
+
+    actions: list[dict] = []
+    if prev is None or (prev.get("protocol") or {}) != protocol:
+        actions.append({"protocol": protocol})
+    if meta_changed:
+        actions.append(
+            {
+                "metaData": {
+                    "id": meta_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": [],
+                    "configuration": configuration,
+                }
+            }
+        )
+    for rel in removes:
+        actions.append({"remove": {"path": rel, "dataChange": True}})
+    for rel in fresh + changed:
+        # spec reconciliation: a same-commit add supersedes any remove
+        # of the same path, so `changed` needs no explicit remove
+        actions.append({"add": _add_action(rel)})
+
+    backend.makedirs(log_dir)
+    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+    if not backend.create_exclusive(f"{log_dir}/{next_delta_v:020d}.json", payload):
+        raise FileExistsError(
+            f"Delta commit {next_delta_v} already exists in {log_dir} — "
+            "a concurrent export won the put-if-absent race; re-read and retry"
+        )
+    return next_delta_v

@@ -72,8 +72,12 @@ def test_registry_contract():
     # +vt18 (manifest-diff file-granular change feed) -> 239 / 228;
     # +st17 (version-feed replay across dv/compaction) -> 240 / 229;
     # +vt19 (clustered compaction, OPTIMIZE ZORDER BY) -> 241 / 230
-    assert len(q) == 241, sorted(q)
-    assert len(o) == 230, sorted(o)
+    # round 11: +dl01 (Delta log read) -> 242 / 231;
+    # +dl02 (Delta deletion vectors) -> 243 / 232;
+    # +dl03 (Delta column mapping x multi-part checkpoint) -> 244 / 233;
+    # +io16 (Delta interop OUT, publish_delta_log) -> 245 / 234
+    assert len(q) == 245, sorted(q)
+    assert len(o) == 234, sorted(o)
 
 
 def test_driver_priority_window():
