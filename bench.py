@@ -57,6 +57,38 @@ def bench_etl(spark, n_files: int = 4100) -> float:
     return round(best, 1)
 
 
+# Host-speed anchor (round-11 verdict task 5): a fixed-seed, CPU-bound
+# Spark canary — generated data, no I/O, whole-stage-codegen xxhash64
+# over spark.range — whose wall time depends only on the host's
+# effective CPU speed, never on this repo's code. Recorded in every
+# BENCH output as host_speed_factor = canary_sec / _CANARY_REF_SEC, so
+# cross-round comparisons normalize instead of re-litigating
+# "regression or slow host?" with ad-hoc A/B sessions (r9->r10 burned a
+# session measuring a uniform 1.4x VM gap). Normalization rule (also in
+# SCALE.md): comparable_wall = wall / host_speed_factor; per-family and
+# per-query ratios likewise. _CANARY_REF_SEC is the round-11 host's
+# measured best-of-3 — factor 1.0 means "as fast as the r11 host".
+_CANARY_ROWS = 4_800_000_000
+_CANARY_REF_SEC = 1.30
+
+
+def bench_host_canary(spark) -> float:
+    """Best-of-3 wall seconds for the fixed CPU canary (no I/O, no
+    shuffle: one codegen'd hash-agg over spark.range across all
+    cores)."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        n = spark.sparkContext.defaultParallelism
+        df = spark.range(0, _CANARY_ROWS, 1, n)
+        # bit_xor: overflow-free under ANSI mode, still forces the
+        # hash for every row inside one codegen'd stage
+        df.selectExpr("bit_xor(xxhash64(id, 42)) AS s").collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     """Min-of-2 timings for every registered query at ``sf_dir`` (plus
     the gr00 edge-artifact build as its own line item). Shared by the
@@ -383,6 +415,15 @@ def main() -> None:
     warm = REGISTRY["q01_avg_customer_revenue"].builder(spark, "/root/testdata/sf0.001")
     materialize(warm)
 
+    try:
+        canary_sec = bench_host_canary(spark)
+    except Exception as exc:
+        canary_sec = -1.0
+        print(f"# bench error in host canary: {exc}", file=sys.stderr)
+    host_speed_factor = (
+        round(canary_sec / _CANARY_REF_SEC, 3) if canary_sec > 0 else -1.0
+    )
+
     # Two passes per query, report the min: the first execution of a NEW
     # plan pays one-time analysis/codegen costs (measured seconds for
     # the widest expression trees) plus GC noise from neighbors; the min
@@ -433,6 +474,8 @@ def main() -> None:
                 "sf": sf,
                 "etl_files_per_sec": etl_files_per_sec,
                 "etl_baseline_files_per_sec": 5.4,
+                "canary_sec": canary_sec,
+                "host_speed_factor": host_speed_factor,
             }
         )
     )
@@ -459,6 +502,8 @@ def main() -> None:
                     "timing": "min_of_2_plus_slowest5_rerun",
                     "etl_files_per_sec": etl_files_per_sec,
                     "etl_baseline_files_per_sec": 5.4,
+                    "canary_sec": canary_sec,
+                    "host_speed_factor": host_speed_factor,
                 },
                 f,
                 indent=1,
@@ -485,6 +530,8 @@ def main() -> None:
                 "full_timings_file": "bench_full.json",
                 "etl_files_per_sec": etl_files_per_sec,
                 "etl_baseline_files_per_sec": 5.4,
+                "canary_sec": canary_sec,
+                "host_speed_factor": host_speed_factor,
             }
         )
     )

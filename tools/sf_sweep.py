@@ -1,5 +1,6 @@
-"""Scale-factor sweep for the relational (q*) and event (ev*) corpora
-(VERDICT r8 item 8): synthesize a 10x copy of the driver fixtures by
+"""Scale-factor sweep over registry families (default q* + ev*,
+VERDICT r8 item 8; --families vt,st for the lifecycle corpora,
+VERDICT r10 item 7): synthesize a 10x copy of the driver fixtures by
 key-shifted union (orders/lineitem/customer/events grow; region/nation/
 supplier/part/documents/embeddings stay dim-sized, as they would in a
 real deployment), run both corpora at 1x and 10x, and report per-family
@@ -84,9 +85,14 @@ def run_corpus(spark, sf_dir: str, names) -> dict[str, float]:
         best = math.inf
         for _ in range(2):  # min-of-2, mirroring bench.py
             t0 = time.time()
-            REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # one bad query must not kill the sweep
+                print(f"# sweep error in {name}@{sf_dir}: {exc}", file=sys.stderr)
+                best = -1.0
+                break
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
     return out
@@ -97,6 +103,12 @@ def main() -> None:
     ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default="/tmp/fp_sweep_10x")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--families",
+        default="q,ev",
+        help="comma-separated family prefixes (leading alpha run of the "
+        "query name) to sweep, e.g. q,ev or vt,st",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -115,9 +127,16 @@ def main() -> None:
         .config("spark.sql.cteRecursionRowLimit", "100000000")
         .getOrCreate()
     )
+    import re as _re
+
+    fams_wanted = tuple(f.strip() for f in args.families.split(",") if f.strip())
     names = sorted(
-        n for n in REGISTRY if n.startswith("q") or n.startswith("ev")
+        n
+        for n in REGISTRY
+        if (m := _re.match(r"[a-z]+", n)) is not None and m.group(0) in fams_wanted
     )
+    if not names:
+        raise SystemExit(f"no registry queries match families {fams_wanted}")
     try:
         synthesize(spark, args.base, args.out)
         t1 = run_corpus(spark, args.base, names)
@@ -129,11 +148,13 @@ def main() -> None:
 
     rows = []
     for n in names:
+        if t1[n] < 0 or t10[n] < 0:
+            continue  # errored queries are reported on stderr only
         ratio = t10[n] / max(t1[n], 1e-3)
         rows.append((n, t1[n], t10[n], round(math.log10(max(ratio, 1e-3)), 2)))
     fam = {}
     for n, a, b, _ in rows:
-        f = "q" if n.startswith("q") else "ev"
+        f = _re.match(r"[a-z]+", n).group(0)
         s = fam.setdefault(f, [0.0, 0.0])
         s[0] += a
         s[1] += b
