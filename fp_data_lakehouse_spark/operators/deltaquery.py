@@ -48,22 +48,41 @@ def _stage_bucket_files(
 ) -> list[str]:
     """One sorted parquet file per (o_custkey % n_buckets) bucket under
     ``td`` — scratch synthesis (driver-local), returns file names in
-    bucket order. Sorting by key makes row POSITIONS deterministic, so
-    dl02's deletion vectors target reproducible rows."""
+    bucket order. ONE partitioned write stages every bucket (the
+    per-bucket filter+coalesce loop cost N full scans and dominated
+    dl03's bench line); repartitioning on the bucket key pins each
+    bucket to exactly one task = exactly one file per directory, and
+    the (bucket, key) sort makes row POSITIONS deterministic, so
+    dl02's deletion vectors target reproducible rows. The partitionBy
+    writer drops the bucket column from the files — exactly the
+    Delta partition contract dl01 certifies."""
+    import shutil
+
+    key = cols[0] if cols else "o_custkey"
+    df = totals.withColumn(
+        "__b", (F.col("o_custkey") % n_buckets).cast("int")
+    )
+    if cols:
+        df = df.select(
+            *[F.col(c).alias(a) for c, a in zip(["o_custkey", "cents"], cols)], "__b"
+        )
+    stage = f"{td}/_stage_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(n_buckets, "__b")
+        .sortWithinPartitions("__b", key)
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
     names = []
     for b in range(n_buckets):
-        leg = totals.filter(F.col("o_custkey") % n_buckets == b).sort("o_custkey")
-        if cols:
-            leg = leg.select(*[F.col(c).alias(a) for c, a in zip(["o_custkey", "cents"], cols)])
-        tmp = f"{td}/_tmp_{uuid.uuid4().hex[:8]}"
-        leg.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+        d = f"{stage}/__b={b}"
+        srcs = [n for n in os.listdir(d) if n.endswith(".parquet")]
+        assert len(srcs) == 1, f"bucket {b} staged {len(srcs)} files"
         name = f"b{b}.parquet"
-        os.replace(f"{tmp}/{src}", f"{td}/{name}")
-        import shutil
-
-        shutil.rmtree(tmp)
+        os.replace(f"{d}/{srcs[0]}", f"{td}/{name}")
         names.append(name)
+    shutil.rmtree(stage)
     return names
 
 
@@ -389,9 +408,14 @@ def dl03_delta_mapped_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for part, rows in enumerate((cp_rows[:2], cp_rows[2:]), start=1):
         stage = f"{log}/_cp_stage"
-        spark.createDataFrame(rows, cp_schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
+        # ONE slice up front: coalesce(1) over a python-rows frame
+        # would compute its defaultParallelism pickled partitions
+        # SEQUENTIALLY in a single task (one Python worker launch
+        # each — measured ~4 s per tiny checkpoint write)
+        ordered = [tuple(r[k] for k in ("add", "metaData", "protocol")) for r in rows]
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(ordered, 1), cp_schema
+        ).write.mode("overwrite").parquet(stage)
         src = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
         os.replace(
             f"{stage}/{src}", f"{log}/{0:020d}.checkpoint.{part:010d}.{2:010d}.parquet"

@@ -1164,6 +1164,12 @@ def io16_delta_log_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assert publish_delta_log(spark, table_dir, version=1) == 0
     assert publish_delta_log(spark, table_dir, version=2) == 1
+    # checkpoint the exported log (2-part): the head leg below then
+    # reads THROUGH the spec checkpoint + _last_checkpoint pointer,
+    # certifying export -> checkpoint -> multi-part replay end-to-end
+    from ..sources.delta_export import checkpoint_delta_log
+
+    assert checkpoint_delta_log(spark, table_dir, parts=2) == 1
     # the incremental commit is a DIFF, not a re-listing: the 16-file
     # layout localizes the delete, so commit 1 must stay far below 16
     with open(f"{table_dir}/_delta_log/{1:020d}.json", encoding="utf-8") as f:

@@ -593,7 +593,12 @@ def _stage_single_file(df, dest_dir: str, name: str) -> None:
     import shutil as _sh
 
     tmp = f"{dest_dir}/_tmp_{name}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # repartition(1), not coalesce(1): these fixture frames are
+    # python-rows DataFrames whose pickled partitions coalesce would
+    # compute SEQUENTIALLY inside one task (one Python worker launch
+    # per parent partition — measured ~4 s per tiny file); the shuffle
+    # keeps the parents parallel and moves only a handful of rows
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(f"{tmp}/part-*.parquet")[0]
     _sh.move(part, f"{dest_dir}/{name}")
     _sh.rmtree(tmp, ignore_errors=True)

@@ -161,6 +161,59 @@ def _check_protocol(protocol: dict | None, table_dir: str) -> None:
         )
 
 
+def delta_version_as_of(
+    table_dir: str, ts, spark=None, backend=None
+) -> int:
+    """Delta's TIMESTAMP AS OF resolution: the LATEST version whose
+    commit time is at or before ``ts`` (epoch seconds, datetime, or
+    ISO-8601 string; naive = UTC). Commit times come from the commit
+    files' store modification times with the spec's MONOTONIC
+    adjustment (a commit whose mtime runs backward — clock skew,
+    copied logs — is treated as its predecessor's time + 1ms, so
+    version order and time order never disagree). Checkpoint-only
+    versions (commit JSON vacuumed) carry no timestamp and cannot be
+    resolved by time — asking for a time at or before them raises,
+    same as Delta on retention-trimmed history."""
+    import datetime
+
+    td = table_dir.rstrip("/")
+    backend = backend or _backend(td, spark)
+    if isinstance(ts, str):
+        dt = datetime.datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        ts = dt.timestamp()
+    elif isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        ts = ts.timestamp()
+    log_dir = f"{td}/_delta_log"
+    commits, _cps = _log_entries(log_dir, backend)
+    if not commits:
+        raise FileNotFoundError(f"no commit JSON retained in {table_dir}")
+    adjusted: list[tuple[int, float]] = []
+    prev = float("-inf")
+    for c in commits:
+        mt = backend.mtime(f"{log_dir}/{c:020d}.json")
+        if mt is None:
+            continue  # vanished mid-listing: racing retention
+        mt = max(mt, prev + 0.001)  # monotonic adjustment per spec
+        adjusted.append((c, mt))
+        prev = mt
+    best = None
+    for c, mt in adjusted:
+        if mt <= ts:
+            best = c
+    if best is None:
+        raise FileNotFoundError(
+            f"no Delta commit in {table_dir} at or before timestamp {ts} "
+            f"(earliest retained commit is v{adjusted[0][0]} at "
+            f"{adjusted[0][1]:.3f})" if adjusted else
+            f"no timestamped Delta commits retained in {table_dir}"
+        )
+    return best
+
+
 def delta_snapshot(
     table_dir: str, version: int | None = None, spark=None, backend=None
 ) -> dict:
@@ -431,7 +484,11 @@ def _dv_rows(
 
 
 def read_delta(
-    spark: SparkSession, table_dir: str, version: int | None = None, backend=None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    backend=None,
+    as_of=None,
 ) -> DataFrame:
     """Read a Delta table snapshot as a DataFrame (see module doc).
 
@@ -459,6 +516,10 @@ def read_delta(
 
     from .versioned import _dv_hinted
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = delta_version_as_of(table_dir, as_of, spark=spark, backend=backend)
     snap = delta_snapshot(table_dir, version, spark=spark, backend=backend)
     td = table_dir.rstrip("/")
     logical = StructType.fromJson(json.loads(snap["schema_json"]))

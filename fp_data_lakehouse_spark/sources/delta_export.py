@@ -95,7 +95,7 @@ def _dv_state(body: dict) -> dict[str, str]:
 
 
 def _export_dv_bin(
-    spark, td, backend, dv_state, files, dv_rows, bound=_DV_EXPORT_MAX_ROWS
+    spark, td, backend, dv_state, dv_rows, bound=_DV_EXPORT_MAX_ROWS
 ) -> dict[str, dict]:
     """Re-serialize the snapshot's dv parquet masks as ONE spec-format
     ``.bin`` (RoaringBitmapArray entries at offsets) and return
@@ -130,13 +130,13 @@ def _export_dv_bin(
             f"bound {bound}: compact_version(...) first"
         )
     by_name = {r["file"]: sorted(int(p) for p in r["ps"]) for r in matched}
-    # one entry per dv'd data file, in rel order, keyed by file NAME
-    # (the dv parquet keys) mapped back to the manifest rel
-    rel_of = {rel.rsplit("/", 1)[-1]: rel for rel in files}
+    # one entry per dv'd MANIFEST rel (not per mask-row group): every
+    # rel the manifest marks dv'd MUST get a descriptor — a rel whose
+    # mask object happens to carry no rows for it exports an empty
+    # bitmap (cardinality 0), never a null descriptor that would
+    # silently resurrect rows on readback
     ordered = [
-        (rel_of[name], positions)
-        for name, positions in sorted(by_name.items())
-        if name in rel_of
+        (rel, by_name.get(rel.rsplit("/", 1)[-1], [])) for rel in sorted(dv_state)
     ]
     blob, spans = new_dv_file([p for _rel, p in ordered])
     u = _uuid.uuid4()
@@ -246,7 +246,7 @@ def publish_delta_log(
     descriptors: dict[str, dict] = {}
     if dv_state:
         descriptors = _export_dv_bin(
-            spark, td, backend, dv_state, files, dv_rows, bound=max_dv_rows
+            spark, td, backend, dv_state, dv_rows, bound=max_dv_rows
         )
 
     def _add_action(rel: str) -> dict:
@@ -263,7 +263,7 @@ def publish_delta_log(
         if n_rows is not None:
             a["stats"] = json.dumps({"numRecords": int(n_rows)})
         if rel in dv_state:
-            a["deletionVector"] = descriptors.get(rel)
+            a["deletionVector"] = descriptors[rel]  # KeyError = real bug
             a["tags"] = {_DV_TAG: dv_state[rel]}
         return a
 
@@ -297,3 +297,113 @@ def publish_delta_log(
             "a concurrent export won the put-if-absent race; re-read and retry"
         )
     return next_delta_v
+
+
+_CP_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:bigint>,"
+    "tags:map<string,string>>, "
+    "metaData struct<id:string,format:struct<provider:string,"
+    "options:map<string,string>>,schemaString:string,"
+    "partitionColumns:array<string>,configuration:map<string,string>>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>"
+)
+
+
+def checkpoint_delta_log(
+    spark: SparkSession, table_dir: str, backend=None, parts: int = 1
+) -> int:
+    """Write a spec-format parquet CHECKPOINT of the exported Delta
+    log's latest version (single-part ``%020d.checkpoint.parquet`` or
+    ``parts`` multi-part files) plus the ``_last_checkpoint`` pointer —
+    so a long export history replays O(1) from the checkpoint instead
+    of O(commits), and commit JSONs at or below it become
+    retention-eligible (the reader's multi-part support, r11, is the
+    consumer). The checkpoint carries each add's ``deletionVector``
+    descriptor AND its ``tags`` (the fpDvRel breadcrumb), so
+    publish_delta_log's incremental diff stays minimal across a
+    checkpoint boundary. Returns the checkpointed version.
+
+    Mechanics: the snapshot state is replayed through our own reader
+    (round-trip seam), written as parquet via Spark into a staging
+    dir, then copied byte-wise to the spec names through the backend
+    (checkpoints are metadata-sized; the copy uses only primitives
+    every backend has). The pointer lands LAST via an atomic text
+    write, so a crash mid-checkpoint leaves a stale-but-valid hint and
+    the listing-authoritative reader is never misdirected."""
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    log_dir = f"{td}/_delta_log"
+    snap = delta_snapshot(td, spark=spark, backend=backend)
+    v = snap["version"]
+    if parts < 1:
+        raise ValueError(f"parts must be >= 1, got {parts}")
+
+    add_rows = [
+        {
+            "add": {
+                "path": p,
+                "partitionValues": pv or {},
+                "size": backend.file_size(f"{td}/{p}") or 0,
+                "modificationTime": int((backend.mtime(f"{td}/{p}") or 0) * 1000),
+                "dataChange": False,
+                "deletionVector": snap["dv"].get(p),
+                "tags": snap["tags"].get(p),
+            },
+            "metaData": None,
+            "protocol": None,
+        }
+        for p, pv in sorted(snap["files"].items())
+    ]
+    proto = snap["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    tail = [
+        {
+            "add": None,
+            "metaData": {
+                "id": snap["metadata_id"],
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap["schema_json"],
+                "partitionColumns": snap["partition_columns"],
+                "configuration": snap["configuration"] or {},
+            },
+            "protocol": None,
+        },
+        {"add": None, "metaData": None, "protocol": proto},
+    ]
+    chunks = [add_rows[i::parts] for i in range(parts)]
+    chunks[0] = chunks[0] + tail
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    names = (
+        [f"{v:020d}.checkpoint.parquet"]
+        if parts == 1
+        else [f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet" for i in range(1, parts + 1)]
+    )
+    stage_root = _tempfile.mkdtemp(prefix="fp_delta_cp_")
+    try:
+        for name, rows in zip(names, chunks):
+            stage = f"{stage_root}/{name}"
+            # ONE slice up front: coalesce(1) over a python-rows frame
+            # would compute its defaultParallelism pickled partitions
+            # SEQUENTIALLY in a single task (~4 s per tiny write)
+            ordered = [
+                tuple(r[k] for k in ("add", "metaData", "protocol")) for r in rows
+            ]
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(ordered, 1), _CP_SCHEMA
+            ).write.mode("overwrite").parquet(stage)
+            src = next(n for n in _os.listdir(stage) if n.endswith(".parquet"))
+            with open(f"{stage}/{src}", "rb") as f:
+                backend.write_bytes(f"{log_dir}/{name}", f.read())
+    finally:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+    pointer = {"version": v, "size": len(add_rows) + 2}
+    if parts > 1:
+        pointer["parts"] = parts  # spec: omitted for single-part
+    backend.write_text_atomic(f"{log_dir}/_last_checkpoint", json.dumps(pointer))
+    return v

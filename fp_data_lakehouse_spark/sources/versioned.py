@@ -2046,7 +2046,12 @@ def delete_where_dv(
     staging = f"{td}/{_DATA_PREFIX}/{writer_id}"
     backend.makedirs(staging)
     with _Lease(backend, f"{staging}/_lease", writer_id):
-        all_dead.coalesce(1).write.mode("append").parquet(staging)
+        # repartition(1), NOT coalesce(1): coalesce would pull the
+        # whole matching-row SCAN into a single task (at 100 TB the
+        # delete's full-table filter would run single-threaded);
+        # repartition keeps the scan parallel and shuffles only the
+        # tiny (file, pos) mask rows to the one writer task
+        all_dead.repartition(1).write.mode("append").parquet(staging)
         dv_files = sorted(
             n for n in backend.list_names(staging) if n.endswith(".parquet")
         )

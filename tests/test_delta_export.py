@@ -158,3 +158,81 @@ def test_export_vdir_snapshot(spark, tmp_path):
     write_version(spark.range(30).selectExpr("id"), td)  # v-dir publish
     assert publish_delta_log(spark, td) == 0
     assert read_delta(spark, td).count() == 30
+
+
+def test_checkpoint_delta_log_and_retention(spark, tmp_path):
+    """checkpoint_delta_log writes a spec checkpoint + _last_checkpoint
+    of the exported log: commit JSONs at or below it can be deleted and
+    the table still reads (the r11 reader's checkpoint support is the
+    consumer); DV descriptors AND the fpDvRel breadcrumbs survive the
+    checkpoint, so a later re-export still diffs minimally."""
+    import glob
+
+    from fp_data_lakehouse_spark.sources.delta_export import checkpoint_delta_log
+
+    td = str(tmp_path / "t")
+    write_version(
+        spark.range(200).selectExpr("id", "id AS v").repartitionByRange(4, "id"),
+        td,
+        manifest=True,
+    )
+    assert delete_where_dv(spark, td, F.expr("id % 20 = 0")) == 2
+    assert publish_delta_log(spark, td, version=1) == 0
+    assert publish_delta_log(spark, td, version=2) == 1
+
+    assert checkpoint_delta_log(spark, td, parts=2) == 1
+    log = f"{td}/_delta_log"
+    assert len(glob.glob(f"{log}/*.checkpoint.*.parquet")) == 2
+    for c in (0, 1):
+        os.remove(f"{log}/{c:020d}.json")
+
+    # reads seed from the checkpoint: dv'd head, clean v0 both gone
+    # (retention removed v0's commit and no checkpoint covers it)
+    assert {r.id for r in read_delta(spark, td).collect()} == {
+        i for i in range(200) if i % 20
+    }
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, td, version=0)
+
+    # breadcrumbs survived: an unchanged-snapshot re-export is still a
+    # no-op, and a new snapshot re-exports as a DIFF commit
+    assert publish_delta_log(spark, td, version=2) == 1  # idempotent via cp
+    from fp_data_lakehouse_spark.sources.versioned import compact_version
+
+    assert compact_version(spark, td, 2, manifest=True) == 3
+    assert publish_delta_log(spark, td, version=3) == 2
+    assert read_delta(spark, td).count() == 190
+
+
+def test_read_delta_timestamp_as_of(spark, tmp_path):
+    """read_delta(as_of=...) resolves versions by commit mtime with the
+    monotonic adjustment; asking before the earliest commit raises."""
+    import time as _time
+
+    td = str(tmp_path / "t")
+    write_version(spark.range(10).selectExpr("id"), td, manifest=True)
+    assert publish_delta_log(spark, td, version=1) == 0
+    from fp_data_lakehouse_spark.sources.versioned import write_version as _wv
+
+    log = f"{td}/_delta_log"
+    # pin distinct commit times a minute apart
+    os.utime(f"{log}/{0:020d}.json", (1_700_000_000, 1_700_000_000))
+    _wv(spark.range(25).selectExpr("id"), td, manifest=True)
+    assert publish_delta_log(spark, td, version=2) == 1
+    os.utime(f"{log}/{1:020d}.json", (1_700_000_060, 1_700_000_060))
+
+    assert read_delta(spark, td, as_of=1_700_000_030).count() == 10
+    assert read_delta(spark, td, as_of=1_700_000_060).count() == 25
+    assert read_delta(spark, td, as_of="2023-11-14T22:13:20+00:00").count() == 10
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        read_delta(spark, td, as_of=1_600_000_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, td, version=0, as_of=1_700_000_030)
+
+    # monotonic adjustment: a LATER commit whose mtime runs BACKWARD is
+    # treated as predecessor+1ms, so time order == version order
+    _wv(spark.range(40).selectExpr("id"), td, manifest=True)
+    assert publish_delta_log(spark, td, version=3) == 2
+    os.utime(f"{log}/{2:020d}.json", (1_600_000_000, 1_600_000_000))
+    assert read_delta(spark, td, as_of=1_700_000_060.5).count() == 40
+    assert read_delta(spark, td, as_of=1_700_000_059).count() == 10
