@@ -433,3 +433,98 @@ def dl03_delta_mapped_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy((F.col("o_custkey") % 3).cast("int").alias("grp"))
         .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dl04: Delta table as a STREAMING SOURCE (initial snapshot + replay)
+# ---------------------------------------------------------------------------
+
+_DL04_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 4 AS INT) AS bucket,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+b AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY bucket
+)
+SELECT 'snapshot' AS mode, CAST(2 AS INT) AS ver,
+       CAST(SUM(n_cust) AS BIGINT) AS n_cust,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+FROM b
+UNION ALL
+SELECT 'replay', CAST(0 AS INT),
+       CAST(SUM(n_cust) AS BIGINT), CAST(SUM(sum_cents) AS BIGINT)
+FROM b WHERE bucket IN (0, 1)
+UNION ALL
+SELECT 'replay', CAST(1 AS INT), n_cust, sum_cents FROM b WHERE bucket = 2
+UNION ALL
+SELECT 'replay', CAST(2 AS INT), n_cust, sum_cents FROM b WHERE bucket = 3
+"""
+
+
+@register("dl04_delta_feed_stream", oracle=_DL04_SQL)
+def dl04_delta_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta table as a STREAMING SOURCE (sources/delta_feed.py,
+    ``fp_delta_feed``) on the driver's hard signal: a 3-commit Delta
+    log over customer totals is drained through REAL Structured
+    Streaming queries (availableNow, parquet sink, checkpointed) in
+    BOTH contract modes — the default INITIAL SNAPSHOT (one batch =
+    the live snapshot at stream start, ``_commit_version`` = that
+    version) and ``startingVersion=0`` replay (no snapshot; every
+    appended file stamped with ITS commit version). The oracle
+    rebuilds both emission sets from ``orders`` directly, so the hash
+    certifies offset planning, per-commit file attribution, and the
+    append-only tail in one row.
+
+    Scale: offsets are log versions (metadata); each micro-batch plans
+    only that commit's added files — the O(new data) tail the
+    fp_versioned_feed already certifies, here over the ECOSYSTEM's
+    format. Change commits (removes/dv) fail loudly or skip via
+    skipChangeCommits per the Delta source contract (pytest-covered,
+    tests/test_delta_feed.py)."""
+    from ..sources.pyds import register_python_sources
+
+    td = alloc_scratch(spark, "dl04_feed") + "/t"
+    os.makedirs(td, exist_ok=True)
+    names = _stage_bucket_files(_cust_totals(spark, sf_dir), td, 4)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_SCHEMA_PLAIN, []),
+            _add(td, names[0]),
+            _add(td, names[1]),
+        ],
+    )
+    _commit(log, 1, [_add(td, names[2])])
+    _commit(log, 2, [_add(td, names[3])])
+
+    register_python_sources(spark)
+    work = alloc_scratch(spark, "dl04_drain")
+    legs = []
+    for mode, opts in (("snapshot", {}), ("replay", {"startingVersion": "0"})):
+        reader = spark.readStream.format("fp_delta_feed").option("path", td)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", f"{work}/{mode}/out")
+            .option("checkpointLocation", f"{work}/{mode}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        drained = spark.read.parquet(f"{work}/{mode}/out")
+        legs.append(
+            drained.groupBy(F.col("_commit_version").cast("int").alias("ver"))
+            .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
+            .select(F.lit(mode).alias("mode"), "ver", "n_cust", "sum_cents")
+        )
+    return legs[0].unionByName(legs[1])

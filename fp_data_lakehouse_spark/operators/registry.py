@@ -62,10 +62,11 @@ DRIVER_PRIORITY: list[str] = [
     # real RoaringBitmapArray bitmaps, name-mode column mapping
     # seeded from a multi-part checkpoint) and io16 (Delta interop
     # OUT: publish_delta_log round-trip through read_delta + JVM +
-    # vanilla readers); then (c) the CERTIFICATION ROTATION: all 39
-    # r6-vintage rows, plus the first 2 r7-vintage rows (q33, q34)
-    # to fill the 50. After this window no row is older than 5
-    # rounds (r7 vintage). Everything stays re-validated locally by
+    # vanilla readers; dl04: the fp_delta_feed streaming source in
+    # both contract modes); then (c) the CERTIFICATION ROTATION: all
+    # 39 r6-vintage rows, plus the first r7-vintage row (q33) to
+    # fill the 50. After this window no row is older than 5 rounds
+    # (r7 vintage). Everything stays re-validated locally by
     # tests/test_oracle_parity.py on every pytest run.
     "gr01_triangle_count",
     "gr02_degree_assortativity",
@@ -76,6 +77,7 @@ DRIVER_PRIORITY: list[str] = [
     "dl01_delta_log_read",
     "dl02_delta_deletion_vectors",
     "dl03_delta_mapped_checkpoint",
+    "dl04_delta_feed_stream",
     "io16_delta_log_export",
     # rotation: the 39 r6-vintage rows
     "dd01_exact_dup_groups",
@@ -117,10 +119,10 @@ DRIVER_PRIORITY: list[str] = [
     "st11_stream_leftouter_interval_join",
     "tx20_bpe_train_certified",
     "tx21_bpe_tokenize_corpus",
-    # rotation: first 2 r7-vintage rows
+    # rotation: first r7-vintage row (q34 falls past the 50-row cut
+    # with dl04 added; it leads the r12 window with the other 36 r7s)
     "q33_sql_above_average_balance",
-    "q34_balance_quartiles",
-    # 50-row window ends here (5 deferred r5 + 4 new + 39 r6 + 2 r7)
+    # 50-row window ends here (5 deferred r5 + 5 new + 39 r6 + 1 r7)
 ]
 
 

@@ -1647,3 +1647,6 @@ def register_python_sources(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedDataSource)
     spark.dataSource.register(VersionFeedDataSource)
+    from .delta_feed import DeltaFeedDataSource
+
+    spark.dataSource.register(DeltaFeedDataSource)

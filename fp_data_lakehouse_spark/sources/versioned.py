@@ -275,6 +275,15 @@ class LocalFsBackend:
         except OSError:
             return None
 
+    def read_bytes(self, p: str) -> bytes | None:
+        """Whole binary object, None when absent (Delta deletion-vector
+        ``.bin`` decode on the driver/planner side)."""
+        try:
+            with open(p, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
     def write_bytes(self, p: str, data: bytes) -> None:
         """Write a fresh binary object (uuid-named immutable payloads —
         deletion-vector ``.bin`` files — so no atomic-replace dance is
@@ -492,6 +501,20 @@ class HadoopFsBackend:
         except Exception:
             return None
 
+    def read_bytes(self, p: str) -> bytes | None:
+        fs = self._fs(p)
+        hp = self._path(p)
+        if not fs.exists(hp):
+            return None
+        stream = fs.open(hp)
+        try:
+            # one bulk JVM call, not one py4j round trip per byte
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
     def write_bytes(self, p: str, data: bytes) -> None:
         # uuid-named immutable payloads: a plain create(overwrite) is a
         # single-object PUT on every Hadoop-compatible store
@@ -685,6 +708,10 @@ class ConditionalPutBackend:
             return os.path.getsize(p)
         except OSError:
             return None
+
+    def read_bytes(self, p: str) -> bytes | None:
+        """Whole-object GET, None when absent."""
+        return self._get(p)
 
     def write_bytes(self, p: str, data: bytes) -> None:
         # a plain whole-object PUT — uuid-named immutable payloads

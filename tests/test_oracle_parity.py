@@ -75,9 +75,10 @@ def test_registry_contract():
     # round 11: +dl01 (Delta log read) -> 242 / 231;
     # +dl02 (Delta deletion vectors) -> 243 / 232;
     # +dl03 (Delta column mapping x multi-part checkpoint) -> 244 / 233;
-    # +io16 (Delta interop OUT, publish_delta_log) -> 245 / 234
-    assert len(q) == 245, sorted(q)
-    assert len(o) == 234, sorted(o)
+    # +io16 (Delta interop OUT, publish_delta_log) -> 245 / 234;
+    # +dl04 (Delta table as a streaming source) -> 246 / 235
+    assert len(q) == 246, sorted(q)
+    assert len(o) == 235, sorted(o)
 
 
 def test_driver_priority_window():
