@@ -173,7 +173,11 @@ def delta_version_as_of(
     version order and time order never disagree). Checkpoint-only
     versions (commit JSON vacuumed) carry no timestamp and cannot be
     resolved by time — asking for a time at or before them raises,
-    same as Delta on retention-trimmed history."""
+    same as Delta on retention-trimmed history. A timestamp AFTER the
+    newest adjusted commit time also raises (Delta parity: TIMESTAMP
+    AS OF beyond the head is an error, never a silent clamp-to-latest
+    — a caller asking for "now + 1h" expected a commit that does not
+    exist yet; omit ``as_of`` to read the head)."""
     import datetime
 
     td = table_dir.rstrip("/")
@@ -211,6 +215,13 @@ def delta_version_as_of(
             f"{adjusted[0][1]:.3f})" if adjusted else
             f"no timestamped Delta commits retained in {table_dir}"
         )
+    if ts > adjusted[-1][1]:
+        raise ValueError(
+            f"timestamp {ts} is after the latest commit of {table_dir} "
+            f"(v{adjusted[-1][0]} at {adjusted[-1][1]:.3f}) — TIMESTAMP "
+            "AS OF beyond the head is an error per Delta's contract; "
+            "omit as_of (or pass version=) to read the head"
+        )
     return best
 
 
@@ -247,15 +258,27 @@ def delta_snapshot(
     start = 0
     usable_cp = sorted(c for c in checkpoints if c <= v)
     # the _last_checkpoint hint must never make us use a WORSE starting
-    # point than the listing found; it is consulted for spec parity
-    # (and as a tripwire: a hint naming a checkpoint the listing cannot
-    # see usually means an incomplete multi-part write)
+    # point than the listing found (the listing stays authoritative per
+    # spec); it is consulted as a TRIPWIRE — a hint naming a version the
+    # listing found no COMPLETE checkpoint for means an incomplete
+    # multi-part write (crash mid-checkpoint). The read itself is still
+    # sound (replay falls back to older checkpoints/commits), so warn
+    # rather than raise, but loudly: silent toleration hid this state
+    # until round 12.
     hint = _read_last_checkpoint(log_dir, backend)
     if hint and isinstance(hint.get("version"), int):
         hv = hint["version"]
-        if hv <= v and hv in checkpoints and hv not in usable_cp:
-            usable_cp.append(hv)
-            usable_cp.sort()
+        if hv <= latest and hv not in checkpoints:
+            import warnings
+
+            warnings.warn(
+                f"_last_checkpoint in {log_dir} names version {hv} but "
+                "the listing found no complete checkpoint there — "
+                "likely an incomplete multi-part checkpoint write; "
+                "replay proceeds from the listing (spec-authoritative)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     if usable_cp and spark is not None:
         cp = usable_cp[-1]
         cp_df = spark.read.parquet(

@@ -22,10 +22,12 @@ vocabulary:
   (file, pos) masks are re-serialized as the spec's RoaringBitmapArray
   ``.bin`` files (sources/roaring.py) and attached as
   ``deletionVector`` descriptors (storageType 'u'), protocol (3, 7)
-  with the deletionVectors feature. Bounded by a driver-side gate —
-  bitmap assembly is per-export driver work, so a snapshot whose DV
-  count exceeds ``max_dv_rows`` is refused with the standing advice
-  (compact first); the gate mirrors the read side's broadcast bound.
+  with the deletionVectors feature. Bitmap assembly is DISTRIBUTED:
+  executors serialize each file's bitmap (applyInPandas per file),
+  the driver concatenates only compressed payloads — no position list
+  ever rides a collect. ``max_dv_rows`` remains a POLICY bound (a
+  snapshot masked that heavily reads faster compacted), not a heap
+  cliff.
 
 Re-export is INCREMENTAL and idempotent: the existing exported log is
 replayed (sources/delta.py delta_snapshot — our own reader is the
@@ -52,7 +54,7 @@ import uuid as _uuid
 from pyspark.sql import SparkSession
 
 from .delta import delta_snapshot
-from .roaring import new_dv_file, z85_encode
+from .roaring import z85_encode
 from .versioned import (
     _backend_for,
     _manifest_body,
@@ -99,15 +101,27 @@ def _export_dv_bin(
 ) -> dict[str, dict]:
     """Re-serialize the snapshot's dv parquet masks as ONE spec-format
     ``.bin`` (RoaringBitmapArray entries at offsets) and return
-    rel -> deletionVector descriptor."""
+    rel -> deletionVector descriptor.
+
+    Assembly is DISTRIBUTED (round 12): each data file's positions
+    serialize to its portable RoaringBitmapArray EXECUTOR-side
+    (applyInPandas per file), and the driver concatenates only the
+    already-COMPRESSED per-file payloads with the spec framing —
+    driver memory is bounded by bitmap bytes (≤ 2 B/row for sparse
+    array containers, 8 KiB per dense 64 Ki chunk), never by raw
+    position lists. ``bound`` stays as a POLICY knob on total DV rows
+    (a snapshot masked that heavily reads faster compacted), not a
+    heap cliff."""
     if dv_rows is not None and dv_rows > bound:
         raise ValueError(
             f"snapshot carries {dv_rows} deletion-vector rows "
-            f"(> {bound}): bitmap assembly is driver-side "
-            "work — compact_version(...) applies the dvs physically, "
-            "then export the clean snapshot"
+            f"(> {bound}): a mask that heavy penalizes every read — "
+            "compact_version(...) applies the dvs physically, "
+            "then export the clean snapshot (or raise max_dv_rows)"
         )
     from pyspark.sql import functions as F
+
+    from .roaring import new_dv_file_from_blobs, serialize_rbm_array
 
     dv_parquets = sorted({f"{td}/{rel}" for rel in dv_state.values()})
     # keep only (file, pos) rows read from the dv OBJECT the manifest
@@ -118,27 +132,52 @@ def _export_dv_bin(
         "pos",
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("src"),
     )
-    rows = tagged.groupBy("src", "file").agg(F.collect_list("pos").alias("ps")).collect()
     expected_src = {
         rel.rsplit("/", 1)[-1]: dv_rel.rsplit("/", 1)[-1]
         for rel, dv_rel in dv_state.items()
     }
-    matched = [r for r in rows if expected_src.get(r["file"]) == r["src"]]
-    if dv_rows is None and sum(len(r["ps"]) for r in matched) > bound:
+    lookup = spark.createDataFrame(
+        sorted(expected_src.items()), "file string, __want_src string"
+    )
+    matched = tagged.join(F.broadcast(lookup), "file").where(
+        F.col("src") == F.col("__want_src")
+    )
+
+    def _ser(pdf):
+        import pandas as pd
+
+        data = serialize_rbm_array([int(p) for p in pdf["pos"]])
+        return pd.DataFrame(
+            {
+                "file": [str(pdf["file"].iloc[0])],
+                "data": [data],
+                "card": [int(pdf["pos"].nunique())],
+            }
+        )
+
+    rows = (
+        matched.select("file", "pos")
+        .groupBy("file")
+        .applyInPandas(_ser, "file string, data binary, card bigint")
+        .collect()
+    )
+    if dv_rows is None and sum(int(r["card"]) for r in rows) > bound:
         raise ValueError(
             "snapshot's deletion-vector row count exceeds the export "
             f"bound {bound}: compact_version(...) first"
         )
-    by_name = {r["file"]: sorted(int(p) for p in r["ps"]) for r in matched}
+    by_name = {r["file"]: (bytes(r["data"]), int(r["card"])) for r in rows}
     # one entry per dv'd MANIFEST rel (not per mask-row group): every
     # rel the manifest marks dv'd MUST get a descriptor — a rel whose
     # mask object happens to carry no rows for it exports an empty
     # bitmap (cardinality 0), never a null descriptor that would
     # silently resurrect rows on readback
+    empty = serialize_rbm_array([])
     ordered = [
-        (rel, by_name.get(rel.rsplit("/", 1)[-1], [])) for rel in sorted(dv_state)
+        (rel, by_name.get(rel.rsplit("/", 1)[-1], (empty, 0)))
+        for rel in sorted(dv_state)
     ]
-    blob, spans = new_dv_file([p for _rel, p in ordered])
+    blob, spans = new_dv_file_from_blobs([d for _rel, (d, _c) in ordered])
     u = _uuid.uuid4()
     backend.write_bytes(f"{td}/deletion_vector_{u}.bin", blob)
     return {
@@ -147,9 +186,9 @@ def _export_dv_bin(
             "pathOrInlineDv": z85_encode(u.bytes),
             "offset": off,
             "sizeInBytes": size,
-            "cardinality": len(positions),
+            "cardinality": card,
         }
-        for (rel, positions), (off, size) in zip(ordered, spans)
+        for (rel, (_d, card)), (off, size) in zip(ordered, spans)
     }
 
 
@@ -244,7 +283,11 @@ def publish_delta_log(
         return prev["version"]  # already exported — idempotent no-op
 
     descriptors: dict[str, dict] = {}
-    if dv_state:
+    # only assemble bitmaps when some add THIS commit actually needs a
+    # descriptor — an incremental export whose dv'd files are all
+    # carried unchanged must not rescan the dv parquet nor write an
+    # orphan .bin no add references (round-11 advice)
+    if dv_state and any(rel in dv_state for rel in fresh + changed):
         descriptors = _export_dv_bin(
             spark, td, backend, dv_state, dv_rows, bound=max_dv_rows
         )

@@ -261,14 +261,26 @@ def positions_from_dv_blob(blob: bytes, offset: int, size_in_bytes: int) -> list
     return deserialize_rbm_array(data)
 
 
+def new_dv_file_from_blobs(datas: list[bytes]) -> tuple[bytes, list[tuple[int, int]]]:
+    """Assemble a whole DV ``.bin`` file from ALREADY-SERIALIZED
+    RoaringBitmapArray payloads (version byte 1, then each payload
+    framed ``[u32 BE size][data][u32 BE CRC-32]``); returns (file
+    bytes, [(offset, sizeInBytes)] per entry) for descriptor
+    construction. This is the driver-side half of the distributed
+    export path: executors serialize each file's bitmap, the driver
+    only concatenates compressed bytes."""
+    out = bytearray(b"\x01")
+    spans: list[tuple[int, int]] = []
+    for data in datas:
+        spans.append((len(out), len(data)))
+        out += struct.pack(">I", len(data))
+        out += data
+        out += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    return bytes(out), spans
+
+
 def new_dv_file(entries: list[list[int]]) -> tuple[bytes, list[tuple[int, int]]]:
     """Assemble a whole DV ``.bin`` file (version byte 1, then each
     entry's framed blob); returns (file bytes, [(offset, sizeInBytes)]
     per entry) for descriptor construction."""
-    out = bytearray(b"\x01")
-    spans: list[tuple[int, int]] = []
-    for positions in entries:
-        blob = pack_dv_blob(positions)
-        spans.append((len(out), len(blob) - 8))
-        out += blob
-    return bytes(out), spans
+    return new_dv_file_from_blobs([serialize_rbm_array(p) for p in entries])

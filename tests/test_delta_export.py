@@ -229,10 +229,107 @@ def test_read_delta_timestamp_as_of(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, td, version=0, as_of=1_700_000_030)
 
+    # a timestamp after the newest commit raises (Delta parity: never a
+    # silent clamp-to-latest — round-11 advice)
+    with pytest.raises(ValueError, match="after the latest"):
+        read_delta(spark, td, as_of=1_700_000_120)
+
     # monotonic adjustment: a LATER commit whose mtime runs BACKWARD is
     # treated as predecessor+1ms, so time order == version order
     _wv(spark.range(40).selectExpr("id"), td, manifest=True)
     assert publish_delta_log(spark, td, version=3) == 2
     os.utime(f"{log}/{2:020d}.json", (1_600_000_000, 1_600_000_000))
-    assert read_delta(spark, td, as_of=1_700_000_060.5).count() == 40
     assert read_delta(spark, td, as_of=1_700_000_059).count() == 10
+    # the backdated head's ADJUSTED time is v1+1ms, so 60.5s is "after
+    # the latest" under the monotonic clock, not a head read
+    with pytest.raises(ValueError, match="after the latest"):
+        read_delta(spark, td, as_of=1_700_000_060.5)
+    assert read_delta(spark, td, version=2).count() == 40
+
+
+def test_export_carried_dv_writes_no_orphan_bin(spark, tmp_path):
+    """An incremental export whose dv'd files are all CARRIED unchanged
+    must neither rescan the dv parquet nor write an orphan .bin no add
+    references (round-11 advice)."""
+    td = str(tmp_path / "t")
+    df = spark.range(400).selectExpr("id", "id * 3 AS v")
+    write_version(df.repartitionByRange(8, "id"), td, manifest=True)
+    assert delete_where_dv(spark, td, F.expr("id = 7")) == 2
+    assert publish_delta_log(spark, td, version=2) == 0
+    bins0 = {n for n in os.listdir(td) if n.endswith(".bin")}
+    assert len(bins0) == 1
+
+    # CoW delete hitting a different file range: the dv'd file carries
+    assert delete_where_cow(spark, td, F.expr("id >= 350")) == 3
+    assert publish_delta_log(spark, td, version=3) == 1
+    bins1 = {n for n in os.listdir(td) if n.endswith(".bin")}
+    assert bins1 == bins0, "carried-dv export must not write a new .bin"
+
+    back = read_delta(spark, td)
+    assert _ids(back.select("id")) == {
+        (i,) for i in range(350) if i != 7
+    }
+
+
+def test_export_dv_assembly_is_distributed(spark, tmp_path, monkeypatch):
+    """The DV export never collects raw position lists to the driver:
+    every collect() during export carries only scalar/binary columns
+    (per-file compressed bitmaps), no array column (round-11 verdict
+    item 1). Read-back equality certifies the executor-side
+    serialization is byte-faithful."""
+    from pyspark.sql.classic.dataframe import DataFrame
+    from pyspark.sql.types import ArrayType
+
+    td = str(tmp_path / "t")
+    df = spark.range(5000).selectExpr("id", "id * 2 AS v")
+    write_version(df.repartitionByRange(4, "id"), td, manifest=True)
+    assert delete_where_dv(spark, td, F.expr("id % 3 = 0")) == 2
+
+    collected_schemas = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        collected_schemas.append(self.schema)
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    assert publish_delta_log(spark, td, version=2) == 0
+    monkeypatch.undo()
+
+    assert collected_schemas, "export should plan at least one collect"
+    for schema in collected_schemas:
+        assert not any(
+            isinstance(f.dataType, ArrayType) for f in schema.fields
+        ), f"positions collected driver-side: {schema.simpleString()}"
+
+    back = read_delta(spark, td)
+    assert _ids(back.select("id")) == {(i,) for i in range(5000) if i % 3}
+
+
+def test_stale_last_checkpoint_hint_warns(spark, tmp_path):
+    """A _last_checkpoint naming a version the listing found no complete
+    checkpoint for (incomplete multi-part write) trips a loud warning;
+    the read itself stays listing-authoritative (round-11 advice)."""
+    import warnings as _warnings
+
+    td = str(tmp_path / "t")
+    write_version(spark.range(30).selectExpr("id"), td, manifest=True)
+    assert publish_delta_log(spark, td, version=1) == 0
+    log = f"{td}/_delta_log"
+    # write PART 1 of 2 only: an incomplete multi-part checkpoint
+    import shutil
+
+    stage = f"{td}/_cp_stage"
+    spark.range(0).write.mode("overwrite").parquet(stage)
+    src = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    os.replace(
+        f"{stage}/{src}", f"{log}/{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    )
+    shutil.rmtree(stage)
+    with open(f"{log}/_last_checkpoint", "w") as f:
+        json.dump({"version": 0, "size": 3, "parts": 2}, f)
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert read_delta(spark, td).count() == 30
+    assert any("no complete checkpoint" in str(w.message) for w in caught)
