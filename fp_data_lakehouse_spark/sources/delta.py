@@ -230,8 +230,9 @@ def delta_snapshot(
 ) -> dict:
     """Reconstruct the snapshot state at ``version`` (default: latest):
     ``{"version", "files": {path: partitionValues}, "dv": {path:
-    deletionVector descriptor}, "schema_json", "partition_columns",
-    "protocol", "configuration", "column_mapping_mode"}``. Pure log
+    deletionVector descriptor}, "sizes": {path: bytes}, "schema_json",
+    "partition_columns", "protocol", "configuration",
+    "column_mapping_mode"}``. Pure log
     replay — checkpoint parquet (if ``spark`` given and one helps) then
     JSON commits; O(log segment), no data files touched."""
     td = table_dir.rstrip("/")
@@ -253,6 +254,7 @@ def delta_snapshot(
     files: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
     tags: dict[str, dict] = {}
+    sizes: dict[str, int] = {}
     meta: dict | None = None
     protocol: dict | None = None
     start = 0
@@ -293,6 +295,8 @@ def delta_snapshot(
             add = d.get("add")
             if add and add.get("path"):
                 files[add["path"]] = add.get("partitionValues") or {}
+                if add.get("size") is not None:
+                    sizes[add["path"]] = int(add["size"])
                 dv = add.get("deletionVector")
                 if dv and dv.get("storageType"):
                     dvs[add["path"]] = dv
@@ -344,8 +348,11 @@ def delta_snapshot(
             files.pop(path, None)
             dvs.pop(path, None)
             tags.pop(path, None)
+            sizes.pop(path, None)
         for a in adds:
             files[a["path"]] = a.get("partitionValues") or {}
+            if a.get("size") is not None:
+                sizes[a["path"]] = int(a["size"])
             dv = a.get("deletionVector")
             if dv and dv.get("storageType"):
                 dvs[a["path"]] = dv
@@ -372,6 +379,7 @@ def delta_snapshot(
         "files": files,
         "dv": dvs,
         "tags": tags,
+        "sizes": sizes,
         "metadata_id": meta.get("id"),
         "schema_json": meta["schemaString"],
         "partition_columns": list(meta.get("partitionColumns") or []),

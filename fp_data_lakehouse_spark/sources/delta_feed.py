@@ -5,32 +5,71 @@ production ingest pattern Delta calls "streaming from a table".
 
 Semantics follow the public Delta source contract:
 
-- **Initial snapshot**: by default the first micro-batch serves the
-  FULL live snapshot at the version current when the stream starts
+- **Initial snapshot**: by default the first served rows are the FULL
+  live snapshot at the version current when the stream starts
   (deletion vectors applied), then subsequent batches tail the log.
 - ``option("startingVersion", n)`` skips the initial snapshot and
   replays the log's APPENDED files from version ``n`` inclusive
   (Delta's startingVersion contract: a nonexistent version fails
   loudly; latest+1 tails from the next commit).
-- **Append-only gate**: a tailed commit containing ``remove`` actions
-  or deletion-vector changes is NOT expressible as an append — the
-  stream fails loudly (Delta's default), unless
+- **dataChange semantics** (Delta's streaming-source contract): only
+  actions with ``dataChange: true`` matter. An OPTIMIZE/compaction
+  commit (removes + adds with ``dataChange: false`` — a rearrangement,
+  not a data change) is passed over silently: its adds are NEVER
+  emitted (the rows were already served from the files it compacted)
+  and its removes do NOT trip the append-only gate.
+- **Append-only gate**: a tailed commit containing ``dataChange: true``
+  removes or deletion-vector changes is NOT expressible as an append —
+  the stream fails loudly (Delta's default), unless
   ``option("skipChangeCommits", "true")`` skips such commits entirely
   (Delta's skipChangeCommits semantics: their adds are NOT emitted).
+- **Mid-stream schema change**: a tailed ``metaData`` action whose
+  schemaString or column-mapping configuration differs from the one
+  the stream pinned at start fails loudly at PLANNING time ("schema
+  changed mid-stream, restart the query") — never an obscure
+  missing-column error inside an executor scan, and never stale
+  columns silently served past an evolution.
+- **Admission control**: ``option("maxFilesPerTrigger", n)`` /
+  ``option("maxBytesPerTrigger", b)`` bound each micro-batch — the
+  INITIAL SNAPSHOT and large commits split into bounded batches with
+  exact file-granular restart (offsets carry a file index). maxBytes
+  is a soft cap per Delta's contract: files are admitted until the
+  budget is exceeded, at least one per batch; when both are set,
+  whichever limit is hit first applies. At 100 TB this is the
+  difference between "first batch = the whole table in one
+  transaction" and a bounded, resumable backfill.
 - Rows are stamped with ``_commit_version`` (the snapshot version for
-  the initial batch; the commit version for tailed files).
+  initial-snapshot batches; the commit version for tailed files).
+
+**Trigger caveat (Python DataSource API)**: ``Trigger.AvailableNow``
+pins the FIRST ``latestOffset()`` as the run's terminal offset (the
+Python source API has no SupportsTriggerAvailableNow/ReadLimit hook),
+so a rate-limited availableNow run drains exactly ONE bounded batch
+and terminates; re-run to continue (each run advances one batch,
+checkpoint-exact). For steady multi-batch rate-limited draining use a
+processingTime trigger. Unlimited availableNow serves everything
+pending in one batch, as before.
 
 Feature support matches sources/delta.py: name-mode column mapping
-(FLAT schemas — a mapped nested struct is refused loudly; the batch
-reader's Arrow path renames top-level columns only), log-borne
-partition values (typed via Arrow cast), deletion vectors in the
-initial snapshot (decoded driver-side at planning via the backend
-seam, positions shipped per partition — DV bitmaps are per-file and
-metadata-sized). Log access rides ``versioned._backend_for``.
+including NESTED schemas (struct/array/map field renames ride a
+zero-copy arrow ``view`` — physical and logical schemas differ only
+in field names), log-borne partition values (typed via Arrow cast),
+deletion vectors in the initial snapshot. DV bitmaps decode
+EXECUTOR-side: partitions carry only the metadata-sized DESCRIPTOR
+(never position lists — a 10M-row DV would otherwise ride an ~80 MB
+task pickle), and the executor fetches/decodes the referenced bytes
+through a pyarrow filesystem. Log access rides
+``versioned._backend_for``.
 
-Offsets are ``{"version": N}`` with ``-1`` meaning "before the initial
-snapshot"; snapshots/commits are immutable, so the checkpoint holds
-the entire replay position and restart is exact (same contract as the
+Offsets are ``{"version": N[, "index": K], "snapshot_done": B}``:
+``index`` (present only mid-version) counts files already consumed of
+version N's deterministic file list — the snapshot's sorted file set,
+or a tailed commit's emittable adds in log order; absent index means
+N fully consumed. ``{"version": -1, "snapshot_done": false}`` is
+"before the initial snapshot". Unlimited streams emit exactly the
+round-11 offset shape, so existing checkpoints resume unchanged.
+Snapshots/commits are immutable, so the checkpoint holds the entire
+replay position and restart is exact (same contract as the
 fp_versioned_feed source).
 
 Reference parity: the reference polls MySQL by re-running full SELECTs
@@ -61,32 +100,39 @@ def _backend(table_dir: str):
     return _backend_for(table_dir, None)
 
 
-def _dv_positions(desc: dict, td: str, backend) -> list[int]:
-    """Deleted row positions for one add's deletionVector descriptor,
-    decoded DRIVER-side (planning time) through the backend seam —
-    bitmaps are per-file and metadata-sized, and the planner already
-    holds the log; executors then apply a plain positional mask."""
-    if desc["storageType"] == "i":
-        data = z85_decode(desc["pathOrInlineDv"])
-        size = desc.get("sizeInBytes")
-        if size is not None:
-            data = data[: int(size)]
-        return deserialize_rbm_array(data)
-    blob = backend.read_bytes(_dv_file_path(desc, td))
-    if blob is None:
-        raise FileNotFoundError(f"deletion vector file missing for {desc}")
-    return positions_from_dv_blob(
-        blob, int(desc.get("offset") or 1), int(desc["sizeInBytes"])
+def _offset(version: int, index: int | None, snapshot_done: bool) -> dict:
+    """Canonical offset dict — FIXED key order and index omitted when
+    the version is fully consumed, so a caught-up latestOffset
+    re-emits byte-identical JSON (Spark compares offset strings for
+    "new data available") and pre-rate-limit checkpoints stay valid."""
+    if index is None:
+        return {"version": version, "snapshot_done": snapshot_done}
+    return {"version": version, "index": index, "snapshot_done": snapshot_done}
+
+
+def _parse(offset: dict) -> tuple[int, int | None, bool]:
+    return (
+        int(offset["version"]),
+        None if offset.get("index") is None else int(offset["index"]),
+        bool(offset.get("snapshot_done", True)),
     )
 
 
+def _pos_key(offset: dict) -> tuple:
+    """Total order over stream positions (monotonic-advance guard)."""
+    v, i, done = _parse(offset)
+    big = float("inf")
+    return (1 if done else 0, v, big if i is None else i)
+
+
 class _DeltaFilePartition(InputPartition):
-    def __init__(self, file_path, version, read_cols, pvals, dead):
+    def __init__(self, file_path, version, read_cols, pvals, dv_desc, table_dir):
         self.file_path = file_path
         self.version = version
         self.read_cols = read_cols  # physical name per DATA column
         self.pvals = pvals  # partition col -> string value (logical order)
-        self.dead = dead  # sorted deleted row positions (list[int]) or None
+        self.dv_desc = dv_desc  # deletionVector DESCRIPTOR (metadata) or None
+        self.table_dir = table_dir  # for executor-side DV resolution
 
 
 class DeltaFeedStreamReader(DataSourceStreamReader):
@@ -101,26 +147,41 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         sv = options.get("startingversion")
         self._starting_version = int(sv) if sv is not None else None
         self._skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
+        mft = options.get("maxfilespertrigger")
+        self._max_files = int(mft) if mft is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError(
+                f"maxFilesPerTrigger must be >= 1, got {self._max_files}"
+            )
+        mbt = options.get("maxbytespertrigger")
+        self._max_bytes = int(mbt) if mbt is not None else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError(
+                f"maxBytesPerTrigger must be >= 1, got {self._max_bytes}"
+            )
+        # last KNOWN stream position, for rate capping. Updated by
+        # initialOffset / partitions / commit; every traced restart
+        # path re-plans the checkpointed batch (partitions) before the
+        # first latestOffset, so a rate-limited stream never caps from
+        # a stale base. Monotonic: commit() of an old batch can arrive
+        # after partitions() of a newer one.
+        self._pos: dict | None = None
+        # driver-side caches (log segments are immutable)
+        self._commit_cache: dict[int, tuple[list[dict], bool]] = {}
+        self._snap_cache: dict[int, list] = {}
 
         # resolve the TABLE schema (logical + physical) once, from the
-        # head; schema drift mid-stream is surfaced by Spark's own
-        # schema check on the emitted batches
+        # head, and PIN it: a tailed metaData that diverges fails the
+        # stream at planning time
         snap = delta_snapshot(self._td, backend=_backend(self._td))
+        self._pinned_schema_json = snap["schema_json"]
+        self._pinned_mapping_conf = {
+            k: v
+            for k, v in (snap["configuration"] or {}).items()
+            if k.startswith("delta.columnMapping.")
+        }
         logical = StructType.fromJson(json.loads(snap["schema_json"]))
         mapped = snap["column_mapping_mode"] == "name"
-        if mapped:
-            from pyspark.sql.types import ArrayType, MapType
-
-            def _nested(dt):
-                return isinstance(dt, (StructType, ArrayType, MapType))
-
-            if any(_nested(f.dataType) for f in logical.fields):
-                raise ValueError(
-                    "fp_delta_feed supports name-mode column mapping for "
-                    "FLAT schemas only (the Arrow batch path renames "
-                    "top-level columns); read nested mapped tables in "
-                    "batch via read_delta"
-                )
         physical = _physicalize(logical) if mapped else logical
         self._phys_of = {
             lf.name: pf.name for lf, pf in zip(logical.fields, physical.fields)
@@ -141,10 +202,32 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         self._field_arrow = {
             f.name: to_arrow_type(f.dataType) for f in schema.fields[:-1]
         }
+        # arrow type each DATA column is READ under (physical nested
+        # field names) vs emitted under (logical): same layout, names
+        # only — executor renames via zero-copy Array.view
+        phys_by_logical = {
+            lf.name: pf for lf, pf in zip(logical.fields, physical.fields)
+        }
+        self._read_arrow = {
+            n: to_arrow_type(phys_by_logical[n].dataType) for n in self._data_cols
+        }
 
-    # --- offsets ---------------------------------------------------------
+    # --- position bookkeeping ---------------------------------------------
 
-    def initialOffset(self) -> dict:  # noqa: N802
+    def _advance(self, offset: dict) -> None:
+        if self._pos is None or _pos_key(offset) > _pos_key(self._pos):
+            self._pos = dict(offset)
+
+    def _latest_version(self, backend) -> int:
+        commits, checkpoints = _log_entries(f"{self._td}/_delta_log", backend)
+        return max(
+            commits[-1] if commits else -1,
+            max(checkpoints) if checkpoints else -1,
+        )
+
+    # --- offsets ------------------------------------------------------------
+
+    def _initial(self) -> dict:
         backend = _backend(self._td)
         commits, checkpoints = _log_entries(f"{self._td}/_delta_log", backend)
         latest = max(
@@ -173,33 +256,126 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                     f"commit {commits[0]} in {self._td} (checkpointed-away "
                     "history cannot replay as appends)"
                 )
-            return {"version": sv - 1, "snapshot_done": True}
+            return _offset(sv - 1, None, True)
         # initial-snapshot mode: nothing consumed yet; the snapshot
-        # version is pinned at first latestOffset/partitions call
-        return {"version": -1, "snapshot_done": False}
+        # version is pinned at the first latestOffset/partitions call
+        return _offset(-1, None, False)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        off = self._initial()
+        self._advance(off)
+        return off
 
     def latestOffset(self) -> dict:  # noqa: N802
         backend = _backend(self._td)
-        commits, checkpoints = _log_entries(f"{self._td}/_delta_log", backend)
-        latest = max(
-            commits[-1] if commits else -1,
-            max(checkpoints) if checkpoints else -1,
-        )
-        return {"version": latest, "snapshot_done": True}
+        latest = self._latest_version(backend)
+        if self._max_files is None and self._max_bytes is None:
+            return _offset(latest, None, True)
+        # rate-limited: walk forward from the last known position by
+        # files, within the file/byte budget. On the very first call of
+        # a FRESH stream latestOffset precedes initialOffset — derive
+        # the base the same way initialOffset would.
+        base = self._pos if self._pos is not None else self._initial()
+        bv, bi, bdone = _parse(base)
+        taken_files = 0
+        taken_bytes = 0
 
-    # --- planning --------------------------------------------------------
+        def room(size: int) -> bool:
+            if self._max_files is not None and taken_files >= self._max_files:
+                return False
+            if (
+                self._max_bytes is not None
+                and taken_files >= 1  # always admit at least one file
+                and taken_bytes >= self._max_bytes
+            ):
+                return False
+            return True
 
-    def _snapshot_partitions(self, v: int) -> list[_DeltaFilePartition]:
-        backend = _backend(self._td)
-        snap = delta_snapshot(self._td, v, backend=backend)
-        out = []
-        for path, pv in sorted(snap["files"].items()):
-            desc = snap["dv"].get(path)
-            dead = sorted(_dv_positions(desc, self._td, backend)) if desc else None
-            out.append(self._partition_for(path, v, pv, dead))
+        if not bdone:
+            # snapshot mode: pin S at the head current NOW (first call)
+            # or keep the pinned S; never cross into the tail in the
+            # same batch (keeps the snapshot version recoverable from
+            # the offset pair alone)
+            if bv < 0:
+                if latest < 0:
+                    return dict(base)  # no committed version yet
+                s, j = latest, 0
+            else:
+                s, j = bv, (bi or 0)
+            files = self._snapshot_list(s)
+            for _path, _pv, _dv, size in files[j:]:
+                if not room(size):
+                    break
+                taken_files += 1
+                taken_bytes += size
+            j2 = j + taken_files
+            if j2 < len(files):
+                return _offset(s, j2, False)
+            return _offset(s, None, True)
+        pos_v, pos_i = bv, bi  # pos_i None = bv fully consumed
+        v = bv if bi is not None else bv + 1
+        while v <= latest:
+            adds = self._commit_files(v, backend)
+            j = pos_i if (v == bv and bi is not None) else 0
+            took = 0
+            for a in adds[j:]:
+                if not room(int(a.get("size") or 0)):
+                    break
+                took += 1
+                taken_files += 1
+                taken_bytes += int(a.get("size") or 0)
+            j2 = j + took
+            if j2 < len(adds):
+                if j2 == j:
+                    # budget exhausted at v's boundary without entering
+                    # it (the first file of a batch is always admitted,
+                    # so no-progress mid-version cannot happen): end at
+                    # the last FULL position, canonical form
+                    return _offset(pos_v, pos_i, True)
+                return _offset(v, j2, True)
+            pos_v, pos_i = v, None
+            v += 1
+        return _offset(pos_v, pos_i, True)
+
+    # --- planning -------------------------------------------------------
+
+    def _snapshot_list(self, v: int) -> list:
+        """Deterministic snapshot file list at version ``v``:
+        [(path, partitionValues, dv_descriptor, size)] sorted by path —
+        the order both latestOffset (budget walk) and partitions
+        (slicing) index into."""
+        cached = self._snap_cache.get(v)
+        if cached is not None:
+            return cached
+        snap = delta_snapshot(self._td, v, backend=_backend(self._td))
+        snap_conf = {
+            k: val
+            for k, val in (snap["configuration"] or {}).items()
+            if k.startswith("delta.columnMapping.")
+        }
+        if (
+            snap["schema_json"] != self._pinned_schema_json
+            or snap_conf != self._pinned_mapping_conf
+        ):
+            raise ValueError(
+                f"snapshot version {v} of {self._td} carries a different "
+                "schema or column mapping than the one this stream pinned "
+                "at start — the table changed mid-stream; restart the "
+                "query to pick up the new schema"
+            )
+        out = [
+            (
+                path,
+                pv,
+                snap["dv"].get(path),
+                int(snap["sizes"].get(path) or 0),
+            )
+            for path, pv in sorted(snap["files"].items())
+        ]
+        self._snap_cache[v] = out
         return out
 
-    def _partition_for(self, path, v, pv, dead) -> _DeltaFilePartition:
+    def _partition_for(self, path, v, pv, dv_desc) -> _DeltaFilePartition:
         from urllib.parse import unquote
 
         p = unquote(path)
@@ -208,65 +384,136 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             c: (pv or {}).get(self._phys_of.get(c, c)) for c in self._pcols
         }
         read_cols = [self._phys_of.get(c, c) for c in self._data_cols]
-        return _DeltaFilePartition(fs_path, v, read_cols, pvals, dead)
+        return _DeltaFilePartition(fs_path, v, read_cols, pvals, dv_desc, self._td)
 
-    def _commit_actions(self, v: int, backend) -> tuple[list[dict], bool]:
-        """(adds, is_change_commit) for commit ``v`` — a change commit
-        carries removes or dv'd adds and is not expressible as an
-        append."""
-        txt = backend.read_text(f"{self._td}/_delta_log/{v:020d}.json")
-        if txt is None:
-            raise FileNotFoundError(
-                f"commit {v} missing in {self._td}/_delta_log — history "
-                "below a checkpoint cannot replay as appends (use "
-                "startingVersion at or above the earliest retained commit)"
+    def _commit_files(self, v: int, backend) -> list[dict]:
+        """The emittable adds of commit ``v``, in log order — after
+        dataChange filtering, the append-only gate, and the pinned-
+        schema check. Cached (commits are immutable). Raises on a
+        dataChange change commit unless skipChangeCommits (-> [])."""
+        cached = self._commit_cache.get(v)
+        if cached is not None:
+            adds, change = cached
+        else:
+            txt = backend.read_text(f"{self._td}/_delta_log/{v:020d}.json")
+            if txt is None:
+                raise FileNotFoundError(
+                    f"commit {v} missing in {self._td}/_delta_log — history "
+                    "below a checkpoint cannot replay as appends (use "
+                    "startingVersion at or above the earliest retained commit)"
+                )
+            adds, change = [], False
+            for line in txt.splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    # dataChange=false removes are OPTIMIZE/compaction
+                    # rearrangements, not data changes (Delta contract)
+                    if action["remove"].get("dataChange", True):
+                        change = True
+                elif "add" in action:
+                    a = action["add"]
+                    if not a.get("dataChange", True):
+                        # a compaction's adds re-house already-served
+                        # rows: emitting them would duplicate data
+                        continue
+                    if (a.get("deletionVector") or {}).get("storageType"):
+                        change = True
+                    adds.append(a)
+                elif "protocol" in action:
+                    _check_protocol(action["protocol"], self._td)
+                elif "metaData" in action:
+                    m = action["metaData"]
+                    m_conf = {
+                        k: val
+                        for k, val in (m.get("configuration") or {}).items()
+                        if k.startswith("delta.columnMapping.")
+                    }
+                    if (
+                        m.get("schemaString") != self._pinned_schema_json
+                        or m_conf != self._pinned_mapping_conf
+                    ):
+                        raise ValueError(
+                            f"commit {v} of {self._td} changes the table "
+                            "schema or column mapping mid-stream — restart "
+                            "the query to pick up the new schema (the "
+                            "stream pinned the schema at start; serving "
+                            "old columns past an evolution would be "
+                            "silently wrong)"
+                        )
+            self._commit_cache[v] = (adds, change)
+        if change:
+            if self._skip_change:
+                return []  # Delta skipChangeCommits: commit skipped whole
+            raise ValueError(
+                f"commit {v} of {self._td} contains removes or "
+                "deletion-vector changes — a streaming source only "
+                "supports appends; set option('skipChangeCommits', "
+                "'true') to skip such commits, or re-stream from a "
+                "fresh initial snapshot"
             )
-        adds, change = [], False
-        for line in txt.splitlines():
-            line = line.strip()
-            if not line:
-                continue
-            action = json.loads(line)
-            if "remove" in action:
-                change = True
-            elif "add" in action:
-                a = action["add"]
-                if (a.get("deletionVector") or {}).get("storageType"):
-                    change = True
-                adds.append(a)
-            elif "protocol" in action:
-                _check_protocol(action["protocol"], self._td)
-        return adds, change
+        return adds
 
     def partitions(self, start: dict, end: dict):  # noqa: N802
         backend = _backend(self._td)
         out: list[_DeltaFilePartition] = []
-        from_v = int(start["version"]) + 1
-        if not start.get("snapshot_done", True):
-            # first batch = the full live snapshot at end.version
-            v = int(end["version"])
-            if v >= 0:
-                out.extend(self._snapshot_partitions(v))
+        sv, si, sdone = _parse(start)
+        ev, ei, edone = _parse(end)
+        try:
+            if not sdone:
+                # snapshot mode: S is pinned in whichever offset names it
+                s = ev if sv < 0 else sv
+                if s >= 0:
+                    files = self._snapshot_list(s)
+                    lo = 0 if sv < 0 else (si or 0)
+                    hi = len(files) if (edone or ei is None) else ei
+                    for path, pv, dv, _size in files[lo:hi]:
+                        out.append(self._partition_for(path, s, pv, dv))
+                return out
+            from_v = sv if si is not None else sv + 1
+            for v in range(from_v, ev + 1):
+                adds = self._commit_files(v, backend)
+                lo = si if (v == sv and si is not None) else 0
+                hi = ei if (v == ev and ei is not None) else len(adds)
+                for a in adds[lo:hi]:
+                    out.append(
+                        self._partition_for(
+                            a["path"], v, a.get("partitionValues"), None
+                        )
+                    )
             return out
-        for v in range(from_v, int(end["version"]) + 1):
-            adds, change = self._commit_actions(v, backend)
-            if change:
-                if self._skip_change:
-                    continue  # Delta skipChangeCommits: commit skipped whole
-                raise ValueError(
-                    f"commit {v} of {self._td} contains removes or "
-                    "deletion-vector changes — a streaming source only "
-                    "supports appends; set option('skipChangeCommits', "
-                    "'true') to skip such commits, or re-stream from a "
-                    "fresh initial snapshot"
-                )
-            for a in adds:
-                out.append(
-                    self._partition_for(a["path"], v, a.get("partitionValues"), None)
-                )
-        return out
+        finally:
+            self._advance(end)
 
     # --- execution (runs in the executor's Python worker) -----------------
+
+    def _dead_positions(self, partition: _DeltaFilePartition):
+        """Decode the partition's deletionVector DESCRIPTOR to sorted
+        deleted positions — EXECUTOR-side (only the metadata-sized
+        descriptor rides the task pickle; file-backed bitmaps are
+        fetched through a pyarrow filesystem here)."""
+        desc = partition.dv_desc
+        if not desc:
+            return None
+        if desc["storageType"] == "i":
+            data = z85_decode(desc["pathOrInlineDv"])
+            size = desc.get("sizeInBytes")
+            if size is not None:
+                data = data[: int(size)]
+            return sorted(deserialize_rbm_array(data))
+        from .pyds import _fs_and_path
+
+        path = _dv_file_path(desc, partition.table_dir)
+        fs, p = _fs_and_path(path)
+        with fs.open_input_stream(p) as f:
+            blob = f.read()
+        return sorted(
+            positions_from_dv_blob(
+                blob, int(desc.get("offset") or 1), int(desc["sizeInBytes"])
+            )
+        )
 
     def read(self, partition: _DeltaFilePartition):
         import pyarrow as pa
@@ -274,7 +521,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         from .pyds import _read_parquet_batches
 
         offset = 0
-        dead = partition.dead
+        dead = self._dead_positions(partition)
+        read_arrow = getattr(self, "_read_arrow", {})
         for raw in _read_parquet_batches(partition.file_path, partition.read_cols, []):
             n = raw.num_rows
             if dead:
@@ -291,16 +539,26 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             cols, names = [], []
             data_arrays = dict(zip(partition.read_cols, raw.columns))
             # emit in DECLARED schema order: data columns renamed
-            # physical -> logical, partition columns injected typed
+            # physical -> logical (nested field names via zero-copy
+            # view — layouts are identical, only names differ),
+            # partition columns injected typed
             for f_name in [*self._field_arrow]:
+                typ = self._field_arrow[f_name]
                 if f_name in self._pcols:
                     val = partition.pvals.get(f_name)
-                    typ = self._field_arrow[f_name]
                     arr = pa.array([val] * raw.num_rows, pa.string()).cast(typ)
                 else:
                     arr = data_arrays[
                         partition.read_cols[self._data_cols.index(f_name)]
                     ]
+                    phys_typ = read_arrow.get(f_name)
+                    # nested mapped schema: the read type differs from
+                    # the logical one in FIELD NAMES only — zero-copy
+                    # rename (flat mappings rename via `names` below)
+                    if phys_typ is not None and phys_typ != typ and arr.type != typ:
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                        arr = arr.view(typ)
                 cols.append(arr)
                 names.append(f_name)
             cols.append(pa.array([partition.version] * raw.num_rows, pa.int64()))
@@ -308,7 +566,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     def commit(self, end: dict) -> None:  # noqa: N802
-        pass  # log is immutable; the checkpoint holds the position
+        # log is immutable; the checkpoint holds the position — only
+        # the rate-cap base advances here
+        self._advance(end)
 
 
 class DeltaFeedDataSource(DataSource):

@@ -1003,8 +1003,39 @@ class VersionedDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 
+def _feed_parse(offset: dict) -> tuple[int, int | None]:
+    """(version, files-consumed-of-version) — index absent/None means
+    the version is fully consumed (the pre-rate-limit offset shape, so
+    old checkpoints resume unchanged)."""
+    return (
+        int(offset["version"]),
+        None if offset.get("index") is None else int(offset["index"]),
+    )
+
+
+def _feed_offset(version: int, index: int | None) -> dict:
+    """Canonical offset dict, FIXED key order; index omitted when the
+    version is fully consumed so a caught-up latestOffset re-emits
+    byte-identical JSON (Spark compares offset strings)."""
+    if index is None:
+        return {"version": version}
+    return {"version": version, "index": index}
+
+
+def _feed_key(offset: dict) -> tuple:
+    v, i = _feed_parse(offset)
+    return (v, float("inf") if i is None else i)
+
+
 class VersionFeedStreamReader(DataSourceStreamReader):
-    def __init__(self, schema: StructType, table_dir: str, starting_version: int | None = None):
+    def __init__(
+        self,
+        schema: StructType,
+        table_dir: str,
+        starting_version: int | None = None,
+        max_files: int | None = None,
+        max_bytes: int | None = None,
+    ):
         # The declared schema must end with the _version provenance
         # column (the source's own schema() guarantees it); parquet
         # files carry everything before it. Guard explicitly so a
@@ -1019,6 +1050,19 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         self._cols = [f.name for f in schema.fields[:-1]]
         self._table_dir = table_dir
         self._starting_version = starting_version
+        if max_files is not None and max_files < 1:
+            raise ValueError(f"maxFilesPerTrigger must be >= 1, got {max_files}")
+        if max_bytes is not None and max_bytes < 1:
+            raise ValueError(f"maxBytesPerTrigger must be >= 1, got {max_bytes}")
+        self._max_files = max_files
+        self._max_bytes = max_bytes
+        # last KNOWN stream position (rate-cap base): advanced by
+        # initialOffset / partitions / commit. Every traced restart
+        # path re-plans the checkpointed batch (partitions) before the
+        # first latestOffset, so a limited stream never caps stale.
+        self._pos: dict | None = None
+        self._files_cache: dict[int, list[str]] = {}
+        self._sizes_cache: dict[int, list[int]] = {}
         # column mapping: the stream's declared schema is the LATEST
         # head's logical one, but each replayed version reads under a
         # PER-VERSION logical->physical translation (partitions()
@@ -1188,7 +1232,45 @@ class VersionFeedStreamReader(DataSourceStreamReader):
             with open(log, "a") as f:
                 f.write(msg + "\n")
 
+    def _advance(self, offset: dict) -> None:
+        """Monotonically advance the rate-cap base (commit() of an old
+        batch can arrive after partitions() of a newer one)."""
+        pos = getattr(self, "_pos", None)
+        if pos is None or _feed_key(offset) > _feed_key(pos):
+            self._pos = dict(offset)
+
+    def _feed_files(self, fs, p, v: int, prefix: str) -> list[str]:
+        cache = getattr(self, "_files_cache", None)
+        if cache is None:
+            cache = self._files_cache = {}
+        if v not in cache:
+            cache[v] = _version_files(fs, p, v, prefix)
+        return cache[v]
+
+    def _feed_sizes(self, fs, v: int, files: list[str], prefix: str) -> list[int]:
+        """Per-file byte sizes (for maxBytesPerTrigger), one metadata
+        GET per file per version, cached — planning-time only."""
+        cache = getattr(self, "_sizes_cache", None)
+        if cache is None:
+            cache = self._sizes_cache = {}
+        if v not in cache:
+            cache[v] = [
+                int(
+                    fs.get_file_info(
+                        f[len(prefix):] if prefix and f.startswith(prefix) else f
+                    ).size
+                    or 0
+                )
+                for f in files
+            ]
+        return cache[v]
+
     def initialOffset(self) -> dict:  # noqa: N802
+        off = self._initial_offset()
+        self._advance(off)
+        return off
+
+    def _initial_offset(self) -> dict:
         fs, p = _fs_and_path(self._table_dir)
         vs = _list_versions(fs, p)
         # getattr: tolerate instances built without __init__ (tests,
@@ -1234,15 +1316,83 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         if v is None:
             vs = _list_versions(fs, p)
             v = vs[-1] if vs else 0
-        self._dbg(f"latestOffset -> {v}")
-        return {"version": v}
+        max_files = getattr(self, "_max_files", None)
+        max_bytes = getattr(self, "_max_bytes", None)
+        if max_files is None and max_bytes is None:
+            self._dbg(f"latestOffset -> {v}")
+            return _feed_offset(v, None)
+        # ADMISSION CONTROL: walk forward from the last known position
+        # by files within the budget, so a huge version (or a long
+        # backlog of versions) splits into bounded micro-batches with
+        # file-granular exact restart. On a FRESH stream latestOffset
+        # precedes initialOffset — derive the base the same way.
+        base = getattr(self, "_pos", None)
+        if base is None:
+            base = self._initial_offset()
+        bv, bi = _feed_parse(base)
+        prefix = _uri_prefix(self._table_dir)
+        taken_files = 0
+        taken_bytes = 0
+
+        def room(size: int) -> bool:
+            if max_files is not None and taken_files >= max_files:
+                return False
+            if (
+                max_bytes is not None
+                and taken_files >= 1  # soft cap: at least one file
+                and taken_bytes >= max_bytes
+            ):
+                return False
+            return True
+
+        vs = _list_versions(fs, p)
+        pos_v, pos_i = bv, bi
+        for w in vs:
+            if w < bv or (w == bv and bi is None):
+                continue
+            if w > v:
+                break
+            files = self._feed_files(fs, p, w, prefix)
+            sizes = (
+                self._feed_sizes(fs, w, files, prefix)
+                if max_bytes is not None
+                else [0] * len(files)
+            )
+            j = bi if (w == bv and bi is not None) else 0
+            took = 0
+            for size in sizes[j:]:
+                if not room(size):
+                    break
+                took += 1
+                taken_files += 1
+                taken_bytes += size
+            j2 = j + took
+            if j2 < len(files):
+                if j2 == j:
+                    # budget exhausted at w's boundary without entering
+                    # it: end at the last FULL position (canonical)
+                    self._dbg(f"latestOffset capped -> {pos_v}/{pos_i}")
+                    return _feed_offset(pos_v, pos_i)
+                self._dbg(f"latestOffset capped -> {w} index {j2}")
+                return _feed_offset(w, j2)
+            pos_v, pos_i = w, None
+        self._dbg(f"latestOffset capped -> {pos_v} (caught up)")
+        return _feed_offset(pos_v, pos_i)
 
     def partitions(self, start: dict, end: dict):
         self._dbg(f"partitions(start={start}, end={end})")
         fs, p = _fs_and_path(self._table_dir)
         prefix = _uri_prefix(self._table_dir)
+        sv, si = _feed_parse(start)
+        ev, ei = _feed_parse(end)
         out = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        from_v = sv if si is not None else sv + 1
+        for v in range(from_v, ev + 1):
+            files = self._feed_files(fs, p, v, prefix)
+            lo = si if (v == sv and si is not None) else 0
+            hi = ei if (v == ev and ei is not None) else len(files)
+            if lo >= hi:
+                continue
             dv_by_name = {
                 rel.rsplit("/", 1)[-1]: f"{prefix}{p}/{dv_rel}"
                 for rel, dv_rel in _manifest_dv(fs, p, v).items()
@@ -1253,10 +1403,11 @@ class VersionFeedStreamReader(DataSourceStreamReader):
                     f, v, dv_path=dv_by_name.get(f.rsplit("/", 1)[-1]),
                     read_cols=read_cols_v, added=added_v,
                 )
-                for f in _version_files(fs, p, v, prefix)
+                for f in files[lo:hi]
             )
         # a zero-partition range is legal (no new versions this batch)
         self._dbg(f"partitions -> {[(x.version, x.file_path.rsplit('/',2)[-2:]) for x in out[:40]]} n={len(out)}")
+        self._advance(end)
         return out
 
     def read(self, partition: _FilePartition):
@@ -1316,15 +1467,26 @@ class VersionFeedStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        # no source-side bookkeeping: snapshots are immutable and the
-        # checkpoint holds the replay position.
-        pass
+        # snapshots are immutable and the checkpoint holds the replay
+        # position — only the rate-cap base advances here
+        self._advance(end)
 
 
 class VersionFeedDataSource(DataSource):
     """``spark.readStream.format("fp_versioned_feed").option("path", d)``:
     each committed version becomes one micro-batch, rows stamped with
-    ``_version``."""
+    ``_version``. ``option("maxFilesPerTrigger", n)`` /
+    ``option("maxBytesPerTrigger", b)`` bound each micro-batch instead
+    — a huge version (or a long backlog) splits into bounded batches
+    with file-granular exact restart (offsets gain an ``index`` field
+    mid-version; unlimited streams keep the bare ``{"version": N}``
+    shape, so existing checkpoints resume unchanged). maxBytes is a
+    soft cap: files are admitted until the budget is exceeded, at
+    least one per batch. Python-API trigger caveat (same as
+    fp_delta_feed): ``Trigger.AvailableNow`` pins the first
+    latestOffset as the run's terminal offset, so a rate-limited
+    availableNow run drains exactly ONE bounded batch; use a
+    processingTime trigger for steady multi-batch draining."""
 
     @classmethod
     def name(cls) -> str:
@@ -1339,9 +1501,13 @@ class VersionFeedDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> VersionFeedStreamReader:  # noqa: N802
         sv = self.options.get("startingversion")  # option keys lowercase
+        mft = self.options.get("maxfilespertrigger")
+        mbt = self.options.get("maxbytespertrigger")
         return VersionFeedStreamReader(
             schema, self.options["path"],
             starting_version=int(sv) if sv is not None else None,
+            max_files=int(mft) if mft is not None else None,
+            max_bytes=int(mbt) if mbt is not None else None,
         )
 
 
