@@ -46,7 +46,12 @@ Feature support (protocol-gated, loud on anything else):
   nested structs); the scan requests the physicalized schema and
   projects back to logical names. ``partitionValues`` keys are
   physical names per the spec. ``id`` mode (parquet field-id matching,
-  Iceberg-converted tables) is REFUSED loudly.
+  the Iceberg-converted-table shape) rides Spark's NATIVE field-id
+  resolution: the scan requests the LOGICAL schema annotated with
+  ``parquet.field.id`` metadata (from ``delta.columnMapping.id``,
+  recursively) under ``spark.sql.parquet.fieldId.read.enabled``, so
+  file column names are ignored and ids match — including nested
+  fields; ids absent from a file (post-ADD-COLUMN) read as NULL.
 - **timestampNtz** / **vacuumProtocolCheck**: no reader-side work
   beyond type support / none, accepted.
 
@@ -80,13 +85,24 @@ from .roaring import deserialize_rbm_array, positions_from_dv_blob, z85_decode
 _COMMIT = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CHECKPOINT_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# v2 spec checkpoint: UUID-named, json or parquet, file actions inline
+# or in _sidecars/ parquet files named by `sidecar` actions
+_CHECKPOINT_V2 = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(json|parquet)$"
+)
 
 # reader features this implementation actually implements (protocol v3
 # tables list required features explicitly; v1/v2 tables imply none).
 # timestampNtz needs only type support (StructType.fromJson handles
 # timestamp_ntz); vacuumProtocolCheck constrains VACUUM, not reads.
 _SUPPORTED_READER_FEATURES: frozenset = frozenset(
-    {"deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck"}
+    {
+        "deletionVectors",
+        "columnMapping",
+        "timestampNtz",
+        "vacuumProtocolCheck",
+        "v2Checkpoint",
+    }
 )
 
 _PHYS_KEY = "delta.columnMapping.physicalName"
@@ -122,6 +138,14 @@ def _log_entries(log_dir: str, backend) -> tuple[list[int], dict[int, list[str]]
         if m:
             v, part, total = int(m.group(1)), int(m.group(2)), int(m.group(3))
             multi.setdefault((v, total), {})[part] = n
+            continue
+        m = _CHECKPOINT_V2.match(n)
+        if m:
+            # a v2 checkpoint is complete by existence (sidecars are
+            # written before it); classic forms, when also present at
+            # the same version, are equivalent — keep whichever landed
+            # in the dict first and let setdefault arbitrate
+            checkpoints.setdefault(int(m.group(1)), [n])
     for (v, total), parts in multi.items():
         if set(parts) == set(range(1, total + 1)):
             # a complete multi-part set; prefer it over a single-part
@@ -225,6 +249,71 @@ def delta_version_as_of(
     return best
 
 
+def _v2_checkpoint_state(
+    spark, log_dir: str, name: str, cp_version: int, backend
+) -> list[dict]:
+    """Actions of a V2 spec checkpoint as plain dicts: the UUID-named
+    top-level file (json or parquet) carries ``checkpointMetadata``
+    (validated against the file-name version), ``protocol`` /
+    ``metaData``, optional inline file actions, and ``sidecar``
+    actions naming parquet files under ``_delta_log/_sidecars/`` that
+    hold the bulk add/remove state. Sidecars are one parquet scan
+    regardless of count — the same O(metadata) seeding cost as a
+    classic multi-part checkpoint."""
+    if name.endswith(".json"):
+        txt = backend.read_text(f"{log_dir}/{name}")
+        if txt is None:
+            raise FileNotFoundError(f"v2 checkpoint {name} vanished in {log_dir}")
+        dicts = [json.loads(ln) for ln in txt.splitlines() if ln.strip()]
+    else:
+        df = spark.read.parquet(f"{log_dir}/{name}")
+        have = set(df.columns)
+        want = [
+            c
+            for c in ("add", "remove", "metaData", "protocol",
+                      "checkpointMetadata", "sidecar")
+            if c in have
+        ]
+        dicts = [r.asDict(recursive=True) for r in df.select(*want).collect()]
+
+    cp_meta = [d["checkpointMetadata"] for d in dicts if d.get("checkpointMetadata")]
+    if len(cp_meta) != 1:
+        raise ValueError(
+            f"v2 checkpoint {name} carries {len(cp_meta)} checkpointMetadata "
+            "actions (the spec requires exactly one)"
+        )
+    if int(cp_meta[0].get("version", -1)) != cp_version:
+        raise ValueError(
+            f"v2 checkpoint {name} declares version "
+            f"{cp_meta[0].get('version')} but its file name says "
+            f"{cp_version} — refusing a torn checkpoint"
+        )
+    sidecars = [
+        d["sidecar"]["path"]
+        for d in dicts
+        if d.get("sidecar") and d["sidecar"].get("path")
+    ]
+    out = [
+        d
+        for d in dicts
+        if d.get("add") or d.get("remove") or d.get("metaData") or d.get("protocol")
+    ]
+    if sidecars:
+        paths = [
+            p if ("://" in p or p.startswith("/")) else f"{log_dir}/_sidecars/{p}"
+            for p in sidecars
+        ]
+        sc_df = spark.read.parquet(*sorted(paths))
+        have = set(sc_df.columns)
+        out.extend(
+            r.asDict(recursive=True)
+            for r in sc_df.select(
+                *[c for c in ("add", "remove") if c in have]
+            ).collect()
+        )
+    return out
+
+
 def delta_snapshot(
     table_dir: str, version: int | None = None, spark=None, backend=None
 ) -> dict:
@@ -283,15 +372,26 @@ def delta_snapshot(
             )
     if usable_cp and spark is not None:
         cp = usable_cp[-1]
-        cp_df = spark.read.parquet(
-            *[f"{log_dir}/{name}" for name in checkpoints[cp]]
-        )
-        have = set(cp_df.columns)
-        rows = cp_df.select(
-            *[c for c in ("add", "remove", "metaData", "protocol") if c in have]
-        ).collect()
-        for r in rows:
-            d = r.asDict(recursive=True)
+        cp_names = checkpoints[cp]
+        v2 = _CHECKPOINT_V2.match(cp_names[0]) if len(cp_names) == 1 else None
+        if v2:
+            dicts = _v2_checkpoint_state(spark, log_dir, cp_names[0], cp, backend)
+        else:
+            cp_df = spark.read.parquet(
+                *[f"{log_dir}/{name}" for name in cp_names]
+            )
+            have = set(cp_df.columns)
+            dicts = [
+                r.asDict(recursive=True)
+                for r in cp_df.select(
+                    *[
+                        c
+                        for c in ("add", "remove", "metaData", "protocol")
+                        if c in have
+                    ]
+                ).collect()
+            ]
+        for d in dicts:
             add = d.get("add")
             if add and add.get("path"):
                 files[add["path"]] = add.get("partitionValues") or {}
@@ -367,12 +467,11 @@ def delta_snapshot(
         raise ValueError(f"no metaData action found in {table_dir}'s log")
     conf = meta.get("configuration") or {}
     cm_mode = conf.get("delta.columnMapping.mode", "none") or "none"
-    if cm_mode not in ("none", "name"):
+    if cm_mode not in ("none", "name", "id"):
         raise ValueError(
             f"Delta table {table_dir} uses column mapping mode "
-            f"{cm_mode!r} — only 'name' mode is implemented (id mode "
-            "matches parquet field ids, the Iceberg-conversion shape); "
-            "refusing rather than misnaming columns"
+            f"{cm_mode!r} — only 'name' and 'id' modes exist in the "
+            "spec; refusing rather than misnaming columns"
         )
     return {
         "version": v,
@@ -417,6 +516,46 @@ def _physicalize(schema: StructType) -> StructType:
                 "physical columns"
             )
         return StructField(phys, walk_type(f.dataType), f.nullable)
+
+    return StructType([walk_field(f) for f in schema.fields])
+
+
+_ID_KEY = "delta.columnMapping.id"
+_FIELD_ID_KEY = "parquet.field.id"
+
+
+def _field_id_schema(schema: StructType) -> StructType:
+    """id-mode scan schema: LOGICAL field names annotated with
+    ``parquet.field.id`` metadata (from ``delta.columnMapping.id``,
+    recursively) — the shape Spark's native field-id resolution
+    (``spark.sql.parquet.fieldId.read.enabled``) matches against
+    parquet field ids, ignoring file column names entirely. Loud when
+    a field lacks the id (an id-mode table must annotate every field,
+    per spec)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    def walk_type(dt):
+        if isinstance(dt, StructType):
+            return StructType([walk_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(walk_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                walk_type(dt.keyType), walk_type(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    def walk_field(f: StructField) -> StructField:
+        fid = (f.metadata or {}).get(_ID_KEY)
+        if fid is None:
+            raise ValueError(
+                f"id-mapped Delta schema field {f.name!r} carries no "
+                f"{_ID_KEY} metadata — refusing rather than guessing "
+                "field ids"
+            )
+        md = dict(f.metadata or {})
+        md[_FIELD_ID_KEY] = int(fid)
+        return StructField(f.name, walk_type(f.dataType), f.nullable, md)
 
     return StructType([walk_field(f) for f in schema.fields])
 
@@ -554,15 +693,23 @@ def read_delta(
     snap = delta_snapshot(table_dir, version, spark=spark, backend=backend)
     td = table_dir.rstrip("/")
     logical = StructType.fromJson(json.loads(snap["schema_json"]))
-    mapped = snap["column_mapping_mode"] == "name"
+    cm_mode = snap["column_mapping_mode"]
+    mapped = cm_mode in ("name", "id")
     physical = _physicalize(logical) if mapped else logical
+    # phys_of keys partitionValues (PHYSICAL names in both mapping
+    # modes, per spec); the SCAN schema differs by mode — physical
+    # names for name mode, logical names + parquet.field.id metadata
+    # for id mode (Spark's native field-id resolution does the match)
     phys_of = {lf.name: pf.name for lf, pf in zip(logical.fields, physical.fields)}
+    scan = _field_id_schema(logical) if cm_mode == "id" else physical
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     pcols = snap["partition_columns"]  # logical names
     ptypes = {f.name: f.dataType for f in logical.fields if f.name in pcols}
     data_fields = [
         (lf, pf)
-        for lf, pf in zip(logical.fields, physical.fields)
+        for lf, pf in zip(logical.fields, scan.fields)
         if lf.name not in pcols
     ]
     phys_data_schema = StructType([pf for _lf, pf in data_fields])

@@ -342,6 +342,232 @@ def publish_delta_log(
     return next_delta_v
 
 
+# writer features this append path actually honors. appendOnly: we
+# only append. columnMapping: files are written under physical names
+# (+ parquet field ids). deletionVectors / v2Checkpoint / timestampNtz
+# / vacuumProtocolCheck: no writer-side obligation for a pure append.
+# domainMetadata: appends need not write domain metadata. Everything
+# else (rowTracking's baseRowIds, identityColumns, generatedColumns,
+# checkConstraints enforcement, icebergCompat*) imposes per-commit
+# writer work this path does not do — refused loudly.
+_SUPPORTED_WRITER_FEATURES: frozenset = frozenset(
+    {
+        "appendOnly",
+        "invariants",  # accepted only when the schema declares none
+        "checkConstraints",  # accepted only when none are configured
+        "changeDataFeed",  # CDF readers derive add-only commits from adds
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+        "vacuumProtocolCheck",
+        "v2Checkpoint",
+        "domainMetadata",
+    }
+)
+
+
+def _check_writer_protocol(snap: dict, table_dir: str) -> None:
+    """Loud gate: refuse to append into a table whose protocol or
+    metadata demands writer work this path does not perform — wrong
+    silence here corrupts SOMEONE ELSE'S table."""
+    proto = snap.get("protocol") or {}
+    mwv = proto.get("minWriterVersion", 1)
+    features = set(proto.get("writerFeatures") or [])
+    unsupported = features - _SUPPORTED_WRITER_FEATURES
+    if mwv >= 7 and unsupported:
+        raise ValueError(
+            f"Delta table {table_dir} requires writer features "
+            f"{sorted(unsupported)} this appender does not implement — "
+            "refusing rather than corrupting a foreign table"
+        )
+    if mwv > 7:
+        raise ValueError(
+            f"Delta table {table_dir} requires minWriterVersion {mwv} "
+            "(> 7); refusing an unknown protocol"
+        )
+    schema = json.loads(snap["schema_json"])
+    for field in schema.get("fields") or []:
+        md = field.get("metadata") or {}
+        if "delta.invariants" in md:
+            raise ValueError(
+                f"column {field['name']!r} of {table_dir} declares an "
+                "invariant this appender does not enforce — refusing"
+            )
+        if "delta.generationExpression" in md:
+            raise ValueError(
+                f"column {field['name']!r} of {table_dir} is a generated "
+                "column this appender does not compute — refusing"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise ValueError(
+                f"column {field['name']!r} of {table_dir} is an identity "
+                "column this appender does not assign — refusing"
+            )
+    conf = snap.get("configuration") or {}
+    if any(k.startswith("delta.constraints.") for k in conf):
+        raise ValueError(
+            f"table {table_dir} declares CHECK constraints this appender "
+            "does not enforce — refusing"
+        )
+
+
+def append_delta_table(
+    spark: SparkSession,
+    table_dir: str,
+    df,
+    backend=None,
+    max_retries: int = 3,
+) -> int:
+    """APPEND ``df`` into an EXISTING Delta table (one a foreign engine
+    created, or an exported one) as an add-only commit at version N+1
+    — the write-side half of the interop matrix read_delta /
+    publish_delta_log / fp_delta_feed opened.
+
+    Mechanics per the public protocol spec: ``df`` (logical names)
+    must match the table's declared data schema exactly (no evolution
+    — an append is not the place to fork a foreign table's schema);
+    files are staged by Spark (hive-partitioned when the table is
+    partitioned), moved under the table root through the backend, and
+    committed with ``create_exclusive`` (put-if-absent, the primitive
+    Delta LogStores require). A concurrent-writer loss re-reads the
+    snapshot, re-validates schema/protocol, and retries at the new
+    N+1 — the staged files carry fresh UUID names, so a retry is just
+    another commit attempt; ``max_retries`` losses raise. Name-mode
+    column mapping writes PHYSICAL column names + parquet field ids
+    into the files (flat schemas; a nested mapped schema is refused);
+    partitionValues are keyed by physical names. Protocols demanding
+    writer features this path cannot honor (rowTracking, identity /
+    generated columns, CHECK constraints, …) are refused loudly —
+    see _check_writer_protocol. Returns the committed Delta version.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _StructType
+
+    from .delta import _ID_KEY, _PHYS_KEY, delta_snapshot
+
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    snap = delta_snapshot(td, spark=spark, backend=backend)
+    _check_writer_protocol(snap, td)
+    logical = _StructType.fromJson(json.loads(snap["schema_json"]))
+    cm_mode = snap["column_mapping_mode"]
+    if cm_mode != "none":
+        nested = any(
+            isinstance(f.dataType, (_StructType, ArrayType, MapType))
+            for f in logical.fields
+        )
+        if nested:
+            raise ValueError(
+                f"append into column-mapped {td} supports FLAT schemas "
+                "only (nested physical renames on the write path are "
+                "not implemented) — refusing"
+            )
+    got = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in logical.fields}
+    if got != want:
+        raise ValueError(
+            f"append schema mismatch for {td}: table declares "
+            f"{sorted(want)} with its types, dataframe carries "
+            f"{sorted(got)} — appends never evolve a foreign schema"
+        )
+    pcols = list(snap["partition_columns"])
+    phys = {
+        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) for f in logical.fields
+    }
+    fids = {f.name: (f.metadata or {}).get(_ID_KEY) for f in logical.fields}
+
+    # stage: data columns under PHYSICAL names (+ field ids when
+    # mapped), hive-partitioned by the PHYSICAL partition columns
+    cols = []
+    for f in logical.fields:
+        md = {"parquet.field.id": int(fids[f.name])} if fids[f.name] is not None else {}
+        cols.append(F.col(f.name).alias(phys[f.name], metadata=md))
+    staged = df.select(*cols)
+    stage_root = _tempfile.mkdtemp(prefix="fp_delta_append_")
+    try:
+        writer_df = staged
+        if pcols:
+            # one task per partition VALUE -> exactly one file per
+            # value: the anti-small-files default (a 1000-executor
+            # append otherwise sprays tasks x values tiny files)
+            writer_df = staged.repartition(*[phys[c] for c in pcols])
+        writer = writer_df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*[phys[c] for c in pcols])
+        writer.parquet(stage_root)
+
+        # harvest staged files -> (rel name under td, partitionValues)
+        moves: list[tuple[str, dict, int]] = []  # (rel, pvals, n_rows_unknown)
+        for root, _dirs, names in _os.walk(stage_root):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                sub = _os.path.relpath(root, stage_root)
+                pvals: dict[str, str] = {}
+                if sub != ".":
+                    for seg in sub.split(_os.sep):
+                        k, _, val = seg.partition("=")
+                        pvals[k] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(val)
+                        )
+                rel = f"part-{_uuid.uuid4().hex}.parquet"
+                with open(f"{root}/{n}", "rb") as fh:
+                    backend.write_bytes(f"{td}/{rel}", fh.read())
+                moves.append((rel, pvals, 0))
+    finally:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+    if not moves:
+        return snap["version"]  # empty frame: nothing to commit
+
+    def _adds() -> list[dict]:
+        out = []
+        for rel, pvals, _n in sorted(moves):
+            out.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": backend.file_size(f"{td}/{rel}") or 0,
+                        "modificationTime": int(
+                            (backend.mtime(f"{td}/{rel}") or 0) * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                }
+            )
+        return out
+
+    log_dir = f"{td}/_delta_log"
+    payload = "\n".join(json.dumps(a) for a in _adds()) + "\n"
+    attempt_snap = snap
+    for _attempt in range(max_retries + 1):
+        next_v = attempt_snap["version"] + 1
+        if backend.create_exclusive(f"{log_dir}/{next_v:020d}.json", payload):
+            return next_v
+        # lost the put-if-absent race: re-read, re-validate, retry
+        attempt_snap = delta_snapshot(td, spark=spark, backend=backend)
+        _check_writer_protocol(attempt_snap, td)
+        if attempt_snap["schema_json"] != snap["schema_json"]:
+            raise ValueError(
+                f"concurrent writer changed the schema of {td} while "
+                "this append staged — refusing to commit stale-schema "
+                "files; clean up and retry the append"
+            )
+    raise FileExistsError(
+        f"append to {td} lost the put-if-absent race {max_retries + 1} "
+        "times — a hot concurrent writer; retry later (staged files "
+        f"{[m[0] for m in moves]} are orphans until then)"
+    )
+
+
 _CP_SCHEMA = (
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
     "modificationTime:bigint,dataChange:boolean,"

@@ -180,6 +180,14 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             for k, v in (snap["configuration"] or {}).items()
             if k.startswith("delta.columnMapping.")
         }
+        if snap["column_mapping_mode"] == "id":
+            raise ValueError(
+                "fp_delta_feed does not yet support id-mode column "
+                "mapping (parquet field-id matching, the Iceberg-"
+                "converted-table shape) — read such tables in batch "
+                "via read_delta, which rides Spark's native field-id "
+                "resolution"
+            )
         logical = StructType.fromJson(json.loads(snap["schema_json"]))
         mapped = snap["column_mapping_mode"] == "name"
         physical = _physicalize(logical) if mapped else logical

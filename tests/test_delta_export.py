@@ -333,3 +333,144 @@ def test_stale_last_checkpoint_hint_warns(spark, tmp_path):
         _warnings.simplefilter("always")
         assert read_delta(spark, td).count() == 30
     assert any("no complete checkpoint" in str(w.message) for w in caught)
+
+
+# ---------------------------------------------------------------------------
+# foreign-table APPEND (round 12): add-only commits into existing logs
+# ---------------------------------------------------------------------------
+
+
+def _foreign_log(spark, tmp_path, n=20):
+    """A Delta table 'someone else' created: one staged file + v0."""
+    import uuid as _uuid
+
+    td = str(tmp_path / "ft")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    tmp = f"{td}/_tmp_{_uuid.uuid4().hex[:6]}"
+    spark.range(n).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+    os.replace(f"{tmp}/{src}", f"{td}/base.parquet")
+    import shutil
+
+    shutil.rmtree(tmp)
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "ft", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": "base.parquet", "partitionValues": {},
+                 "size": os.path.getsize(f"{td}/base.parquet"),
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(f"{log}/{0:020d}.json", "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return td, log
+
+
+def test_append_into_foreign_log(spark, tmp_path):
+    """append_delta_table commits an add-only v1 into a log a foreign
+    writer created; read_delta serves old + new files, and a VANILLA
+    scan of the log-listed files matches (round-11 verdict item 9)."""
+    from fp_data_lakehouse_spark.sources.delta_export import append_delta_table
+
+    td, log = _foreign_log(spark, tmp_path)
+    new = spark.range(20, 30).selectExpr("id", "id * 2 AS v")
+    assert append_delta_table(spark, td, new) == 1
+
+    back = read_delta(spark, td)
+    assert _ids(back.select("id", "v")) == {(i, i * 2) for i in range(30)}
+    snap = delta_snapshot(td, spark=spark)
+    vanilla = spark.read.parquet(*[f"{td}/{p}" for p in snap["files"]])
+    assert _ids(vanilla.select("id", "v")) == {(i, i * 2) for i in range(30)}
+    # old version still serves the pre-append state
+    assert read_delta(spark, td, version=0).count() == 20
+
+    # schema mismatch is refused — appends never evolve a foreign table
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_delta_table(spark, td, spark.range(3).selectExpr("id"))
+
+
+def test_append_concurrent_loser_retries(spark, tmp_path):
+    """A lost put-if-absent race re-reads the snapshot and retries at
+    the new head; the staged files commit exactly once."""
+    from fp_data_lakehouse_spark.sources.delta_export import append_delta_table
+
+    td, log = _foreign_log(spark, tmp_path)
+    # a concurrent writer lands v1 while our append is staging: since
+    # staging happens before the commit loop, pre-creating v1 makes
+    # our first create_exclusive lose and retry at v2
+    with open(f"{log}/{1:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"add": {
+            "path": "base.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": False}}) + "\n")
+    new = spark.range(20, 25).selectExpr("id", "id * 2 AS v")
+    assert append_delta_table(spark, td, new) == 2
+    assert _ids(read_delta(spark, td).select("id")) == {(i,) for i in range(25)}
+
+
+def test_append_refuses_unsupported_writer_features(spark, tmp_path):
+    from fp_data_lakehouse_spark.sources.delta_export import append_delta_table
+
+    td, log = _foreign_log(spark, tmp_path)
+    # upgrade the protocol to demand rowTracking
+    with open(f"{log}/{1:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": [], "writerFeatures": ["rowTracking"]}}) + "\n")
+    with pytest.raises(ValueError, match="rowTracking"):
+        append_delta_table(spark, td, spark.range(1).selectExpr("id", "id AS v"))
+
+
+def test_append_partitioned_and_mapped(spark, tmp_path):
+    """Append into a name-mapped, PARTITIONED exported table: files
+    carry physical column names, partitionValues carry physical keys,
+    and read_delta round-trips the union."""
+    from fp_data_lakehouse_spark.sources.delta_export import append_delta_table
+
+    import uuid as _uuid
+
+    td = str(tmp_path / "pm")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "c-1"}},
+            {"name": "bucket", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "c-2"}},
+        ],
+    })
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "pm", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": ["bucket"],
+                      "configuration": {"delta.columnMapping.mode": "name",
+                                        "delta.columnMapping.maxColumnId": "2"}}},
+    ]
+    with open(f"{log}/{0:020d}.json", "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    df = spark.range(12).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS bucket"
+    )
+    assert append_delta_table(spark, td, df) == 1
+    snap = delta_snapshot(td, spark=spark)
+    assert len(snap["files"]) == 3
+    assert all(set(pv) == {"c-2"} for pv in snap["files"].values())
+    back = read_delta(spark, td)
+    assert _ids(back.select("id", "bucket")) == {(i, i % 3) for i in range(12)}

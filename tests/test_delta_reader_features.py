@@ -564,3 +564,250 @@ def test_registered_backend_override(spark, tmp_path):
         unregister_backend(td)
     assert got == set(range(15))
     assert backend.lists >= 1 and backend.reads >= 1
+
+
+# ---------------------------------------------------------------------------
+# id-mode column mapping (round 12): parquet field-id matching
+# ---------------------------------------------------------------------------
+
+
+def _stage_with_field_ids(spark, td, name, rows, schema):
+    """Write one parquet file whose column NAMES are arbitrary physical
+    ones but whose fields carry parquet field ids (Spark's
+    fieldId.write, on by default) — the Iceberg-converted-table file
+    shape id-mode matching exists for."""
+    import shutil
+
+    tmp = f"{td}/_tmp_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(os.path.dirname(f"{td}/{name}") or td, exist_ok=True)
+    os.replace(f"{tmp}/{src}", f"{td}/{name}")
+    shutil.rmtree(tmp)
+    return {
+        "add": {
+            "path": name,
+            "partitionValues": {},
+            "size": os.path.getsize(f"{td}/{name}"),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+_ID_MODE_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "o_custkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-7f"}},
+            {"name": "nested",
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "inner-1"}}]},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-9a"}},
+            {"name": "added_later", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 9,
+                          "delta.columnMapping.physicalName": "col-zz"}},
+            {"name": "region", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "part-r"}},
+        ],
+    }
+)
+
+
+def test_id_mode_column_mapping_lifecycle(spark, tmp_path):
+    """id-mode column mapping end-to-end (round-11 verdict item 4):
+    files carry ARBITRARY physical column names + parquet field ids
+    (nested included); the scan matches by id under logical names —
+    a field id absent from a file (post-ADD-COLUMN) reads NULL, the
+    partition column joins in from physical-keyed partitionValues,
+    and time travel replays removes."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    td = str(tmp_path / "t")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    w = StructType([
+        StructField("col-7f", LongType(), True, {"parquet.field.id": 1}),
+        StructField("col-9a", StructType([
+            StructField("inner-1", LongType(), True, {"parquet.field.id": 3}),
+        ]), True, {"parquet.field.id": 2}),
+    ])
+    a0 = _stage_with_field_ids(
+        spark, td, "f0.parquet", [(i, (i * 2,)) for i in range(10)], w
+    )
+    a0["add"]["partitionValues"] = {"part-r": "3"}  # PHYSICAL key
+    a1 = _stage_with_field_ids(
+        spark, td, "f1.parquet", [(i, (i * 2,)) for i in range(10, 20)], w
+    )
+    a1["add"]["partitionValues"] = {"part-r": "4"}
+    conf = {"delta.columnMapping.mode": "id", "delta.columnMapping.maxColumnId": "9"}
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(["region"], schema=_ID_MODE_SCHEMA, configuration=conf),
+            a0,
+            a1,
+        ],
+    )
+    _commit(log, 1, [{"remove": {"path": "f0.parquet", "dataChange": True}}])
+
+    df = read_delta(spark, td, version=0)
+    assert df.columns == ["o_custkey", "nested", "added_later", "region"]
+    got = {(r.o_custkey, r.nested.x, r.added_later, r.region) for r in df.collect()}
+    assert got == {(i, i * 2, None, 3) for i in range(10)} | {
+        (i, i * 2, None, 4) for i in range(10, 20)
+    }
+    # time travel: v1 removed f0
+    assert {r.o_custkey for r in read_delta(spark, td, version=1).collect()} == set(
+        range(10, 20)
+    )
+
+    # the streaming feed refuses id mode loudly (batch-only for now)
+    from fp_data_lakehouse_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    with pytest.raises(Exception, match="id-mode"):
+        (
+            spark.readStream.format("fp_delta_feed").option("path", td).load()
+            .writeStream.format("noop").trigger(availableNow=True).start()
+            .awaitTermination(60)
+        )
+
+
+# ---------------------------------------------------------------------------
+# v2 spec checkpoints (round 12): UUID-named top-level file + sidecars
+# ---------------------------------------------------------------------------
+
+
+_V2_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["v2Checkpoint"],
+    "writerFeatures": ["v2Checkpoint"],
+}
+
+
+def test_v2_checkpoint_parquet_with_sidecars(spark, tmp_path):
+    """A v2 checkpoint (UUID-named parquet: checkpointMetadata +
+    sidecar actions; add state in _sidecars/ parquet) seeds replay
+    after the covered commits are retention-deleted — equivalence with
+    JSON-only replay is certified by reading BEFORE deleting the
+    commits (round-11 verdict item 7)."""
+    td = str(tmp_path / "t")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    adds = [_stage(spark, td, f"f{i}.parquet", i * 10, (i + 1) * 10) for i in range(3)]
+    _commit(log, 0, [{"protocol": _V2_PROTOCOL}, _meta(), adds[0], adds[1]])
+
+    # JSON-only baseline at v0
+    baseline = {r.id for r in read_delta(spark, td, version=0).collect()}
+    assert baseline == set(range(20))
+
+    # sidecar parquet: the add state
+    os.makedirs(f"{log}/_sidecars")
+    sc_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,size:bigint>, "
+        "remove struct<path:string>"
+    )
+    sc_rows = [(a["add"]["path"], {}, a["add"]["size"]) for a in adds[:2]]
+    stage = f"{td}/_sc_stage"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize([((p, pv, s), None) for p, pv, s in sc_rows], 1),
+        sc_schema,
+    ).write.mode("overwrite").parquet(stage)
+    src = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    sc_name = f"{uuid.uuid4()}.parquet"
+    os.replace(f"{stage}/{src}", f"{log}/_sidecars/{sc_name}")
+    import shutil
+
+    shutil.rmtree(stage)
+
+    # top-level v2 checkpoint parquet at v0
+    with open(f"{log}/{0:020d}.json") as f:
+        meta_action = next(
+            json.loads(ln)["metaData"] for ln in f if '"metaData"' in ln
+        )
+    top_schema = (
+        "checkpointMetadata struct<version:bigint>, "
+        "sidecar struct<path:string,sizeInBytes:bigint>, "
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>"
+    )
+    top_rows = [
+        ((0,), None, None, None),
+        (None, (sc_name, os.path.getsize(f"{log}/_sidecars/{sc_name}")), None, None),
+        (None, None,
+         (meta_action["id"], ("parquet", {}), meta_action["schemaString"], [], {}),
+         None),
+        (None, None, None, (3, 7, ["v2Checkpoint"], ["v2Checkpoint"])),
+    ]
+    stage2 = f"{td}/_cp_stage"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(top_rows, 1), top_schema
+    ).write.mode("overwrite").parquet(stage2)
+    src = next(n for n in os.listdir(stage2) if n.endswith(".parquet"))
+    cp_name = f"{0:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    os.replace(f"{stage2}/{src}", f"{log}/{cp_name}")
+    shutil.rmtree(stage2)
+
+    # retention-delete the covered commit, append a fresh one
+    os.remove(f"{log}/{0:020d}.json")
+    _commit(log, 1, [adds[2]])
+
+    # the read MUST seed from the v2 checkpoint then apply commit 1
+    snap = delta_snapshot(td, spark=spark)
+    assert sorted(snap["files"]) == ["f0.parquet", "f1.parquet", "f2.parquet"]
+    got = {r.id for r in read_delta(spark, td).collect()}
+    assert got == set(range(30))
+    # time travel to the checkpointed version equals the JSON baseline
+    assert {r.id for r in read_delta(spark, td, version=0).collect()} == baseline
+
+
+def test_v2_checkpoint_json_inline_actions(spark, tmp_path):
+    """The json-form v2 checkpoint (file actions INLINE, no sidecars)
+    seeds replay; a checkpointMetadata/file-name version mismatch is
+    refused as a torn checkpoint."""
+    td = str(tmp_path / "t")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    adds = [_stage(spark, td, f"f{i}.parquet", i * 10, (i + 1) * 10) for i in range(2)]
+    _commit(log, 0, [{"protocol": _V2_PROTOCOL}, _meta(), adds[0]])
+    with open(f"{log}/{0:020d}.json") as f:
+        meta_action = next(
+            json.loads(ln)["metaData"] for ln in f if '"metaData"' in ln
+        )
+
+    cp_name = f"{0:020d}.checkpoint.{uuid.uuid4()}.json"
+    with open(f"{log}/{cp_name}", "w", encoding="utf-8") as f:
+        for action in (
+            {"checkpointMetadata": {"version": 0}},
+            {"protocol": _V2_PROTOCOL},
+            {"metaData": meta_action},
+            adds[0],
+        ):
+            f.write(json.dumps(action) + "\n")
+    os.remove(f"{log}/{0:020d}.json")
+    _commit(log, 1, [adds[1]])
+
+    got = {r.id for r in read_delta(spark, td).collect()}
+    assert got == set(range(20))
+
+    # torn checkpoint: declared version disagrees with the file name
+    bad = f"{1:020d}.checkpoint.{uuid.uuid4()}.json"
+    with open(f"{log}/{bad}", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 0}}) + "\n")
+    with pytest.raises(ValueError, match="torn"):
+        delta_snapshot(td, spark=spark)
