@@ -528,3 +528,536 @@ def dl04_delta_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(mode).alias("mode"), "ver", "n_cust", "sum_cents")
         )
     return legs[0].unionByName(legs[1])
+
+
+# ---------------------------------------------------------------------------
+# dl05: admission control — maxFilesPerTrigger over snapshot AND tail
+# ---------------------------------------------------------------------------
+
+_DL05_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 6 AS INT) AS bucket,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+b AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY bucket
+)
+SELECT CAST(bucket AS INT) AS run,
+       CAST(CASE WHEN bucket < 4 THEN 0 ELSE 1 END AS INT) AS ver,
+       bucket, n_cust, sum_cents
+FROM b
+"""
+
+
+@register("dl05_delta_feed_rate_limited", oracle=_DL05_SQL)
+def dl05_delta_feed_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADMISSION CONTROL on the Delta streaming source (round 12):
+    ``maxFilesPerTrigger=1`` splits the 4-file INITIAL SNAPSHOT and a
+    2-file tail commit into SIX bounded micro-batches — each drained
+    by its own availableNow run (the Python source API pins one capped
+    batch per run), every boundary a cold checkpoint restart. Rows are
+    stamped with the RUN that served them; the oracle demands run ==
+    bucket (the deterministic sorted-file order), so an unbounded
+    batch, a skipped file, or an inexact restart each flip a row.
+    ``_commit_version`` separates the snapshot (0) from the tail (1).
+
+    Scale: this is the difference between "first batch = the whole
+    100 TB table in one transaction" and a bounded, resumable
+    backfill; offsets carry a file index so restart is exact at file
+    granularity (sources/delta_feed.py)."""
+    from ..sources.pyds import register_python_sources
+
+    td = alloc_scratch(spark, "dl05_rate") + "/t"
+    os.makedirs(td, exist_ok=True)
+    names = _stage_bucket_files(_cust_totals(spark, sf_dir), td, 6)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_SCHEMA_PLAIN, []),
+            *[_add(td, n) for n in names[:4]],
+        ],
+    )
+
+    register_python_sources(spark)
+    work = alloc_scratch(spark, "dl05_drain")
+    out = f"{work}/rows"
+
+    def drain(run_idx: int) -> None:
+        def sink(bdf, _eid):
+            bdf.withColumn("run", F.lit(run_idx).cast("int")).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            spark.readStream.format("fp_delta_feed").option("path", td)
+            .option("maxFilesPerTrigger", "1").load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for r in range(4):
+        drain(r)
+    _commit(log, 1, [_add(td, names[4]), _add(td, names[5])])
+    for r in range(4, 6):
+        drain(r)
+
+    drained = spark.read.parquet(out)
+    return (
+        drained.groupBy(
+            "run",
+            F.col("_commit_version").cast("int").alias("ver"),
+            (F.col("o_custkey") % 6).cast("int").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
+        .select("run", "ver", "bucket", "n_cust", "sum_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dl06: id-mode column mapping (parquet field-id matching)
+# ---------------------------------------------------------------------------
+
+_DL06_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 3 AS INT) AS grp,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) FILTER (WHERE FALSE) AS BIGINT) AS n_added
+FROM t GROUP BY grp
+"""
+
+
+@register("dl06_delta_id_mapping", oracle=_DL06_SQL)
+def dl06_delta_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id-mode COLUMN MAPPING (round 12, the Iceberg-converted-table
+    shape): files carry OPAQUE physical column names plus parquet
+    field ids; the log's schema maps logical names by
+    delta.columnMapping.id, and the scan matches via Spark's native
+    field-id resolution — file column names are never consulted. A
+    third logical column (id 9) exists in no file and must read NULL
+    (n_added counts its non-nulls: oracle says zero).
+
+    Scale: field-id matching is a scan-level rewrite — column pruning
+    and pushdown are unchanged, no extra pass."""
+    from ..sources.delta import read_delta
+
+    td = alloc_scratch(spark, "dl06_idmap") + "/t"
+    os.makedirs(td, exist_ok=True)
+    # files under physical names c-1/c-2 with field ids 1/2: stage the
+    # plain bucket files, then rewrite with id-annotated schema
+    names = _stage_bucket_files(
+        _cust_totals(spark, sf_dir), td, 3, cols=["c-1", "c-2"]
+    )
+    import shutil
+
+    for n in names:
+        tmp = f"{td}/_rw_{n}"
+        df = spark.read.parquet(f"{td}/{n}")
+        # re-alias with parquet field ids (metadata-only projection;
+        # fieldId.write is on by default, so the rewrite carries ids)
+        df.select(
+            F.col("`c-1`").alias("c-1", metadata={"parquet.field.id": 1}),
+            F.col("`c-2`").alias("c-2", metadata={"parquet.field.id": 2}),
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        os.replace(f"{tmp}/{src}", f"{td}/{n}")
+        shutil.rmtree(tmp)
+
+    logical = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_custkey", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "c-1"}},
+                {"name": "cents", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "c-2"}},
+                {"name": "added_later", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 9,
+                              "delta.columnMapping.physicalName": "c-9"}},
+            ],
+        }
+    )
+    conf = {"delta.columnMapping.mode": "id", "delta.columnMapping.maxColumnId": "9"}
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(logical, [], configuration=conf),
+            *[_add(td, n) for n in names],
+        ],
+    )
+
+    df = read_delta(spark, td)
+    return (
+        df.groupBy((F.col("o_custkey") % 3).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("sum_cents"),
+            F.count("added_later").alias("n_added"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dl07: v2 spec checkpoint (UUID-named + sidecars) seeds replay
+# ---------------------------------------------------------------------------
+
+_DL07_SQL = _DL03_SQL  # same downstream aggregate as dl03
+
+
+@register("dl07_delta_v2_checkpoint", oracle=_DL07_SQL)
+def dl07_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 SPEC CHECKPOINT read (round 12): a UUID-named top-level
+    checkpoint parquet (checkpointMetadata + sidecar actions) with the
+    add state in a ``_delta_log/_sidecars/`` parquet seeds replay
+    after the covered commit is retention-deleted; commit v1's add
+    applies on top. Same downstream aggregate as dl03, so the hash
+    isolates exactly the checkpoint-form difference.
+
+    Scale: sidecars are one parquet scan regardless of count — the
+    same O(metadata) seeding as classic checkpoints; newer Delta
+    writers emit exactly this layout."""
+    import shutil
+    import uuid as _u
+
+    from ..sources.delta import read_delta
+
+    td = alloc_scratch(spark, "dl07_v2cp") + "/t"
+    os.makedirs(td, exist_ok=True)
+    names = _stage_bucket_files(_cust_totals(spark, sf_dir), td, 3)
+    log = f"{td}/_delta_log"
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta = _meta(_SCHEMA_PLAIN, [])
+    _commit(log, 0, [{"protocol": proto}, meta, _add(td, names[0]), _add(td, names[1])])
+
+    # sidecar parquet with the v0 add state
+    os.makedirs(f"{log}/_sidecars")
+    sc_schema = "add struct<path:string,partitionValues:map<string,string>,size:bigint>"
+    sc_rows = [
+        ((n, {}, os.path.getsize(f"{td}/{n}")),) for n in names[:2]
+    ]
+    stage = f"{td}/_sc_stage"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(sc_rows, 1), sc_schema
+    ).write.mode("overwrite").parquet(stage)
+    src = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+    sc_name = f"{_u.uuid4()}.parquet"
+    os.replace(f"{stage}/{src}", f"{log}/_sidecars/{sc_name}")
+    shutil.rmtree(stage)
+
+    top_schema = (
+        "checkpointMetadata struct<version:bigint>, "
+        "sidecar struct<path:string,sizeInBytes:bigint>, "
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>"
+    )
+    m = meta["metaData"]
+    top_rows = [
+        ((0,), None, None, None),
+        (None, (sc_name, os.path.getsize(f"{log}/_sidecars/{sc_name}")), None, None),
+        (None, None, (m["id"], ("parquet", {}), m["schemaString"], [], {}), None),
+        (None, None, None,
+         (3, 7, ["v2Checkpoint"], ["v2Checkpoint"])),
+    ]
+    stage2 = f"{td}/_cp_stage"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(top_rows, 1), top_schema
+    ).write.mode("overwrite").parquet(stage2)
+    src = next(x for x in os.listdir(stage2) if x.endswith(".parquet"))
+    os.replace(f"{stage2}/{src}", f"{log}/{0:020d}.checkpoint.{_u.uuid4()}.parquet")
+    shutil.rmtree(stage2)
+
+    os.remove(f"{log}/{0:020d}.json")  # retention: v0 seeds from the v2 cp
+    _commit(log, 1, [_add(td, names[2])])
+
+    df = read_delta(spark, td)
+    return (
+        df.groupBy((F.col("o_custkey") % 3).cast("int").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dl08: nested name-mapped schema through the STREAMING feed
+# ---------------------------------------------------------------------------
+
+_DL08_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(0 AS INT) AS ver,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t
+"""
+
+
+@register("dl08_delta_feed_nested_mapped", oracle=_DL08_SQL)
+def dl08_delta_feed_nested_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED name-mode column mapping through the STREAMING source
+    (round 12 — a refusal until now): files carry physical struct AND
+    inner-field names (``m-1``/``m-k``/``m-c``); the feed's executor
+    renames them to logical ``payload.key``/``payload.cents`` via a
+    zero-copy arrow view. The census aggregates the NESTED field, so
+    any rename slip (wrong field, dropped null mask) flips the hash.
+
+    Scale: the rename is metadata-only (arrow ``view``) — no copy, no
+    Python per-row work."""
+    import shutil
+
+    from ..sources.pyds import register_python_sources
+
+    td = alloc_scratch(spark, "dl08_nested") + "/t"
+    os.makedirs(td, exist_ok=True)
+    totals = _cust_totals(spark, sf_dir)
+    tmp = f"{td}/_stage"
+    totals.selectExpr(
+        "named_struct('m-k', o_custkey, 'm-c', cents) AS `m-1`"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+    os.replace(f"{tmp}/{src}", f"{td}/f0.parquet")
+    shutil.rmtree(tmp)
+
+    logical = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "payload",
+                 "type": {"type": "struct", "fields": [
+                     {"name": "key", "type": "long", "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 2,
+                                   "delta.columnMapping.physicalName": "m-k"}},
+                     {"name": "cents", "type": "long", "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 3,
+                                   "delta.columnMapping.physicalName": "m-c"}}]},
+                 "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "m-1"}},
+            ],
+        }
+    )
+    conf = {"delta.columnMapping.mode": "name", "delta.columnMapping.maxColumnId": "3"}
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(logical, [], configuration=conf),
+            _add(td, "f0.parquet"),
+        ],
+    )
+
+    from ..sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    work = alloc_scratch(spark, "dl08_drain")
+    q = (
+        spark.readStream.format("fp_delta_feed").option("path", td).load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.read.parquet(f"{work}/out")
+    return drained.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("payload.cents").alias("sum_cents"),
+    ).select(
+        F.lit(0).cast("int").alias("ver"), "n_cust", "sum_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dl09: OPTIMIZE (dataChange=false) commits pass over silently
+# ---------------------------------------------------------------------------
+
+_DL09_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 4 AS INT) AS bucket,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+b AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY bucket
+)
+SELECT CAST(0 AS INT) AS ver,
+       CAST(SUM(n_cust) AS BIGINT) AS n_cust,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+FROM b WHERE bucket IN (0, 1)
+UNION ALL
+SELECT CAST(2 AS INT), n_cust, sum_cents FROM b WHERE bucket = 2
+"""
+
+
+@register("dl09_delta_feed_compaction_passover", oracle=_DL09_SQL)
+def dl09_delta_feed_compaction_passover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta streaming source's dataChange CONTRACT (round 12): an
+    OPTIMIZE-shaped commit (removes + a combined re-add, all
+    ``dataChange: false``) is passed over SILENTLY — its adds are
+    never emitted (the rows were already served from the compacted
+    files) and its removes do not trip the append-only gate; a later
+    real append still tails. The oracle's emission set has NO rows
+    stamped with the compaction's version — a duplicate emission or a
+    false gate trip flips the hash.
+
+    Scale: OPTIMIZE runs continuously on production tables; a source
+    that dies (or double-serves) on every compaction is unusable."""
+    from ..sources.pyds import register_python_sources
+
+    td = alloc_scratch(spark, "dl09_opt") + "/t"
+    os.makedirs(td, exist_ok=True)
+    names = _stage_bucket_files(_cust_totals(spark, sf_dir), td, 4)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_SCHEMA_PLAIN, []),
+            _add(td, names[0]),
+            _add(td, names[1]),
+        ],
+    )
+    # v1 = OPTIMIZE: f0+f1 -> c0, nothing a data change. Stage the
+    # combined file by concatenating the two buckets' rows.
+    import shutil
+
+    tmp = f"{td}/_opt"
+    spark.read.parquet(f"{td}/{names[0]}", f"{td}/{names[1]}").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+    os.replace(f"{tmp}/{src}", f"{td}/c0.parquet")
+    shutil.rmtree(tmp)
+    c0 = _add(td, "c0.parquet")
+    c0["add"]["dataChange"] = False
+    _commit(
+        log, 1,
+        [
+            {"remove": {"path": names[0], "dataChange": False}},
+            {"remove": {"path": names[1], "dataChange": False}},
+            c0,
+        ],
+    )
+    _commit(log, 2, [_add(td, names[2])])
+
+    register_python_sources(spark)
+    work = alloc_scratch(spark, "dl09_drain")
+    q = (
+        spark.readStream.format("fp_delta_feed").option("path", td)
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.read.parquet(f"{work}/out")
+    return (
+        drained.groupBy(F.col("_commit_version").cast("int").alias("ver"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# io17: APPEND into a foreign Delta log (write-side interop)
+# ---------------------------------------------------------------------------
+
+_IO17_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 4 AS INT) AS bucket,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+b AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY bucket
+)
+SELECT CAST(0 AS INT) AS ver, CAST(SUM(n_cust) AS BIGINT) AS n_cust,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+FROM b WHERE bucket = 0
+UNION ALL
+SELECT CAST(1 AS INT), CAST(SUM(n_cust) AS BIGINT), CAST(SUM(sum_cents) AS BIGINT)
+FROM b
+"""
+
+
+@register("io17_delta_foreign_append", oracle=_IO17_SQL)
+def io17_delta_foreign_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side Delta interop (round 12): ``append_delta_table``
+    commits an add-only v1 (put-if-absent, concurrent-loser retry)
+    into a log a FOREIGN writer created — here a spec-synthesized v0
+    holding bucket 0 of the customer totals; the append contributes
+    buckets 1-3. ``read_delta`` serves v0 (bucket 0 only) and v1 (all
+    buckets); the oracle reconstructs both censuses from ``orders``,
+    so a dropped file, a schema fork, or a replayed add flips a row.
+
+    Scale: the append stages files once, moves bytes through the
+    backend, and commits one metadata-sized JSON — O(new data), no
+    table rewrite; losers of the commit race retry without re-staging
+    (sources/delta_export.py append_delta_table)."""
+    from ..sources.delta import read_delta
+    from ..sources.delta_export import append_delta_table
+
+    td = alloc_scratch(spark, "io17_append") + "/t"
+    os.makedirs(td, exist_ok=True)
+    totals = _cust_totals(spark, sf_dir)
+    names = _stage_bucket_files(totals.where(F.col("o_custkey") % 4 == 0), td, 1)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_SCHEMA_PLAIN, []),
+            _add(td, names[0]),
+        ],
+    )
+    new_rows = totals.where(F.col("o_custkey") % 4 != 0).select("o_custkey", "cents")
+    assert append_delta_table(spark, td, new_rows) == 1
+
+    legs = []
+    for ver in (0, 1):
+        df = read_delta(spark, td, version=ver)
+        legs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents")
+            ).select(F.lit(ver).cast("int").alias("ver"), "n_cust", "sum_cents")
+        )
+    return legs[0].unionByName(legs[1])

@@ -51,78 +51,75 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 11: ALL 230 round-10
-    # oracle-backed queries driver-green across r1-r10 (VERDICT r10
-    # verified the union; vintage histogram r5:5, r6:39, r7:37,
-    # r8:50, r9:49, r10:50). Round 11 front-loads (a) the FIVE
-    # deferred r5-vintage rows the r10 verdict queued to LEAD this
-    # window (gr01, gr02, io10, st07, st09); (b) the FOUR new
-    # certificates — dl01/dl02/dl03 (the spec-implemented Delta log
-    # reader: base replay + partition values, deletion vectors via
-    # real RoaringBitmapArray bitmaps, name-mode column mapping
-    # seeded from a multi-part checkpoint) and io16 (Delta interop
-    # OUT: publish_delta_log round-trip through read_delta + JVM +
-    # vanilla readers; dl04: the fp_delta_feed streaming source in
-    # both contract modes); then (c) the CERTIFICATION ROTATION: all
-    # 39 r6-vintage rows, plus the first r7-vintage row (q33) to
-    # fill the 50. After this window no row is older than 5 rounds
-    # (r7 vintage). Everything stays re-validated locally by
-    # tests/test_oracle_parity.py on every pytest run.
-    "gr01_triangle_count",
-    "gr02_degree_assortativity",
-    "io10_variant_shred",
-    "st07_stateful_sessionization",
-    "st09_checkpoint_restart_resume",
-    # new round-11 certificates
-    "dl01_delta_log_read",
-    "dl02_delta_deletion_vectors",
-    "dl03_delta_mapped_checkpoint",
-    "dl04_delta_feed_stream",
-    "io16_delta_log_export",
-    # rotation: the 39 r6-vintage rows
-    "dd01_exact_dup_groups",
-    "dd02_exact_dedup_keep",
-    "dd18_edit_distance_pairs",
-    "dd25_lsh_banded_pipeline",
-    "dd26_simhash_signatures_exact",
-    "dd27_simhash_banded_pipeline",
-    "dd28_lsh_dedup_keep",
-    "dd29_int8_banded_neardup",
-    "et07_incremental_join_view",
-    "mm07_media_features_exact",
-    "pr03_pagerank_bounded_subgraph",
-    "q16_customer_segment_binning",
-    "q17_balance_by_segment",
-    "q18_avg_discount_per_customer",
-    "q19_active_months_per_customer",
-    "q20_min_discount_per_customer",
-    "q21_order_detail_projection",
-    "q22_top10_order_value_jumps",
-    "q23_consistent_big_spenders",
-    "q24_avg_first_last_order_value",
-    "q25_count_customers_ending_small",
-    "q26_order_values_feed",
-    "q27_consecutive_order_pairs",
-    "q27_theta_selfjoin_pairs",
-    "q28_order_rank_within_month",
-    "q29_biggest_monthly_drop",
-    "q30_quantity_pivot_by_returnflag",
-    "q31_set_ops_rich_vs_active",
-    "q32_revenue_rollup",
-    "sim04_cosine_topk_ivf",
-    "sim10_int8_hyperplane_lsh",
-    "sim11_kmeans_train_exact",
-    "sk10_portable_hll_state",
-    "sk11_sample_quantile_sketch",
-    "st05_stream_redelivery_dedup",
-    "st08_foreachbatch_exactly_once",
-    "st11_stream_leftouter_interval_join",
-    "tx20_bpe_train_certified",
-    "tx21_bpe_tokenize_corpus",
-    # rotation: first r7-vintage row (q34 falls past the 50-row cut
-    # with dl04 added; it leads the r12 window with the other 36 r7s)
-    "q33_sql_above_average_balance",
-    # 50-row window ends here (5 deferred r5 + 5 new + 39 r6 + 1 r7)
+    # Cumulative record entering round 12: ALL 235 round-11
+    # oracle-backed queries driver-green across r1-r11 (VERDICT r11
+    # verified the union; vintage histogram r7:36, r8:50, r9:49,
+    # r10:50, r11:50). Round 12 front-loads (a) the CERTIFICATION
+    # ROTATION the r11 verdict specified: all 36 r7-vintage rows
+    # lead the window; (b) the SEVEN new round-12 certificates —
+    # dl05/st18 (admission control: maxFilesPerTrigger splits the
+    # initial snapshot / a big version into bounded, restart-exact
+    # micro-batches on BOTH streaming sources), dl06 (id-mode column
+    # mapping via parquet field ids), dl07 (v2 spec checkpoint +
+    # sidecars), dl08 (nested name-mapped schema through the feed),
+    # dl09 (dataChange=false OPTIMIZE commits pass over silently),
+    # io17 (append_delta_table: add-only commits into a foreign
+    # log); then (c) the first 7 r8-vintage rows alphabetically to
+    # fill the 50 and keep rotation a round ahead. Everything stays
+    # re-validated locally by tests/test_oracle_parity.py.
+    "ag01_customer_spend_slope",
+    "ag02_event_value_outliers",
+    "dd07_embedding_neardup_pairs",
+    "dd10_ngram_jaccard_capped",
+    "dd11_cross_split_contamination",
+    "dd12_duplicated_segments",
+    "dd13_neardup_dedup_keep",
+    "dd14_latest_per_key",
+    "dd19_semantic_dedup_keep",
+    "ev01_hourly_tumbling_counts",
+    "ev02_user_sessions",
+    "ev03_top_events_per_type_day",
+    "ev04_error_rate_by_user_bucket",
+    "ev05_purchase_click_attribution",
+    "ev06_session_windows",
+    "ev07_props_json_rollup",
+    "ev10_conversion_funnel",
+    "ev11_weekly_retention",
+    "ev28_dynamic_gap_sessions",
+    "io11_xml_roundtrip_nested",
+    "q34_balance_quartiles",
+    "q35_order_value_stats_by_status",
+    "q36_calendar_rollup",
+    "q37_revenue_cube",
+    "q43_recursive_ancestor_paths",
+    "q44_lateral_top_orders",
+    "st12_stream_fullouter_interval_join",
+    "st13_stream_dynamic_gap_sessions",
+    "tx01_language_id",
+    "tx02_quality_scores",
+    "tx03_quality_filter",
+    "tx04_token_counts",
+    "tx05_corpus_token_budget",
+    "tx06_fingerprints",
+    "tx07_curation_pipeline",
+    "tx08_tfidf_top_terms",
+    # new round-12 certificates
+    "dl05_delta_feed_rate_limited",
+    "dl06_delta_id_mapping",
+    "dl07_delta_v2_checkpoint",
+    "dl08_delta_feed_nested_mapped",
+    "dl09_delta_feed_compaction_passover",
+    "io17_delta_foreign_append",
+    "st18_versioned_feed_rate_limited",
+    # rotation fill: first 7 r8-vintage rows (alphabetical)
+    "dd19b_semantic_dedup_kmeans",
+    "et08_pdf_decode_pipeline",
+    "et09_pdf_quarantine_census",
+    "ev09b_user_event_profile_array",
+    "ev12_interevent_gaps",
+    "ev13_hourly_anomaly_zscore",
+    "ev14_gapfill_locf",
+    # 50-row window ends here (36 r7 + 7 new + 7 r8)
 ]
 
 

@@ -1492,3 +1492,90 @@ def st17_version_feed_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("_version").alias("version"), "n_customers", "sum_orders", "sum_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# st18: admission control on the versioned feed (round 12)
+# ---------------------------------------------------------------------------
+
+_ST18_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(4 AS INT) AS runs_with_progress,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS sum_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t
+"""
+
+
+@register("st18_versioned_feed_rate_limited", oracle=_ST18_SQL)
+def st18_versioned_feed_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADMISSION CONTROL on fp_versioned_feed (round 12): one committed
+    version holding FOUR files drains under ``maxFilesPerTrigger=1``
+    as four bounded micro-batches — each its own availableNow run
+    (one capped batch per run under the Python source API), every
+    boundary a cold checkpoint restart. The certificate row carries
+    ``runs_with_progress`` (the oracle demands exactly 4: an unbounded
+    first batch would make it 1, a skipped file 3, a re-delivery 5+)
+    alongside the full census, so boundedness AND byte-exact restart
+    hash together.
+
+    Scale: a 100 TB snapshot replay becomes a bounded, resumable
+    backfill instead of one batch-sized transaction; offsets gain a
+    file index (sources/pyds.py VersionFeedStreamReader)."""
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import write_version
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    totals = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum(cents).alias("cents")
+    )
+    table_dir = alloc_scratch(spark, "st18_rate") + "/t"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    write_version(totals.repartition(4, "o_custkey"), table_dir, manifest=True)
+
+    register_python_sources(spark)
+    work = alloc_scratch(spark, "st18_drain")
+
+    def drain() -> int:
+        q = (
+            spark.readStream.format("fp_versioned_feed").option("path", table_dir)
+            .option("maxFilesPerTrigger", "1").load()
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(f"{work}/out").count()
+        except Exception:
+            return 0
+
+    counts = [drain()]
+    for _ in range(7):
+        c = drain()
+        if c == counts[-1]:
+            break
+        counts.append(c)
+    runs_with_progress = sum(
+        1 for i, c in enumerate(counts) if c > (counts[i - 1] if i else 0)
+    )
+    drained = spark.read.parquet(f"{work}/out")
+    return drained.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").alias("sum_orders"),
+        F.sum("cents").alias("sum_cents"),
+    ).select(
+        F.lit(runs_with_progress).cast("int").alias("runs_with_progress"),
+        "n_customers",
+        "sum_orders",
+        "sum_cents",
+    )

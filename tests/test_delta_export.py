@@ -474,3 +474,43 @@ def test_append_partitioned_and_mapped(spark, tmp_path):
     assert all(set(pv) == {"c-2"} for pv in snap["files"].values())
     back = read_delta(spark, td)
     assert _ids(back.select("id", "bucket")) == {(i, i % 3) for i in range(12)}
+
+
+def test_export_10m_row_dv_bounded_driver(spark, tmp_path, monkeypatch):
+    """The round-11 verdict's done-criterion for distributed DV
+    assembly: an export over a >=10M-row deletion vector passes with
+    bounded driver memory — no position list ever collects (every
+    collected schema is scalar/binary only), and the read-back census
+    is exact."""
+    from pyspark.sql.classic.dataframe import DataFrame
+    from pyspark.sql.types import ArrayType
+
+    td = str(tmp_path / "t")
+    write_version(
+        spark.range(25_000_000).selectExpr("id").repartitionByRange(4, "id"),
+        td,
+        manifest=True,
+    )
+    # mask 10M of 25M rows (40% — under the versioned layer's 50%
+    # read-amplification gate)
+    assert delete_where_dv(spark, td, F.expr("id % 5 < 2")) == 2
+
+    collected_schemas = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        collected_schemas.append(self.schema)
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    assert publish_delta_log(spark, td, version=2, max_dv_rows=20_000_000) == 0
+    monkeypatch.undo()
+    assert collected_schemas
+    for schema in collected_schemas:
+        assert not any(isinstance(f.dataType, ArrayType) for f in schema.fields)
+
+    snap = delta_snapshot(td, spark=spark)
+    assert sum(int(d["cardinality"]) for d in snap["dv"].values()) == 10_000_000
+    back = read_delta(spark, td)
+    assert back.count() == 15_000_000
+    assert back.agg(F.max("id")).collect()[0][0] == 24_999_999
