@@ -405,6 +405,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # The COMMITTED per-query baseline (bench_full.json as checked in,
+    # read BEFORE this run overwrites it) anchors the contamination
+    # guard below; only comparable when the scale factor matches.
+    committed: dict[str, float] = {}
+    committed_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    try:
+        with open(committed_path) as f:
+            _c = json.load(f)
+        if abs(float(_c.get("sf", -1.0)) - sf) < 1e-9:
+            committed = {
+                k: float(v)
+                for k, v in (_c.get("queries") or {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    except Exception:
+        committed = {}
+
     from fp_data_lakehouse_spark.operators import REGISTRY
     from fp_data_lakehouse_spark.session import get_session
 
@@ -448,6 +467,31 @@ def main() -> None:
             timings[name] = round(min(timings[name], time.time() - t0), 3)
         except Exception:
             pass
+
+    # CONTAMINATION GUARD (round 12, r11 verdict item 6): the slowest-5
+    # rerun misses mid-pack queries inflated by a transient host window
+    # (the r11 driver run carried 3-13x phantom regressions on q02-q13
+    # that two independent re-measures disproved). Any query whose
+    # min-of-2 exceeds 3x its COMMITTED bench_full.json value gets one
+    # more steady-state run at the very end, keeping the overall min —
+    # a real regression survives the rerun; a contaminated reading
+    # self-corrects in the official artifact.
+    contamination_reruns: list[str] = []
+    for name in sorted(timings):
+        ref = committed.get(name)
+        if (
+            ref
+            and name in REGISTRY
+            and timings[name] > 0
+            and timings[name] > 3.0 * ref
+        ):
+            t0 = time.time()
+            try:
+                materialize(REGISTRY[name].builder(spark, sf_dir))
+                timings[name] = round(min(timings[name], time.time() - t0), 3)
+                contamination_reruns.append(name)
+            except Exception:
+                pass
     total = round(time.time() - t_suite, 3)
 
     try:
@@ -468,7 +512,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "family_totals": families,
-                "timing": "min_of_2_plus_slowest5_rerun",
+                "timing": "min_of_2_plus_slowest5_rerun_plus_3x_guard",
+                "contamination_reruns": contamination_reruns,
                 "notes": "gr01/gr02 exclude the shared co-order edge-list"
                 " build, reported separately as gr00_coorder_edges_build",
                 "sf": sf,
@@ -499,7 +544,8 @@ def main() -> None:
                     "sf": sf,
                     "queries": timings,
                     "family_totals": families,
-                    "timing": "min_of_2_plus_slowest5_rerun",
+                    "timing": "min_of_2_plus_slowest5_rerun_plus_3x_guard",
+                    "contamination_reruns": contamination_reruns,
                     "etl_files_per_sec": etl_files_per_sec,
                     "etl_baseline_files_per_sec": 5.4,
                     "canary_sec": canary_sec,
@@ -526,7 +572,8 @@ def main() -> None:
                 "family_totals": families,
                 "n_queries": len(timings),
                 "n_errors": sum(1 for t in timings.values() if t < 0),
-                "timing": "min_of_2_plus_slowest5_rerun",
+                "timing": "min_of_2_plus_slowest5_rerun_plus_3x_guard",
+                "contamination_reruns": contamination_reruns,
                 "full_timings_file": "bench_full.json",
                 "etl_files_per_sec": etl_files_per_sec,
                 "etl_baseline_files_per_sec": 5.4,
