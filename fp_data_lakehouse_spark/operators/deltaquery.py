@@ -1061,3 +1061,119 @@ def io17_delta_foreign_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(ver).cast("int").alias("ver"), "n_cust", "sum_cents")
         )
     return legs[0].unionByName(legs[1])
+
+
+# ---------------------------------------------------------------------------
+# dl10: CHANGE DATA FEED read — cdc-authoritative + derive paths
+# ---------------------------------------------------------------------------
+
+_DL10_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 2 AS INT) AS bucket,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+b AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY bucket
+)
+SELECT CAST(0 AS INT) AS ver, 'insert' AS ctype,
+       CAST(SUM(n_cust) AS BIGINT) AS n_cust,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+FROM b
+UNION ALL
+SELECT CAST(1 AS INT), 'delete', n_cust, sum_cents FROM b WHERE bucket = 0
+UNION ALL
+SELECT CAST(2 AS INT), 'update_preimage', n_cust, sum_cents FROM b WHERE bucket = 1
+UNION ALL
+SELECT CAST(2 AS INT), 'update_postimage', n_cust, sum_cents + n_cust
+FROM b WHERE bucket = 1
+"""
+
+
+@register("dl10_delta_change_feed", oracle=_DL10_SQL)
+def dl10_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over a Delta log (round 12,
+    ``read_delta_changes`` — the spec's table-changes surface): v0's
+    adds derive as ``insert`` rows, v1's dataChange remove derives as
+    ``delete`` rows read from the removed file's still-present bytes,
+    and v2 is cdc-AUTHORITATIVE — a ``_change_data`` parquet carries
+    update_preimage/postimage rows (every bucket-1 total bumped one
+    cent) and the commit's own add is ignored by CDF. The oracle
+    reconstructs all four change censuses from ``orders``; a missed
+    derive, a double-served cdc commit, or a wrong type stamp flips a
+    row.
+
+    Scale: one scan of the derive-path files + one broadcast
+    (file -> version/type) join, one scan of the cdc files — plan
+    fan-out independent of the commit count (sources/delta.py
+    read_delta_changes)."""
+    import shutil
+
+    from ..sources.delta import read_delta_changes
+
+    td = alloc_scratch(spark, "dl10_cdf") + "/t"
+    os.makedirs(td, exist_ok=True)
+    totals = _cust_totals(spark, sf_dir)
+    names = _stage_bucket_files(totals, td, 2)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_SCHEMA_PLAIN, []),
+            _add(td, names[0]),
+            _add(td, names[1]),
+        ],
+    )
+    _commit(log, 1, [{"remove": {"path": names[0], "dataChange": True}}])
+
+    # v2: cdc-authoritative update of every bucket-1 row (+1 cent)
+    b1 = totals.where(F.col("o_custkey") % 2 == 1)
+    cdc_rows = b1.selectExpr(
+        "o_custkey", "cents", "'update_preimage' AS _change_type"
+    ).unionByName(
+        b1.selectExpr(
+            "o_custkey", "cents + 1 AS cents", "'update_postimage' AS _change_type"
+        )
+    )
+    tmp = f"{td}/_cdc_stage"
+    cdc_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(f"{td}/_change_data", exist_ok=True)
+    os.replace(f"{tmp}/{src}", f"{td}/_change_data/cdc-0.parquet")
+    shutil.rmtree(tmp)
+    post = f"{td}/_post_stage"
+    b1.selectExpr("o_custkey", "cents + 1 AS cents").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(post)
+    src = next(n for n in os.listdir(post) if n.endswith(".parquet"))
+    os.replace(f"{post}/{src}", f"{td}/b1_post.parquet")
+    shutil.rmtree(post)
+    _commit(
+        log, 2,
+        [
+            {
+                "cdc": {
+                    "path": "_change_data/cdc-0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(f"{td}/_change_data/cdc-0.parquet"),
+                    "dataChange": False,
+                }
+            },
+            {"remove": {"path": names[1], "dataChange": True}},
+            _add(td, "b1_post.parquet"),
+        ],
+    )
+
+    changes = read_delta_changes(spark, td, 0)
+    return (
+        changes.groupBy(
+            F.col("_commit_version").alias("ver"),
+            F.col("_change_type").alias("ctype"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
+    )

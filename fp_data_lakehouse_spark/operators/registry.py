@@ -109,17 +109,17 @@ DRIVER_PRIORITY: list[str] = [
     "dl07_delta_v2_checkpoint",
     "dl08_delta_feed_nested_mapped",
     "dl09_delta_feed_compaction_passover",
+    "dl10_delta_change_feed",
     "io17_delta_foreign_append",
     "st18_versioned_feed_rate_limited",
-    # rotation fill: first 7 r8-vintage rows (alphabetical)
+    # rotation fill: first 6 r8-vintage rows (alphabetical)
     "dd19b_semantic_dedup_kmeans",
     "et08_pdf_decode_pipeline",
     "et09_pdf_quarantine_census",
     "ev09b_user_event_profile_array",
     "ev12_interevent_gaps",
     "ev13_hourly_anomaly_zscore",
-    "ev14_gapfill_locf",
-    # 50-row window ends here (36 r7 + 7 new + 7 r8)
+    # 50-row window ends here (36 r7 + 8 new + 6 r8)
 ]
 
 

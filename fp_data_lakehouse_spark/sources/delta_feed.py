@@ -166,9 +166,12 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         # a stale base. Monotonic: commit() of an old batch can arrive
         # after partitions() of a newer one.
         self._pos: dict | None = None
-        # driver-side caches (log segments are immutable)
+        # driver-side caches (log segments are immutable). Bounded:
+        # a stream tails for months — unbounded per-version caches
+        # would grow with the log, not with the working set.
         self._commit_cache: dict[int, tuple[list[dict], bool]] = {}
         self._snap_cache: dict[int, list] = {}
+        self._cache_cap = 64
 
         # resolve the TABLE schema (logical + physical) once, from the
         # head, and PIN it: a tailed metaData that diverges fails the
@@ -380,6 +383,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             )
             for path, pv in sorted(snap["files"].items())
         ]
+        while len(self._snap_cache) >= getattr(self, "_cache_cap", 64):
+            self._snap_cache.pop(next(iter(self._snap_cache)))
         self._snap_cache[v] = out
         return out
 
@@ -451,6 +456,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                             "old columns past an evolution would be "
                             "silently wrong)"
                         )
+            while len(self._commit_cache) >= getattr(self, "_cache_cap", 64):
+                self._commit_cache.pop(next(iter(self._commit_cache)))
             self._commit_cache[v] = (adds, change)
         if change:
             if self._skip_change:
@@ -479,6 +486,18 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                     hi = len(files) if (edone or ei is None) else ei
                     for path, pv, dv, _size in files[lo:hi]:
                         out.append(self._partition_for(path, s, pv, dv))
+                    # a mid-snapshot checkpoint restarted WITHOUT rate
+                    # limits: the unlimited latestOffset names the true
+                    # head, so this batch must also carry the tail
+                    # commits (s, ev] or they would never be served
+                    if edone and ev > s:
+                        for v in range(s + 1, ev + 1):
+                            for a in self._commit_files(v, backend):
+                                out.append(
+                                    self._partition_for(
+                                        a["path"], v, a.get("partitionValues"), None
+                                    )
+                                )
                 return out
             from_v = sv if si is not None else sv + 1
             for v in range(from_v, ev + 1):

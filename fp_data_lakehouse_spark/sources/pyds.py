@@ -1244,16 +1244,21 @@ class VersionFeedStreamReader(DataSourceStreamReader):
         if cache is None:
             cache = self._files_cache = {}
         if v not in cache:
+            while len(cache) >= 64:  # bounded: streams tail for months
+                cache.pop(next(iter(cache)))
             cache[v] = _version_files(fs, p, v, prefix)
         return cache[v]
 
     def _feed_sizes(self, fs, v: int, files: list[str], prefix: str) -> list[int]:
         """Per-file byte sizes (for maxBytesPerTrigger), one metadata
-        GET per file per version, cached — planning-time only."""
+        GET per file per version, cached (bounded) — planning-time
+        only."""
         cache = getattr(self, "_sizes_cache", None)
         if cache is None:
             cache = self._sizes_cache = {}
         if v not in cache:
+            while len(cache) >= 64:
+                cache.pop(next(iter(cache)))
             cache[v] = [
                 int(
                     fs.get_file_info(

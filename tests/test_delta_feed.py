@@ -443,3 +443,38 @@ def test_dv_partitions_ship_descriptor_not_positions(spark, tmp_path):
     assert parts[0].dv_desc and parts[0].dv_desc["cardinality"] == 200_000
     assert not hasattr(parts[0], "dead")
     assert len(pickle.dumps(parts[0])) < 4096, "descriptor-sized pickles only"
+
+
+def test_rate_limit_removed_mid_snapshot_serves_tail(spark, tmp_path):
+    """A rate-limited checkpoint stopped MID-SNAPSHOT then restarted
+    WITHOUT rate limits must serve the rest of the snapshot AND the
+    tail commits up to the unlimited head in one batch — nothing is
+    ever skipped when the cap is dropped."""
+    from fp_data_lakehouse_spark.sources.delta_feed import DeltaFeedStreamReader
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    td, log, adds = _log(tmp_path, spark, n_files=3)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                     _meta(), adds[0], adds[1]])
+    _commit(log, 1, [adds[2]])
+    schema = StructType([
+        StructField("id", LongType()), StructField("v", LongType()),
+        StructField("_commit_version", LongType(), False),
+    ])
+
+    limited = DeltaFeedStreamReader(schema, td, {"maxfilespertrigger": "1"})
+    start = limited.initialOffset()
+    mid = limited.latestOffset()
+    assert mid == {"version": 1, "index": 1, "snapshot_done": False}
+    first = limited.partitions(start, mid)
+    assert len(first) == 1
+
+    # new commit lands; the stream restarts WITHOUT the rate limit
+    a3 = _stage(spark, td, "f3.parquet", 30, 40)
+    _commit(log, 2, [a3])
+    unlimited = DeltaFeedStreamReader(schema, td, {})
+    end = unlimited.latestOffset()
+    assert end == {"version": 2, "snapshot_done": True}
+    rest = unlimited.partitions(mid, end)
+    got = sorted((p.file_path.rsplit("/", 1)[-1], p.version) for p in rest)
+    assert got == [("f1.parquet", 1), ("f2.parquet", 1), ("f3.parquet", 2)]

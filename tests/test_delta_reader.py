@@ -186,18 +186,21 @@ def test_checkpoint_replay(spark, delta_table):
 
 
 def test_protocol_refusals(spark, tmp_path):
-    """Unknown reader features / protocol versions and id-mode column
-    mapping are refused loudly; features this reader DOES implement
-    (deletionVectors, columnMapping, timestampNtz) pass the gate."""
-    td = str(tmp_path / "v2cp_table")
+    """Unknown reader features / protocol versions and unknown column
+    mapping modes are refused loudly; features this reader DOES
+    implement (deletionVectors, columnMapping, timestampNtz,
+    v2Checkpoint since r12) pass the gate. (v2Checkpoint and id-mode
+    mapping were refusals until round 12 — both now read;
+    test_delta_reader_features.py covers them positively.)"""
+    td = str(tmp_path / "tw_table")
     log = f"{td}/_delta_log"
     os.makedirs(log)
     a = _stage_file(spark, td, "f0.parquet", 0, 10, 0)
     _commit(
         log, 0,
-        [_protocol(mrv=3, reader_features=["v2Checkpoint"]), _meta([]), a],
+        [_protocol(mrv=3, reader_features=["typeWidening"]), _meta([]), a],
     )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         read_delta(spark, td)
 
     td2 = str(tmp_path / "cmid_table")
@@ -208,11 +211,11 @@ def test_protocol_refusals(spark, tmp_path):
         log2, 0,
         [
             _protocol(mrv=2),
-            _meta([], configuration={"delta.columnMapping.mode": "id"}),
+            _meta([], configuration={"delta.columnMapping.mode": "bogus"}),
             a2,
         ],
     )
-    with pytest.raises(ValueError, match="only 'name' mode"):
+    with pytest.raises(ValueError, match="'name' and 'id'"):
         read_delta(spark, td2)
 
     td3 = str(tmp_path / "future_table")

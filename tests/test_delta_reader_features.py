@@ -811,3 +811,103 @@ def test_v2_checkpoint_json_inline_actions(spark, tmp_path):
         f.write(json.dumps({"checkpointMetadata": {"version": 0}}) + "\n")
     with pytest.raises(ValueError, match="torn"):
         delta_snapshot(td, spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# change data feed read (round 12): cdc-authoritative + derive paths
+# ---------------------------------------------------------------------------
+
+
+def _stage_cdc(spark, td, name, rows):
+    """A _change_data parquet: (id, v, _change_type) rows."""
+    import shutil
+
+    tmp = f"{td}/_cdc_{uuid.uuid4().hex[:6]}"
+    spark.createDataFrame(rows, "id long, v long, _change_type string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    src = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(os.path.dirname(f"{td}/{name}"), exist_ok=True)
+    os.replace(f"{tmp}/{src}", f"{td}/{name}")
+    shutil.rmtree(tmp)
+    return {
+        "cdc": {
+            "path": name,
+            "partitionValues": {},
+            "size": os.path.getsize(f"{td}/{name}"),
+            "dataChange": False,
+        }
+    }
+
+
+def test_read_delta_changes_derive_and_cdc(spark, tmp_path):
+    """read_delta_changes: commits WITHOUT cdc derive (dataChange adds
+    as inserts, dataChange removes as deletes of the removed file's
+    rows; OPTIMIZE contributes nothing); a commit WITH cdc actions is
+    authoritative — only its _change_data rows speak, typed by the
+    file's own _change_type column."""
+    from fp_data_lakehouse_spark.sources.delta import read_delta_changes
+
+    td = str(tmp_path / "t")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    adds = [_stage(spark, td, f"f{i}.parquet", i * 10, (i + 1) * 10) for i in range(3)]
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                     _meta(), adds[0], adds[1]])
+    # v1: CoW delete — remove f0, add f2
+    _commit(log, 1, [{"remove": {"path": "f0.parquet", "dataChange": True}},
+                     adds[2]])
+    # v2: OPTIMIZE (all dataChange=false) — contributes NOTHING
+    c0 = _stage(spark, td, "c0.parquet", 10, 30)
+    c0["add"]["dataChange"] = False
+    _commit(log, 2, [
+        {"remove": {"path": "f1.parquet", "dataChange": False}},
+        {"remove": {"path": "f2.parquet", "dataChange": False}},
+        c0,
+    ])
+    # v3: cdc-authoritative UPDATE — its add is ignored by CDF
+    upd = _stage(spark, td, "f3.parquet", 100, 101)
+    cdc = _stage_cdc(
+        spark, td, "_change_data/cdc-0.parquet",
+        [(10, 100, "update_preimage"), (10, 1000, "update_postimage")],
+    )
+    _commit(log, 3, [cdc, upd])
+
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in read_delta_changes(spark, td, 0).collect()
+    }
+    want = (
+        {(i, "insert", 0) for i in range(20)}
+        | {(i, "delete", 1) for i in range(10)}
+        | {(i, "insert", 1) for i in range(20, 30)}
+        | {(10, "update_preimage", 3), (10, "update_postimage", 3)}
+    )
+    assert got == want
+    # sub-range: only v1
+    got1 = {
+        (r.id, r._change_type, r._commit_version)
+        for r in read_delta_changes(spark, td, 1, 1).collect()
+    }
+    assert got1 == {(i, "delete", 1) for i in range(10)} | {
+        (i, "insert", 1) for i in range(20, 30)
+    }
+
+    with pytest.raises(ValueError, match="invalid change range"):
+        read_delta_changes(spark, td, 2, 1)
+
+
+def test_read_delta_changes_dv_without_cdc_refused(spark, tmp_path):
+    from fp_data_lakehouse_spark.sources.delta import read_delta_changes
+
+    td = str(tmp_path / "t")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    a0 = _stage(spark, td, "f0.parquet", 0, 10)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                   "readerFeatures": ["deletionVectors"]}},
+                     _meta(), a0])
+    (d0,) = _dv_descriptor_u(td, "", [[1, 2]])
+    _commit(log, 1, [_readd(a0, d0)])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        read_delta_changes(spark, td, 1, 1)

@@ -77,8 +77,16 @@ def test_registry_contract():
     # +dl03 (Delta column mapping x multi-part checkpoint) -> 244 / 233;
     # +io16 (Delta interop OUT, publish_delta_log) -> 245 / 234;
     # +dl04 (Delta table as a streaming source) -> 246 / 235
-    assert len(q) == 246, sorted(q)
-    assert len(o) == 235, sorted(o)
+    # round 12: +dl05 (admission control on the Delta feed) -> 247/236;
+    # +dl06 (id-mode column mapping) -> 248 / 237;
+    # +dl07 (v2 spec checkpoint + sidecars) -> 249 / 238;
+    # +dl08 (nested name-mapped feed) -> 250 / 239;
+    # +dl09 (dataChange compaction pass-over) -> 251 / 240;
+    # +dl10 (change data feed read) -> 252 / 241;
+    # +io17 (foreign-table Delta append) -> 253 / 242;
+    # +st18 (admission control on the versioned feed) -> 254 / 243
+    assert len(q) == 254, sorted(q)
+    assert len(o) == 243, sorted(o)
 
 
 def test_driver_priority_window():
