@@ -1177,3 +1177,100 @@ def dl10_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# io18: the Delta MAINTENANCE WRITER — OPTIMIZE + v2 checkpoint + retention
+# ---------------------------------------------------------------------------
+
+_IO18_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT 'precompact' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(3 AS INT) AS n_files
+FROM t
+UNION ALL
+SELECT 'postretention', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+       CAST(1 AS INT)
+FROM t
+"""
+
+
+@register("io18_delta_maintenance_writer", oracle=_IO18_SQL)
+def io18_delta_maintenance_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta MAINTENANCE-WRITER loop against a foreign log
+    (round 12): two ``append_delta_table`` commits land buckets 1-2
+    next to the foreign v0 file; ``compact_delta_table`` rewrites the
+    three files into ONE as a dataChange=false rearrangement;
+    ``checkpoint_delta_log(form="v2")`` upgrades the protocol with the
+    v2Checkpoint feature and writes the UUID-named checkpoint +
+    sidecar; every commit JSON at or below it is retention-deleted and
+    the head still reads THROUGH the v2 checkpoint. The oracle pins
+    both censuses AND the file counts (3 before, 1 after), so a
+    dropped row, a duplicated rearrangement, or a checkpoint that
+    fails to seed each flip a row.
+
+    Scale: this is the nightly table-maintenance loop — appends
+    O(new data), compaction one shuffle into one task per partition
+    tuple, checkpoint metadata-sized, retention frees O(commits)."""
+    import os as _os
+
+    from ..sources.delta import delta_snapshot, read_delta
+    from ..sources.delta_export import (
+        append_delta_table,
+        checkpoint_delta_log,
+        compact_delta_table,
+    )
+
+    td = alloc_scratch(spark, "io18_maint") + "/t"
+    os.makedirs(td, exist_ok=True)
+    totals = _cust_totals(spark, sf_dir)
+    names = _stage_bucket_files(totals.where(F.col("o_custkey") % 3 == 0), td, 1)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_SCHEMA_PLAIN, []),
+            _add(td, names[0]),
+        ],
+    )
+    for b in (1, 2):
+        assert append_delta_table(
+            spark,
+            td,
+            totals.where(F.col("o_custkey") % 3 == b).select("o_custkey", "cents")
+            .coalesce(1),
+        ) == b
+
+    pre = read_delta(spark, td)
+    pre_files = len(delta_snapshot(td, spark=spark)["files"])
+    pre_leg = pre.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents")
+    ).select(
+        F.lit("precompact").alias("stage"), "n_cust", "sum_cents",
+        F.lit(pre_files).cast("int").alias("n_files"),
+    )
+    pre_leg = pre_leg.localCheckpoint()  # pin BEFORE retention moves files
+
+    assert compact_delta_table(spark, td) == 3
+    cp_v = checkpoint_delta_log(spark, td, form="v2")
+    for c in range(cp_v + 1):
+        p = f"{log}/{c:020d}.json"
+        if _os.path.exists(p):
+            _os.remove(p)
+
+    post = read_delta(spark, td)  # MUST seed from the v2 checkpoint
+    post_files = len(delta_snapshot(td, spark=spark)["files"])
+    post_leg = post.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents")
+    ).select(
+        F.lit("postretention").alias("stage"), "n_cust", "sum_cents",
+        F.lit(post_files).cast("int").alias("n_files"),
+    )
+    return pre_leg.unionByName(post_leg)

@@ -568,6 +568,140 @@ def append_delta_table(
     )
 
 
+def compact_delta_table(
+    spark: SparkSession,
+    table_dir: str,
+    backend=None,
+    min_files: int = 2,
+    max_retries: int = 3,
+) -> int | None:
+    """OPTIMIZE a foreign Delta table: rewrite its live data files
+    into ONE file per partition tuple and commit the rearrangement as
+    removes + adds with ``dataChange: false`` — the compaction shape
+    the dl09 streaming contract passes over silently, now produced by
+    this engine against ANY spec log. Deletion vectors are APPLIED
+    (masked rows physically dropped, descriptors cleared), which is a
+    rearrangement of the same logical rows, exactly like Delta's own
+    OPTIMIZE on DV tables. Returns the committed version, or None when
+    fewer than ``min_files`` live files exist (nothing worth doing).
+
+    Same writer gate, column-mapping handling (flat physical names +
+    field ids), staging, and put-if-absent retry as
+    :func:`append_delta_table`; a concurrent data commit between our
+    snapshot and the commit attempt ABORTS the compaction (the
+    rearrangement was computed against a stale file set — unlike an
+    append, retrying requires recomputing), leaving only orphan staged
+    files for vacuum. Scale: one shuffle of the live rows into one
+    task per partition tuple; the commit is metadata-sized."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _StructType
+
+    from .delta import _ID_KEY, _PHYS_KEY, delta_snapshot, read_delta
+
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    snap = delta_snapshot(td, spark=spark, backend=backend)
+    _check_writer_protocol(snap, td)
+    if len(snap["files"]) < min_files:
+        return None
+    logical = _StructType.fromJson(json.loads(snap["schema_json"]))
+    if snap["column_mapping_mode"] != "none" and any(
+        isinstance(f.dataType, (_StructType, ArrayType, MapType))
+        for f in logical.fields
+    ):
+        raise ValueError(
+            f"compaction of column-mapped {td} supports FLAT schemas "
+            "only (nested physical renames on the write path are not "
+            "implemented) — refusing"
+        )
+    pcols = list(snap["partition_columns"])
+    phys = {
+        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) for f in logical.fields
+    }
+    fids = {f.name: (f.metadata or {}).get(_ID_KEY) for f in logical.fields}
+
+    live = read_delta(spark, td, version=snap["version"], backend=backend)
+    cols = []
+    for f in logical.fields:
+        md = {"parquet.field.id": int(fids[f.name])} if fids[f.name] is not None else {}
+        cols.append(F.col(f.name).alias(phys[f.name], metadata=md))
+    staged = live.select(*cols)
+    stage_root = _tempfile.mkdtemp(prefix="fp_delta_opt_")
+    try:
+        if pcols:
+            writer_df = staged.repartition(*[phys[c] for c in pcols])
+            writer = writer_df.write.mode("overwrite").partitionBy(
+                *[phys[c] for c in pcols]
+            )
+        else:
+            writer = staged.coalesce(1).write.mode("overwrite")
+        writer.parquet(stage_root)
+        moves: list[tuple[str, dict]] = []
+        for root, _dirs, names in _os.walk(stage_root):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                sub = _os.path.relpath(root, stage_root)
+                pvals: dict[str, str] = {}
+                if sub != ".":
+                    for seg in sub.split(_os.sep):
+                        k, _, val = seg.partition("=")
+                        pvals[k] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(val)
+                        )
+                rel = f"part-{_uuid.uuid4().hex}.parquet"
+                with open(f"{root}/{n}", "rb") as fh:
+                    backend.write_bytes(f"{td}/{rel}", fh.read())
+                moves.append((rel, pvals))
+    finally:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+
+    actions: list[dict] = []
+    for old in sorted(snap["files"]):
+        actions.append({"remove": {"path": old, "dataChange": False}})
+    for rel, pvals in sorted(moves):
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pvals,
+                    "size": backend.file_size(f"{td}/{rel}") or 0,
+                    "modificationTime": int(
+                        (backend.mtime(f"{td}/{rel}") or 0) * 1000
+                    ),
+                    "dataChange": False,
+                }
+            }
+        )
+    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+    log_dir = f"{td}/_delta_log"
+    next_v = snap["version"] + 1
+    for _attempt in range(max_retries + 1):
+        if backend.create_exclusive(f"{log_dir}/{next_v:020d}.json", payload):
+            return next_v
+        fresh = delta_snapshot(td, spark=spark, backend=backend)
+        if fresh["files"] != snap["files"] or fresh["dv"] != snap["dv"]:
+            raise FileExistsError(
+                f"a concurrent commit changed {td}'s file set while this "
+                "compaction staged — aborting (the rearrangement is "
+                f"stale); staged files {[m[0] for m in moves]} are "
+                "orphans until vacuumed"
+            )
+        next_v = fresh["version"] + 1  # metadata-only commit raced us
+    raise FileExistsError(
+        f"compaction of {td} lost the put-if-absent race "
+        f"{max_retries + 1} times; retry later"
+    )
+
+
 _CP_SCHEMA = (
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
     "modificationTime:bigint,dataChange:boolean,"
@@ -582,27 +716,80 @@ _CP_SCHEMA = (
 )
 
 
+# legacy protocol versions imply feature sets (PROTOCOL.md's table);
+# upgrading to the v3/v7 feature protocol must list them explicitly
+_LEGACY_READER_FEATURES = {1: (), 2: ("columnMapping",)}
+_LEGACY_WRITER_FEATURES = {
+    1: (),
+    2: ("appendOnly", "invariants"),
+    3: ("appendOnly", "invariants", "checkConstraints"),
+    4: ("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns"),
+    5: ("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns", "columnMapping"),
+    6: ("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns", "columnMapping", "identityColumns"),
+}
+
+
+def _v2_upgraded_protocol(proto: dict | None) -> dict:
+    """The (3, 7) feature protocol equivalent of ``proto`` with
+    v2Checkpoint added — legacy versions expand to their implied
+    feature lists per the spec's upgrade rules."""
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mrv = proto.get("minReaderVersion", 1)
+    mwv = proto.get("minWriterVersion", 1)
+    rf = set(
+        proto.get("readerFeatures") or []
+        if mrv >= 3
+        else _LEGACY_READER_FEATURES.get(mrv, ())
+    )
+    wf = set(
+        proto.get("writerFeatures") or []
+        if mwv >= 7
+        else _LEGACY_WRITER_FEATURES.get(mwv, ())
+    )
+    rf.add("v2Checkpoint")
+    wf.add("v2Checkpoint")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf),
+    }
+
+
 def checkpoint_delta_log(
-    spark: SparkSession, table_dir: str, backend=None, parts: int = 1
+    spark: SparkSession, table_dir: str, backend=None, parts: int = 1,
+    form: str = "classic",
 ) -> int:
     """Write a spec-format parquet CHECKPOINT of the exported Delta
-    log's latest version (single-part ``%020d.checkpoint.parquet`` or
-    ``parts`` multi-part files) plus the ``_last_checkpoint`` pointer —
-    so a long export history replays O(1) from the checkpoint instead
-    of O(commits), and commit JSONs at or below it become
-    retention-eligible (the reader's multi-part support, r11, is the
-    consumer). The checkpoint carries each add's ``deletionVector``
-    descriptor AND its ``tags`` (the fpDvRel breadcrumb), so
-    publish_delta_log's incremental diff stays minimal across a
-    checkpoint boundary. Returns the checkpointed version.
+    log's latest version plus the ``_last_checkpoint`` pointer — so a
+    long export history replays O(1) from the checkpoint instead of
+    O(commits), and commit JSONs at or below it become
+    retention-eligible. ``form="classic"`` (default) writes the
+    single-part ``%020d.checkpoint.parquet`` or ``parts`` multi-part
+    files; ``form="v2"`` writes the V2 SPEC layout newer Delta writers
+    emit — a UUID-named top-level parquet (checkpointMetadata +
+    sidecar actions + metaData/protocol) with the add state in
+    ``parts`` sidecar parquet files under ``_delta_log/_sidecars/``.
+    A v2 checkpoint requires the v2Checkpoint protocol feature, so if
+    the table's protocol lacks it a protocol-UPGRADE commit (legacy
+    versions expanded to their implied feature lists per the spec) is
+    put-if-absent'ed first and the checkpoint covers that version.
+    The checkpoint carries each add's ``deletionVector`` descriptor
+    AND its ``tags`` (the fpDvRel breadcrumb), so publish_delta_log's
+    incremental diff stays minimal across a checkpoint boundary.
+    Returns the checkpointed version.
 
     Mechanics: the snapshot state is replayed through our own reader
     (round-trip seam), written as parquet via Spark into a staging
     dir, then copied byte-wise to the spec names through the backend
     (checkpoints are metadata-sized; the copy uses only primitives
-    every backend has). The pointer lands LAST via an atomic text
-    write, so a crash mid-checkpoint leaves a stale-but-valid hint and
-    the listing-authoritative reader is never misdirected."""
+    every backend has). Sidecars land BEFORE the top-level file, and
+    the pointer lands LAST via an atomic text write, so a crash
+    mid-checkpoint leaves a stale-but-valid hint and the
+    listing-authoritative reader is never misdirected."""
     backend = backend or _backend_for(table_dir, spark)
     td = table_dir.rstrip("/")
     log_dir = f"{td}/_delta_log"
@@ -610,6 +797,10 @@ def checkpoint_delta_log(
     v = snap["version"]
     if parts < 1:
         raise ValueError(f"parts must be >= 1, got {parts}")
+    if form not in ("classic", "v2"):
+        raise ValueError(f"form must be 'classic' or 'v2', got {form!r}")
+    if form == "v2":
+        return _checkpoint_v2(spark, td, backend, snap, parts)
 
     add_rows = [
         {
@@ -676,3 +867,125 @@ def checkpoint_delta_log(
         pointer["parts"] = parts  # spec: omitted for single-part
     backend.write_text_atomic(f"{log_dir}/_last_checkpoint", json.dumps(pointer))
     return v
+
+
+_V2_TOP_SCHEMA = (
+    "checkpointMetadata struct<version:bigint>, "
+    "sidecar struct<path:string,sizeInBytes:bigint,modificationTime:bigint>, "
+    "metaData struct<id:string,format:struct<provider:string,"
+    "options:map<string,string>>,schemaString:string,"
+    "partitionColumns:array<string>,configuration:map<string,string>>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>"
+)
+
+_SIDECAR_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:bigint>,"
+    "tags:map<string,string>>"
+)
+
+
+def _checkpoint_v2(spark, td, backend, snap, parts: int) -> int:
+    """The v2-form body of :func:`checkpoint_delta_log` (see its doc).
+    Order of durability: protocol-upgrade commit (if needed), then
+    sidecars, then the UUID-named top-level file, then the pointer —
+    each prefix state is valid for a listing-authoritative reader."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    log_dir = f"{td}/_delta_log"
+    v = snap["version"]
+    proto = snap["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if "v2Checkpoint" not in set(proto.get("readerFeatures") or []):
+        upgraded = _v2_upgraded_protocol(proto)
+        payload = json.dumps({"protocol": upgraded}) + "\n"
+        next_v = v + 1
+        if not backend.create_exclusive(f"{log_dir}/{next_v:020d}.json", payload):
+            raise FileExistsError(
+                f"protocol-upgrade commit {next_v} already exists in "
+                f"{log_dir} — a concurrent writer won; re-run the "
+                "checkpoint against the new head"
+            )
+        snap = delta_snapshot(td, spark=spark, backend=backend)
+        v = snap["version"]
+        proto = snap["protocol"]
+
+    add_rows = [
+        (
+            (
+                p,
+                pv or {},
+                backend.file_size(f"{td}/{p}") or 0,
+                int((backend.mtime(f"{td}/{p}") or 0) * 1000),
+                False,
+                _dv_tuple(snap["dv"].get(p)),
+                snap["tags"].get(p),
+            ),
+        )
+        for p, pv in sorted(snap["files"].items())
+    ]
+    chunks = [add_rows[i::parts] for i in range(parts)]
+    stage_root = _tempfile.mkdtemp(prefix="fp_delta_cp2_")
+    sidecars: list[tuple[str, int, int]] = []
+    try:
+        backend.makedirs(f"{log_dir}/_sidecars")
+        for rows in chunks:
+            sc_name = f"{_uuid.uuid4()}.parquet"
+            stage = f"{stage_root}/{sc_name}"
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1), _SIDECAR_SCHEMA
+            ).write.mode("overwrite").parquet(stage)
+            src = next(n for n in _os.listdir(stage) if n.endswith(".parquet"))
+            with open(f"{stage}/{src}", "rb") as f:
+                data = f.read()
+            backend.write_bytes(f"{log_dir}/_sidecars/{sc_name}", data)
+            sidecars.append((sc_name, len(data), 0))
+
+        m = {
+            "id": snap["metadata_id"],
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap["schema_json"],
+            "partitionColumns": snap["partition_columns"],
+            "configuration": snap["configuration"] or {},
+        }
+        top_rows = (
+            [((v,), None, None, None)]
+            + [(None, sc, None, None) for sc in sidecars]
+            + [
+                (None, None,
+                 (m["id"], ("parquet", {}), m["schemaString"],
+                  m["partitionColumns"], m["configuration"]), None),
+                (None, None, None,
+                 (proto["minReaderVersion"], proto["minWriterVersion"],
+                  proto.get("readerFeatures"), proto.get("writerFeatures"))),
+            ]
+        )
+        stage = f"{stage_root}/top"
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(top_rows, 1), _V2_TOP_SCHEMA
+        ).write.mode("overwrite").parquet(stage)
+        src = next(n for n in _os.listdir(stage) if n.endswith(".parquet"))
+        cp_name = f"{v:020d}.checkpoint.{_uuid.uuid4()}.parquet"
+        with open(f"{stage}/{src}", "rb") as f:
+            backend.write_bytes(f"{log_dir}/{cp_name}", f.read())
+    finally:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+    pointer = {"version": v, "size": len(add_rows) + 2 + len(sidecars)}
+    backend.write_text_atomic(f"{log_dir}/_last_checkpoint", json.dumps(pointer))
+    return v
+
+
+def _dv_tuple(desc: dict | None):
+    if not desc:
+        return None
+    return (
+        desc.get("storageType"),
+        desc.get("pathOrInlineDv"),
+        desc.get("offset"),
+        desc.get("sizeInBytes"),
+        desc.get("cardinality"),
+    )

@@ -514,3 +514,156 @@ def test_export_10m_row_dv_bounded_driver(spark, tmp_path, monkeypatch):
     back = read_delta(spark, td)
     assert back.count() == 15_000_000
     assert back.agg(F.max("id")).collect()[0][0] == 24_999_999
+
+
+def test_checkpoint_delta_log_v2_form(spark, tmp_path):
+    """checkpoint_delta_log(form='v2') writes the UUID-named top-level
+    file + _sidecars/ parquet (the layout newer Delta writers emit),
+    upgrading a legacy protocol with a v2Checkpoint feature commit
+    first; commits at or below the checkpoint can be deleted and the
+    table still reads through our own v2 reader; a later incremental
+    export still diffs minimally (dv descriptors + breadcrumbs survive
+    the checkpoint)."""
+    from fp_data_lakehouse_spark.sources.delta_export import checkpoint_delta_log
+
+    td = str(tmp_path / "t")
+    write_version(
+        spark.range(100).selectExpr("id", "id AS v").repartitionByRange(4, "id"),
+        td,
+        manifest=True,
+    )
+    assert delete_where_dv(spark, td, F.expr("id % 25 = 0")) == 2
+    assert publish_delta_log(spark, td, version=2) == 0
+    log = f"{td}/_delta_log"
+
+    # dv'd export already carries a (3,7) protocol WITHOUT v2Checkpoint
+    # -> the checkpoint writes an upgrade commit at version 1 first
+    cp_v = checkpoint_delta_log(spark, td, form="v2", parts=2)
+    assert cp_v == 1
+    names = os.listdir(log)
+    assert any(".checkpoint." in n and n.endswith(".parquet") and len(n) > 40
+               for n in names)
+    assert len(os.listdir(f"{log}/_sidecars")) == 2
+    snap = delta_snapshot(td, spark=spark)
+    assert "v2Checkpoint" in (snap["protocol"] or {}).get("readerFeatures", [])
+
+    # retention: delete the covered commits; replay seeds from the v2 cp
+    os.remove(f"{log}/{0:020d}.json")
+    os.remove(f"{log}/{1:020d}.json")
+    back = read_delta(spark, td)
+    assert _ids(back.select("id")) == {(i,) for i in range(100) if i % 25}
+
+    # incremental export after the checkpoint still diffs minimally
+    assert delete_where_cow(spark, td, F.expr("id >= 75")) == 3
+    assert publish_delta_log(spark, td, version=3) == 2
+    back2 = read_delta(spark, td)
+    assert _ids(back2.select("id")) == {(i,) for i in range(75) if i % 25}
+
+
+def test_compact_foreign_delta_table(spark, tmp_path):
+    """compact_delta_table rewrites a foreign table's live files into
+    one per partition tuple and commits removes+adds with
+    dataChange=false — the OPTIMIZE shape the streaming source passes
+    over; deletion vectors are applied physically (same logical rows);
+    a tailing fp_delta_feed stream crosses the compaction silently."""
+    from fp_data_lakehouse_spark.sources.delta_export import (
+        append_delta_table,
+        compact_delta_table,
+    )
+    from fp_data_lakehouse_spark.sources.pyds import register_python_sources
+
+    td, log = _foreign_log(spark, tmp_path)
+    # a couple of appends -> several small files
+    assert append_delta_table(
+        spark, td, spark.range(20, 30).selectExpr("id", "id * 2 AS v").coalesce(1)
+    ) == 1
+    assert append_delta_table(
+        spark, td, spark.range(30, 40).selectExpr("id", "id * 2 AS v").coalesce(1)
+    ) == 2
+    snap = delta_snapshot(td, spark=spark)
+    assert len(snap["files"]) == 3
+
+    v = compact_delta_table(spark, td)
+    assert v == 3
+    snap2 = delta_snapshot(td, spark=spark)
+    assert len(snap2["files"]) == 1
+    assert _ids(read_delta(spark, td).select("id", "v")) == {
+        (i, i * 2) for i in range(40)
+    }
+    # the commit is pure rearrangement
+    with open(f"{log}/{3:020d}.json") as f:
+        acts = [json.loads(ln) for ln in f]
+    assert all(
+        not (a.get("add") or a.get("remove") or {}).get("dataChange", True)
+        for a in acts
+    )
+
+    # a stream that consumed the pre-compaction table crosses v3
+    # silently and still tails later real appends
+    register_python_sources(spark)
+    work = str(tmp_path / "w")
+
+    def drain():
+        q = (
+            spark.readStream.format("fp_delta_feed").option("path", td)
+            .option("startingVersion", "0").load()
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.id, r._commit_version)
+                for r in spark.read.parquet(f"{work}/out").collect()}
+
+    got = drain()
+    assert got == {(i, 0) for i in range(20)} | {(i, 1) for i in range(20, 30)} | {
+        (i, 2) for i in range(30, 40)
+    }
+    assert append_delta_table(
+        spark, td, spark.range(40, 45).selectExpr("id", "id * 2 AS v").coalesce(1)
+    ) == 4
+    got2 = drain()
+    assert got2 == got | {(i, 4) for i in range(40, 45)}
+
+
+def test_compact_foreign_applies_dvs(spark, tmp_path):
+    """Compacting a DV'd foreign table drops the masked rows physically
+    and clears the descriptors — same logical rows, clean files."""
+    from fp_data_lakehouse_spark.sources.delta_export import compact_delta_table
+    from fp_data_lakehouse_spark.sources.roaring import new_dv_file, z85_encode
+    import uuid as _uuid
+
+    td, log = _foreign_log(spark, tmp_path)
+    # mask ids 0..4 via a real DV + protocol upgrade
+    pos = [
+        r[0]
+        for r in spark.read.parquet(f"{td}/base.parquet")
+        .selectExpr("_metadata.row_index", "id").where("id < 5").collect()
+    ]
+    blob, spans = new_dv_file([sorted(pos)])
+    u = _uuid.uuid4()
+    with open(f"{td}/deletion_vector_{u}.bin", "wb") as f:
+        f.write(blob)
+    with open(f"{log}/{1:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"remove": {"path": "base.parquet",
+                                       "dataChange": False}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "base.parquet", "partitionValues": {},
+            "size": os.path.getsize(f"{td}/base.parquet"),
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": {
+                "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": spans[0][0], "sizeInBytes": spans[0][1],
+                "cardinality": len(pos)}}}) + "\n")
+    assert read_delta(spark, td).count() == 15
+
+    assert compact_delta_table(spark, td, min_files=1) == 2
+    snap = delta_snapshot(td, spark=spark)
+    assert snap["dv"] == {}
+    assert _ids(read_delta(spark, td).select("id")) == {(i,) for i in range(5, 20)}

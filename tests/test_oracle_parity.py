@@ -84,9 +84,11 @@ def test_registry_contract():
     # +dl09 (dataChange compaction pass-over) -> 251 / 240;
     # +dl10 (change data feed read) -> 252 / 241;
     # +io17 (foreign-table Delta append) -> 253 / 242;
-    # +st18 (admission control on the versioned feed) -> 254 / 243
-    assert len(q) == 254, sorted(q)
-    assert len(o) == 243, sorted(o)
+    # +io18 (maintenance writer: OPTIMIZE + v2 checkpoint + retention)
+    #   -> 254 / 243;
+    # +st18 (admission control on the versioned feed) -> 255 / 244
+    assert len(q) == 255, sorted(q)
+    assert len(o) == 244, sorted(o)
 
 
 def test_driver_priority_window():
