@@ -1274,3 +1274,129 @@ def io18_delta_maintenance_writer(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(post_files).cast("int").alias("n_files"),
     )
     return pre_leg.unionByName(post_leg)
+
+
+# ---------------------------------------------------------------------------
+# dl11: CHANGE DATA FEED as a STREAM (readChangeFeed on fp_delta_feed)
+# ---------------------------------------------------------------------------
+
+_DL11_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 2 AS INT) AS bucket,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+b AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY bucket
+)
+SELECT CAST(0 AS INT) AS ver, 'insert' AS ctype,
+       CAST(SUM(n_cust) AS BIGINT) AS n_cust,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+FROM b
+UNION ALL
+SELECT CAST(1 AS INT), 'delete', n_cust, sum_cents FROM b WHERE bucket = 0
+UNION ALL
+SELECT CAST(2 AS INT), 'update_preimage', n_cust, sum_cents FROM b WHERE bucket = 1
+UNION ALL
+SELECT CAST(2 AS INT), 'update_postimage', n_cust, sum_cents + n_cust
+FROM b WHERE bucket = 1
+"""
+
+
+@register("dl11_delta_feed_change_stream", oracle=_DL11_SQL)
+def dl11_delta_feed_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED as a STREAM (round 12,
+    ``option("readChangeFeed", "true")`` on fp_delta_feed): the same
+    3-commit change history dl10 certifies in batch — derive-path
+    inserts (v0), a derive-path delete reading the removed file's
+    bytes (v1), and a cdc-AUTHORITATIVE update commit whose
+    ``_change_data`` rows carry their own ``_change_type`` and whose
+    add is ignored (v2) — drained through a REAL Structured Streaming
+    query with ``startingVersion=0``. The oracle reconstructs every
+    change census from ``orders``; batch/stream CDF parity holds by
+    construction (dl10's SQL is dl11's minus nothing).
+
+    Scale: the stream's unit of work is a change FILE (admission
+    control composes); commit parsing is metadata-sized; no
+    append-only gate applies — OPTIMIZE commits pass over and change
+    commits are the payload."""
+    import shutil
+
+    from ..sources.pyds import register_python_sources
+
+    td = alloc_scratch(spark, "dl11_cdfs") + "/t"
+    os.makedirs(td, exist_ok=True)
+    totals = _cust_totals(spark, sf_dir)
+    names = _stage_bucket_files(totals, td, 2)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_SCHEMA_PLAIN, []),
+            _add(td, names[0]),
+            _add(td, names[1]),
+        ],
+    )
+    _commit(log, 1, [{"remove": {"path": names[0], "dataChange": True}}])
+    b1 = totals.where(F.col("o_custkey") % 2 == 1)
+    cdc_rows = b1.selectExpr(
+        "o_custkey", "cents", "'update_preimage' AS _change_type"
+    ).unionByName(
+        b1.selectExpr(
+            "o_custkey", "cents + 1 AS cents", "'update_postimage' AS _change_type"
+        )
+    )
+    tmp = f"{td}/_cdc_stage"
+    cdc_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(f"{td}/_change_data", exist_ok=True)
+    os.replace(f"{tmp}/{src}", f"{td}/_change_data/cdc-0.parquet")
+    shutil.rmtree(tmp)
+    post = f"{td}/_post_stage"
+    b1.selectExpr("o_custkey", "cents + 1 AS cents").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(post)
+    src = next(n for n in os.listdir(post) if n.endswith(".parquet"))
+    os.replace(f"{post}/{src}", f"{td}/b1_post.parquet")
+    shutil.rmtree(post)
+    _commit(
+        log, 2,
+        [
+            {
+                "cdc": {
+                    "path": "_change_data/cdc-0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(f"{td}/_change_data/cdc-0.parquet"),
+                    "dataChange": False,
+                }
+            },
+            {"remove": {"path": names[1], "dataChange": True}},
+            _add(td, "b1_post.parquet"),
+        ],
+    )
+
+    register_python_sources(spark)
+    work = alloc_scratch(spark, "dl11_drain")
+    q = (
+        spark.readStream.format("fp_delta_feed").option("path", td)
+        .option("startingVersion", "0").option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.read.parquet(f"{work}/out")
+    return (
+        drained.groupBy(
+            F.col("_commit_version").cast("int").alias("ver"),
+            F.col("_change_type").alias("ctype"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
+    )

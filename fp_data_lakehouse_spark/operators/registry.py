@@ -110,16 +110,16 @@ DRIVER_PRIORITY: list[str] = [
     "dl08_delta_feed_nested_mapped",
     "dl09_delta_feed_compaction_passover",
     "dl10_delta_change_feed",
+    "dl11_delta_feed_change_stream",
     "io17_delta_foreign_append",
     "io18_delta_maintenance_writer",
     "st18_versioned_feed_rate_limited",
-    # rotation fill: first 5 r8-vintage rows (alphabetical)
+    # rotation fill: first 4 r8-vintage rows (alphabetical)
     "dd19b_semantic_dedup_kmeans",
     "et08_pdf_decode_pipeline",
     "et09_pdf_quarantine_census",
     "ev09b_user_event_profile_array",
-    "ev12_interevent_gaps",
-    # 50-row window ends here (36 r7 + 9 new + 5 r8)
+    # 50-row window ends here (36 r7 + 10 new + 4 r8)
 ]
 
 

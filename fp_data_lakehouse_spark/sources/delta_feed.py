@@ -40,6 +40,18 @@ Semantics follow the public Delta source contract:
   transaction" and a bounded, resumable backfill.
 - Rows are stamped with ``_commit_version`` (the snapshot version for
   initial-snapshot batches; the commit version for tailed files).
+- **Change data feed**: ``option("readChangeFeed", "true")`` streams
+  CHANGE ROWS instead of appends — the initial snapshot serves as
+  ``insert`` rows, cdc-authoritative commits serve their
+  ``_change_data`` files (typed by the file's own ``_change_type``
+  column), commits without cdc derive (dataChange adds as inserts,
+  dataChange removes as deletes over the removed file's bytes,
+  OPTIMIZE contributes nothing), and DV changes without cdc fail
+  loudly — the same contract as the batch
+  ``delta.read_delta_changes``. The append-only gate does not apply
+  (a change feed exists to serve change commits); combining with
+  skipChangeCommits is refused as contradictory. Admission control
+  composes (the unit is a change FILE).
 
 **Trigger caveat (Python DataSource API)**: ``Trigger.AvailableNow``
 pins the FIRST ``latestOffset()`` as the run's terminal offset (the
@@ -126,13 +138,18 @@ def _pos_key(offset: dict) -> tuple:
 
 
 class _DeltaFilePartition(InputPartition):
-    def __init__(self, file_path, version, read_cols, pvals, dv_desc, table_dir):
+    def __init__(
+        self, file_path, version, read_cols, pvals, dv_desc, table_dir,
+        ctype=None, is_cdc=False,
+    ):
         self.file_path = file_path
         self.version = version
         self.read_cols = read_cols  # physical name per DATA column
         self.pvals = pvals  # partition col -> string value (logical order)
         self.dv_desc = dv_desc  # deletionVector DESCRIPTOR (metadata) or None
         self.table_dir = table_dir  # for executor-side DV resolution
+        self.ctype = ctype  # CDF: constant _change_type, or None
+        self.is_cdc = is_cdc  # CDF: _change_type lives IN the file
 
 
 class DeltaFeedStreamReader(DataSourceStreamReader):
@@ -147,6 +164,13 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         sv = options.get("startingversion")
         self._starting_version = int(sv) if sv is not None else None
         self._skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
+        self._cdf = str(options.get("readchangefeed", "")).lower() == "true"
+        if self._cdf and self._skip_change:
+            raise ValueError(
+                "readChangeFeed and skipChangeCommits contradict each "
+                "other (a change feed EXISTS to serve change commits) — "
+                "pass one or the other"
+            )
         mft = options.get("maxfilespertrigger")
         self._max_files = int(mft) if mft is not None else None
         if self._max_files is not None and self._max_files < 1:
@@ -202,7 +226,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             f.name for f in logical.fields if f.name not in self._pcols
         ]
         declared = [f.name for f in schema.fields[:-1]]
-        want = [f.name for f in logical.fields]
+        want = [f.name for f in logical.fields] + (
+            ["_change_type"] if self._cdf else []
+        )
         if declared != want:
             raise ValueError(
                 f"fp_delta_feed schema mismatch: table declares {want}, "
@@ -211,7 +237,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_type
 
         self._field_arrow = {
-            f.name: to_arrow_type(f.dataType) for f in schema.fields[:-1]
+            f.name: to_arrow_type(f.dataType)
+            for f in schema.fields[:-1]
+            if f.name != "_change_type"
         }
         # arrow type each DATA column is READ under (physical nested
         # field names) vs emitted under (logical): same layout, names
@@ -326,7 +354,11 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         pos_v, pos_i = bv, bi  # pos_i None = bv fully consumed
         v = bv if bi is not None else bv + 1
         while v <= latest:
-            adds = self._commit_files(v, backend)
+            adds = (
+                self._commit_changes(v, backend)
+                if self._cdf
+                else self._commit_files(v, backend)
+            )
             j = pos_i if (v == bv and bi is not None) else 0
             took = 0
             for a in adds[j:]:
@@ -388,7 +420,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         self._snap_cache[v] = out
         return out
 
-    def _partition_for(self, path, v, pv, dv_desc) -> _DeltaFilePartition:
+    def _partition_for(
+        self, path, v, pv, dv_desc, ctype=None, is_cdc=False
+    ) -> _DeltaFilePartition:
         from urllib.parse import unquote
 
         p = unquote(path)
@@ -397,7 +431,109 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             c: (pv or {}).get(self._phys_of.get(c, c)) for c in self._pcols
         }
         read_cols = [self._phys_of.get(c, c) for c in self._data_cols]
-        return _DeltaFilePartition(fs_path, v, read_cols, pvals, dv_desc, self._td)
+        return _DeltaFilePartition(
+            fs_path, v, read_cols, pvals, dv_desc, self._td,
+            ctype=ctype, is_cdc=is_cdc,
+        )
+
+    def _commit_changes(self, v: int, backend) -> list[dict]:
+        """CDF mode's per-commit emittable units, in deterministic
+        order: a cdc-authoritative commit yields its ``_change_data``
+        files (type read FROM the file); a commit without cdc derives
+        — dataChange adds as ``insert`` units, dataChange removes as
+        ``delete`` units over the removed file's bytes, OPTIMIZE
+        contributes nothing; a DV change without cdc is refused (same
+        contract as read_delta_changes). Cached + pinned-schema
+        checked like _commit_files."""
+        cache = getattr(self, "_cdf_cache", None)
+        if cache is None:
+            cache = self._cdf_cache = {}
+        if v in cache:
+            return cache[v]
+        txt = backend.read_text(f"{self._td}/_delta_log/{v:020d}.json")
+        if txt is None:
+            raise FileNotFoundError(
+                f"commit {v} missing in {self._td}/_delta_log — history "
+                "below a checkpoint cannot replay as a change feed"
+            )
+        adds, removes, cdcs, dv_change = [], [], [], False
+        for line in txt.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "cdc" in action:
+                cdcs.append(action["cdc"])
+            elif "add" in action:
+                a = action["add"]
+                if (a.get("deletionVector") or {}).get("storageType"):
+                    dv_change = True
+                if a.get("dataChange", True):
+                    adds.append(a)
+            elif "remove" in action:
+                r = action["remove"]
+                if r.get("dataChange", True):
+                    removes.append(r)
+            elif "protocol" in action:
+                _check_protocol(action["protocol"], self._td)
+            elif "metaData" in action:
+                m = action["metaData"]
+                m_conf = {
+                    k: val
+                    for k, val in (m.get("configuration") or {}).items()
+                    if k.startswith("delta.columnMapping.")
+                }
+                if (
+                    m.get("schemaString") != self._pinned_schema_json
+                    or m_conf != self._pinned_mapping_conf
+                ):
+                    raise ValueError(
+                        f"commit {v} of {self._td} changes the table "
+                        "schema or column mapping mid-stream — restart "
+                        "the query to pick up the new schema"
+                    )
+        if cdcs:
+            units = [
+                {
+                    "path": c["path"],
+                    "partitionValues": c.get("partitionValues"),
+                    "size": int(c.get("size") or 0),
+                    "ctype": None,
+                    "cdc": True,
+                }
+                for c in cdcs
+            ]
+        else:
+            if dv_change:
+                raise ValueError(
+                    f"commit {v} of {self._td} changes deletion vectors "
+                    "without cdc files — positional masks cannot be "
+                    "rederived as row changes; a spec-compliant CDF "
+                    "writer emits _change_data for DV commits"
+                )
+            units = [
+                {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues"),
+                    "size": int(a.get("size") or 0),
+                    "ctype": "insert",
+                    "cdc": False,
+                }
+                for a in adds
+            ] + [
+                {
+                    "path": r["path"],
+                    "partitionValues": r.get("partitionValues"),
+                    "size": int(r.get("size") or 0),
+                    "ctype": "delete",
+                    "cdc": False,
+                }
+                for r in removes
+            ]
+        while len(cache) >= getattr(self, "_cache_cap", 64):
+            cache.pop(next(iter(cache)))
+        cache[v] = units
+        return units
 
     def _commit_files(self, v: int, backend) -> list[dict]:
         """The emittable adds of commit ``v``, in log order — after
@@ -480,39 +616,49 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             if not sdone:
                 # snapshot mode: S is pinned in whichever offset names it
                 s = ev if sv < 0 else sv
+                cdf = self._cdf
+                snap_ct = "insert" if cdf else None
                 if s >= 0:
                     files = self._snapshot_list(s)
                     lo = 0 if sv < 0 else (si or 0)
                     hi = len(files) if (edone or ei is None) else ei
                     for path, pv, dv, _size in files[lo:hi]:
-                        out.append(self._partition_for(path, s, pv, dv))
+                        out.append(self._partition_for(path, s, pv, dv, ctype=snap_ct))
                     # a mid-snapshot checkpoint restarted WITHOUT rate
                     # limits: the unlimited latestOffset names the true
                     # head, so this batch must also carry the tail
                     # commits (s, ev] or they would never be served
                     if edone and ev > s:
                         for v in range(s + 1, ev + 1):
-                            for a in self._commit_files(v, backend):
-                                out.append(
-                                    self._partition_for(
-                                        a["path"], v, a.get("partitionValues"), None
-                                    )
-                                )
+                            out.extend(self._tail_partitions(v, backend))
                 return out
             from_v = sv if si is not None else sv + 1
             for v in range(from_v, ev + 1):
-                adds = self._commit_files(v, backend)
+                units = self._tail_partitions(v, backend)
                 lo = si if (v == sv and si is not None) else 0
-                hi = ei if (v == ev and ei is not None) else len(adds)
-                for a in adds[lo:hi]:
-                    out.append(
-                        self._partition_for(
-                            a["path"], v, a.get("partitionValues"), None
-                        )
-                    )
+                hi = ei if (v == ev and ei is not None) else len(units)
+                out.extend(units[lo:hi])
             return out
         finally:
             self._advance(end)
+
+    def _tail_partitions(self, v: int, backend) -> list[_DeltaFilePartition]:
+        """Partitions for tailed commit ``v``, in the same deterministic
+        order the rate walk counted — append mode emits adds; CDF mode
+        emits change units (constant-typed derive files or cdc files
+        whose type is a column)."""
+        if self._cdf:
+            return [
+                self._partition_for(
+                    u["path"], v, u.get("partitionValues"), None,
+                    ctype=u["ctype"], is_cdc=u["cdc"],
+                )
+                for u in self._commit_changes(v, backend)
+            ]
+        return [
+            self._partition_for(a["path"], v, a.get("partitionValues"), None)
+            for a in self._commit_files(v, backend)
+        ]
 
     # --- execution (runs in the executor's Python worker) -----------------
 
@@ -550,7 +696,10 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         offset = 0
         dead = self._dead_positions(partition)
         read_arrow = getattr(self, "_read_arrow", {})
-        for raw in _read_parquet_batches(partition.file_path, partition.read_cols, []):
+        cdf = getattr(self, "_cdf", False)
+        is_cdc = getattr(partition, "is_cdc", False)
+        want_cols = list(partition.read_cols) + (["_change_type"] if is_cdc else [])
+        for raw in _read_parquet_batches(partition.file_path, want_cols, []):
             n = raw.num_rows
             if dead:
                 import numpy as np
@@ -564,7 +713,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                     raw = raw.filter(pa.array(mask))
             offset += n
             cols, names = [], []
-            data_arrays = dict(zip(partition.read_cols, raw.columns))
+            data_arrays = dict(zip(want_cols, raw.columns))
             # emit in DECLARED schema order: data columns renamed
             # physical -> logical (nested field names via zero-copy
             # view — layouts are identical, only names differ),
@@ -588,6 +737,18 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                         arr = arr.view(typ)
                 cols.append(arr)
                 names.append(f_name)
+            if cdf:
+                if is_cdc:
+                    ct = data_arrays["_change_type"]
+                    if isinstance(ct, pa.ChunkedArray):
+                        ct = ct.combine_chunks()
+                else:
+                    ct = pa.array(
+                        [getattr(partition, "ctype", None)] * raw.num_rows,
+                        pa.string(),
+                    )
+                cols.append(ct)
+                names.append("_change_type")
             cols.append(pa.array([partition.version] * raw.num_rows, pa.int64()))
             names.append("_commit_version")
             yield pa.RecordBatch.from_arrays(cols, names=names)
@@ -613,8 +774,15 @@ class DeltaFeedDataSource(DataSource):
             raise ValueError("fp_delta_feed requires option('path', <table_dir>)")
         snap = delta_snapshot(path.rstrip("/"), backend=_backend(path))
         logical = StructType.fromJson(json.loads(snap["schema_json"]))
+        extra = []
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            from pyspark.sql.types import StringType
+
+            extra.append(StructField("_change_type", StringType(), True))
         return StructType(
-            list(logical.fields) + [StructField("_commit_version", LongType(), False)]
+            list(logical.fields)
+            + extra
+            + [StructField("_commit_version", LongType(), False)]
         )
 
     def streamReader(self, schema: StructType) -> DeltaFeedStreamReader:  # noqa: N802

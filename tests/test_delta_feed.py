@@ -478,3 +478,83 @@ def test_rate_limit_removed_mid_snapshot_serves_tail(spark, tmp_path):
     rest = unlimited.partitions(mid, end)
     got = sorted((p.file_path.rsplit("/", 1)[-1], p.version) for p in rest)
     assert got == [("f1.parquet", 1), ("f2.parquet", 1), ("f3.parquet", 2)]
+
+
+def test_read_change_feed_streaming(spark, tmp_path):
+    """readChangeFeed=true streams CHANGE ROWS: a startingVersion=0
+    replay derives inserts/deletes from commits without cdc, serves a
+    cdc-authoritative commit's _change_data rows typed by the file's
+    own _change_type, passes over OPTIMIZE silently, and never trips
+    the append-only gate."""
+    import os
+
+    td, log, adds = _log(tmp_path, spark, n_files=2)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                     _meta(), adds[0], adds[1]])
+    # v1: derive-path delete of f0
+    _commit(log, 1, [{"remove": {"path": "f0.parquet", "dataChange": True}}])
+    # v2: OPTIMIZE — contributes nothing
+    c0 = _stage(spark, td, "c0.parquet", 10, 20)
+    c0["add"]["dataChange"] = False
+    _commit(log, 2, [
+        {"remove": {"path": "f1.parquet", "dataChange": False}}, c0,
+    ])
+    # v3: cdc-authoritative update
+    from tests.test_delta_reader_features import _stage_cdc
+
+    cdc = _stage_cdc(
+        spark, td, "_change_data/cdc-1.parquet",
+        [(15, 150, "update_preimage"), (15, 1500, "update_postimage")],
+    )
+    upd = _stage(spark, td, "f9.parquet", 100, 101)
+    _commit(log, 3, [cdc, upd])
+
+    register_python_sources(spark)
+    work = str(tmp_path / "w")
+    q = (
+        spark.readStream.format("fp_delta_feed").option("path", td)
+        .option("startingVersion", "0").option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(f"{work}/out").collect()
+    got = {(r.id, r._change_type, r._commit_version) for r in rows}
+    want = (
+        {(i, "insert", 0) for i in range(20)}
+        | {(i, "delete", 1) for i in range(10)}
+        | {(15, "update_preimage", 3), (15, "update_postimage", 3)}
+    )
+    assert got == want
+
+
+def test_read_change_feed_initial_snapshot(spark, tmp_path):
+    """Default CDF mode: the initial snapshot serves the CURRENT rows
+    as inserts at the pinned snapshot version, then tails changes."""
+    td, log, adds = _log(tmp_path, spark, n_files=2)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                     _meta(), adds[0], adds[1]])
+    _commit(log, 1, [{"remove": {"path": "f0.parquet", "dataChange": True}}])
+    work = str(tmp_path / "w")
+    rows = _drain(spark, td, work, {"readChangeFeed": "true"})
+    assert {(r.id, r._change_type, r._commit_version) for r in rows} == {
+        (i, "insert", 1) for i in range(10, 20)
+    }
+    # a tailed delete arrives as delete rows
+    _commit(log, 2, [{"remove": {"path": "f1.parquet", "dataChange": True}}])
+    rows2 = _drain(spark, td, work, {"readChangeFeed": "true"})
+    assert {(r.id, r._change_type, r._commit_version) for r in rows2} == {
+        (i, "insert", 1) for i in range(10, 20)
+    } | {(i, "delete", 2) for i in range(10, 20)}
+
+
+def test_read_change_feed_rejects_skip_change(spark, tmp_path):
+    td, log, adds = _log(tmp_path, spark, n_files=1)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                     _meta(), adds[0]])
+    with pytest.raises(Exception, match="contradict"):
+        _drain(spark, td, str(tmp_path / "w"),
+               {"readChangeFeed": "true", "skipChangeCommits": "true"})

@@ -86,9 +86,10 @@ def test_registry_contract():
     # +io17 (foreign-table Delta append) -> 253 / 242;
     # +io18 (maintenance writer: OPTIMIZE + v2 checkpoint + retention)
     #   -> 254 / 243;
-    # +st18 (admission control on the versioned feed) -> 255 / 244
-    assert len(q) == 255, sorted(q)
-    assert len(o) == 244, sorted(o)
+    # +dl11 (change data feed as a STREAM, readChangeFeed) -> 255/244;
+    # +st18 (admission control on the versioned feed) -> 256 / 245
+    assert len(q) == 256, sorted(q)
+    assert len(o) == 245, sorted(o)
 
 
 def test_driver_priority_window():
