@@ -1205,8 +1205,9 @@ FROM t
 def io18_delta_maintenance_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Delta MAINTENANCE-WRITER loop against a foreign log
     (round 12): two ``append_delta_table`` commits land buckets 1-2
-    next to the foreign v0 file; ``compact_delta_table`` rewrites the
-    three files into ONE as a dataChange=false rearrangement;
+    next to the foreign v0 file; ``compact_delta_table`` bin-packs the
+    three small files into ONE (all under the size target) as a
+    dataChange=false rearrangement;
     ``checkpoint_delta_log(form="v2")`` upgrades the protocol with the
     v2Checkpoint feature and writes the UUID-named checkpoint +
     sidecar; every commit JSON at or below it is retention-deleted and
@@ -1216,8 +1217,10 @@ def io18_delta_maintenance_writer(spark: SparkSession, sf_dir: str) -> DataFrame
     fails to seed each flip a row.
 
     Scale: this is the nightly table-maintenance loop — appends
-    O(new data), compaction one shuffle into one task per partition
-    tuple, checkpoint metadata-sized, retention frees O(commits)."""
+    O(new data), compaction ONE shuffle into one parallel task per
+    size-targeted bin (driver-side greedy pack over the snapshot's
+    file sizes — r13; never coalesce(1)), checkpoint metadata-sized,
+    retention frees O(commits)."""
     import os as _os
 
     from ..sources.delta import delta_snapshot, read_delta

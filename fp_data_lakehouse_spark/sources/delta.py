@@ -52,6 +52,9 @@ Feature support (protocol-gated, loud on anything else):
   recursively) under ``spark.sql.parquet.fieldId.read.enabled``, so
   file column names are ignored and ids match — including nested
   fields; ids absent from a file (post-ADD-COLUMN) read as NULL.
+  The conf flip is SCOPED to a cloned scan session (shared context,
+  isolated SQLConf — see :func:`_id_scan_session`), never set on the
+  caller's session.
 - **timestampNtz** / **vacuumProtocolCheck**: no reader-side work
   beyond type support / none, accepted.
 
@@ -523,6 +526,28 @@ def _physicalize(schema: StructType) -> StructType:
 _ID_KEY = "delta.columnMapping.id"
 _FIELD_ID_KEY = "parquet.field.id"
 
+import weakref as _weakref
+
+_ID_SCAN_SESSIONS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _id_scan_session(spark: SparkSession) -> SparkSession:
+    """A cloned session (shared SparkContext, isolated SQLConf) with
+    parquet field-id resolution enabled, cached per parent session —
+    id-mode scans build their frames HERE so the flip is scoped to
+    them: a DataFrame executes under its own session's SQLConf, and
+    the caller's session is never mutated (ADVICE r12: the old
+    session-wide ``spark.conf.set`` silently switched every later
+    parquet read whose requested schema carried ``parquet.field.id``
+    metadata to id-based resolution)."""
+    cached = _ID_SCAN_SESSIONS.get(spark)
+    if cached is not None:
+        return cached
+    s = spark.newSession()
+    s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    _ID_SCAN_SESSIONS[spark] = s
+    return s
+
 
 def _field_id_schema(schema: StructType) -> StructType:
     """id-mode scan schema: LOGICAL field names annotated with
@@ -673,11 +698,15 @@ def read_delta_changes(
     commit contributes. A commit WITHOUT cdc actions derives:
     ``dataChange: true`` adds read as ``insert`` rows, ``dataChange:
     true`` removes read the removed file's (still-present) bytes as
-    ``delete`` rows; dataChange=false rearrangements (OPTIMIZE)
-    contribute nothing. A derive-path commit that changes DELETION
-    VECTORS is refused loudly — positional masks cannot be rederived
-    as row changes without the cdc files the spec expects a DV writer
-    to produce.
+    ``delete`` rows — MINUS any positions the remove's own
+    ``deletionVector`` descriptor masks (those rows died in an
+    earlier DV commit; re-emitting them would serve already-deleted
+    rows as fresh deletes); dataChange=false rearrangements
+    (OPTIMIZE) contribute nothing. A derive-path commit that ADDS or
+    grows a deletion vector is refused loudly — positional masks
+    cannot be rederived as row changes without the cdc files the spec
+    expects a DV writer to produce (a remove-side descriptor is fine:
+    it only SUBTRACTS rows from a file this reader already scans).
 
     Plan shape: ONE scan of every derive-path file + ONE broadcast
     join on the scanned file name attributing (version, change type,
@@ -719,8 +748,7 @@ def read_delta_changes(
     physical = _physicalize(logical) if cm_mode in ("name", "id") else logical
     phys_of = {lf.name: pf.name for lf, pf in zip(logical.fields, physical.fields)}
     scan = _field_id_schema(logical) if cm_mode == "id" else physical
-    if cm_mode == "id":
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    scan_spark = _id_scan_session(spark) if cm_mode == "id" else spark
     pcols = snap["partition_columns"]
     ptypes = {f.name: f.dataType for f in logical.fields if f.name in pcols}
     data_fields = [
@@ -745,6 +773,11 @@ def read_delta_changes(
     cdc: list[tuple[str, int, tuple]] = []
     paths_derive: dict[str, str] = {}
     paths_cdc: dict[str, str] = {}
+    # basename -> deletionVector descriptor carried on a dataChange
+    # REMOVE: positions already dead before the remove, to SUBTRACT
+    # from that file's derived delete rows (ADVICE r12: re-emitting
+    # them double-deletes)
+    remove_dvs: dict[str, dict] = {}
 
     def _pvals(pv: dict | None) -> tuple:
         return tuple((pv or {}).get(phys_of.get(c, c)) for c in pcols)
@@ -803,9 +836,20 @@ def read_delta_changes(
             if bn in paths_derive and paths_derive[bn] != ap:
                 raise ValueError(f"data-file basename collision: {ap}")
             paths_derive[bn] = ap
+            rdv = r.get("deletionVector") or {}
+            if rdv.get("storageType"):
+                if bn in remove_dvs and remove_dvs[bn] != rdv:
+                    raise ValueError(
+                        f"data file {bn} removed twice with differing "
+                        f"deletion vectors in [{sv}, {ev}] of {table_dir} "
+                        "— a reused path; refusing an ambiguous mask"
+                    )
+                remove_dvs[bn] = rdv
             derive.append((bn, v, "delete", _pvals(r.get("partitionValues"))))
 
-    def _leg(scanned: DataFrame, lookup_rows, extra_cols: list[str]) -> DataFrame:
+    def _leg(
+        scanned: DataFrame, lookup_rows, extra_cols: list[str], dv_mask=None
+    ) -> DataFrame:
         lookup_schema = ", ".join(
             ["__fp_file string"]
             + [
@@ -815,10 +859,30 @@ def read_delta_changes(
             + [f"__fp_p{i} string" for i in range(len(pcols))]
         )
         lookup = spark.createDataFrame(sorted(lookup_rows), lookup_schema)
-        joined = scanned.withColumn(
+        tagged = scanned.withColumn(
             "__fp_file",
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        ).join(F.broadcast(lookup), "__fp_file")
+        )
+        if dv_mask is not None:
+            tagged = tagged.withColumn("__fp_pos", F.col("_metadata.row_index"))
+        joined = tagged.join(F.broadcast(lookup), "__fp_file")
+        if dv_mask is not None:
+            # subtract remove-side DV positions from that file's DELETE
+            # rows only — the same file's earlier insert attribution
+            # (added then removed inside the range) keeps every row
+            mask_df, mask_total = dv_mask
+            from .versioned import _dv_hinted
+
+            mask = mask_df.select(
+                F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+            )
+            joined = joined.join(
+                _dv_hinted(mask, mask_total),
+                (F.col("__fp_file") == F.col("__dv_file"))
+                & (F.col("__fp_pos") == F.col("__dv_pos"))
+                & (F.col("_change_type") == F.lit("delete")),
+                "left_anti",
+            )
         for i, c in enumerate(pcols):
             joined = joined.withColumn(c, F.col(f"__fp_p{i}").cast(ptypes[c]))
         return joined.select(
@@ -833,17 +897,20 @@ def read_delta_changes(
 
     legs: list[DataFrame] = []
     if derive:
-        scanned = spark.read.schema(scan_schema).parquet(
+        scanned = scan_spark.read.schema(scan_schema).parquet(
             *sorted(set(paths_derive.values()))
         )
         rows = [(bn, ct, v, *pv) for (bn, v, ct, pv) in derive]
-        legs.append(_leg(scanned, rows, ["_change_type", "_commit_version"]))
+        dv_mask = _dv_rows(spark, td, remove_dvs) if remove_dvs else None
+        legs.append(
+            _leg(scanned, rows, ["_change_type", "_commit_version"], dv_mask)
+        )
     if cdc:
         cdc_schema = StructType(
             list(scan_schema.fields)
             + [StructField("_change_type", StringType(), True)]
         )
-        scanned = spark.read.schema(cdc_schema).parquet(
+        scanned = scan_spark.read.schema(cdc_schema).parquet(
             *sorted(set(paths_cdc.values()))
         )
         rows = [(bn, v, *pv) for (bn, v, pv) in cdc]
@@ -869,6 +936,7 @@ def read_delta(
     version: int | None = None,
     backend=None,
     as_of=None,
+    _keep_file: bool = False,
 ) -> DataFrame:
     """Read a Delta table snapshot as a DataFrame (see module doc).
 
@@ -891,7 +959,13 @@ def read_delta(
     keys on basenames). Deletion vectors are applied before the
     logical projection via the versioned layer's size-gated positional
     anti-join. An empty snapshot returns an empty frame with the
-    declared logical schema."""
+    declared logical schema.
+
+    ``_keep_file`` (internal, compaction's bin assignment): append a
+    ``__fp_file`` column carrying each row's source-file basename.
+    Refused on the basename-collision fallback path (no sound key
+    there) and meaningless on an empty snapshot (empty frame, no
+    column added)."""
     from urllib.parse import unquote
 
     from .versioned import _dv_hinted
@@ -912,8 +986,7 @@ def read_delta(
     # for id mode (Spark's native field-id resolution does the match)
     phys_of = {lf.name: pf.name for lf, pf in zip(logical.fields, physical.fields)}
     scan = _field_id_schema(logical) if cm_mode == "id" else physical
-    if cm_mode == "id":
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    scan_spark = _id_scan_session(spark) if cm_mode == "id" else spark
 
     pcols = snap["partition_columns"]  # logical names
     ptypes = {f.name: f.dataType for f in logical.fields if f.name in pcols}
@@ -957,14 +1030,20 @@ def read_delta(
             "soundly; refusing rather than resurrecting deleted rows"
         )
 
+    if collision and _keep_file:
+        raise ValueError(
+            f"Delta table {table_dir} has colliding data-file basenames "
+            "— the per-row source-file tag cannot key soundly; refusing"
+        )
+
     if not collision:
         # ONE scan of every file + one broadcast join: no per-partition
         # plan fan-out (a daily-partitioned decade is ~3650 tuples — a
         # union that deep would drown the driver in analysis)
-        scanned = spark.read.schema(phys_data_schema).parquet(
+        scanned = scan_spark.read.schema(phys_data_schema).parquet(
             *sorted(_fs_path(p) for p in snap["files"])
         )
-        need_tag = bool(pcols) or bool(dv_map)
+        need_tag = bool(pcols) or bool(dv_map) or _keep_file
         if need_tag:
             scanned = scanned.withColumn(
                 "__fp_file",
@@ -989,8 +1068,9 @@ def read_delta(
                 "left_anti",
             ).drop("__fp_pos")
         scanned = _to_logical(scanned)
+        extra = ["__fp_file"] if _keep_file else []
         if not pcols:
-            return scanned.select(*out_order)
+            return scanned.select(*out_order, *extra)
         lookup_schema = ", ".join(
             ["__fp_file string"] + [f"__fp_p{i} string" for i in range(len(pcols))]
         )
@@ -1000,7 +1080,7 @@ def read_delta(
         joined = scanned.join(F.broadcast(lookup), "__fp_file")
         for i, c in enumerate(pcols):
             joined = joined.withColumn(c, F.col(f"__fp_p{i}").cast(ptypes[c]))
-        return joined.select(*out_order)
+        return joined.select(*out_order, *extra)
 
     # basename-collision fallback: per-tuple scans, balanced union
     def _typed(leg, key):
@@ -1015,7 +1095,9 @@ def read_delta(
         groups.setdefault(key, []).append(_fs_path(path))
     legs = [
         _typed(
-            _to_logical(spark.read.schema(phys_data_schema).parquet(*sorted(paths))),
+            _to_logical(
+                scan_spark.read.schema(phys_data_schema).parquet(*sorted(paths))
+            ),
             key,
         )
         for key, paths in sorted(

@@ -425,7 +425,9 @@ def append_delta_table(
 
     Mechanics per the public protocol spec: ``df`` (logical names)
     must match the table's declared data schema exactly (no evolution
-    — an append is not the place to fork a foreign table's schema);
+    — an append is not the place to fork a foreign table's schema),
+    and data carrying NULLs in a column the table declares
+    non-nullable is refused by a batch-sized validation aggregate;
     files are staged by Spark (hive-partitioned when the table is
     partitioned), moved under the table root through the backend, and
     committed with ``create_exclusive`` (put-if-absent, the primitive
@@ -476,6 +478,30 @@ def append_delta_table(
             f"{sorted(want)} with its types, dataframe carries "
             f"{sorted(got)} — appends never evolve a foreign schema"
         )
+    # NULLABILITY gate (ADVICE r12): committing nulls into a column the
+    # table declares non-nullable is spec-violating data. A frame merely
+    # DECLARED nullable may still carry no nulls, so validate the data
+    # itself — one batch-sized aggregate over the columns at risk.
+    at_risk = [
+        f.name
+        for f in logical.fields
+        if not f.nullable and df.schema[f.name].nullable
+    ]
+    if at_risk:
+        counts = df.select(
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+                for c in at_risk
+            ]
+        ).first()
+        bad = [c for c in at_risk if counts[c]]
+        if bad:
+            raise ValueError(
+                f"append into {td} carries NULLs in non-nullable "
+                f"column(s) {bad} ({[int(counts[c]) for c in bad]} "
+                "rows) — refusing to commit spec-violating data into "
+                "a foreign table"
+            )
     pcols = list(snap["partition_columns"])
     phys = {
         f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) for f in logical.fields
@@ -574,16 +600,35 @@ def compact_delta_table(
     backend=None,
     min_files: int = 2,
     max_retries: int = 3,
+    max_file_bytes: int = 1 << 30,
 ) -> int | None:
     """OPTIMIZE a foreign Delta table: rewrite its live data files
-    into ONE file per partition tuple and commit the rearrangement as
-    removes + adds with ``dataChange: false`` — the compaction shape
-    the dl09 streaming contract passes over silently, now produced by
-    this engine against ANY spec log. Deletion vectors are APPLIED
-    (masked rows physically dropped, descriptors cleared), which is a
-    rearrangement of the same logical rows, exactly like Delta's own
-    OPTIMIZE on DV tables. Returns the committed version, or None when
-    fewer than ``min_files`` live files exist (nothing worth doing).
+    into size-targeted bins (``max_file_bytes``, default 1 GiB — the
+    bin-packing target Delta's own OPTIMIZE uses) and commit the
+    rearrangement as removes + adds with ``dataChange: false`` — the
+    compaction shape the dl09 streaming contract passes over silently,
+    now produced by this engine against ANY spec log. Deletion vectors
+    are APPLIED (masked rows physically dropped, descriptors cleared),
+    which is a rearrangement of the same logical rows, exactly like
+    Delta's own OPTIMIZE on DV tables. Returns the committed version,
+    or None when fewer than ``min_files`` live files exist (nothing
+    worth doing).
+
+    Bin plan (r12 verdict item 1 — the old shape was ``coalesce(1)``/
+    one-task-per-partition-tuple, a single task rewriting the whole
+    table at scale): bins are computed DRIVER-side from the snapshot's
+    per-file sizes (metadata-sized, the ly03 plan-on-manifests
+    pattern) — files grouped by partition tuple, greedily packed in
+    sorted order until the next file would exceed ``max_file_bytes``
+    (a file larger than the target keeps its own bin; a bin never
+    crosses a partition tuple). Rows join their bin id via ONE
+    broadcast lookup on the source-file tag, then ONE
+    ``repartition(n_bins, bin)`` shuffle + ``partitionBy`` write
+    yields exactly one output file per bin, written by as many
+    parallel tasks as there are bins — a 100× table compacts with
+    100× tasks, not one. Even the single-bin case is a round-robin
+    shuffle, never ``coalesce(1)`` (which would drag the upstream
+    read into the same task — the sequential-parent pathology).
 
     Same writer gate, column-mapping handling (flat physical names +
     field ids), staging, and put-if-absent retry as
@@ -591,8 +636,7 @@ def compact_delta_table(
     snapshot and the commit attempt ABORTS the compaction (the
     rearrangement was computed against a stale file set — unlike an
     append, retrying requires recomputing), leaving only orphan staged
-    files for vacuum. Scale: one shuffle of the live rows into one
-    task per partition tuple; the commit is metadata-sized."""
+    files for vacuum."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -626,21 +670,51 @@ def compact_delta_table(
     }
     fids = {f.name: (f.metadata or {}).get(_ID_KEY) for f in logical.fields}
 
-    live = read_delta(spark, td, version=snap["version"], backend=backend)
+    # --- bin plan: driver-side greedy pack from the snapshot's sizes
+    # (metadata-sized), one bin never crossing a partition tuple ------
+    by_tuple: dict[tuple, list[str]] = {}
+    for path, pv in snap["files"].items():
+        key = tuple(sorted((pv or {}).items()))
+        by_tuple.setdefault(key, []).append(path)
+    bin_of: dict[str, int] = {}  # source-file basename -> bin id
+    n_bins = 0
+    for key in sorted(by_tuple):
+        filled = 0
+        first = True
+        for path in sorted(by_tuple[key]):
+            size = int(snap["sizes"].get(path) or 0)
+            if not first and filled + size > max_file_bytes:
+                n_bins += 1
+                filled = 0
+            bn = unquote(path).rsplit("/", 1)[-1]
+            bin_of[bn] = n_bins
+            filled += size
+            first = False
+        n_bins += 1  # close the tuple's last bin
+
+    live = read_delta(
+        spark, td, version=snap["version"], backend=backend, _keep_file=True
+    )
+    bin_lookup = spark.createDataFrame(
+        sorted(bin_of.items()), "__fp_file string, __fp_bin int"
+    )
+    binned = live.join(F.broadcast(bin_lookup), "__fp_file").drop("__fp_file")
     cols = []
     for f in logical.fields:
         md = {"parquet.field.id": int(fids[f.name])} if fids[f.name] is not None else {}
         cols.append(F.col(f.name).alias(phys[f.name], metadata=md))
-    staged = live.select(*cols)
+    staged = binned.select(*cols, "__fp_bin")
     stage_root = _tempfile.mkdtemp(prefix="fp_delta_opt_")
     try:
-        if pcols:
-            writer_df = staged.repartition(*[phys[c] for c in pcols])
-            writer = writer_df.write.mode("overwrite").partitionBy(
-                *[phys[c] for c in pcols]
-            )
-        else:
-            writer = staged.coalesce(1).write.mode("overwrite")
+        # ONE shuffle keyed by bin, one parallel task per bin; the
+        # partitionBy write yields exactly one file per bin under its
+        # bin (+ partition-tuple) directory
+        dirs = [phys[c] for c in pcols] + ["__fp_bin"]
+        writer = (
+            staged.repartition(max(1, n_bins), "__fp_bin")
+            .write.mode("overwrite")
+            .partitionBy(*dirs)
+        )
         writer.parquet(stage_root)
         moves: list[tuple[str, dict]] = []
         for root, _dirs, names in _os.walk(stage_root):
@@ -652,6 +726,8 @@ def compact_delta_table(
                 if sub != ".":
                     for seg in sub.split(_os.sep):
                         k, _, val = seg.partition("=")
+                        if k == "__fp_bin":
+                            continue  # the bin id is staging-only
                         pvals[k] = (
                             None
                             if val == "__HIVE_DEFAULT_PARTITION__"

@@ -45,9 +45,11 @@ Semantics follow the public Delta source contract:
   ``insert`` rows, cdc-authoritative commits serve their
   ``_change_data`` files (typed by the file's own ``_change_type``
   column), commits without cdc derive (dataChange adds as inserts,
-  dataChange removes as deletes over the removed file's bytes,
-  OPTIMIZE contributes nothing), and DV changes without cdc fail
-  loudly — the same contract as the batch
+  dataChange removes as deletes over the removed file's bytes MINUS
+  any positions the remove's own deletionVector descriptor masks —
+  rows an earlier DV commit already deleted are never re-emitted,
+  OPTIMIZE contributes nothing), and add-side DV changes without cdc
+  fail loudly — the same contract as the batch
   ``delta.read_delta_changes``. The append-only gate does not apply
   (a change feed exists to serve change commits); combining with
   skipChangeCommits is refused as contradictory. Admission control
@@ -441,8 +443,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         order: a cdc-authoritative commit yields its ``_change_data``
         files (type read FROM the file); a commit without cdc derives
         — dataChange adds as ``insert`` units, dataChange removes as
-        ``delete`` units over the removed file's bytes, OPTIMIZE
-        contributes nothing; a DV change without cdc is refused (same
+        ``delete`` units over the removed file's bytes minus the
+        remove's own DV-masked positions, OPTIMIZE contributes
+        nothing; an add-side DV change without cdc is refused (same
         contract as read_delta_changes). Cached + pinned-schema
         checked like _commit_files."""
         cache = getattr(self, "_cdf_cache", None)
@@ -527,6 +530,15 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                     "size": int(r.get("size") or 0),
                     "ctype": "delete",
                     "cdc": False,
+                    # remove-side DV descriptor: positions already dead
+                    # BEFORE this remove — the executor-side mask
+                    # subtracts them so derived deletes never re-emit
+                    # rows an earlier DV commit deleted (ADVICE r12)
+                    "dv": (
+                        r["deletionVector"]
+                        if (r.get("deletionVector") or {}).get("storageType")
+                        else None
+                    ),
                 }
                 for r in removes
             ]
@@ -650,7 +662,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         if self._cdf:
             return [
                 self._partition_for(
-                    u["path"], v, u.get("partitionValues"), None,
+                    u["path"], v, u.get("partitionValues"), u.get("dv"),
                     ctype=u["ctype"], is_cdc=u["cdc"],
                 )
                 for u in self._commit_changes(v, backend)

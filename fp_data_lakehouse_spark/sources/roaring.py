@@ -207,10 +207,21 @@ def serialize_rbm_array(positions) -> bytes:
     scalar fallback."""
     import numpy as np
 
-    try:
-        a = np.asarray(positions, dtype=np.int64)
-    except (OverflowError, TypeError, ValueError):
-        a = None
+    a = None
+    if not (
+        isinstance(positions, np.ndarray)
+        and positions.dtype.kind == "u"
+        and positions.size
+        and int(positions.max()) > 0x7FFFFFFFFFFFFFFF
+    ):
+        # an unsigned ndarray with values above int64 range would WRAP
+        # silently under np.asarray(..., int64) (unsafe cast, no
+        # OverflowError unlike Python ints) — route it to the scalar
+        # fallback instead of spuriously rejecting it (ADVICE r12)
+        try:
+            a = np.asarray(positions, dtype=np.int64)
+        except (OverflowError, TypeError, ValueError):
+            a = None
     if a is None:  # > 2^63-1 positions: exact scalar path
         buckets: dict[int, list[int]] = {}
         for p in sorted(set(int(x) for x in positions)):

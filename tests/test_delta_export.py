@@ -401,6 +401,46 @@ def test_append_into_foreign_log(spark, tmp_path):
         append_delta_table(spark, td, spark.range(3).selectExpr("id"))
 
 
+def test_append_nullability_gate(spark, tmp_path):
+    """Appending NULLs into a column the foreign table declares
+    non-nullable is refused by DATA validation (ADVICE r12) — while a
+    nullable-DECLARED frame that carries no nulls still appends (Spark
+    frames are almost always declared nullable)."""
+    import shutil
+
+    from fp_data_lakehouse_spark.sources.delta_export import append_delta_table
+
+    td, log = _foreign_log(spark, tmp_path)
+    # flip column v to non-nullable via a metaData update at v1
+    strict = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": False, "metadata": {}},
+        ],
+    })
+    with open(f"{log}/{1:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"metaData": {
+            "id": "ft", "format": {"provider": "parquet", "options": {}},
+            "schemaString": strict, "partitionColumns": [],
+            "configuration": {}}}) + "\n")
+
+    with_nulls = spark.range(30, 35).selectExpr(
+        "id", "CASE WHEN id = 32 THEN NULL ELSE id * 2 END AS v"
+    )
+    with pytest.raises(ValueError, match="non-nullable"):
+        append_delta_table(spark, td, with_nulls)
+
+    clean = spark.range(30, 35).selectExpr(
+        "id", "CASE WHEN id < 0 THEN NULL ELSE id * 2 END AS v"
+    )
+    assert clean.schema["v"].nullable  # declared nullable, data clean
+    assert append_delta_table(spark, td, clean) == 2
+    assert _ids(read_delta(spark, td).select("id", "v")) == {
+        (i, i * 2) for i in range(20)
+    } | {(i, i * 2) for i in range(30, 35)}
+
+
 def test_append_concurrent_loser_retries(spark, tmp_path):
     """A lost put-if-absent race re-reads the snapshot and retries at
     the new head; the staged files commit exactly once."""
@@ -667,3 +707,99 @@ def test_compact_foreign_applies_dvs(spark, tmp_path):
     snap = delta_snapshot(td, spark=spark)
     assert snap["dv"] == {}
     assert _ids(read_delta(spark, td).select("id")) == {(i,) for i in range(5, 20)}
+
+
+def test_compact_bin_packed_parallel_rewrite(spark, tmp_path, monkeypatch):
+    """r12 verdict item 1: the compaction rewrite is SIZE-BINNED and
+    parallel — an unpartitioned table above max_file_bytes packs into
+    >= 2 output files (one per bin, written by parallel tasks), never
+    one task rewriting the whole table; coalesce(1) is never used
+    (monkeypatch tripwire — it would also drag the upstream read into
+    the same task); values are identical."""
+    from pyspark.sql import DataFrame
+
+    from fp_data_lakehouse_spark.sources.delta_export import (
+        append_delta_table,
+        compact_delta_table,
+    )
+
+    td, log = _foreign_log(spark, tmp_path)
+    for lo in (20, 40, 60):
+        append_delta_table(
+            spark, td,
+            spark.range(lo, lo + 20).selectExpr("id", "id * 2 AS v").coalesce(1),
+        )
+    snap = delta_snapshot(td, spark=spark)
+    assert len(snap["files"]) == 4
+    # target = half the table -> exactly 2 bins of the 4 similar files
+    target = sum(snap["sizes"].values()) // 2 + 1
+
+    def _no_coalesce(self, *_a, **_k):
+        raise AssertionError("compaction must never coalesce")
+
+    monkeypatch.setattr(DataFrame, "coalesce", _no_coalesce)
+    v = compact_delta_table(spark, td, max_file_bytes=target)
+    monkeypatch.undo()
+    assert v == 4
+    snap2 = delta_snapshot(td, spark=spark)
+    assert len(snap2["files"]) == 2  # >= 2 parallel bins, not one task
+    assert _ids(read_delta(spark, td).select("id", "v")) == {
+        (i, i * 2) for i in range(80)
+    }
+    # every new file respects the bin target (compressed output of a
+    # bin of inputs stays near the inputs' total)
+    assert all(s <= 2 * target for s in snap2["sizes"].values())
+
+
+def test_compact_bin_packed_partitioned(spark, tmp_path):
+    """Bins never cross a partition tuple, and a tuple larger than the
+    target splits into multiple files with correct partitionValues."""
+    import shutil
+
+    from fp_data_lakehouse_spark.sources.delta_export import (
+        append_delta_table,
+        compact_delta_table,
+    )
+
+    td = str(tmp_path / "pt")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    with open(f"{log}/{0:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "pt", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": ["part"],
+            "configuration": {}}}) + "\n")
+    # three appends per partition value -> 6 small files across 2 tuples
+    for lo in (0, 100, 200):
+        append_delta_table(
+            spark, td,
+            spark.range(lo, lo + 40).selectExpr("id", "id % 2 AS part"),
+        )
+    snap = delta_snapshot(td, spark=spark)
+    assert len(snap["files"]) == 6
+    # target fits any TWO near-equal files but never three
+    target = 2 * max(snap["sizes"].values()) + 1
+
+    v = compact_delta_table(spark, td, max_file_bytes=target)
+    snap2 = delta_snapshot(td, spark=spark)
+    # each tuple's 3 files pack into 2 bins -> 4 files total
+    assert len(snap2["files"]) == 4
+    by_tuple = {}
+    for p, pv in snap2["files"].items():
+        by_tuple.setdefault(pv["part"], []).append(p)
+    assert sorted(by_tuple) == ["0", "1"] and all(
+        len(v2) == 2 for v2 in by_tuple.values()
+    )
+    back = read_delta(spark, td, version=v)
+    assert _ids(back.select("id", "part")) == {
+        (i, i % 2) for lo in (0, 100, 200) for i in range(lo, lo + 40)
+    }

@@ -551,6 +551,31 @@ def test_read_change_feed_initial_snapshot(spark, tmp_path):
     } | {(i, "delete", 2) for i in range(10, 20)}
 
 
+def test_read_change_feed_remove_dv_subtracted(spark, tmp_path):
+    """A tailed dataChange remove carrying a deletionVector descriptor
+    streams delete rows for the file's LIVE positions only — the
+    executor-side mask subtracts the descriptor's positions, so rows an
+    earlier DV commit deleted are never re-emitted (ADVICE r12; twin of
+    the batch test in test_delta_reader_features)."""
+    from tests.test_delta_reader_features import _dv_descriptor_u
+
+    td, log, adds = _log(tmp_path, spark, n_files=1)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                   "readerFeatures": ["deletionVectors"]}},
+                     _meta(), adds[0]])
+    (d0,) = _dv_descriptor_u(td, "", [[0, 1, 2, 3, 4]])
+    _commit(log, 1, [_readd(adds[0], d0)])  # DV delete of ids 0..4
+    _commit(log, 2, [{"remove": {"path": "f0.parquet", "dataChange": True,
+                                 "deletionVector": d0}}])
+    rows = _drain(
+        spark, td, str(tmp_path / "w"),
+        {"readChangeFeed": "true", "startingVersion": "2"},
+    )
+    assert {(r.id, r._change_type, r._commit_version) for r in rows} == {
+        (i, "delete", 2) for i in range(5, 10)
+    }
+
+
 def test_read_change_feed_rejects_skip_change(spark, tmp_path):
     td, log, adds = _log(tmp_path, spark, n_files=1)
     _commit(log, 0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},

@@ -667,6 +667,13 @@ def test_id_mode_column_mapping_lifecycle(spark, tmp_path):
     assert got == {(i, i * 2, None, 3) for i in range(10)} | {
         (i, i * 2, None, 4) for i in range(10, 20)
     }
+    # the fieldId flip is SCOPED to the cloned scan session — the
+    # caller's session conf must stay untouched (ADVICE r12: the old
+    # session-wide set silently switched later parquet reads whose
+    # schemas carried parquet.field.id metadata to id resolution)
+    assert (
+        spark.conf.get("spark.sql.parquet.fieldId.read.enabled") == "false"
+    )
     # time travel: v1 removed f0
     assert {r.o_custkey for r in read_delta(spark, td, version=1).collect()} == set(
         range(10, 20)
@@ -895,6 +902,70 @@ def test_read_delta_changes_derive_and_cdc(spark, tmp_path):
 
     with pytest.raises(ValueError, match="invalid change range"):
         read_delta_changes(spark, td, 2, 1)
+
+
+def test_read_delta_changes_remove_dv_subtracted(spark, tmp_path):
+    """A dataChange REMOVE carrying a deletionVector descriptor derives
+    delete rows for the file's LIVE rows only — the DV-masked positions
+    died in an earlier commit and must not re-emit (ADVICE r12: 10
+    delete rows instead of 5). The add-side DV gate still refuses the
+    earlier commit itself."""
+    from fp_data_lakehouse_spark.sources.delta import read_delta_changes
+
+    td = str(tmp_path / "t")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    a0 = _stage(spark, td, "f0.parquet", 0, 10)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                   "readerFeatures": ["deletionVectors"]}},
+                     _meta(), a0])
+    (d0,) = _dv_descriptor_u(td, "", [[0, 1, 2, 3, 4]])
+    _commit(log, 1, [_readd(a0, d0)])  # DV delete of ids 0..4
+    _commit(log, 2, [{"remove": {"path": "f0.parquet", "dataChange": True,
+                                 "deletionVector": d0}}])
+
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in read_delta_changes(spark, td, 2, 2).collect()
+    }
+    assert got == {(i, "delete", 2) for i in range(5, 10)}
+
+    # the DV-adding commit itself still refuses (no cdc files)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        read_delta_changes(spark, td, 0, 2)
+
+
+def test_read_delta_changes_remove_dv_inline(spark, tmp_path):
+    """Inline ('i' storageType) remove-side DV descriptors subtract the
+    same way, and an insert of the SAME file earlier in the range keeps
+    every row (the mask applies to delete attributions only)."""
+    from fp_data_lakehouse_spark.sources.delta import read_delta_changes
+    from fp_data_lakehouse_spark.sources.roaring import serialize_rbm_array
+
+    td = str(tmp_path / "t")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    a0 = _stage(spark, td, "f0.parquet", 0, 8)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                   "readerFeatures": ["deletionVectors"]}},
+                     _meta(), a0])
+    data = serialize_rbm_array([6, 7])
+    inline = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\0" * (-len(data) % 4)),
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    _commit(log, 1, [{"remove": {"path": "f0.parquet", "dataChange": True,
+                                 "deletionVector": inline}}])
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in read_delta_changes(spark, td, 0, 1).collect()
+    }
+    # v0 insert serves ALL 8 rows; v1 delete serves only the 6 live
+    assert got == {(i, "insert", 0) for i in range(8)} | {
+        (i, "delete", 1) for i in range(6)
+    }
 
 
 def test_read_delta_changes_dv_without_cdc_refused(spark, tmp_path):

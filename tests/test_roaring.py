@@ -114,6 +114,24 @@ def test_rbm_array_roundtrip(vals):
     assert deserialize_rbm_array(serialize_rbm_array(vals)) == sorted(set(vals))
 
 
+def test_rbm_array_uint64_ndarray_above_int63():
+    """A numpy uint64 ndarray with positions >= 2^63 must round-trip
+    via the scalar fallback exactly like the same values as a Python
+    list — np.asarray(..., int64) would wrap it negative silently
+    (unsafe cast, no OverflowError) and spuriously reject (ADVICE
+    r12)."""
+    import numpy as np
+
+    vals = [2**63 + 5, 2**64 - 1, 7]
+    as_list = serialize_rbm_array(vals)
+    as_np = serialize_rbm_array(np.array(vals, dtype=np.uint64))
+    assert as_np == as_list
+    assert deserialize_rbm_array(as_np) == sorted(vals)
+    # an unsigned array WITHIN int64 range still takes the fast path
+    small = np.array([1, 2, 3], dtype=np.uint64)
+    assert deserialize_rbm_array(serialize_rbm_array(small)) == [1, 2, 3]
+
+
 def test_dv_blob_framing_and_crc():
     positions = [3, 5, 8, 1 << 20]
     blob = pack_dv_blob(positions)
