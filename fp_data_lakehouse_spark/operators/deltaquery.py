@@ -1403,3 +1403,293 @@ def dl11_delta_feed_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dl12: CDF WRITE-side — this engine's own DV commit consumed end-to-end
+# ---------------------------------------------------------------------------
+
+_DL12_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+legs AS (
+    SELECT CAST(0 AS INT) AS ver, 'insert' AS ctype,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t
+    UNION ALL
+    SELECT CAST(1 AS INT), 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM t WHERE o_custkey % 3 = 0
+)
+SELECT s.stage, l.ver, l.ctype, l.n_cust, l.sum_cents
+FROM legs l
+CROSS JOIN (SELECT 'batch' AS stage UNION ALL SELECT 'stream') s
+"""
+
+
+@register("dl12_delta_cdf_export_roundtrip", oracle=_DL12_SQL)
+def dl12_delta_cdf_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF WRITE-side round-trip (r12 verdict item 2): customer totals
+    land as a VERSIONED table, ``publish_delta_log(enable_cdf=True)``
+    exports the clean snapshot (delta v0, derive-path inserts — no cdc
+    bytes for a pure append), a merge-on-read ``delete_where_dv`` masks
+    every third customer and the incremental re-export emits the spec's
+    ``_change_data`` cdc files for the newly-masked rows (delta v1,
+    cdc-AUTHORITATIVE — the shape r12's readers refused because no
+    writer produced it). BOTH consumers then read the same history:
+    ``read_delta_changes`` in batch and the fp_delta_feed change STREAM
+    (``readChangeFeed``, startingVersion=0) through a real availableNow
+    drain — each leg aggregates (version, change type) censuses the
+    oracle reconstructs from ``orders``, and batch/stream parity is
+    pinned by the shared expected rows.
+
+    Scale: cdc assembly is DIFF-sized (one scan of the changed files +
+    positional anti/semi joins against the dv masks, nothing driver-
+    side but file moves); the consumers' plans are the dl10/dl11
+    shapes — one scan per leg + a broadcast attribution join."""
+    from ..sources.delta import read_delta_changes
+    from ..sources.delta_export import publish_delta_log
+    from ..sources.pyds import register_python_sources
+    from ..sources.versioned import delete_where_dv, write_version
+
+    td = alloc_scratch(spark, "dl12_cdfw") + "/t"
+    totals = _cust_totals(spark, sf_dir)
+    write_version(totals.repartitionByRange(4, "o_custkey"), td, manifest=True)
+    assert publish_delta_log(spark, td, version=1, enable_cdf=True) == 0
+    assert delete_where_dv(spark, td, F.col("o_custkey") % 3 == 0) == 2
+    assert publish_delta_log(spark, td, version=2) == 1  # cdc-authoritative
+
+    def _census(df: DataFrame, stage: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.col("_commit_version").cast("int").alias("ver"),
+                F.col("_change_type").alias("ctype"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit(stage).alias("stage"), "ver", "ctype", "n_cust",
+                    "sum_cents")
+        )
+
+    batch = _census(read_delta_changes(spark, td, 0), "batch")
+
+    register_python_sources(spark)
+    work = alloc_scratch(spark, "dl12_drain")
+    q = (
+        spark.readStream.format("fp_delta_feed").option("path", td)
+        .option("startingVersion", "0").option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = _census(spark.read.parquet(f"{work}/out"), "stream")
+    return batch.unionByName(stream)
+
+
+# ---------------------------------------------------------------------------
+# io19: NESTED column-mapped append + bin-packed compaction (write path)
+# ---------------------------------------------------------------------------
+
+_IO19_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 2 AS INT) AS bucket,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY bucket
+"""
+
+_IO19_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "o_custkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "c-1"}},
+            {"name": "props",
+             "type": {"type": "struct", "fields": [
+                 {"name": "cents", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "c-3"}},
+             ]},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "c-2"}},
+        ],
+    }
+)
+
+
+@register("io19_delta_nested_mapped_append", oracle=_IO19_SQL)
+def io19_delta_nested_mapped_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-schema column-mapped WRITE path (round 13, r12 verdict
+    item 5): a foreign name-mapped table whose ``props`` column is a
+    struct (physical names ``c-2``/``c-3``, the real mapped-table
+    shape) takes an ``append_delta_table`` of the odd-customer bucket —
+    files staged under recursive PHYSICAL names with parquet field ids
+    at every nesting level (positional-cast rename + alias metadata,
+    delta_export._stage_physical) — then the bin-packed
+    ``compact_delta_table`` rewrites the same nested shape. The r12
+    writers REFUSED nested mapped schemas; the oracle pins the
+    per-bucket census through read_delta's logical projection after
+    both commits.
+
+    Scale: identical plan shapes to io17/io18 — the nested rename is
+    a zero-shuffle projection fused into the staging write."""
+    import shutil
+
+    from ..sources.delta import read_delta
+    from ..sources.delta_export import append_delta_table, compact_delta_table
+
+    td = alloc_scratch(spark, "io19_nested") + "/t"
+    os.makedirs(td, exist_ok=True)
+    totals = _cust_totals(spark, sf_dir)
+    b0 = totals.where(F.col("o_custkey") % 2 == 0).selectExpr(
+        "o_custkey AS `c-1`", "named_struct('c-3', cents) AS `c-2`"
+    )
+    tmp = f"{td}/_stage"
+    b0.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.replace(f"{tmp}/{src}", f"{td}/b0.parquet")
+    shutil.rmtree(tmp)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(_IO19_SCHEMA, [], {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            }),
+            _add(td, "b0.parquet"),
+        ],
+    )
+
+    b1 = totals.where(F.col("o_custkey") % 2 == 1).select(
+        "o_custkey", F.struct(F.col("cents").alias("cents")).alias("props")
+    )
+    assert append_delta_table(spark, td, b1) == 1
+    assert compact_delta_table(spark, td) == 2
+
+    back = read_delta(spark, td)
+    return (
+        back.select(
+            (F.col("o_custkey") % 2).cast("int").alias("bucket"),
+            F.col("props.cents").alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# io20: rowTracking append — baseRowId assignment + high-water mark
+# ---------------------------------------------------------------------------
+
+_IO20_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(o_custkey % 3 AS INT) AS bucket,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY bucket
+"""
+
+
+@register("io20_delta_rowtracking_append", oracle=_IO20_SQL)
+def io20_delta_rowtracking_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rowTracking WRITE support (round 13, r12 verdict stretch item
+    8): a foreign table whose protocol demands the ``rowTracking``
+    writer feature — the most common refusal left in r12's
+    ``_check_writer_protocol`` — takes TWO ``append_delta_table``
+    commits. Each append assigns its files consecutive ``baseRowId``
+    ranges from the ``delta.rowTracking`` domain-metadata high-water
+    mark, stamps ``defaultRowCommitVersion``, and advances the mark —
+    asserted exactly against per-file row counts read from the log's
+    own numRecords stats (the builder re-derives the id ranges from
+    the commits and fails on any gap/overlap). The oracle pins the
+    3-bucket census through read_delta after both appends.
+
+    Scale: the high-water mark is one domainMetadata action per
+    commit (metadata-sized); per-file row counts come from the staged
+    footers driver-side — no extra data pass."""
+    from ..sources.delta import delta_snapshot, read_delta
+    from ..sources.delta_export import append_delta_table
+
+    td = alloc_scratch(spark, "io20_rowtrack") + "/t"
+    os.makedirs(td, exist_ok=True)
+    totals = _cust_totals(spark, sf_dir)
+    names = _stage_bucket_files(totals.where(F.col("o_custkey") % 3 == 0), td, 1)
+    n0 = spark.read.parquet(f"{td}/{names[0]}").count()
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": [],
+                          "writerFeatures": ["rowTracking",
+                                             "domainMetadata"]}},
+            _meta(_SCHEMA_PLAIN, [],
+                  {"delta.enableRowTracking": "true"}),
+            _add(td, names[0]),
+            {"domainMetadata": {"domain": "delta.rowTracking",
+                                "configuration": json.dumps(
+                                    {"rowIdHighWaterMark": n0 - 1}),
+                                "removed": False}},
+        ],
+    )
+
+    expect_base = n0
+    for v, b in ((1, 1), (2, 2)):
+        batch = totals.where(F.col("o_custkey") % 3 == b).select(
+            "o_custkey", "cents"
+        ).coalesce(1)
+        assert append_delta_table(spark, td, batch) == v
+        with open(f"{log}/{v:020d}.json") as f:
+            acts = [json.loads(ln) for ln in f]
+        adds = [a["add"] for a in acts if "add" in a]
+        for a in sorted(adds, key=lambda a: a["baseRowId"]):
+            assert a["baseRowId"] == expect_base, (a, expect_base)
+            assert a["defaultRowCommitVersion"] == v
+            expect_base += json.loads(a["stats"])["numRecords"]
+        dm = next(a["domainMetadata"] for a in acts if "domainMetadata" in a)
+        assert json.loads(dm["configuration"])["rowIdHighWaterMark"] == (
+            expect_base - 1
+        )
+    # the snapshot replays the advanced mark
+    snap = delta_snapshot(td, spark=spark)
+    assert json.loads(snap["domain_metadata"]["delta.rowTracking"])[
+        "rowIdHighWaterMark"
+    ] == expect_base - 1
+
+    back = read_delta(spark, td)
+    return (
+        back.select(
+            (F.col("o_custkey") % 3).cast("int").alias("bucket"), "cents"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )

@@ -188,6 +188,42 @@ def _check_protocol(protocol: dict | None, table_dir: str) -> None:
         )
 
 
+def _ts_to_epoch(ts) -> float:
+    """Epoch seconds from epoch-seconds / datetime / ISO-8601 string
+    (naive = UTC) — the timestamp forms Delta's AS OF accepts."""
+    import datetime
+
+    if isinstance(ts, str):
+        dt = datetime.datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return dt.timestamp()
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts.timestamp()
+    return float(ts)
+
+
+def _adjusted_commit_times(
+    log_dir: str, commits: list[int], backend
+) -> list[tuple[int, float]]:
+    """(version, commit time) for the retained commit JSONs, with the
+    spec's MONOTONIC adjustment: a commit whose store mtime runs
+    backward (clock skew, copied logs) is treated as its predecessor's
+    time + 1ms, so version order and time order never disagree."""
+    adjusted: list[tuple[int, float]] = []
+    prev = float("-inf")
+    for c in commits:
+        mt = backend.mtime(f"{log_dir}/{c:020d}.json")
+        if mt is None:
+            continue  # vanished mid-listing: racing retention
+        mt = max(mt, prev + 0.001)
+        adjusted.append((c, mt))
+        prev = mt
+    return adjusted
+
+
 def delta_version_as_of(
     table_dir: str, ts, spark=None, backend=None
 ) -> int:
@@ -205,32 +241,14 @@ def delta_version_as_of(
     AS OF beyond the head is an error, never a silent clamp-to-latest
     — a caller asking for "now + 1h" expected a commit that does not
     exist yet; omit ``as_of`` to read the head)."""
-    import datetime
-
     td = table_dir.rstrip("/")
     backend = backend or _backend(td, spark)
-    if isinstance(ts, str):
-        dt = datetime.datetime.fromisoformat(ts)
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=datetime.timezone.utc)
-        ts = dt.timestamp()
-    elif isinstance(ts, datetime.datetime):
-        if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=datetime.timezone.utc)
-        ts = ts.timestamp()
+    ts = _ts_to_epoch(ts)
     log_dir = f"{td}/_delta_log"
     commits, _cps = _log_entries(log_dir, backend)
     if not commits:
         raise FileNotFoundError(f"no commit JSON retained in {table_dir}")
-    adjusted: list[tuple[int, float]] = []
-    prev = float("-inf")
-    for c in commits:
-        mt = backend.mtime(f"{log_dir}/{c:020d}.json")
-        if mt is None:
-            continue  # vanished mid-listing: racing retention
-        mt = max(mt, prev + 0.001)  # monotonic adjustment per spec
-        adjusted.append((c, mt))
-        prev = mt
+    adjusted = _adjusted_commit_times(log_dir, commits, backend)
     best = None
     for c, mt in adjusted:
         if mt <= ts:
@@ -274,7 +292,7 @@ def _v2_checkpoint_state(
         want = [
             c
             for c in ("add", "remove", "metaData", "protocol",
-                      "checkpointMetadata", "sidecar")
+                      "checkpointMetadata", "sidecar", "domainMetadata")
             if c in have
         ]
         dicts = [r.asDict(recursive=True) for r in df.select(*want).collect()]
@@ -299,7 +317,11 @@ def _v2_checkpoint_state(
     out = [
         d
         for d in dicts
-        if d.get("add") or d.get("remove") or d.get("metaData") or d.get("protocol")
+        if d.get("add")
+        or d.get("remove")
+        or d.get("metaData")
+        or d.get("protocol")
+        or d.get("domainMetadata")
     ]
     if sidecars:
         paths = [
@@ -347,6 +369,7 @@ def delta_snapshot(
     dvs: dict[str, dict] = {}
     tags: dict[str, dict] = {}
     sizes: dict[str, int] = {}
+    domains: dict[str, str] = {}  # domainMetadata: domain -> config JSON
     meta: dict | None = None
     protocol: dict | None = None
     start = 0
@@ -389,7 +412,8 @@ def delta_snapshot(
                 for r in cp_df.select(
                     *[
                         c
-                        for c in ("add", "remove", "metaData", "protocol")
+                        for c in ("add", "remove", "metaData", "protocol",
+                                  "domainMetadata")
                         if c in have
                     ]
                 ).collect()
@@ -411,6 +435,12 @@ def delta_snapshot(
                 meta = d["metaData"]
             if d.get("protocol") and d["protocol"].get("minReaderVersion"):
                 protocol = d["protocol"]
+            dm = d.get("domainMetadata")
+            if dm and dm.get("domain"):
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration")
         start = cp + 1
     # REPLAY CONTIGUITY: every commit in (start, v] must exist, or the
     # reconstructed state silently misses files/metaData/protocol (log
@@ -447,6 +477,12 @@ def delta_snapshot(
                 meta = action["metaData"]
             elif "protocol" in action:
                 protocol = action["protocol"]
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domains.pop(dm.get("domain"), None)
+                elif dm.get("domain"):
+                    domains[dm["domain"]] = dm.get("configuration")
         for path in removes:
             files.pop(path, None)
             dvs.pop(path, None)
@@ -488,6 +524,7 @@ def delta_snapshot(
         "protocol": protocol,
         "configuration": conf,
         "column_mapping_mode": cm_mode,
+        "domain_metadata": domains,
     }
 
 

@@ -192,17 +192,244 @@ def _export_dv_bin(
     }
 
 
+def _export_cdc_files(
+    spark,
+    td: str,
+    backend,
+    phys_schema,
+    removes: list[str],
+    fresh: list[str],
+    changed: list[str],
+    dv_state: dict[str, str],
+    prev_dv_state: dict[str, str],
+) -> list[dict]:
+    """Write the spec's ``_change_data`` cdc parquet for a
+    cdc-authoritative export commit and return the ``cdc`` actions.
+
+    Change rows, all expressed over ONE scan of the diff's data files
+    (physical column names — cdc files mirror data files) plus the fp
+    dv parquet masks:
+
+    - removed files' LIVE rows (all minus their prior mask) → delete
+    - fresh files' live rows (all minus their new mask) → insert
+    - carried files whose mask GREW: newly-masked positions → delete
+    - carried files whose mask SHRANK (restore): revived → insert
+
+    Output lands as ``_change_data/cdc-<uuid>.parquet`` files through
+    the backend; a diff whose change set is empty still writes one
+    empty cdc file (driver-side arrow write) so the commit stays
+    cdc-authoritative. Scale: everything is diff-sized — the scan
+    touches only the files this commit changes, masks ride positional
+    anti/semi joins, nothing collects to the driver but file bytes on
+    the backend move."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    def _positions(mapping: dict[str, str]):
+        """(``__dv_file`` basename, ``__dv_pos``) of the dv masks named
+        by ``mapping`` (data rel -> fp dv parquet rel), src-filtered the
+        same way _export_dv_bin is (a shared dv object must not leak
+        another file's rows)."""
+        if not mapping:
+            return spark.createDataFrame(
+                [], "__dv_file string, __dv_pos bigint"
+            )
+        dv_parquets = sorted({f"{td}/{r}" for r in mapping.values()})
+        tagged = spark.read.parquet(*dv_parquets).select(
+            F.col("file").alias("__dv_file"),
+            F.col("pos").alias("__dv_pos"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__src"),
+        )
+        expected = {
+            rel.rsplit("/", 1)[-1]: dv_rel.rsplit("/", 1)[-1]
+            for rel, dv_rel in mapping.items()
+        }
+        lookup = spark.createDataFrame(
+            sorted(expected.items()), "__dv_file string, __want string"
+        )
+        return (
+            tagged.join(F.broadcast(lookup), "__dv_file")
+            .where(F.col("__src") == F.col("__want"))
+            .select("__dv_file", "__dv_pos")
+        )
+
+    rel_set = {"remove": set(removes), "fresh": set(fresh), "changed": set(changed)}
+    old_pos = _positions(
+        {
+            rel: prev_dv_state[rel]
+            for rel in (rel_set["remove"] | rel_set["changed"])
+            if rel in prev_dv_state
+        }
+    )
+    new_pos = _positions(
+        {
+            rel: dv_state[rel]
+            for rel in (rel_set["fresh"] | rel_set["changed"])
+            if rel in dv_state
+        }
+    )
+
+    all_rels = sorted(rel_set["remove"] | rel_set["fresh"] | rel_set["changed"])
+    kind_of: dict[str, str] = {}
+    for kind, rels in rel_set.items():
+        for rel in rels:
+            bn = rel.rsplit("/", 1)[-1]
+            if bn in kind_of:
+                raise ValueError(
+                    f"cdc export: data-file basename collision on {bn}"
+                )
+            kind_of[bn] = kind
+    data_cols = [f.name for f in phys_schema.fields]
+    scanned = (
+        spark.read.schema(phys_schema)
+        .parquet(*[f"{td}/{r}" for r in all_rels])
+        .withColumn(
+            "__dv_file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+    )
+    kinds = spark.createDataFrame(
+        sorted(kind_of.items()), "__dv_file string, __kind string"
+    )
+    scanned = scanned.join(F.broadcast(kinds), "__dv_file")
+    keys = ["__dv_file", "__dv_pos"]
+
+    def _typed(df, ct: str):
+        return df.select(*data_cols).withColumn("_change_type", F.lit(ct))
+
+    newly_dead = new_pos.join(old_pos, keys, "left_anti")
+    revived = old_pos.join(new_pos, keys, "left_anti")
+    legs = [
+        _typed(
+            scanned.where(F.col("__kind") == "remove").join(
+                old_pos, keys, "left_anti"
+            ),
+            "delete",
+        ),
+        _typed(
+            scanned.where(F.col("__kind") == "fresh").join(
+                new_pos, keys, "left_anti"
+            ),
+            "insert",
+        ),
+        _typed(
+            scanned.where(F.col("__kind") == "changed").join(
+                newly_dead, keys, "left_semi"
+            ),
+            "delete",
+        ),
+        _typed(
+            scanned.where(F.col("__kind") == "changed").join(
+                revived, keys, "left_semi"
+            ),
+            "insert",
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+
+    backend.makedirs(f"{td}/_change_data")
+    actions: list[dict] = []
+    stage_root = _tempfile.mkdtemp(prefix="fp_delta_cdc_")
+    try:
+        out.write.mode("overwrite").parquet(stage_root)
+        for n in sorted(_os.listdir(stage_root)):
+            if not n.endswith(".parquet"):
+                continue
+            sz = _os.path.getsize(f"{stage_root}/{n}")
+            rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+            with open(f"{stage_root}/{n}", "rb") as fh:
+                backend.write_bytes(f"{td}/{rel}", fh.read())
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": sz,
+                        "dataChange": False,
+                    }
+                }
+            )
+    finally:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+    if not actions:
+        # an empty change set must STILL be cdc-authoritative (the
+        # commit changes DV state, so derive-path readers would refuse)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        cdc_struct = StructType(
+            list(phys_schema.fields)
+            + [StructField("_change_type", StringType(), True)]
+        )
+        table = pa.Table.from_arrays(
+            [
+                pa.array([], type=f.type)
+                for f in to_arrow_schema(cdc_struct)
+            ],
+            schema=to_arrow_schema(cdc_struct),
+        )
+        fd, tmp = _tempfile.mkstemp(suffix=".parquet")
+        _os.close(fd)
+        try:
+            pq.write_table(table, tmp)
+            rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+            with open(tmp, "rb") as fh:
+                backend.write_bytes(f"{td}/{rel}", fh.read())
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": _os.path.getsize(tmp),
+                        "dataChange": False,
+                    }
+                }
+            )
+        finally:
+            _os.unlink(tmp)
+    return actions
+
+
 def publish_delta_log(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     backend=None,
     max_dv_rows: int = _DV_EXPORT_MAX_ROWS,
+    enable_cdf: bool = False,
 ) -> int:
     """Publish the given snapshot as the next Delta commit under
     ``{table_dir}/_delta_log`` (see module doc). Returns the Delta
     version written (or the current one when the snapshot is already
-    exported — idempotent)."""
+    exported — idempotent).
+
+    **Change data feed** (``enable_cdf=True``, sticky once set — later
+    exports honor the table's ``delta.enableChangeDataFeed``): a
+    DV-CHANGING diff (a carried file whose deletion-vector state moved,
+    or a fresh file arriving already masked)
+    additionally writes the spec's ``_change_data`` cdc parquet files
+    and ``cdc`` actions, because positional masks cannot be rederived
+    by readers — exactly the commit shape Delta writers produce, so
+    ``read_delta_changes`` / the dl11 change stream consume this
+    engine's own DV commits instead of refusing. Since a commit with
+    cdc actions is cdc-AUTHORITATIVE, the cdc files cover the WHOLE
+    diff (fresh adds as inserts, removed files' live rows as deletes,
+    newly-masked positions as deletes, revived positions as inserts) —
+    the same duplicate-write cost Delta itself pays on mixed commits.
+    Append-only / remove-only diffs stay derive-path (no cdc bytes):
+    removes carry their prior DV descriptor so the derive subtraction
+    stays exact."""
     backend = backend or _backend_for(table_dir, spark)
     td = table_dir.rstrip("/")
     v = version if version is not None else latest_version(table_dir, backend)
@@ -229,6 +456,22 @@ def publish_delta_log(
     if not files:
         raise FileNotFoundError(f"version {v} names no data files in {table_dir}")
 
+    # previously exported state (our own reader = the round-trip seam)
+    log_dir = f"{td}/_delta_log"
+    try:
+        prev = delta_snapshot(td, spark=spark, backend=backend)
+    except FileNotFoundError:
+        prev = None
+    meta_id = (prev or {}).get("metadata_id") or str(_uuid.uuid4())
+    next_delta_v = 0 if prev is None else prev["version"] + 1
+    # CDF stays on once enabled (table property semantics)
+    cdf_on = enable_cdf or (
+        ((prev or {}).get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        )
+        == "true"
+    )
+
     schema_json = _logical_schema_json(spark, td, v, backend, columns)
     configuration: dict[str, str] = {}
     if columns:
@@ -238,30 +481,27 @@ def publish_delta_log(
         )
     if dv_state:
         configuration["delta.enableDeletionVectors"] = "true"
+    if cdf_on:
+        configuration["delta.enableChangeDataFeed"] = "true"
     reader_features = []
     if dv_state:
         reader_features.append("deletionVectors")
         if columns:
             reader_features.append("columnMapping")
+        writer_features = list(reader_features)
+        if cdf_on:
+            writer_features.append("changeDataFeed")
         protocol = {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
             "readerFeatures": reader_features,
-            "writerFeatures": list(reader_features),
+            "writerFeatures": writer_features,
         }
     elif columns:
         protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
     else:
-        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
-
-    # previously exported state (our own reader = the round-trip seam)
-    log_dir = f"{td}/_delta_log"
-    try:
-        prev = delta_snapshot(td, spark=spark, backend=backend)
-    except FileNotFoundError:
-        prev = None
-    meta_id = (prev or {}).get("metadata_id") or str(_uuid.uuid4())
-    next_delta_v = 0 if prev is None else prev["version"] + 1
+        # legacy writer version 4 is the spec's floor for CDF tables
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 4 if cdf_on else 2}
 
     prev_files = set((prev or {}).get("files") or {})
     prev_tags = (prev or {}).get("tags") or {}
@@ -290,6 +530,26 @@ def publish_delta_log(
     if dv_state and any(rel in dv_state for rel in fresh + changed):
         descriptors = _export_dv_bin(
             spark, td, backend, dv_state, dv_rows, bound=max_dv_rows
+        )
+
+    cdc_actions: list[dict] = []
+    if cdf_on and (changed or any(rel in dv_state for rel in fresh)):
+        # an add-side DV (carried file whose mask moved, or a fresh
+        # file arriving masked) cannot be rederived by readers — write
+        # the cdc files that make this commit cdc-authoritative
+        from pyspark.sql.types import StructType as _StructType
+
+        from .delta import _physicalize
+        logical_struct = _StructType.fromJson(json.loads(schema_json))
+        phys_struct = _physicalize(logical_struct) if columns else logical_struct
+        prev_dv_state = {
+            rel: (prev_tags.get(rel) or {}).get(_DV_TAG)
+            for rel in prev_files
+            if (prev_tags.get(rel) or {}).get(_DV_TAG)
+        }
+        cdc_actions = _export_cdc_files(
+            spark, td, backend, phys_struct, removes, fresh, changed,
+            dv_state, prev_dv_state,
         )
 
     def _add_action(rel: str) -> dict:
@@ -325,12 +585,19 @@ def publish_delta_log(
                 }
             }
         )
+    prev_dv_desc = (prev or {}).get("dv") or {}
     for rel in removes:
-        actions.append({"remove": {"path": rel, "dataChange": True}})
+        r: dict = {"path": rel, "dataChange": True}
+        if rel in prev_dv_desc:
+            # carry the exported descriptor so derive-path CDF readers
+            # subtract already-dead positions instead of re-emitting
+            r["deletionVector"] = prev_dv_desc[rel]
+        actions.append({"remove": r})
     for rel in fresh + changed:
         # spec reconciliation: a same-commit add supersedes any remove
         # of the same path, so `changed` needs no explicit remove
         actions.append({"add": _add_action(rel)})
+    actions.extend(cdc_actions)
 
     backend.makedirs(log_dir)
     payload = "\n".join(json.dumps(a) for a in actions) + "\n"
@@ -344,17 +611,23 @@ def publish_delta_log(
 
 # writer features this append path actually honors. appendOnly: we
 # only append. columnMapping: files are written under physical names
-# (+ parquet field ids). deletionVectors / v2Checkpoint / timestampNtz
-# / vacuumProtocolCheck: no writer-side obligation for a pure append.
-# domainMetadata: appends need not write domain metadata. Everything
-# else (rowTracking's baseRowIds, identityColumns, generatedColumns,
-# checkConstraints enforcement, icebergCompat*) imposes per-commit
-# writer work this path does not do — refused loudly.
+# (+ parquet field ids, nested included). deletionVectors /
+# v2Checkpoint / timestampNtz / vacuumProtocolCheck: no writer-side
+# obligation for a pure append. domainMetadata: appends need not write
+# domain metadata. checkConstraints: ENFORCED — the staged batch is
+# validated against every delta.constraints.* expression (r13).
+# rowTracking: HONORED on append — adds carry baseRowId /
+# defaultRowCommitVersion and the delta.rowTracking high-water mark
+# advances via domainMetadata (r13; compaction still refuses it —
+# preserving ids across a rewrite needs materialized row-id columns).
+# Everything else (identityColumns, generatedColumns, icebergCompat*)
+# imposes per-commit writer work this path does not do — refused
+# loudly.
 _SUPPORTED_WRITER_FEATURES: frozenset = frozenset(
     {
         "appendOnly",
         "invariants",  # accepted only when the schema declares none
-        "checkConstraints",  # accepted only when none are configured
+        "checkConstraints",  # enforced on the appended batch
         "changeDataFeed",  # CDF readers derive add-only commits from adds
         "columnMapping",
         "deletionVectors",
@@ -362,6 +635,7 @@ _SUPPORTED_WRITER_FEATURES: frozenset = frozenset(
         "vacuumProtocolCheck",
         "v2Checkpoint",
         "domainMetadata",
+        "rowTracking",  # append assigns row-id ranges; compact refuses
     }
 )
 
@@ -403,12 +677,77 @@ def _check_writer_protocol(snap: dict, table_dir: str) -> None:
                 f"column {field['name']!r} of {table_dir} is an identity "
                 "column this appender does not assign — refusing"
             )
-    conf = snap.get("configuration") or {}
-    if any(k.startswith("delta.constraints.") for k in conf):
-        raise ValueError(
-            f"table {table_dir} declares CHECK constraints this appender "
-            "does not enforce — refusing"
-        )
+    # delta.constraints.* are ENFORCED on the appended batch (see
+    # append_delta_table), not refused; rowTracking is honored on
+    # append and refused by compaction (its own gate)
+
+
+def _phys_write_schema(logical, cm_mode: str):
+    """The schema data files are WRITTEN under: physical field names
+    (``delta.columnMapping.physicalName``, recursively — strict when
+    the table is mapped) with ``parquet.field.id`` metadata wherever
+    the table annotates ``delta.columnMapping.id`` (nested included;
+    Spark's parquet writer emits ids from schema metadata). Unmapped
+    tables pass through unchanged. Fields are declared nullable —
+    parquet optional — since Delta readers take nullability from the
+    log's schema, never the footers."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType as _StructType
+
+    from .delta import _ID_KEY, _PHYS_KEY
+
+    def walk_type(dt):
+        if isinstance(dt, _StructType):
+            return _StructType([walk_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(walk_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                walk_type(dt.keyType), walk_type(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def walk_field(f: StructField) -> StructField:
+        md = f.metadata or {}
+        phys = md.get(_PHYS_KEY)
+        if phys is None:
+            if cm_mode != "none":
+                raise ValueError(
+                    f"column-mapped schema field {f.name!r} carries no "
+                    f"{_PHYS_KEY} metadata — refusing rather than "
+                    "writing guessed physical columns"
+                )
+            phys = f.name
+        out_md = {}
+        if md.get(_ID_KEY) is not None:
+            out_md["parquet.field.id"] = int(md[_ID_KEY])
+        return StructField(phys, walk_type(f.dataType), True, out_md)
+
+    return _StructType([walk_field(f) for f in logical.fields])
+
+
+def _stage_physical(df, logical, cm_mode: str, extra_cols: list[str] = ()):
+    """``df`` (logical names) re-expressed under the physical WRITE
+    schema: top-level columns alias to their physical names WITH
+    ``parquet.field.id`` alias metadata, and a positional cast to the
+    metadata-bearing physical type renames nested struct fields and
+    carries THEIR ids (identical layout, names only — the inverse of
+    the read path's projection; verified against footers — alias
+    metadata is the form that survives plan optimization, a
+    ``DataFrame.to`` reconciliation gets collapsed out of the write
+    plan for simple attributes). ``extra_cols`` (staging-only columns
+    like the compaction bin id) ride through untouched."""
+    from pyspark.sql import functions as F
+
+    write_schema = _phys_write_schema(logical, cm_mode)
+    cols = [
+        F.col(lf.name)
+        .cast(wf.dataType)
+        .alias(wf.name, metadata=dict(wf.metadata or {}))
+        for lf, wf in zip(logical.fields, write_schema.fields)
+    ] + [F.col(c) for c in extra_cols]
+    return df.select(*cols)
 
 
 def append_delta_table(
@@ -436,7 +775,9 @@ def append_delta_table(
     N+1 — the staged files carry fresh UUID names, so a retry is just
     another commit attempt; ``max_retries`` losses raise. Name-mode
     column mapping writes PHYSICAL column names + parquet field ids
-    into the files (flat schemas; a nested mapped schema is refused);
+    into the files — NESTED fields included, renamed recursively via a
+    positional cast with field ids attached through the write schema
+    (r13; see _stage_physical);
     partitionValues are keyed by physical names. Protocols demanding
     writer features this path cannot honor (rowTracking, identity /
     generated columns, CHECK constraints, …) are refused loudly —
@@ -448,10 +789,9 @@ def append_delta_table(
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, MapType
     from pyspark.sql.types import StructType as _StructType
 
-    from .delta import _ID_KEY, _PHYS_KEY, delta_snapshot
+    from .delta import _PHYS_KEY, delta_snapshot
 
     backend = backend or _backend_for(table_dir, spark)
     td = table_dir.rstrip("/")
@@ -459,19 +799,26 @@ def append_delta_table(
     _check_writer_protocol(snap, td)
     logical = _StructType.fromJson(json.loads(snap["schema_json"]))
     cm_mode = snap["column_mapping_mode"]
-    if cm_mode != "none":
-        nested = any(
-            isinstance(f.dataType, (_StructType, ArrayType, MapType))
-            for f in logical.fields
-        )
-        if nested:
-            raise ValueError(
-                f"append into column-mapped {td} supports FLAT schemas "
-                "only (nested physical renames on the write path are "
-                "not implemented) — refusing"
+    def _bare(dt):
+        # structural type identity: nested StructFields embed the
+        # table's columnMapping metadata (and declared nullability)
+        # inside the dataType — neither makes an append a different
+        # shape, so strip both recursively before comparing
+        from pyspark.sql.types import ArrayType, MapType, StructField
+        from pyspark.sql.types import StructType as _ST
+
+        if isinstance(dt, _ST):
+            return _ST(
+                [StructField(f.name, _bare(f.dataType), True) for f in dt.fields]
             )
-    got = {f.name: f.dataType for f in df.schema.fields}
-    want = {f.name: f.dataType for f in logical.fields}
+        if isinstance(dt, ArrayType):
+            return ArrayType(_bare(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(_bare(dt.keyType), _bare(dt.valueType), True)
+        return dt
+
+    got = {f.name: _bare(f.dataType) for f in df.schema.fields}
+    want = {f.name: _bare(f.dataType) for f in logical.fields}
     if got != want:
         raise ValueError(
             f"append schema mismatch for {td}: table declares "
@@ -502,19 +849,52 @@ def append_delta_table(
                 "rows) — refusing to commit spec-violating data into "
                 "a foreign table"
             )
+    # CHECK constraints (r13): the spec's delta.constraints.* SQL
+    # expressions are ENFORCED on the appended batch — a row violates
+    # only when the expression is FALSE (NULL passes, SQL semantics).
+    # One batch-sized aggregate covers every constraint.
+    constraints = {
+        k[len("delta.constraints."):]: v
+        for k, v in (snap.get("configuration") or {}).items()
+        if k.startswith("delta.constraints.")
+    }
+    if constraints:
+        names = sorted(constraints)
+        counts = df.select(
+            *[
+                F.count(
+                    F.when(
+                        ~F.coalesce(
+                            F.expr(constraints[n]).cast("boolean"),
+                            F.lit(True),
+                        ),
+                        1,
+                    )
+                ).alias(f"__c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).first()
+        bad = [
+            (n, constraints[n], int(counts[f"__c{i}"]))
+            for i, n in enumerate(names)
+            if counts[f"__c{i}"]
+        ]
+        if bad:
+            raise ValueError(
+                f"append into {td} violates CHECK constraint(s) "
+                f"{[(n, e, c) for n, e, c in bad]} — refusing to "
+                "commit constraint-violating data into a foreign table"
+            )
+
     pcols = list(snap["partition_columns"])
     phys = {
         f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) for f in logical.fields
     }
-    fids = {f.name: (f.metadata or {}).get(_ID_KEY) for f in logical.fields}
 
     # stage: data columns under PHYSICAL names (+ field ids when
-    # mapped), hive-partitioned by the PHYSICAL partition columns
-    cols = []
-    for f in logical.fields:
-        md = {"parquet.field.id": int(fids[f.name])} if fids[f.name] is not None else {}
-        cols.append(F.col(f.name).alias(phys[f.name], metadata=md))
-    staged = df.select(*cols)
+    # mapped, nested included — see _stage_physical), hive-partitioned
+    # by the PHYSICAL partition columns
+    staged = _stage_physical(df, logical, cm_mode)
     stage_root = _tempfile.mkdtemp(prefix="fp_delta_append_")
     try:
         writer_df = staged
@@ -544,38 +924,80 @@ def append_delta_table(
                             if val == "__HIVE_DEFAULT_PARTITION__"
                             else unquote(val)
                         )
+                import pyarrow.parquet as _pq
+
+                n_rows = int(_pq.read_metadata(f"{root}/{n}").num_rows)
                 rel = f"part-{_uuid.uuid4().hex}.parquet"
                 with open(f"{root}/{n}", "rb") as fh:
                     backend.write_bytes(f"{td}/{rel}", fh.read())
-                moves.append((rel, pvals, 0))
+                moves.append((rel, pvals, n_rows))
     finally:
         _shutil.rmtree(stage_root, ignore_errors=True)
     if not moves:
         return snap["version"]  # empty frame: nothing to commit
 
-    def _adds() -> list[dict]:
-        out = []
-        for rel, pvals, _n in sorted(moves):
-            out.append(
+    row_tracking = "rowTracking" in set(
+        (snap.get("protocol") or {}).get("writerFeatures") or []
+    )
+
+    def _payload(at_snap: dict, commit_v: int) -> str:
+        # rowTracking (r13): fresh adds take consecutive row-id ranges
+        # from the table's delta.rowTracking high-water mark, stamp
+        # defaultRowCommitVersion with THIS commit's version, and the
+        # commit advances the mark via domainMetadata — recomputed per
+        # put-if-absent attempt (a retry lands at a new version and a
+        # possibly-moved mark)
+        actions = []
+        next_id = None
+        if row_tracking:
+            hwm = -1
+            conf_s = (at_snap.get("domain_metadata") or {}).get(
+                "delta.rowTracking"
+            )
+            if conf_s:
+                try:
+                    hwm = int(json.loads(conf_s).get("rowIdHighWaterMark", -1))
+                except (ValueError, TypeError, AttributeError):
+                    raise ValueError(
+                        f"unparseable delta.rowTracking domain metadata "
+                        f"in {td}: {conf_s!r}"
+                    )
+            next_id = hwm + 1
+        for rel, pvals, n_rows in sorted(moves):
+            add = {
+                "path": rel,
+                "partitionValues": pvals,
+                "size": backend.file_size(f"{td}/{rel}") or 0,
+                "modificationTime": int(
+                    (backend.mtime(f"{td}/{rel}") or 0) * 1000
+                ),
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": n_rows}),
+            }
+            if row_tracking:
+                add["baseRowId"] = next_id
+                add["defaultRowCommitVersion"] = commit_v
+                next_id += n_rows
+            actions.append({"add": add})
+        if row_tracking:
+            actions.append(
                 {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pvals,
-                        "size": backend.file_size(f"{td}/{rel}") or 0,
-                        "modificationTime": int(
-                            (backend.mtime(f"{td}/{rel}") or 0) * 1000
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": next_id - 1}
                         ),
-                        "dataChange": True,
+                        "removed": False,
                     }
                 }
             )
-        return out
+        return "\n".join(json.dumps(a) for a in actions) + "\n"
 
     log_dir = f"{td}/_delta_log"
-    payload = "\n".join(json.dumps(a) for a in _adds()) + "\n"
     attempt_snap = snap
     for _attempt in range(max_retries + 1):
         next_v = attempt_snap["version"] + 1
+        payload = _payload(attempt_snap, next_v)
         if backend.create_exclusive(f"{log_dir}/{next_v:020d}.json", payload):
             return next_v
         # lost the put-if-absent race: re-read, re-validate, retry
@@ -643,32 +1065,30 @@ def compact_delta_table(
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, MapType
     from pyspark.sql.types import StructType as _StructType
 
-    from .delta import _ID_KEY, _PHYS_KEY, delta_snapshot, read_delta
+    from .delta import _PHYS_KEY, delta_snapshot, read_delta
 
     backend = backend or _backend_for(table_dir, spark)
     td = table_dir.rstrip("/")
     snap = delta_snapshot(td, spark=spark, backend=backend)
     _check_writer_protocol(snap, td)
+    if "rowTracking" in set(
+        (snap.get("protocol") or {}).get("writerFeatures") or []
+    ):
+        raise ValueError(
+            f"compaction of {td} is refused: the table tracks row IDs "
+            "(rowTracking) and a rewrite can only preserve them by "
+            "materializing row-id columns into the files, which this "
+            "writer does not do — append_delta_table still works"
+        )
     if len(snap["files"]) < min_files:
         return None
     logical = _StructType.fromJson(json.loads(snap["schema_json"]))
-    if snap["column_mapping_mode"] != "none" and any(
-        isinstance(f.dataType, (_StructType, ArrayType, MapType))
-        for f in logical.fields
-    ):
-        raise ValueError(
-            f"compaction of column-mapped {td} supports FLAT schemas "
-            "only (nested physical renames on the write path are not "
-            "implemented) — refusing"
-        )
     pcols = list(snap["partition_columns"])
     phys = {
         f.name: (f.metadata or {}).get(_PHYS_KEY, f.name) for f in logical.fields
     }
-    fids = {f.name: (f.metadata or {}).get(_ID_KEY) for f in logical.fields}
 
     # --- bin plan: driver-side greedy pack from the snapshot's sizes
     # (metadata-sized), one bin never crossing a partition tuple ------
@@ -699,11 +1119,9 @@ def compact_delta_table(
         sorted(bin_of.items()), "__fp_file string, __fp_bin int"
     )
     binned = live.join(F.broadcast(bin_lookup), "__fp_file").drop("__fp_file")
-    cols = []
-    for f in logical.fields:
-        md = {"parquet.field.id": int(fids[f.name])} if fids[f.name] is not None else {}
-        cols.append(F.col(f.name).alias(phys[f.name], metadata=md))
-    staged = binned.select(*cols, "__fp_bin")
+    staged = _stage_physical(
+        binned, logical, snap["column_mapping_mode"], extra_cols=["__fp_bin"]
+    )
     stage_root = _tempfile.mkdtemp(prefix="fp_delta_opt_")
     try:
         # ONE shuffle keyed by bin, one parallel task per bin; the

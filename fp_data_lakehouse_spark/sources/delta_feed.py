@@ -12,6 +12,13 @@ Semantics follow the public Delta source contract:
   replays the log's APPENDED files from version ``n`` inclusive
   (Delta's startingVersion contract: a nonexistent version fails
   loudly; latest+1 tails from the next commit).
+- ``option("startingTimestamp", t)`` (r13) resolves ``t`` (epoch
+  seconds or ISO-8601, naive = UTC) to the EARLIEST version whose
+  monotonic-adjusted commit time is at or after it — every commit at
+  or after the timestamp replays, Delta-source parity — then behaves
+  exactly like startingVersion; a timestamp past the newest commit
+  tails from the next commit. Mutually exclusive with
+  startingVersion.
 - **dataChange semantics** (Delta's streaming-source contract): only
   actions with ``dataChange: true`` matter. An OPTIMIZE/compaction
   commit (removes + adds with ``dataChange: false`` — a rearrangement,
@@ -99,10 +106,12 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 from pyspark.sql.types import LongType, StructField, StructType
 
 from .delta import (
+    _adjusted_commit_times,
     _check_protocol,
     _dv_file_path,
     _log_entries,
     _physicalize,
+    _ts_to_epoch,
     delta_snapshot,
 )
 from .roaring import deserialize_rbm_array, positions_from_dv_blob, z85_decode
@@ -165,6 +174,14 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         self._td = table_dir.rstrip("/")
         sv = options.get("startingversion")
         self._starting_version = int(sv) if sv is not None else None
+        st = options.get("startingtimestamp")
+        if st is not None:
+            if sv is not None:
+                raise ValueError(
+                    "pass either startingVersion or startingTimestamp, "
+                    "not both (Delta source contract)"
+                )
+            self._starting_version = self._resolve_starting_timestamp(st)
         self._skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
         self._cdf = str(options.get("readchangefeed", "")).lower() == "true"
         if self._cdf and self._skip_change:
@@ -252,6 +269,33 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         self._read_arrow = {
             n: to_arrow_type(phys_by_logical[n].dataType) for n in self._data_cols
         }
+
+    def _resolve_starting_timestamp(self, st) -> int:
+        """Delta's STREAMING startingTimestamp contract (r12 verdict
+        item 6): the stream replays every commit whose (monotonic-
+        adjusted, same as delta_version_as_of) commit time is AT OR
+        AFTER the timestamp — i.e. the EARLIEST such version. A
+        timestamp past the newest commit tails from the next commit
+        (latest+1 — Delta's canReturnLastCommit shape, not an error:
+        a stream is forward-looking, unlike batch AS OF). A timestamp
+        at or before the earliest retained commit starts there."""
+        try:
+            ts = float(st)  # options arrive as strings: epoch-seconds
+        except (TypeError, ValueError):
+            ts = _ts_to_epoch(st)  # ISO-8601 (naive = UTC)
+        backend = _backend(self._td)
+        log_dir = f"{self._td}/_delta_log"
+        commits, _cps = _log_entries(log_dir, backend)
+        if not commits:
+            raise ValueError(
+                f"startingTimestamp on {self._td}: the table has no "
+                "commit JSON retained to resolve a timestamp against"
+            )
+        adjusted = _adjusted_commit_times(log_dir, commits, backend)
+        for c, mt in adjusted:
+            if mt >= ts:
+                return c
+        return adjusted[-1][0] + 1  # beyond the head: tail from next
 
     # --- position bookkeeping ---------------------------------------------
 

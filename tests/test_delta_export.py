@@ -107,6 +107,105 @@ def test_export_dv_snapshot_real_bitmaps(spark, tmp_path):
     assert _ids(back.select("id")) == {(i,) for i in range(300) if i % 10}
 
 
+def test_export_cdf_dv_commit_roundtrip(spark, tmp_path):
+    """CDF write-side (r12 verdict item 2): a DV-changing export on a
+    CDF-enabled table writes _change_data cdc files and cdc actions, so
+    read_delta_changes consumes this engine's own DV commits instead of
+    refusing; append-shaped exports stay derive-path (no cdc bytes);
+    the SECOND dv wave's cdc carries only the NEWLY-masked rows."""
+    from fp_data_lakehouse_spark.sources.delta import read_delta_changes
+
+    td = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    write_version(df.repartitionByRange(2, "id"), td, manifest=True)
+    assert publish_delta_log(spark, td, version=1, enable_cdf=True) == 0
+    log = f"{td}/_delta_log"
+    with open(f"{log}/{0:020d}.json") as f:
+        acts0 = [json.loads(ln) for ln in f]
+    assert not any("cdc" in a for a in acts0)  # pure append: derive path
+    meta0 = next(a["metaData"] for a in acts0 if "metaData" in a)
+    assert meta0["configuration"]["delta.enableChangeDataFeed"] == "true"
+    proto0 = next(a["protocol"] for a in acts0 if "protocol" in a)
+    assert proto0["minWriterVersion"] == 4  # CDF's legacy writer floor
+
+    # DV delete -> the export MUST be cdc-authoritative (enable_cdf is
+    # sticky: not passed again)
+    assert delete_where_dv(spark, td, F.expr("id % 10 = 0")) == 2
+    assert publish_delta_log(spark, td, version=2) == 1
+    with open(f"{log}/{1:020d}.json") as f:
+        acts1 = [json.loads(ln) for ln in f]
+    cdcs = [a["cdc"] for a in acts1 if "cdc" in a]
+    assert cdcs and all(
+        a["path"].startswith("_change_data/") and a["size"] > 0 for a in cdcs
+    )
+    assert any(
+        (a.get("add") or {}).get("deletionVector") for a in acts1
+    ), "the DV re-add still rides the commit"
+
+    # the round-trip the r12 verdict flagged as refused:
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in read_delta_changes(spark, td, 1, 1).collect()
+    }
+    assert got == {(i, "delete", 1) for i in range(0, 100, 10)}
+    full = {
+        (r.id, r._change_type, r._commit_version)
+        for r in read_delta_changes(spark, td, 0).collect()
+    }
+    assert full == {(i, "insert", 0) for i in range(100)} | {
+        (i, "delete", 1) for i in range(0, 100, 10)
+    }
+
+    # a second wave masks MORE rows: its cdc carries only the new ones
+    assert delete_where_dv(spark, td, F.expr("id % 10 = 5")) == 3
+    assert publish_delta_log(spark, td, version=3) == 2
+    got2 = {
+        (r.id, r._change_type, r._commit_version)
+        for r in read_delta_changes(spark, td, 2, 2).collect()
+    }
+    assert got2 == {(i, "delete", 2) for i in range(5, 100, 10)}
+    # live reads are unaffected
+    assert _ids(read_delta(spark, td).select("id")) == {
+        (i,) for i in range(100) if i % 10 not in (0, 5)
+    }
+
+
+def test_export_cdf_remove_carries_descriptor(spark, tmp_path):
+    """An export that DROPS a previously-DV'd file (CoW rewrite after a
+    dv delete) emits the remove with its prior deletionVector
+    descriptor, so derive-path CDF readers subtract already-dead
+    positions — and with CDF enabled the commit is cdc-authoritative
+    with exactly the live rows as deletes."""
+    from fp_data_lakehouse_spark.sources.delta import read_delta_changes
+
+    td = str(tmp_path / "t")
+    write_version(
+        spark.range(40).selectExpr("id", "id AS v").coalesce(1), td,
+        manifest=True,
+    )
+    assert delete_where_dv(spark, td, F.expr("id < 10")) == 2
+    assert publish_delta_log(spark, td, version=2, enable_cdf=True) == 0
+
+    # CoW delete rewrites the file set: old dv'd file removed
+    assert delete_where_cow(spark, td, F.expr("id >= 30")) == 3
+    assert publish_delta_log(spark, td, version=3) == 1
+    log = f"{td}/_delta_log"
+    with open(f"{log}/{1:020d}.json") as f:
+        acts1 = [json.loads(ln) for ln in f]
+    removes = [a["remove"] for a in acts1 if "remove" in a]
+    assert removes and any(r.get("deletionVector") for r in removes)
+
+    got = {
+        (r.id, r._change_type)
+        for r in read_delta_changes(spark, td, 1, 1).collect()
+    }
+    # the rewrite: removed file's LIVE rows (10..39) delete, fresh
+    # file's rows (10..29) insert — never the dv-dead ids 0..9
+    assert got == {(i, "delete") for i in range(10, 40)} | {
+        (i, "insert") for i in range(10, 30)
+    }
+
+
 def test_export_column_mapped_snapshot(spark, tmp_path):
     """RENAME + ADD COLUMN export as name-mode columnMapping: logical
     names with physicalName metadata over unchanged physical files;
@@ -463,13 +562,109 @@ def test_append_refuses_unsupported_writer_features(spark, tmp_path):
     from fp_data_lakehouse_spark.sources.delta_export import append_delta_table
 
     td, log = _foreign_log(spark, tmp_path)
-    # upgrade the protocol to demand rowTracking
+    # upgrade the protocol to demand generated columns (rowTracking,
+    # the r12 example, is HONORED since r13 — see the tests below)
     with open(f"{log}/{1:020d}.json", "w", encoding="utf-8") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": [], "writerFeatures": ["rowTracking"]}}) + "\n")
-    with pytest.raises(ValueError, match="rowTracking"):
+            "readerFeatures": [],
+            "writerFeatures": ["generatedColumns"]}}) + "\n")
+    with pytest.raises(ValueError, match="generatedColumns"):
         append_delta_table(spark, td, spark.range(1).selectExpr("id", "id AS v"))
+
+
+def test_append_rowtracking_assigns_row_ids(spark, tmp_path):
+    """r12 verdict stretch item 8: appending into a rowTracking table
+    assigns consecutive baseRowId ranges from the delta.rowTracking
+    high-water mark, stamps defaultRowCommitVersion, and advances the
+    mark via a domainMetadata action — across TWO appends; compaction
+    refuses the table (a rewrite cannot preserve ids without
+    materializing them)."""
+    from fp_data_lakehouse_spark.sources.delta_export import (
+        append_delta_table,
+        compact_delta_table,
+    )
+
+    td, log = _foreign_log(spark, tmp_path)  # base.parquet: 20 rows
+    with open(f"{log}/{1:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": [],
+            "writerFeatures": ["rowTracking", "domainMetadata"]}}) + "\n")
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 19}),
+            "removed": False}}) + "\n")
+
+    assert append_delta_table(
+        spark, td,
+        spark.range(20, 30).selectExpr("id", "id * 2 AS v").coalesce(1),
+    ) == 2
+    with open(f"{log}/{2:020d}.json") as f:
+        acts = [json.loads(ln) for ln in f]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert len(adds) == 1
+    assert adds[0]["baseRowId"] == 20
+    assert adds[0]["defaultRowCommitVersion"] == 2
+    assert json.loads(adds[0]["stats"])["numRecords"] == 10
+    dm = next(a["domainMetadata"] for a in acts if "domainMetadata" in a)
+    assert dm["domain"] == "delta.rowTracking"
+    assert json.loads(dm["configuration"])["rowIdHighWaterMark"] == 29
+
+    # the mark replays through the snapshot: a second append continues
+    assert append_delta_table(
+        spark, td,
+        spark.range(30, 35).selectExpr("id", "id * 2 AS v").coalesce(1),
+    ) == 3
+    with open(f"{log}/{3:020d}.json") as f:
+        acts3 = [json.loads(ln) for ln in f]
+    assert [a["add"]["baseRowId"] for a in acts3 if "add" in a] == [30]
+    dm3 = next(a["domainMetadata"] for a in acts3 if "domainMetadata" in a)
+    assert json.loads(dm3["configuration"])["rowIdHighWaterMark"] == 34
+    assert _ids(read_delta(spark, td).select("id")) == {
+        (i,) for i in range(35)
+    }
+
+    with pytest.raises(ValueError, match="rowTracking"):
+        compact_delta_table(spark, td, min_files=1)
+
+
+def test_append_enforces_check_constraints(spark, tmp_path):
+    """r13: delta.constraints.* flip from refusal to ENFORCEMENT — a
+    violating batch is refused with the constraint named; a clean batch
+    (including NULLs, which PASS per SQL CHECK semantics) commits."""
+    import shutil
+
+    from fp_data_lakehouse_spark.sources.delta_export import append_delta_table
+
+    td, log = _foreign_log(spark, tmp_path)
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    with open(f"{log}/{1:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"metaData": {
+            "id": "ft", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {"delta.constraints.v_nonneg": "v >= 0"}}})
+            + "\n")
+
+    with pytest.raises(ValueError, match="v_nonneg"):
+        append_delta_table(
+            spark, td,
+            spark.range(20, 25).selectExpr("id", "id - 100 AS v"),
+        )
+    # NULL passes (SQL CHECK semantics); non-violating rows commit
+    assert append_delta_table(
+        spark, td,
+        spark.range(20, 25).selectExpr(
+            "id", "CASE WHEN id = 22 THEN NULL ELSE id END AS v"
+        ),
+    ) == 2
+    assert read_delta(spark, td).count() == 25
 
 
 def test_append_partitioned_and_mapped(spark, tmp_path):
@@ -514,6 +709,93 @@ def test_append_partitioned_and_mapped(spark, tmp_path):
     assert all(set(pv) == {"c-2"} for pv in snap["files"].values())
     back = read_delta(spark, td)
     assert _ids(back.select("id", "bucket")) == {(i, i % 3) for i in range(12)}
+
+
+def test_append_and_compact_nested_mapped(spark, tmp_path):
+    """r12 verdict item 5: NESTED schemas physicalize on the write path
+    (recursive rename via positional cast + parquet field ids through
+    the write schema) — a name-mapped foreign table with a struct
+    column round-trips append AND bin-packed compaction; the staged
+    files carry physical names and field ids at every level."""
+    import pyarrow.parquet as pq
+
+    from fp_data_lakehouse_spark.sources.delta_export import (
+        append_delta_table,
+        compact_delta_table,
+    )
+    from tests.test_delta_reader_features import _commit as _rcommit
+    from tests.test_delta_reader_features import _stage
+
+    logical = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "nested",
+             "type": {"type": "struct", "fields": [
+                 {"name": "score", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-ccc"}},
+             ]},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    })
+    td = str(tmp_path / "nm")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    a0 = _stage(
+        spark, td, "f0.parquet", 0, 10,
+        exprs=("id AS `col-aaa`", "named_struct('col-ccc', id * 2) AS `col-bbb`"),
+    )
+    _rcommit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "nm", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": logical, "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"}}},
+        a0,
+    ])
+
+    new = spark.range(10, 20).selectExpr(
+        "id", "named_struct('score', id * 2) AS nested"
+    )
+    assert append_delta_table(spark, td, new) == 1
+    back = read_delta(spark, td)
+    assert back.columns == ["id", "nested"]
+    assert {(r.id, r.nested.score) for r in back.collect()} == {
+        (i, i * 2) for i in range(20)
+    }
+    # the staged file's footer: physical names + field ids, nested too
+    snap = delta_snapshot(td, spark=spark)
+    staged = [p for p in snap["files"] if p != "f0.parquet"]
+    sch = pq.read_schema(f"{td}/{staged[0]}")
+    assert sch.names == ["col-aaa", "col-bbb"]
+    assert sch.field("col-bbb").type.field(0).name == "col-ccc"
+    assert sch.field("col-aaa").metadata[b"PARQUET:field_id"] == b"1"
+    assert (
+        sch.field("col-bbb").type.field(0).metadata[b"PARQUET:field_id"] == b"3"
+    )
+
+    # compaction (bin-packed rewrite) round-trips the same nested shape
+    assert compact_delta_table(spark, td) == 2
+    assert {(r.id, r.nested.score)
+            for r in read_delta(spark, td).collect()} == {
+        (i, i * 2) for i in range(20)
+    }
+
+    # a frame whose nested NAMES diverge is still a schema mismatch
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_delta_table(
+            spark, td,
+            spark.range(3).selectExpr(
+                "id", "named_struct('points', id) AS nested"
+            ),
+        )
 
 
 def test_export_10m_row_dv_bounded_driver(spark, tmp_path, monkeypatch):
@@ -731,8 +1013,9 @@ def test_compact_bin_packed_parallel_rewrite(spark, tmp_path, monkeypatch):
         )
     snap = delta_snapshot(td, spark=spark)
     assert len(snap["files"]) == 4
-    # target = half the table -> exactly 2 bins of the 4 similar files
-    target = sum(snap["sizes"].values()) // 2 + 1
+    # target fits any TWO near-equal files but never three — exactly 2
+    # bins of the 4 files regardless of the uuid-name pack order
+    target = 2 * max(snap["sizes"].values()) + 1
 
     def _no_coalesce(self, *_a, **_k):
         raise AssertionError("compaction must never coalesce")

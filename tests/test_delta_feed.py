@@ -96,6 +96,65 @@ def test_starting_version_replay(spark, tmp_path):
         _drain(spark, td, str(tmp_path / "w2"), {"startingVersion": "9"})
 
 
+def test_starting_timestamp_replay(spark, tmp_path):
+    """r12 verdict item 6 — the startingVersion replay twin keyed by
+    TIME: startingTimestamp resolves to the earliest commit at or
+    after the timestamp (monotonic-adjusted commit times, the
+    delta_version_as_of machinery) and replays from there; a timestamp
+    past the head tails from the next commit; passing both starting
+    options is refused."""
+    import os
+    import time
+
+    td, log, adds = _log(tmp_path, spark, n_files=3)
+    _commit(log, 0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                     _meta(), adds[0]])
+    _commit(log, 1, [adds[1]])
+    _commit(log, 2, [adds[2]])
+    # pin distinct, ordered mtimes so the timestamp cut is exact
+    base = time.time() - 3600
+    for v in (0, 1, 2):
+        os.utime(f"{log}/{v:020d}.json", (base + v * 100, base + v * 100))
+
+    # cut between v0 and v1 -> replay v1..v2, no initial snapshot
+    rows = _drain(
+        spark, td, str(tmp_path / "w1"),
+        {"startingTimestamp": str(base + 50)},
+    )
+    assert {(r.id, r._commit_version) for r in rows} == {
+        (i, 1) for i in range(10, 20)
+    } | {(i, 2) for i in range(20, 30)}
+
+    # exactly v2's time -> v2 replays (inclusive "at or after")
+    rows2 = _drain(
+        spark, td, str(tmp_path / "w2"),
+        {"startingTimestamp": str(base + 200)},
+    )
+    assert {(r.id, r._commit_version) for r in rows2} == {
+        (i, 2) for i in range(20, 30)
+    }
+
+    # past the head: tail-only — nothing pending now, a later commit
+    # arrives with its own version
+    work3 = str(tmp_path / "w3")
+    rows3 = _drain(
+        spark, td, work3, {"startingTimestamp": str(base + 10_000)},
+    )
+    assert rows3 == []
+    a3 = _stage(spark, td, "f3.parquet", 30, 35)
+    _commit(log, 3, [a3])
+    rows3b = _drain(
+        spark, td, work3, {"startingTimestamp": str(base + 10_000)},
+    )
+    assert {(r.id, r._commit_version) for r in rows3b} == {
+        (i, 3) for i in range(30, 35)
+    }
+
+    with pytest.raises(Exception, match="not both"):
+        _drain(spark, td, str(tmp_path / "w4"),
+               {"startingTimestamp": str(base), "startingVersion": "1"})
+
+
 def test_change_commit_gate_and_skip(spark, tmp_path):
     td, log, adds = _log(tmp_path, spark, n_files=2)
     _commit(log, 0, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
