@@ -51,75 +51,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 12: ALL 235 round-11
-    # oracle-backed queries driver-green across r1-r11 (VERDICT r11
-    # verified the union; vintage histogram r7:36, r8:50, r9:49,
-    # r10:50, r11:50). Round 12 front-loads (a) the CERTIFICATION
-    # ROTATION the r11 verdict specified: all 36 r7-vintage rows
-    # lead the window; (b) the SEVEN new round-12 certificates —
-    # dl05/st18 (admission control: maxFilesPerTrigger splits the
-    # initial snapshot / a big version into bounded, restart-exact
-    # micro-batches on BOTH streaming sources), dl06 (id-mode column
-    # mapping via parquet field ids), dl07 (v2 spec checkpoint +
-    # sidecars), dl08 (nested name-mapped schema through the feed),
-    # dl09 (dataChange=false OPTIMIZE commits pass over silently),
-    # io17 (append_delta_table: add-only commits into a foreign
-    # log); then (c) the first 7 r8-vintage rows alphabetically to
-    # fill the 50 and keep rotation a round ahead. Everything stays
-    # re-validated locally by tests/test_oracle_parity.py.
-    "ag01_customer_spend_slope",
-    "ag02_event_value_outliers",
-    "dd07_embedding_neardup_pairs",
-    "dd10_ngram_jaccard_capped",
-    "dd11_cross_split_contamination",
-    "dd12_duplicated_segments",
-    "dd13_neardup_dedup_keep",
-    "dd14_latest_per_key",
-    "dd19_semantic_dedup_keep",
-    "ev01_hourly_tumbling_counts",
-    "ev02_user_sessions",
-    "ev03_top_events_per_type_day",
-    "ev04_error_rate_by_user_bucket",
-    "ev05_purchase_click_attribution",
-    "ev06_session_windows",
-    "ev07_props_json_rollup",
-    "ev10_conversion_funnel",
-    "ev11_weekly_retention",
-    "ev28_dynamic_gap_sessions",
-    "io11_xml_roundtrip_nested",
-    "q34_balance_quartiles",
-    "q35_order_value_stats_by_status",
-    "q36_calendar_rollup",
-    "q37_revenue_cube",
-    "q43_recursive_ancestor_paths",
-    "q44_lateral_top_orders",
-    "st12_stream_fullouter_interval_join",
-    "st13_stream_dynamic_gap_sessions",
-    "tx01_language_id",
-    "tx02_quality_scores",
-    "tx03_quality_filter",
-    "tx04_token_counts",
-    "tx05_corpus_token_budget",
-    "tx06_fingerprints",
-    "tx07_curation_pipeline",
-    "tx08_tfidf_top_terms",
-    # new round-12 certificates
-    "dl05_delta_feed_rate_limited",
-    "dl06_delta_id_mapping",
-    "dl07_delta_v2_checkpoint",
-    "dl08_delta_feed_nested_mapped",
-    "dl09_delta_feed_compaction_passover",
-    "dl10_delta_change_feed",
-    "dl11_delta_feed_change_stream",
-    "io17_delta_foreign_append",
+    # Cumulative record entering round 13: 245/245 oracle-backed
+    # queries driver-green across r1-r12 (r12 VERDICT verified the
+    # union; latest-green vintage histogram r8:46, r9:49, r10:50,
+    # r11:50, r12:50 — no row older than 5 rounds). Round 13
+    # front-loads (a) the CERTIFICATION ROTATION the r12 verdict
+    # specified: ALL 46 r8-vintage rows lead the window; (b) the
+    # FOUR new/changed round-13 certificates — dl12 (CDF write-side:
+    # publish_delta_log emits _change_data cdc files for DV-changing
+    # exports, consumed end-to-end by read_delta_changes AND the
+    # readChangeFeed stream), io18 (re-certified after the bin-packed
+    # parallel compaction rewrite replaced coalesce(1)), io19
+    # (nested-schema column-mapped append/compaction), io20
+    # (rowTracking append: baseRowId assignment + high-water-mark
+    # domainMetadata). Everything stays re-validated locally by
+    # tests/test_oracle_parity.py.
+    "ev12_interevent_gaps",
+    "ev13_hourly_anomaly_zscore",
+    "ev14_gapfill_locf",
+    "ev15_markov_transitions",
+    "ev16_time_to_conversion",
+    "io08_python_datasource_timetravel",
+    "io09_python_datasource_write",
+    "io12_manifest_data_skipping",
+    "mm02_media_features",
+    "mm03_frame_sample",
+    "mm04_audio_energy_windows",
+    "q38_above_nation_avg_balance",
+    "q39_grouping_sets_revenue",
+    "sim01_cosine_topk_bruteforce",
+    "sim03_label_centroid_assignment",
+    "sim05_kmeans_lloyd_step",
+    "sk01_user_cardinality_exact",
+    "sk03_value_quantiles_exact",
+    "sk05_heavy_hitters",
+    "sp01_train_val_test_split",
+    "sp02_stratified_sample",
+    "sp03_language_rebalance",
+    "sp04_temporal_split",
+    "sp05_kfold_assignment",
+    "sp09_temperature_resample",
+    "st06_python_stream_version_feed",
+    "st10_python_stream_sink_versions",
+    "st14_stateful_checkpoint_restart",
+    "st15_stream_manifest_merge",
+    "tx09_quality_percentile_gate",
+    "tx10_context_packing",
+    "tx11_pii_scrub",
+    "tx12_bigram_topk",
+    "tx13_repetition_score",
+    "vt01_version_change_feed",
+    "vt02_scd2_priority_history",
+    "vt03_time_travel_read",
+    "vt04_retention_plan",
+    "vt05_hadoopfs_backend_lifecycle",
+    "vt06_fsck_crash_recovery",
+    "vt07_conditional_put_lifecycle",
+    "vt08_compaction_identity",
+    "vt09_fsck_live_writer_lease",
+    "vt10_manifest_commit_lifecycle",
+    "vt11_cow_delete_lifecycle",
+    "vt12_cow_merge_lifecycle",
+    # new/changed round-13 certificates
+    "dl12_delta_cdf_export_roundtrip",
     "io18_delta_maintenance_writer",
-    "st18_versioned_feed_rate_limited",
-    # rotation fill: first 4 r8-vintage rows (alphabetical)
-    "dd19b_semantic_dedup_kmeans",
-    "et08_pdf_decode_pipeline",
-    "et09_pdf_quarantine_census",
-    "ev09b_user_event_profile_array",
-    # 50-row window ends here (36 r7 + 10 new + 4 r8)
+    "io19_delta_nested_mapped_append",
+    "io20_delta_rowtracking_append",
+    # 50-row window ends here (46 r8 + 4 new/changed)
 ]
 
 
@@ -129,8 +127,53 @@ def _ordered_names() -> list[str]:
     return pri + [n for n in REGISTRY if n not in seen]
 
 
+def _release_session_state(spark: SparkSession) -> None:
+    """Per-certificate session hygiene (r12 verdict item 4): release
+    the PREVIOUS certificate's session leavings before this one runs,
+    so a single vanilla-driver session covers the whole registry even
+    at sf0.1. What accumulates over 250+ lifecycle certificates:
+    lazy-localCheckpoint blocks pinned in the local-mode block manager
+    (ContextCleaner frees them only after a driver GC notices the dead
+    py4j proxy — deterministically unpersist instead), terminated
+    streaming queries held by the StreamingQueryManager, and the py4j
+    proxy graveyard itself (one collect + one JVM GC nudge so the
+    cleaner queue drains). Scratch DIRS are disk-side and already
+    atexit-reaped; temp views are the harness's to manage — never
+    dropped here (the driver's own fixtures may be views)."""
+    import gc
+
+    gc.collect()
+    try:
+        # py4j auto-converts the java.util.Map: iterate the VIEW, never
+        # .toArray() (an AttributeError there silently no-ops the loop)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+    except Exception:
+        pass
+    try:
+        spark.streams.resetTerminated()
+    except Exception:
+        pass
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
+def _janitored(builder: Builder) -> Builder:
+    import functools
+
+    @functools.wraps(builder)
+    def wrapped(spark: SparkSession, sf_dir: str):
+        _release_session_state(spark)
+        return builder(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Builder]:
-    return {name: REGISTRY[name].builder for name in _ordered_names()}
+    return {name: _janitored(REGISTRY[name].builder) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
