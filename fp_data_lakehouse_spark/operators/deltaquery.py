@@ -1693,3 +1693,187 @@ def io20_delta_rowtracking_append(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dl13: id-mode column mapping through the STREAMING feed
+# ---------------------------------------------------------------------------
+
+_DL13_SQL = _DL06_SQL  # same downstream aggregate as the batch id-mode cert
+
+
+@register("dl13_delta_feed_id_mapping", oracle=_DL13_SQL)
+def dl13_delta_feed_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id-mode column mapping through fp_delta_feed (round 13 — the
+    r12 refusal flips): the same opaque-physical-names + parquet
+    field-ids fixture dl06 certifies in batch, drained through a REAL
+    Structured Streaming query. Executors resolve each FILE's columns
+    by ``PARQUET:field_id`` schema metadata (file column names are
+    never consulted), a logical column whose id exists in no file
+    reads NULL, and rows arrive stamped with ``_commit_version``. The
+    oracle is dl06's — batch/stream id-mode parity by construction.
+
+    Scale: resolution is one footer-schema read per file partition —
+    the same metadata the parquet scan opens anyway; no extra pass."""
+    import shutil
+
+    from ..sources.pyds import register_python_sources
+
+    td = alloc_scratch(spark, "dl13_idfeed") + "/t"
+    os.makedirs(td, exist_ok=True)
+    names = _stage_bucket_files(
+        _cust_totals(spark, sf_dir), td, 3, cols=["c-1", "c-2"]
+    )
+    for n in names:
+        tmp = f"{td}/_rw_{n}"
+        df = spark.read.parquet(f"{td}/{n}")
+        df.select(
+            F.col("`c-1`").alias("c-1", metadata={"parquet.field.id": 1}),
+            F.col("`c-2`").alias("c-2", metadata={"parquet.field.id": 2}),
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        os.replace(f"{tmp}/{src}", f"{td}/{n}")
+        shutil.rmtree(tmp)
+
+    logical = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_custkey", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "c-1"}},
+                {"name": "cents", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "c-2"}},
+                {"name": "added_later", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 9,
+                              "delta.columnMapping.physicalName": "c-9"}},
+            ],
+        }
+    )
+    conf = {"delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "9"}
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(logical, [], configuration=conf),
+            *[_add(td, n) for n in names],
+        ],
+    )
+
+    register_python_sources(spark)
+    work = alloc_scratch(spark, "dl13_drain")
+    q = (
+        spark.readStream.format("fp_delta_feed").option("path", td).load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.read.parquet(f"{work}/out")
+    return (
+        drained.groupBy((F.col("o_custkey") % 3).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("sum_cents"),
+            F.count("added_later").alias("n_added"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# io21: VACUUM — storage reclaim closing the maintenance loop
+# ---------------------------------------------------------------------------
+
+_IO21_SQL = """
+WITH t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(1 AS INT) AS n_live_files,
+       CAST(0 AS INT) AS n_stale_left
+FROM t
+"""
+
+
+@register("io21_delta_vacuum_reclaim", oracle=_IO21_SQL)
+def io21_delta_vacuum_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM closes the maintenance-writer loop (round 13): three
+    appended bucket files are bin-packed by ``compact_delta_table``
+    into one (removes+adds, dataChange=false), an orphan from an
+    "aborted staging" is planted, and ``vacuum_delta_table`` (floor
+    deliberately overridden as a maintenance job would) reclaims the
+    three tombstoned files AND the orphan while the live compacted
+    file and the log survive. The result pins the census read AFTER
+    the reclaim plus the live/stale file counts — a vacuum that
+    deleted a live file flips the census; one that missed a stale
+    file flips n_stale_left.
+
+    Scale: vacuum is driver-side log replay + a recursive listing —
+    metadata-sized; deletes are per-object backend calls."""
+    from ..sources.delta import delta_snapshot, read_delta
+    from ..sources.delta_export import (
+        append_delta_table,
+        compact_delta_table,
+        vacuum_delta_table,
+    )
+
+    td = alloc_scratch(spark, "io21_vacuum") + "/t"
+    os.makedirs(td, exist_ok=True)
+    totals = _cust_totals(spark, sf_dir)
+    names = _stage_bucket_files(totals.where(F.col("o_custkey") % 3 == 0), td, 1)
+    log = f"{td}/_delta_log"
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_SCHEMA_PLAIN, []),
+            _add(td, names[0]),
+        ],
+    )
+    for b in (1, 2):
+        assert append_delta_table(
+            spark, td,
+            totals.where(F.col("o_custkey") % 3 == b)
+            .select("o_custkey", "cents").coalesce(1),
+        ) == b
+    assert compact_delta_table(spark, td) == 3
+    with open(f"{td}/orphan_staging.parquet", "wb") as f:
+        f.write(b"aborted")
+    import time as _time
+
+    # a day-old aborted staging (deterministic age vs the tiny window)
+    _old = _time.time() - 86400
+    os.utime(f"{td}/orphan_staging.parquet", (_old, _old))
+
+    pre_files = set(delta_snapshot(td, spark=spark)["files"])
+    deleted = set(
+        vacuum_delta_table(
+            spark, td, retention_hours=0.000001,
+            enforce_retention_floor=False,
+        )
+    )
+    assert "orphan_staging.parquet" in deleted
+    assert not (deleted & pre_files), "vacuum must never touch live files"
+    stale_left = sum(
+        1
+        for n in os.listdir(td)
+        if n.endswith(".parquet")
+        and n not in {p.rsplit("/", 1)[-1] for p in pre_files}
+    )
+    back = read_delta(spark, td)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents")
+    ).select(
+        "n_cust",
+        "sum_cents",
+        F.lit(len(pre_files)).cast("int").alias("n_live_files"),
+        F.lit(stale_left).cast("int").alias("n_stale_left"),
+    )

@@ -1483,3 +1483,130 @@ def _dv_tuple(desc: dict | None):
         desc.get("sizeInBytes"),
         desc.get("cardinality"),
     )
+
+
+def vacuum_delta_table(
+    spark: SparkSession,
+    table_dir: str,
+    retention_hours: float = 168.0,
+    backend=None,
+    dry_run: bool = False,
+    enforce_retention_floor: bool = True,
+) -> list[str]:
+    """VACUUM a Delta table (foreign or exported): delete data/DV
+    files that are NOT referenced by the current snapshot and are
+    older than the retention window — Delta's public VACUUM contract,
+    completing the maintenance-writer loop (append io17, OPTIMIZE
+    io18, checkpoint+retention, now the storage reclaim that makes
+    compaction actually free bytes and reaps this writer's own
+    documented orphans from aborted append/compaction stagings.
+
+    Candidates come from two sources: TOMBSTONES (paths a retained
+    ``remove`` action names, aged by the remove's
+    ``deletionTimestamp`` when present, else file mtime) and a
+    RECURSIVE LISTING of the table directory (``*.parquet`` /
+    ``*.bin`` only — conservative: vacuum never touches unknown
+    artifact kinds; directories starting with ``_`` or ``.`` are
+    skipped per Delta's listing rules, so ``_delta_log`` and
+    ``_change_data`` are exempt). A candidate is deleted when it is
+    not referenced by the CURRENT snapshot (data files AND
+    deletion-vector ``.bin`` files, which stay pinned while any live
+    add references them) and its age exceeds ``retention_hours``.
+    Files referenced only by OLDER versions are reclaimed once aged —
+    time travel past the window breaks, exactly Delta's documented
+    behavior.
+
+    ``retention_hours`` below the 168 h default is refused unless
+    ``enforce_retention_floor=False`` (the spec's guard against
+    deleting files a concurrent uncommitted writer just staged —
+    mirror of Delta's retentionDurationCheck). ``dry_run`` returns
+    the candidate rel paths without deleting. Returns the rel paths
+    deleted (or would-be). Driver-side and metadata-sized: the log
+    replay and listing never touch file bytes."""
+    from urllib.parse import unquote
+
+    import time as _time
+
+    from .delta import (
+        _dv_file_path,
+        _log_entries,
+        delta_snapshot,
+    )
+
+    backend = backend or _backend_for(table_dir, spark)
+    td = table_dir.rstrip("/")
+    if enforce_retention_floor and retention_hours < 168.0:
+        raise ValueError(
+            f"retention_hours={retention_hours} is below the 168 h "
+            "floor — a shorter window can delete files a concurrent "
+            "writer staged but has not committed; pass "
+            "enforce_retention_floor=False to override deliberately"
+        )
+    snap = delta_snapshot(td, spark=spark, backend=backend)
+    _check_writer_protocol(snap, td)
+
+    def _fs_path(raw: str) -> str:
+        p = unquote(raw)
+        return p if ("://" in p or p.startswith("/")) else f"{td}/{p}"
+
+    live: set[str] = {_fs_path(p) for p in snap["files"]}
+    for desc in snap["dv"].values():
+        if desc.get("storageType") in ("u", "p"):
+            live.add(_dv_file_path(desc, td))
+
+    # tombstones with their deletionTimestamp (ms) from retained commits
+    log_dir = f"{td}/_delta_log"
+    commits, _cps = _log_entries(log_dir, backend)
+    tomb_ts: dict[str, float] = {}
+    for c in commits:
+        txt = backend.read_text(f"{log_dir}/{c:020d}.json")
+        if txt is None:
+            continue
+        for line in txt.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            r = action.get("remove")
+            if r and r.get("path"):
+                ts = r.get("deletionTimestamp")
+                tomb_ts[_fs_path(r["path"])] = (
+                    float(ts) / 1000.0 if ts else None
+                )
+
+    # recursive listing for untracked orphans (conservative kinds only)
+    found: list[str] = []
+
+    def _walk(d: str, depth: int) -> None:
+        if depth > 10:
+            return
+        for n in backend.list_names(d):
+            if n.startswith("_") or n.startswith("."):
+                continue
+            p = f"{d}/{n}"
+            if n.endswith(".parquet") or n.endswith(".bin"):
+                found.append(p)
+            elif backend.list_names(p):
+                _walk(p, depth + 1)
+
+    _walk(td, 0)
+
+    cutoff = _time.time() - retention_hours * 3600.0
+    candidates: dict[str, float | None] = dict(tomb_ts)
+    for p in found:
+        candidates.setdefault(p, None)
+    doomed: list[str] = []
+    for p, ts in sorted(candidates.items()):
+        if p in live:
+            continue
+        age_ts = ts if ts is not None else backend.mtime(p)
+        if age_ts is None:
+            continue  # already gone (double vacuum, racing retention)
+        if age_ts < cutoff:
+            doomed.append(p)
+    rels = [p[len(td) + 1:] if p.startswith(f"{td}/") else p for p in doomed]
+    if dry_run:
+        return rels
+    for p in doomed:
+        backend.delete_file(p)
+    return rels

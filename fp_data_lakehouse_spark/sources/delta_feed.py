@@ -74,7 +74,10 @@ pending in one batch, as before.
 Feature support matches sources/delta.py: name-mode column mapping
 including NESTED schemas (struct/array/map field renames ride a
 zero-copy arrow ``view`` — physical and logical schemas differ only
-in field names), log-borne partition values (typed via Arrow cast),
+in field names), id-mode column mapping (r13: executors resolve each
+FILE's columns by ``PARQUET:field_id`` schema metadata — file column
+names are never consulted; a top-level id absent from a file reads
+NULL), log-borne partition values (typed via Arrow cast),
 deletion vectors in the initial snapshot. DV bitmaps decode
 EXECUTOR-side: partitions carry only the metadata-sized DESCRIPTOR
 (never position lists — a 10M-row DV would otherwise ride an ~80 MB
@@ -151,7 +154,7 @@ def _pos_key(offset: dict) -> tuple:
 class _DeltaFilePartition(InputPartition):
     def __init__(
         self, file_path, version, read_cols, pvals, dv_desc, table_dir,
-        ctype=None, is_cdc=False,
+        ctype=None, is_cdc=False, field_ids=None,
     ):
         self.file_path = file_path
         self.version = version
@@ -161,6 +164,7 @@ class _DeltaFilePartition(InputPartition):
         self.table_dir = table_dir  # for executor-side DV resolution
         self.ctype = ctype  # CDF: constant _change_type, or None
         self.is_cdc = is_cdc  # CDF: _change_type lives IN the file
+        self.field_ids = field_ids  # id mode: field id per DATA column
 
 
 class DeltaFeedStreamReader(DataSourceStreamReader):
@@ -226,16 +230,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             for k, v in (snap["configuration"] or {}).items()
             if k.startswith("delta.columnMapping.")
         }
-        if snap["column_mapping_mode"] == "id":
-            raise ValueError(
-                "fp_delta_feed does not yet support id-mode column "
-                "mapping (parquet field-id matching, the Iceberg-"
-                "converted-table shape) — read such tables in batch "
-                "via read_delta, which rides Spark's native field-id "
-                "resolution"
-            )
         logical = StructType.fromJson(json.loads(snap["schema_json"]))
-        mapped = snap["column_mapping_mode"] == "name"
+        self._id_mode = snap["column_mapping_mode"] == "id"
+        mapped = snap["column_mapping_mode"] in ("name", "id")
         physical = _physicalize(logical) if mapped else logical
         self._phys_of = {
             lf.name: pf.name for lf, pf in zip(logical.fields, physical.fields)
@@ -244,6 +241,23 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         self._data_cols = [
             f.name for f in logical.fields if f.name not in self._pcols
         ]
+        self._data_field_ids = None
+        if self._id_mode:
+            # id mode (r13): executors resolve each FILE's columns by
+            # parquet field id — file column names are never consulted
+            from .delta import _ID_KEY
+
+            ids = {}
+            for f in logical.fields:
+                fid = (f.metadata or {}).get(_ID_KEY)
+                if fid is None:
+                    raise ValueError(
+                        f"id-mapped Delta schema field {f.name!r} carries "
+                        f"no {_ID_KEY} metadata — refusing rather than "
+                        "guessing field ids"
+                    )
+                ids[f.name] = int(fid)
+            self._data_field_ids = [ids[n] for n in self._data_cols]
         declared = [f.name for f in schema.fields[:-1]]
         want = [f.name for f in logical.fields] + (
             ["_change_type"] if self._cdf else []
@@ -480,6 +494,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         return _DeltaFilePartition(
             fs_path, v, read_cols, pvals, dv_desc, self._td,
             ctype=ctype, is_cdc=is_cdc,
+            field_ids=getattr(self, "_data_field_ids", None),
         )
 
     def _commit_changes(self, v: int, backend) -> list[dict]:
@@ -744,6 +759,35 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             )
         )
 
+    def _resolve_field_ids(self, partition) -> tuple[list[str], dict]:
+        """id mode, executor-side: map each wanted field id to THIS
+        file's column name from its parquet/arrow schema metadata
+        (``PARQUET:field_id``) — file column names are never trusted.
+        An id absent from the file (post-ADD-COLUMN) reads as NULL via
+        the added-column backfill (top-level; nested id evolution is
+        the batch reader's Spark-native territory)."""
+        import pyarrow.dataset as pads
+
+        from .pyds import _fs_and_path
+
+        fs, p = _fs_and_path(partition.file_path)
+        sch = pads.dataset(p, format="parquet", filesystem=fs).schema
+        by_id: dict[int, str] = {}
+        for f in sch:
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = f.name
+        resolved: list[str] = []
+        added: dict = {}
+        for logical_name, fid in zip(self._data_cols, partition.field_ids):
+            name = by_id.get(fid)
+            if name is None:
+                resolved.append(logical_name)
+                added[logical_name] = self._field_arrow[logical_name]
+            else:
+                resolved.append(name)
+        return resolved, added
+
     def read(self, partition: _DeltaFilePartition):
         import pyarrow as pa
 
@@ -754,8 +798,17 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         read_arrow = getattr(self, "_read_arrow", {})
         cdf = getattr(self, "_cdf", False)
         is_cdc = getattr(partition, "is_cdc", False)
-        want_cols = list(partition.read_cols) + (["_change_type"] if is_cdc else [])
-        for raw in _read_parquet_batches(partition.file_path, want_cols, []):
+        id_mode = bool(getattr(partition, "field_ids", None))
+        added_arrow = None
+        if id_mode:
+            data_keys, added_arrow = self._resolve_field_ids(partition)
+        else:
+            data_keys = list(partition.read_cols)
+        key_of = dict(zip(self._data_cols, data_keys))
+        want_cols = data_keys + (["_change_type"] if is_cdc else [])
+        for raw in _read_parquet_batches(
+            partition.file_path, want_cols, [], added_arrow
+        ):
             n = raw.num_rows
             if dead:
                 import numpy as np
@@ -780,14 +833,17 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                     val = partition.pvals.get(f_name)
                     arr = pa.array([val] * raw.num_rows, pa.string()).cast(typ)
                 else:
-                    arr = data_arrays[
-                        partition.read_cols[self._data_cols.index(f_name)]
-                    ]
+                    arr = data_arrays[key_of[f_name]]
                     phys_typ = read_arrow.get(f_name)
                     # nested mapped schema: the read type differs from
                     # the logical one in FIELD NAMES only — zero-copy
-                    # rename (flat mappings rename via `names` below)
-                    if phys_typ is not None and phys_typ != typ and arr.type != typ:
+                    # rename (flat mappings rename via `names` below).
+                    # id mode: the FILE's nested names are arbitrary,
+                    # so normalize to the logical type whenever they
+                    # differ (layouts are identical by id contract)
+                    if (
+                        phys_typ is not None and phys_typ != typ and arr.type != typ
+                    ) or (id_mode and arr.type != typ):
                         if isinstance(arr, pa.ChunkedArray):
                             arr = arr.combine_chunks()
                         arr = arr.view(typ)

@@ -1086,3 +1086,113 @@ def test_compact_bin_packed_partitioned(spark, tmp_path):
     assert _ids(back.select("id", "part")) == {
         (i, i % 2) for lo in (0, 100, 200) for i in range(lo, lo + 40)
     }
+
+
+def test_vacuum_delta_table(spark, tmp_path):
+    """VACUUM (r13): tombstoned files past retention are deleted (aged
+    by the remove's deletionTimestamp), untracked *.parquet orphans past
+    retention are reaped, live files and live DV .bin files survive,
+    fresh orphans survive, the retention floor refuses short windows
+    unless overridden, and dry_run deletes nothing."""
+    import time as _time
+
+    from fp_data_lakehouse_spark.sources.delta_export import (
+        append_delta_table,
+        vacuum_delta_table,
+    )
+
+    td, log = _foreign_log(spark, tmp_path)  # v0: base.parquet
+    assert append_delta_table(
+        spark, td, spark.range(20, 30).selectExpr("id", "id * 2 AS v").coalesce(1)
+    ) == 1
+    # v2: CoW-style remove of base.parquet with an OLD deletionTimestamp
+    old_ms = int((_time.time() - 30 * 24 * 3600) * 1000)
+    with open(f"{log}/{2:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"remove": {
+            "path": "base.parquet", "dataChange": True,
+            "deletionTimestamp": old_ms}}) + "\n")
+
+    # an old orphan (aborted staging) and a fresh one
+    with open(f"{td}/orphan_old.parquet", "wb") as f:
+        f.write(b"x")
+    os.utime(f"{td}/orphan_old.parquet",
+             (_time.time() - 10 * 24 * 3600,) * 2)
+    with open(f"{td}/orphan_new.parquet", "wb") as f:
+        f.write(b"x")
+    # a non-candidate artifact kind must never be touched
+    with open(f"{td}/notes.txt", "w") as f:
+        f.write("keep")
+    os.utime(f"{td}/notes.txt", (_time.time() - 10 * 24 * 3600,) * 2)
+
+    with pytest.raises(ValueError, match="retention"):
+        vacuum_delta_table(spark, td, retention_hours=0)
+
+    planned = vacuum_delta_table(
+        spark, td, retention_hours=168, dry_run=True
+    )
+    assert set(planned) == {"base.parquet", "orphan_old.parquet"}
+    assert os.path.exists(f"{td}/base.parquet")  # dry run: untouched
+
+    deleted = vacuum_delta_table(spark, td, retention_hours=168)
+    assert set(deleted) == {"base.parquet", "orphan_old.parquet"}
+    assert not os.path.exists(f"{td}/base.parquet")
+    assert not os.path.exists(f"{td}/orphan_old.parquet")
+    assert os.path.exists(f"{td}/orphan_new.parquet")
+    assert os.path.exists(f"{td}/notes.txt")
+    # the head still reads: only unreferenced bytes were reclaimed
+    assert _ids(read_delta(spark, td).select("id")) == {
+        (i,) for i in range(20, 30)
+    }
+
+
+def test_vacuum_keeps_live_dv_bins(spark, tmp_path):
+    """A DV .bin referenced by a live add is pinned even when aged;
+    after the DVs are compacted away the aged .bin becomes reclaimable
+    via the recursive listing."""
+    import time as _time
+
+    from fp_data_lakehouse_spark.sources.delta_export import (
+        compact_delta_table,
+        vacuum_delta_table,
+    )
+    from fp_data_lakehouse_spark.sources.roaring import new_dv_file, z85_encode
+    import uuid as _uuid
+
+    td, log = _foreign_log(spark, tmp_path)
+    pos = [
+        r[0]
+        for r in spark.read.parquet(f"{td}/base.parquet")
+        .selectExpr("_metadata.row_index", "id").where("id < 5").collect()
+    ]
+    blob, spans = new_dv_file([sorted(pos)])
+    u = _uuid.uuid4()
+    dv_name = f"deletion_vector_{u}.bin"
+    with open(f"{td}/{dv_name}", "wb") as f:
+        f.write(blob)
+    os.utime(f"{td}/{dv_name}", (_time.time() - 10 * 24 * 3600,) * 2)
+    with open(f"{log}/{1:020d}.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "base.parquet", "partitionValues": {},
+            "size": os.path.getsize(f"{td}/base.parquet"),
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": {
+                "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": spans[0][0], "sizeInBytes": spans[0][1],
+                "cardinality": len(pos)}}}) + "\n")
+
+    # live DV bin: aged but referenced -> survives
+    assert vacuum_delta_table(
+        spark, td, retention_hours=168, dry_run=True
+    ) == []
+
+    # compaction clears the DVs; age the tombstoned file, vacuum reaps
+    assert compact_delta_table(spark, td, min_files=1) == 2
+    deleted = vacuum_delta_table(
+        spark, td, retention_hours=0.000001, enforce_retention_floor=False
+    )
+    assert "base.parquet" in deleted and dv_name in deleted
+    assert read_delta(spark, td).count() == 15

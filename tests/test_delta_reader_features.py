@@ -679,16 +679,28 @@ def test_id_mode_column_mapping_lifecycle(spark, tmp_path):
         range(10, 20)
     )
 
-    # the streaming feed refuses id mode loudly (batch-only for now)
+    # the streaming feed serves id mode too (r13 — the r12 refusal
+    # flips): the initial snapshot resolves columns by field id per
+    # file, ids absent from every file read NULL, partition values
+    # inject from physical-keyed partitionValues
     from fp_data_lakehouse_spark.sources.pyds import register_python_sources
 
     register_python_sources(spark)
-    with pytest.raises(Exception, match="id-mode"):
-        (
-            spark.readStream.format("fp_delta_feed").option("path", td).load()
-            .writeStream.format("noop").trigger(availableNow=True).start()
-            .awaitTermination(60)
-        )
+    work = str(tmp_path / "idfeed")
+    q = (
+        spark.readStream.format("fp_delta_feed").option("path", td).load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = {
+        (r.o_custkey, r.nested.x, r.added_later, r.region, r._commit_version)
+        for r in spark.read.parquet(f"{work}/out").collect()
+    }
+    assert got_s == {(i, i * 2, None, 4, 1) for i in range(10, 20)}
 
 
 # ---------------------------------------------------------------------------
