@@ -30,6 +30,7 @@ for _mod in (
     "skew",
     "io",
     "deltaquery",
+    "icebergquery",
     "streamquery",
 ):
     try:

@@ -88,8 +88,20 @@ def test_registry_contract():
     #   -> 254 / 243;
     # +dl11 (change data feed as a STREAM, readChangeFeed) -> 255/244;
     # +st18 (admission control on the versioned feed) -> 256 / 245
-    assert len(q) == 256, sorted(q)
-    assert len(o) == 245, sorted(o)
+    # round 13: +dl12 (CDF write-side export round-trip) -> 257 / 246;
+    # +io19 (nested column-mapped append + compaction) -> 258 / 247;
+    # +io20 (rowTracking append, baseRowId + high-water mark)
+    #   -> 259 / 248;
+    # +dl13 (id-mode column mapping through the streaming feed)
+    #   -> 260 / 249;
+    # +io21 (VACUUM storage reclaim closing the maintenance loop)
+    #   -> 261 / 250;
+    # +il01 (ICEBERG v2 snapshot read + time travel: from-scratch Avro
+    #   manifest decode, field-id-resolved scan) -> 262 / 251;
+    # +il02 (Iceberg merge-on-read position + equality deletes under
+    #   the spec's sequence-number rules) -> 263 / 252
+    assert len(q) == 263, sorted(q)
+    assert len(o) == 252, sorted(o)
 
 
 def test_driver_priority_window():
@@ -108,3 +120,29 @@ def test_driver_priority_window():
     # and the priority names must all actually exist in the registry
     unknown = [n for n in DRIVER_PRIORITY if n not in e.queries()]
     assert not unknown, f"stale DRIVER_PRIORITY entries: {unknown}"
+
+
+def test_queries_janitor_releases_session_state(spark):
+    """r12 verdict item 4: the driver-facing queries() wrappers release
+    the previous certificate's session leavings (persistent
+    localCheckpoint blocks, terminated streaming queries) before each
+    builder runs, so one vanilla session covers the registry at
+    sf0.1."""
+    import __spark_entry__ as e
+
+    # leave a localCheckpoint block behind, as a certificate would
+    leak = spark.range(64).localCheckpoint(eager=True)
+    assert leak.count() == 64
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() > 0
+
+    from fp_data_lakehouse_spark.operators.registry import (
+        _release_session_state,
+    )
+
+    _release_session_state(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+    # and every driver-facing entry is wrapped with the janitor
+    q = e.queries()
+    assert all(hasattr(fn, "__wrapped__") for fn in q.values())
