@@ -139,22 +139,35 @@ def _release_session_state(spark: SparkSession) -> None:
     proxy graveyard itself (one collect + one JVM GC nudge so the
     cleaner queue drains). Scratch DIRS are disk-side and already
     atexit-reaped; temp views are the harness's to manage — never
-    dropped here (the driver's own fixtures may be views)."""
-    import gc
+    dropped here (the driver's own fixtures may be views).
 
-    gc.collect()
-    try:
-        # py4j auto-converts the java.util.Map: iterate the VIEW, never
-        # .toArray() (an AttributeError there silently no-ops the loop)
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jmap.values()):
-            jrdd.unpersist(False)
-    except Exception:
-        pass
+    CONDITIONAL (r13 verdict item 2): ~220 of 263 certificates pin
+    nothing, and the unconditional Python-GC + forced full JVM GC taxed
+    every one of them (~8-10% suite-wide in BENCH_r13). The unpersist
+    sweep and both GC passes now run only when the block manager
+    actually holds persistent RDDs; resetTerminated() is an O(1) list
+    clear and stays unconditional so terminated streams never pile up."""
     try:
         spark.streams.resetTerminated()
     except Exception:
         pass
+    try:
+        # py4j auto-converts the java.util.Map: iterate the VIEW, never
+        # .toArray() (an AttributeError there silently no-ops the loop)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        pinned = list(jmap.values())
+    except Exception:
+        return
+    if not pinned:
+        return
+    import gc
+
+    gc.collect()
+    for jrdd in pinned:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:

@@ -772,6 +772,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
 
         fs, p = _fs_and_path(partition.file_path)
         sch = pads.dataset(p, format="parquet", filesystem=fs).schema
+        file_names = set(sch.names)
         by_id: dict[int, str] = {}
         for f in sch:
             fid = (f.metadata or {}).get(b"PARQUET:field_id")
@@ -782,8 +783,18 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         for logical_name, fid in zip(self._data_cols, partition.field_ids):
             name = by_id.get(fid)
             if name is None:
-                resolved.append(logical_name)
-                added[logical_name] = self._field_arrow[logical_name]
+                # id absent from this file -> ALWAYS null-backfill. Never
+                # fall back to the logical name: in id mode a file may
+                # legally contain a column with that name under a
+                # DIFFERENT field id (rename/swap), and reading its data
+                # would be silent wrongness. A sentinel name guaranteed
+                # absent from the file forces _read_parquet_batches down
+                # the null-backfill path unconditionally.
+                sentinel = f"__fp_absent_fid_{fid}"
+                while sentinel in file_names:
+                    sentinel += "_"
+                resolved.append(sentinel)
+                added[sentinel] = self._field_arrow[logical_name]
             else:
                 resolved.append(name)
         return resolved, added

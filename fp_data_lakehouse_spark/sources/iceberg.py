@@ -182,6 +182,16 @@ def _current_metadata(td: str, backend) -> dict:
         except ValueError:
             pass  # torn hint: listing rules (same stance as Delta)
     _v, name = max(candidates)
+    if name.endswith(".gz.metadata.json"):
+        # _META_OBJ admits the spec's gzip-compressed form — decompress
+        # it rather than handing gzip bytes to json.loads (which fails
+        # with an opaque decode error).
+        import gzip
+
+        raw = backend.read_bytes(f"{meta_dir}/{name}")
+        if raw is None:
+            raise FileNotFoundError(f"metadata file {name} vanished in {meta_dir}")
+        return json.loads(gzip.decompress(raw).decode("utf-8"))
     txt = backend.read_text(f"{meta_dir}/{name}")
     if txt is None:
         raise FileNotFoundError(f"metadata file {name} vanished in {meta_dir}")
@@ -295,10 +305,25 @@ def iceberg_snapshot(
                     f"Iceberg data file format {fmt!r} in {td} — only "
                     "PARQUET is supported; refusing"
                 )
-            # v2 sequence-number inheritance: null on ADDED entries
-            # inherits the manifest's; v1 has none (treat as 0)
+            # v2 sequence-number inheritance: per the spec, ONLY
+            # status=1 (ADDED) entries may inherit the manifest's
+            # sequence number; an EXISTING (status=0) entry with a null
+            # seq in a v2 manifest is malformed (a rewritten manifest
+            # must carry the original seq forward) and inheriting the
+            # newer manifest's seq would change which deletes apply.
+            # v1 has no sequence numbers (treat as 0).
             seq = entry.get("sequence_number")
-            seq = m_seq if seq is None else int(seq)
+            if seq is None:
+                if fv >= 2 and status == 0:
+                    raise ValueError(
+                        f"EXISTING (status=0) manifest entry for "
+                        f"{df_.get('file_path')!r} carries a null "
+                        "sequence_number in v2 metadata — malformed; "
+                        "refusing"
+                    )
+                seq = m_seq
+            else:
+                seq = int(seq)
             rec = {
                 "path": _resolve_path(df_["file_path"], td),
                 "seq": seq,
@@ -364,13 +389,26 @@ def read_iceberg(
     scan_spark = _id_scan_session(spark)
     paths = sorted({d["path"] for d in snap["data_files"]})
     seq_of: dict[str, int] = {}
+    path_of: dict[str, str] = {}
     for d in snap["data_files"]:
         bn = d["path"].rsplit("/", 1)[-1]
+        # TWO DISTINCT data files sharing a basename would alias under
+        # the basename join key (position deletes targeting one would
+        # delete the same row positions in the other) — refuse on ANY
+        # duplicate basename across distinct paths, matching
+        # read_delta's stricter collision stance; equal-seq duplicates
+        # of the SAME path are benign re-listings.
+        if bn in path_of and path_of[bn] != d["path"]:
+            raise ValueError(
+                f"data-file basename collision across distinct paths: "
+                f"{path_of[bn]!r} vs {d['path']!r}"
+            )
         if bn in seq_of and seq_of[bn] != d["seq"]:
             raise ValueError(
                 f"data-file basename collision with differing sequence "
                 f"numbers: {bn}"
             )
+        path_of[bn] = d["path"]
         seq_of[bn] = d["seq"]
 
     scanned = scan_spark.read.schema(logical).parquet(*paths)

@@ -642,3 +642,57 @@ def test_read_change_feed_rejects_skip_change(spark, tmp_path):
     with pytest.raises(Exception, match="contradict"):
         _drain(spark, td, str(tmp_path / "w"),
                {"readChangeFeed": "true", "skipChangeCommits": "true"})
+
+
+def test_id_mode_name_decoy_reads_null(spark, tmp_path):
+    """ADVICE r13 (medium): in id mode a wanted field id absent from a
+    file must null-backfill even when the file happens to contain a
+    column whose NAME matches the logical column under a DIFFERENT
+    field id (legal after a rename/swap) — file column names are never
+    consulted. Before the sentinel fix the feed fell back to the
+    logical name and silently served that column's data."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from tests.test_delta_reader_features import _stage_with_field_ids
+
+    logical = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_custkey", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-7f"}},
+                {"name": "added_later", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 9,
+                              "delta.columnMapping.physicalName": "col-zz"}},
+            ],
+        }
+    )
+    td = str(tmp_path / "t")
+    log = f"{td}/_delta_log"
+    os.makedirs(log)
+    # the DECOY: the file's only column is literally named
+    # "added_later" but carries field id 1 — it IS o_custkey's data
+    w = StructType([
+        StructField("added_later", LongType(), True, {"parquet.field.id": 1}),
+    ])
+    a0 = _stage_with_field_ids(
+        spark, td, "f0.parquet", [(i,) for i in range(10)], w
+    )
+    conf = {"delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "9"}
+    _commit(
+        log, 0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta([], schema=logical, configuration=conf),
+            a0,
+        ],
+    )
+    rows = _drain(spark, td, str(tmp_path / "w"))
+    got = {(r.o_custkey, r.added_later) for r in rows}
+    # id 1 resolves to the decoy column's DATA; id 9 is absent -> NULL
+    assert got == {(i, None) for i in range(10)}

@@ -337,3 +337,104 @@ def test_unknown_snapshot_and_missing_metadata(spark, tmp_path):
     os.makedirs(f"{td}/metadata")
     with pytest.raises(FileNotFoundError, match="metadata.json"):
         read_iceberg(spark, td)
+
+def test_gzip_metadata_json(spark, tmp_path):
+    """The NNNNN-uuid.gz.metadata.json form is gunzipped before JSON
+    decoding (previously selected as current but handed raw gzip bytes
+    to json.loads)."""
+    import gzip
+
+    td = str(tmp_path / "t")
+    f1 = _stage_ids(
+        spark, td, "f1.parquet",
+        spark.range(0, 4).selectExpr("id", "id * 2 AS v"),
+        [("id", "a", 1), ("v", "b", 2)],
+    )
+    m1 = _manifest(td, "m1.avro", [_entry(f1, seq=1)])
+    ml1 = _manifest_list(td, "snap-100.avro", [_mf(m1, 1)])
+    snapshots = [
+        {"snapshot-id": 100, "timestamp-ms": 1700000001000,
+         "manifest-list": ml1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": td,
+        "last-sequence-number": 99,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 9,
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": _SCHEMA_FIELDS}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 100,
+        "snapshots": snapshots,
+        "snapshot-log": [{"snapshot-id": 100,
+                          "timestamp-ms": 1700000001000}],
+    }
+    name = f"00001-{uuid.uuid4()}.gz.metadata.json"
+    with open(f"{td}/metadata/{name}", "wb") as f:
+        f.write(gzip.compress(json.dumps(meta).encode("utf-8")))
+    got = {(r.id, r.v) for r in read_iceberg(spark, td).collect()}
+    assert got == {(i, i * 2) for i in range(4)}
+
+
+def test_existing_entry_null_seq_refused_v2(spark, tmp_path):
+    """Per the v2 spec only ADDED (status=1) entries inherit the
+    manifest's sequence number; an EXISTING (status=0) entry with a
+    null seq is malformed and refused instead of silently inheriting
+    the newer manifest's seq (which would change delete application)."""
+    td = str(tmp_path / "t")
+    f1 = _stage_ids(
+        spark, td, "f1.parquet",
+        spark.range(3).selectExpr("id", "id AS v"),
+        [("id", "a", 1), ("v", "b", 2)],
+    )
+    m = _manifest(td, "m.avro", [_entry(f1, seq=None, status=0)])
+    ml = _manifest_list(td, "snap-100.avro", [_mf(m, 7)])
+    _metadata(td, [{"snapshot-id": 100, "timestamp-ms": 1,
+                    "manifest-list": ml, "schema-id": 0,
+                    "summary": {}}], current=100)
+    with pytest.raises(ValueError, match="status=0"):
+        read_iceberg(spark, td)
+
+    # status=1 with null seq still inherits (the spec's intended path)
+    td2 = str(tmp_path / "t2")
+    f2 = _stage_ids(
+        spark, td2, "f1.parquet",
+        spark.range(3).selectExpr("id", "id AS v"),
+        [("id", "a", 1), ("v", "b", 2)],
+    )
+    m2 = _manifest(td2, "m.avro", [_entry(f2, seq=None, status=1)])
+    ml2 = _manifest_list(td2, "snap-100.avro", [_mf(m2, 7)])
+    _metadata(td2, [{"snapshot-id": 100, "timestamp-ms": 1,
+                     "manifest-list": ml2, "schema-id": 0,
+                     "summary": {}}], current=100)
+    snap = iceberg_snapshot(td2)
+    assert [d["seq"] for d in snap["data_files"]] == [7]
+
+
+def test_basename_collision_refused(spark, tmp_path):
+    """Two DISTINCT data files sharing a basename are refused even at
+    EQUAL sequence numbers — both would alias under the basename join
+    key and position deletes against one would hit the other."""
+    import shutil
+
+    td = str(tmp_path / "t")
+    f1 = _stage_ids(
+        spark, td, "f1.parquet",
+        spark.range(3).selectExpr("id", "id AS v"),
+        [("id", "a", 1), ("v", "b", 2)],
+    )
+    os.makedirs(f"{td}/data2")
+    f1b = f"{td}/data2/f1.parquet"
+    shutil.copy(f1, f1b)
+    m = _manifest(td, "m.avro", [_entry(f1, seq=1), _entry(f1b, seq=1)])
+    ml = _manifest_list(td, "snap-100.avro", [_mf(m, 1)])
+    _metadata(td, [{"snapshot-id": 100, "timestamp-ms": 1,
+                    "manifest-list": ml, "schema-id": 0,
+                    "summary": {}}], current=100)
+    with pytest.raises(ValueError, match="basename collision"):
+        read_iceberg(spark, td)
