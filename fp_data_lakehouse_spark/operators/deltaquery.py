@@ -507,8 +507,13 @@ def dl04_delta_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_python_sources(spark)
     work = alloc_scratch(spark, "dl04_drain")
-    legs = []
-    for mode, opts in (("snapshot", {}), ("replay", {"startingVersion": "0"})):
+
+    def _drain_leg(leg: tuple[str, dict]) -> DataFrame:
+        """snapshot/replay legs are fully independent (own checkpoint,
+        own sink dir, read-only source table) — run both concurrently
+        (guide §2.6): each leg's wall is streaming start/stop round
+        trips, not data, so overlapping them halves the machinery."""
+        mode, opts = leg
         reader = spark.readStream.format("fp_delta_feed").option("path", td)
         for k, v in opts.items():
             reader = reader.option(k, v)
@@ -522,10 +527,17 @@ def dl04_delta_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
         drained = spark.read.parquet(f"{work}/{mode}/out")
-        legs.append(
+        return (
             drained.groupBy(F.col("_commit_version").cast("int").alias("ver"))
             .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
             .select(F.lit(mode).alias("mode"), "ver", "n_cust", "sum_cents")
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        legs = list(
+            pool.map(_drain_leg, (("snapshot", {}), ("replay", {"startingVersion": "0"})))
         )
     return legs[0].unionByName(legs[1])
 
