@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from ..sources.sinks import alloc_scratch
-from .registry import register
+from .registry import register, run_overlapped
 
 
 def _cust_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,8 +513,11 @@ def dl04_delta_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         """snapshot/replay legs are fully independent (own checkpoint,
         own sink dir, read-only source table) — run both concurrently
         (guide §2.6): each leg's wall is streaming start/stop round
-        trips, not data, so overlapping them halves the machinery."""
+        trips, not data, so overlapping them halves the machinery.
+        Self-cleaning (run_overlapped's retry contract): the leg dir is
+        reset on entry so a sequential fallback restarts from scratch."""
         mode, opts = leg
+        shutil.rmtree(f"{work}/{mode}", ignore_errors=True)
         reader = spark.readStream.format("fp_delta_feed").option("path", td)
         for k, v in opts.items():
             reader = reader.option(k, v)
@@ -533,12 +537,9 @@ def dl04_delta_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(mode).alias("mode"), "ver", "n_cust", "sum_cents")
         )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        legs = list(
-            pool.map(_drain_leg, (("snapshot", {}), ("replay", {"startingVersion": "0"})))
-        )
+    legs = run_overlapped(
+        _drain_leg, (("snapshot", {}), ("replay", {"startingVersion": "0"})), 2
+    )
     return legs[0].unionByName(legs[1])
 
 

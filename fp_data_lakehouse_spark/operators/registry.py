@@ -51,73 +51,69 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # in registration order. Rotate this list each round until every
 # oracle-backed query has appeared green in some CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: list[str] = [
-    # Cumulative record entering round 13: 245/245 oracle-backed
-    # queries driver-green across r1-r12 (r12 VERDICT verified the
-    # union; latest-green vintage histogram r8:46, r9:49, r10:50,
-    # r11:50, r12:50 — no row older than 5 rounds). Round 13
-    # front-loads (a) the CERTIFICATION ROTATION the r12 verdict
-    # specified: ALL 46 r8-vintage rows lead the window; (b) the
-    # FOUR new/changed round-13 certificates — dl12 (CDF write-side:
-    # publish_delta_log emits _change_data cdc files for DV-changing
-    # exports, consumed end-to-end by read_delta_changes AND the
-    # readChangeFeed stream), io18 (re-certified after the bin-packed
-    # parallel compaction rewrite replaced coalesce(1)), io19
-    # (nested-schema column-mapped append/compaction), io20
-    # (rowTracking append: baseRowId assignment + high-water-mark
-    # domainMetadata). Everything stays re-validated locally by
+    # Cumulative record entering round 14: 248/252 oracle-backed queries
+    # driver-green across r1-r13 (r13 VERDICT verified the union;
+    # latest-green vintage histogram r9:49, r10:50, r11:50, r12:49,
+    # r13:50). Round 14 front-loads (a) the FOUR queries that have never
+    # had a driver CORRECTNESS row — all new in r13 after the window
+    # froze: dl13 (id-mode column mapping on the streaming feed), il01/
+    # il02 (Iceberg v1 read + v2 row-level deletes), io21 (Delta
+    # VACUUM); (b) the CERTIFICATION ROTATION the r13 verdict specified:
+    # 46 of the 49 r9-vintage rows (the 3 leftover — vt13/vt15/vt16 —
+    # lead the r15 window). Everything stays re-validated locally by
     # tests/test_oracle_parity.py.
-    "ev12_interevent_gaps",
-    "ev13_hourly_anomaly_zscore",
-    "ev14_gapfill_locf",
-    "ev15_markov_transitions",
-    "ev16_time_to_conversion",
-    "io08_python_datasource_timetravel",
-    "io09_python_datasource_write",
-    "io12_manifest_data_skipping",
-    "mm02_media_features",
-    "mm03_frame_sample",
-    "mm04_audio_energy_windows",
-    "q38_above_nation_avg_balance",
-    "q39_grouping_sets_revenue",
-    "sim01_cosine_topk_bruteforce",
-    "sim03_label_centroid_assignment",
-    "sim05_kmeans_lloyd_step",
-    "sk01_user_cardinality_exact",
-    "sk03_value_quantiles_exact",
-    "sk05_heavy_hitters",
-    "sp01_train_val_test_split",
-    "sp02_stratified_sample",
-    "sp03_language_rebalance",
-    "sp04_temporal_split",
-    "sp05_kfold_assignment",
-    "sp09_temperature_resample",
-    "st06_python_stream_version_feed",
-    "st10_python_stream_sink_versions",
-    "st14_stateful_checkpoint_restart",
-    "st15_stream_manifest_merge",
-    "tx09_quality_percentile_gate",
-    "tx10_context_packing",
-    "tx11_pii_scrub",
-    "tx12_bigram_topk",
-    "tx13_repetition_score",
-    "vt01_version_change_feed",
-    "vt02_scd2_priority_history",
-    "vt03_time_travel_read",
-    "vt04_retention_plan",
-    "vt05_hadoopfs_backend_lifecycle",
-    "vt06_fsck_crash_recovery",
-    "vt07_conditional_put_lifecycle",
-    "vt08_compaction_identity",
-    "vt09_fsck_live_writer_lease",
-    "vt10_manifest_commit_lifecycle",
-    "vt11_cow_delete_lifecycle",
-    "vt12_cow_merge_lifecycle",
-    # new/changed round-13 certificates
-    "dl12_delta_cdf_export_roundtrip",
-    "io18_delta_maintenance_writer",
-    "io19_delta_nested_mapped_append",
-    "io20_delta_rowtracking_append",
-    # 50-row window ends here (46 r8 + 4 new/changed)
+    "dl13_delta_feed_id_mapping",
+    "il01_iceberg_snapshot_read",
+    "il02_iceberg_row_deletes",
+    "io21_delta_vacuum_reclaim",
+    # r9-vintage rotation (46 of 49)
+    "ag03_user_value_ewma",
+    "ag04_winsorized_event_values",
+    "ag05_value_histogram",
+    "dd03_ngram_jaccard_pairs",
+    "dd15_prefix_filter_jaccard",
+    "dd21_canonical_text_dedup",
+    "dd22_minhash_estimate_pairs",
+    "dq01_constraint_audit",
+    "dq02_column_profile",
+    "dq03_distribution_drift",
+    "dq04_ledger_reconciliation",
+    "et01_star_schema_build",
+    "et02_student_dim_rollup",
+    "et04_reject_quarantine",
+    "et10_scale_safe_surrogate_ids",
+    "ev08_error_click_proximity",
+    "ev09_user_event_profile",
+    "ev17_asof_click_before_purchase",
+    "ev18_session_error_hour_overlap",
+    "ev19_session_path_trigrams",
+    "ev20_user_feature_assembly",
+    "ev21_cohort_ltv",
+    "ev22_churn_labels",
+    "ev23_ab_test_zscore",
+    "ev24_dow_seasonality",
+    "ev25_touch_attribution",
+    "ev26_timebound_funnel",
+    "ev27_native_session_windows",
+    "io13_symlink_manifest_interop",
+    "io14_stats_skipping_breadth",
+    "ly01_zorder_layout",
+    "ly02_skipping_comparison",
+    "ly03_compaction_plan",
+    "mm01_media_metadata",
+    "mm05_multimodal_batch_assembly",
+    "mm06_perceptual_hash_pairs",
+    "q40_unpivot_lineitem_measures",
+    "q41_nation_customer_supplier_census",
+    "sk06_count_min_heavy_users",
+    "sk07_bloom_join_prune",
+    "sk08_kmv_distinct_users",
+    "sk09_kmv_set_overlap",
+    "sp06_priority_sample",
+    "sp07_mixture_allocation_sample",
+    "sp08_group_holdout_split",
+    "st16_stream_sink_vs_compactor",
+    # 50-row window ends here (4 never-certified + 46 r9-vintage)
 ]
 
 
@@ -125,6 +121,26 @@ def _ordered_names() -> list[str]:
     pri = [n for n in DRIVER_PRIORITY if n in REGISTRY]
     seen = set(pri)
     return pri + [n for n in REGISTRY if n not in seen]
+
+
+def run_overlapped(fn, items, max_workers: int) -> list:
+    """Run ``fn`` over ``items`` from a small thread pool so independent
+    jobs back-fill each other's executor tails (guide §2.6) — with a
+    SEQUENTIAL FALLBACK: concurrent micro-batch execution in one
+    long-lived session has been observed (once, ~40 certificates into a
+    vanilla-driver run) to lose a task to a java.io.OptionalDataException
+    serialization race; correctness beats the overlap, so any failure of
+    the concurrent pass triggers one clean sequential pass. ``fn`` must
+    therefore be self-cleaning/idempotent: each call resets its own
+    scratch dirs and state so a retry (even after a partial first
+    attempt) reproduces the identical result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return list(pool.map(fn, items))
+    except Exception:
+        return [fn(item) for item in items]
 
 
 def _release_session_state(spark: SparkSession) -> None:

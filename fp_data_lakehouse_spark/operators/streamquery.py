@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.sinks import alloc_scratch
-from .registry import register
+from .registry import register, run_overlapped
 
 
 def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -1440,10 +1440,7 @@ def st16_stream_sink_vs_compactor(spark: SparkSession, sf_dir: str) -> DataFrame
             .select(F.lit(label).alias("backend"), "*")
         )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        legs = list(pool.map(_run_leg, ("local", "hadoopfs", "condput")))
+    legs = run_overlapped(_run_leg, ("local", "hadoopfs", "condput"), 3)
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)

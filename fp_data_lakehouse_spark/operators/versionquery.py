@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.sinks import alloc_scratch
-from .registry import register
+from .registry import register, run_overlapped
 
 _SPLIT = "1996-01-01"
 _DELETE_BELOW_ORDERS = 10
@@ -1750,12 +1750,21 @@ def vt18_manifest_diff_change_feed(spark: SparkSession, sf_dir: str) -> DataFram
     keys = ["o_custkey"]
     feed12 = change_feed(spark, table_dir, 1, 2, keys, backend=backend)
     feed23 = change_feed(spark, table_dir, 2, 3, keys, backend=backend)
-    # value certificate: pruned == forced full snapshot diff, both ways
+    # value certificate: pruned == forced full snapshot diff, both ways.
+    # The four exceptAll counts are independent read-only jobs over the
+    # same published table — run them concurrently so one job's tail
+    # back-fills another's idle cores (guide §2.6); plans are built on
+    # the main thread, only the (idempotent) count actions run in the
+    # pool, with run_overlapped's sequential fallback.
+    checks = []
     for pruned, lo, hi in ((feed12, 1, 2), (feed23, 2, 3)):
         full = change_feed(spark, table_dir, lo, hi, keys, backend=backend,
                            full_scan=True)
-        assert pruned.exceptAll(full).count() == 0, f"pruned ⊄ full v{lo}->v{hi}"
-        assert full.exceptAll(pruned).count() == 0, f"full ⊄ pruned v{lo}->v{hi}"
+        checks.append((pruned.exceptAll(full), f"pruned ⊄ full v{lo}->v{hi}"))
+        checks.append((full.exceptAll(pruned), f"full ⊄ pruned v{lo}->v{hi}"))
+    counts = run_overlapped(lambda df_msg: df_msg[0].count(), checks, 4)
+    for n, (_, msg) in zip(counts, checks):
+        assert n == 0, msg
     # plan certificate: no carried data file is even PLANNED for a scan
     def _names(rels):
         return {rel.rsplit("/", 1)[-1] for rel in rels}

@@ -389,3 +389,36 @@ def test_edit_distance_pairs_match_bruteforce(spark, texts, tmp_path_factory):
         if lev(a, b) <= _EDIT_D
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# run_overlapped (r14): concurrent pass with sequential fallback
+# ---------------------------------------------------------------------------
+
+
+def test_run_overlapped_concurrent_results_in_order():
+    from fp_data_lakehouse_spark.operators.registry import run_overlapped
+
+    assert run_overlapped(lambda x: x * x, [1, 2, 3, 4], 3) == [1, 4, 9, 16]
+
+
+def test_run_overlapped_falls_back_sequentially_on_failure():
+    import threading
+
+    from fp_data_lakehouse_spark.operators.registry import run_overlapped
+
+    calls = {"concurrent": 0, "sequential": 0}
+    main = threading.main_thread()
+
+    def fn(x):
+        if threading.current_thread() is not main:
+            calls["concurrent"] += 1
+            raise RuntimeError("injected concurrency race")
+        calls["sequential"] += 1
+        return x + 10
+
+    # Pool pass raises (simulated OptionalDataException race) -> one
+    # clean sequential pass produces the full, ordered result.
+    assert run_overlapped(fn, [1, 2, 3], 2) == [11, 12, 13]
+    assert calls["concurrent"] >= 1
+    assert calls["sequential"] == 3
