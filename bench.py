@@ -527,10 +527,39 @@ def main() -> None:
     total = round(time.time() - t_suite, 3)
 
     try:
+        # One full GC before the ETL throughput measurement — NOT per
+        # query (r13 verdict item 2 removed that tax): in r13 every
+        # query's janitor ended with System.gc(), so bench_etl always
+        # started on a freshly-collected heap; with the conditional
+        # janitor the ETL leg instead starts carrying 264 queries of
+        # py4j/JVM garbage (measured ~25% files/s drag at equal host).
+        # A single suite-level GC here restores the like-for-like
+        # measurement conditions at ~1 s cost.
+        try:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         etl_files_per_sec = bench_etl(spark)
     except Exception as exc:
         etl_files_per_sec = -1.0
         print(f"# bench error in etl: {exc}", file=sys.stderr)
+
+    # END-of-run canary (r14): the start canary is blind to MID-RUN host
+    # drift — the r14 round measured a suite that ran ~10% hot against
+    # its own start canary of 0.998 because the VM slowed after the
+    # canary fired. Bracketing the suite with a second reading makes
+    # "contaminated window" diagnosable from the artifact alone
+    # (start ≈ end ≈ 1 but per-query ratios high → real; end >> start →
+    # the window drifted). host_speed_factor keeps its start-canary
+    # meaning; canary_end_sec is additive.
+    try:
+        canary_end_sec = bench_host_canary(spark)
+    except Exception as exc:
+        canary_end_sec = -1.0
+        print(f"# bench error in end canary: {exc}", file=sys.stderr)
 
     # Per-family subtotals (q/dd/tx/sim/...) so round-over-round drift
     # attribution is one diff away (family = leading alpha prefix).
@@ -552,6 +581,7 @@ def main() -> None:
                 "etl_files_per_sec": etl_files_per_sec,
                 "etl_baseline_files_per_sec": 5.4,
                 "canary_sec": canary_sec,
+                "canary_end_sec": canary_end_sec,
                 "host_speed_factor": host_speed_factor,
             }
         )
@@ -581,6 +611,7 @@ def main() -> None:
                     "etl_files_per_sec": etl_files_per_sec,
                     "etl_baseline_files_per_sec": 5.4,
                     "canary_sec": canary_sec,
+                    "canary_end_sec": canary_end_sec,
                     "host_speed_factor": host_speed_factor,
                 },
                 f,
@@ -610,6 +641,7 @@ def main() -> None:
                 "etl_files_per_sec": etl_files_per_sec,
                 "etl_baseline_files_per_sec": 5.4,
                 "canary_sec": canary_sec,
+                "canary_end_sec": canary_end_sec,
                 "host_speed_factor": host_speed_factor,
             }
         )
