@@ -416,6 +416,11 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode(F.expr(pair_expr)).alias("e"))
             .select("e.a", "e.b")
             .distinct()
+            # Pin the artifact's width: AQE coalesces the byte-tiny
+            # distinct shuffle to 1-2 partitions, which would write a
+            # 1-2 file artifact and serialize (and memory-concentrate)
+            # every downstream gr01/gr02 scan task — the dd18 lesson.
+            .repartition(spark.sparkContext.defaultParallelism, "a", "b")
         )
         # The applicationId in the path makes the artifact PROCESS-
         # private: two drivers sharing one scratch root (pytest beside

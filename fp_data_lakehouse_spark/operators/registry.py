@@ -160,9 +160,18 @@ def _release_session_state(spark: SparkSession) -> None:
     CONDITIONAL (r13 verdict item 2): ~220 of 263 certificates pin
     nothing, and the unconditional Python-GC + forced full JVM GC taxed
     every one of them (~8-10% suite-wide in BENCH_r13). The unpersist
-    sweep and both GC passes now run only when the block manager
-    actually holds persistent RDDs; resetTerminated() is an O(1) list
-    clear and stays unconditional so terminated streams never pile up."""
+    sweep now runs only when the block manager actually holds persistent
+    RDDs; resetTerminated() is an O(1) list clear and stays
+    unconditional so terminated streams never pile up.
+
+    HEAP-PRESSURE BACKSTOP (r14): skipping the GC for every no-pin query
+    let JVM garbage accumulate across a long vanilla-driver session, and
+    the one-session sf0.1 probe (default 1g heap) OOM'd at gr01 — the
+    exact failure the r13 janitor had fixed. The GC pass therefore also
+    fires when the JVM heap is genuinely under pressure (used > 50% of
+    max — one ~1 ms py4j probe per query). On the bench session's 48g
+    heap this never triggers, so the r13-regression recovery stands; on
+    a default-memory driver session it collects exactly when needed."""
     try:
         spark.streams.resetTerminated()
     except Exception:
@@ -174,8 +183,15 @@ def _release_session_state(spark: SparkSession) -> None:
         pinned = list(jmap.values())
     except Exception:
         return
+    pressured = False
     if not pinned:
-        return
+        try:
+            rt = spark.sparkContext._jvm.Runtime.getRuntime()
+            pressured = (rt.totalMemory() - rt.freeMemory()) > 0.5 * rt.maxMemory()
+        except Exception:
+            pressured = False
+        if not pressured:
+            return
     import gc
 
     gc.collect()
