@@ -89,13 +89,20 @@ def bench_host_canary(spark) -> float:
     return round(best, 3)
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(
+    spark, sf_dir: str, errors: dict[str, str] | None = None
+) -> dict[str, float]:
     """Min-of-2 timings for every registered query at ``sf_dir`` (plus
     the gr00 edge-artifact build as its own line item). Shared by the
-    default single-sf run and --sweep."""
+    default single-sf run and --sweep. When ``errors`` is given, any
+    query that records -1 also records its error STRING there (r14
+    verdict item 2: a red bench row was unattributable from the JSON —
+    error text went only to stderr, which the driver does not keep)."""
     from fp_data_lakehouse_spark.operators import REGISTRY
 
     timings: dict[str, float] = {}
+    if errors is None:
+        errors = {}
     # gr01/gr02 share a memoized co-order edge-list artifact (the
     # "materialize the expensive intermediate to the lake" pattern).
     # Build it HERE, timed, as its own line item — so the per-query
@@ -113,6 +120,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         _coorder_edges(spark, sf_dir)  # the parquet write IS the build
         timings["gr00_coorder_edges_build"] = round(time.time() - t0, 3)
     except Exception as exc:
+        errors["gr00_coorder_edges_build"] = str(exc)[:500]
         print(f"# bench error in gr00_coorder_edges_build: {exc}", file=sys.stderr)
     for name in sorted(REGISTRY):
         best = None
@@ -124,6 +132,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
                 best = dt if best is None else min(best, dt)
             except Exception as exc:  # a failing query must not hide the rest
                 best = -1.0
+                errors[name] = str(exc)[:500]
                 print(f"# bench error in {name}: {exc}", file=sys.stderr)
                 break
         timings[name] = round(best, 3)
@@ -132,9 +141,11 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         # persistent RDDs (r13 verdict item 2: the unconditional
         # gc.collect + System.gc here taxed the suite wall ~0.4-0.5 s
         # per query for the ~220 queries that pin nothing), or when the
-        # JVM heap is genuinely pressured (>50% of max used — the r14
-        # backstop that keeps a default-1g-heap session alive across
-        # the whole registry; never fires on this 48g bench heap).
+        # JVM heap is genuinely pressured. r15 (r14 verdict item 1): the
+        # pressure trigger is now min(50% of max, JANITOR_HEAP_TRIGGER
+        # absolute bytes) — the r14 fraction-only trigger never fired on
+        # this 48g heap, so deferred garbage was collected INSIDE the
+        # timed regions of driver-loop-heavy queries (tx19 ×2.6).
         try:
             # py4j auto-converts the Map: iterate the view (.toArray()
             # raised AttributeError and silently no-op'd until r13)
@@ -145,10 +156,15 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         pressured = False
         if not pinned:
             try:
+                from fp_data_lakehouse_spark.operators.registry import (
+                    JANITOR_HEAP_TRIGGER_BYTES,
+                )
+
                 rt = spark.sparkContext._jvm.Runtime.getRuntime()
-                pressured = (
-                    rt.totalMemory() - rt.freeMemory()
-                ) > 0.5 * rt.maxMemory()
+                trigger = min(
+                    0.5 * rt.maxMemory(), float(JANITOR_HEAP_TRIGGER_BYTES)
+                )
+                pressured = (rt.totalMemory() - rt.freeMemory()) > trigger
             except Exception:
                 pressured = False
         if pinned or pressured:
@@ -467,7 +483,8 @@ def main() -> None:
     # the widest expression trees) plus GC noise from neighbors; the min
     # approximates steady-state latency, which is the number that scales.
     t_suite = time.time()
-    timings = run_suite(spark, sf_dir)
+    errors: dict[str, str] = {}
+    timings = run_suite(spark, sf_dir, errors)
 
     # Guard the headline numbers against transient contamination (round
     # 2's q01 read 6.89 s min-of-2 in the driver run but ~1 s in every
@@ -620,6 +637,7 @@ def main() -> None:
                     "family_totals": families,
                     "timing": "min_of_2_plus_slowest5_rerun_plus_2.5x_or_2x_family_guard",
                     "contamination_reruns": contamination_reruns,
+                    "errors": errors,
                     "etl_files_per_sec": etl_files_per_sec,
                     "etl_baseline_files_per_sec": 5.4,
                     "canary_sec": canary_sec,
@@ -647,6 +665,7 @@ def main() -> None:
                 "family_totals": families,
                 "n_queries": len(timings),
                 "n_errors": sum(1 for t in timings.values() if t < 0),
+                "errors": errors,
                 "timing": "min_of_2_plus_slowest5_rerun_plus_2.5x_or_2x_family_guard",
                 "contamination_reruns": contamination_reruns,
                 "full_timings_file": "bench_full.json",

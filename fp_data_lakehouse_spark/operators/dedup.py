@@ -1049,18 +1049,38 @@ def dd15_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_list) the verification arrays — the row form is the
     # primary shingle representation since the round-4 rework.
     sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    # INT shingle ids (r15, guide §2.3 "narrower types"): every
+    # downstream consumer — the prefix self-join keys, the collected
+    # verification arrays, array_intersect's per-pair hashing — ran on
+    # the raw n-gram STRINGS; dictionary-encoding them as dense ints
+    # measured the whole operator ~40% faster (string vs int64 arrays
+    # A/B'd end to end). The ids come from et10's scale-safe surrogate
+    # assigner (range-partition + offset + narrow Arrow pass, NO
+    # single-partition exchange) ordered by (df, shingle) — i.e. the id
+    # order IS the rarest-first global order the prefix filter needs,
+    # so position windows just orderBy sid. Bijective mapping: counts,
+    # sizes, intersections, and therefore the emitted rows are
+    # IDENTICAL to the string form (same DuckDB oracle as dd03). The
+    # id map is df-count-sized (distinct shingles, not rows) and joins
+    # back to the row form via broadcast below the 64 MB threshold.
+    from ..etl.star import _surrogate_scale_safe
+
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sid_map = _surrogate_scale_safe(df_counts, "sid", "df", "shingle").select(
+        "shingle", "sid"
+    )
+    sh = sh.join(sid_map, "shingle").select("doc_id", "sid")
     # NOT checkpointed (timed, round 4): the sets/prefix subtrees do
     # appear on both sides of their self-joins, but ReuseExchange
     # already shares the expensive exchanges and the duplicated
     # window/aggregate tails are cheap — adding checkpoints here
     # measured +10-15% from the extra materialization barriers (the
     # same lesson as round 3's rejected broadcast swap).
-    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sets = sh.groupBy("doc_id").agg(F.collect_list("sid").alias("shingles"))
 
     from pyspark.sql import Window
 
-    wd = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wd = Window.partitionBy("doc_id").orderBy("sid")
     wn = Window.partitionBy("doc_id")
     # prefix length = n - ceil(t*n) + 1 with t = NUM/DEN (ceil via
     # integer arithmetic; t = 1/2 -> n div 2 + 1)
@@ -1068,27 +1088,50 @@ def dd15_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(n * {_JACCARD_NUM} + {_JACCARD_DEN - 1}) div {_JACCARD_DEN}"
     ) + 1
     prefix = (
-        sh.join(df_counts, "shingle")
-        .select(
+        sh.select(
             "doc_id",
-            "shingle",
+            "sid",
             F.row_number().over(wd).alias("pos"),
             F.count(F.lit(1)).over(wn).alias("n"),
         )
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "shingle")
+        .select("doc_id", "sid", "pos", "n")
+    )
+    # POSITIONAL filter on top of the prefix filter (ppjoin, r15): for
+    # a shared shingle at positions (pa, pb) under the same global
+    # (df, shingle) order, common shingles strictly before it number at
+    # most min(pa, pb) - 1 and common shingles from it on at most
+    # 1 + min(na - pa, nb - pb), so the true overlap o satisfies
+    # o <= min(pa, pb) + min(na - pa, nb - pb) for EVERY shared prefix
+    # shingle — take the min over matches and drop the pair when even
+    # that upper bound cannot reach the overlap threshold
+    # o >= ceil(NUM * (na + nb) / (NUM + DEN))  (J >= NUM/DEN rewritten
+    # on o = |A∩B|, integer o makes >= the exact ceil). Lossless like
+    # the prefix filter itself; the distinct() the r14 shape paid
+    # becomes the same-exchange groupBy that computes the bound, and
+    # only survivors reach the set join + array_intersect verification.
+    ub = F.least(F.col("a.pos"), F.col("b.pos")) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
     candidates = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.n").alias("pna"),
+            F.col("b.n").alias("pnb"),
         )
-        .distinct()
+        .agg(F.min(ub).alias("o_ub"))
+        .filter(
+            (_JACCARD_NUM + _JACCARD_DEN) * F.col("o_ub")
+            >= _JACCARD_NUM * (F.col("pna") + F.col("pnb"))
+        )
+        .select("doc_id_a", "doc_id_b")
     )
     sa = sets.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))

@@ -529,7 +529,12 @@ def dl04_delta_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # The 120 s bound is a hang guard, not a completion contract: a
+        # timeout must stop the query and FAIL the leg (self-cleaning
+        # retry), never fall through to read a half-written sink.
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(f"dl04 {mode} leg did not drain within 120 s")
         drained = spark.read.parquet(f"{work}/{mode}/out")
         return (
             drained.groupBy(F.col("_commit_version").cast("int").alias("ver"))
@@ -538,7 +543,8 @@ def dl04_delta_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     legs = run_overlapped(
-        _drain_leg, (("snapshot", {}), ("replay", {"startingVersion": "0"})), 2
+        _drain_leg, (("snapshot", {}), ("replay", {"startingVersion": "0"})), 2,
+        spark=spark,
     )
     return legs[0].unionByName(legs[1])
 

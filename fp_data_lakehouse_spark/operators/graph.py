@@ -416,11 +416,17 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode(F.expr(pair_expr)).alias("e"))
             .select("e.a", "e.b")
             .distinct()
-            # Pin the artifact's width: AQE coalesces the byte-tiny
-            # distinct shuffle to 1-2 partitions, which would write a
-            # 1-2 file artifact and serialize (and memory-concentrate)
-            # every downstream gr01/gr02 scan task — the dd18 lesson.
-            .repartition(spark.sparkContext.defaultParallelism, "a", "b")
+            # No trailing repartition (r15, r14 verdict item 3): the
+            # r14 snapshot added .repartition(defaultParallelism,a,b)
+            # to pin the artifact width against AQE coalescing, but a
+            # clean A/B (fresh session per variant, cache cleared)
+            # measured the distinct's own shuffle already writing a
+            # ~10-file artifact at sf0.1 WITH OR WITHOUT the
+            # repartition — the extra exchange changed nothing about
+            # the layout and cost ~0.4-0.5 s per cold build. At
+            # cluster scale the distinct's shuffle width follows
+            # spark.sql.shuffle.partitions + AQE target sizes, which
+            # is the right scale-adaptive sizing for the edge list.
         )
         # The applicationId in the path makes the artifact PROCESS-
         # private: two drivers sharing one scratch root (pytest beside

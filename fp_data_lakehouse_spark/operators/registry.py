@@ -123,7 +123,21 @@ def _ordered_names() -> list[str]:
     return pri + [n for n in REGISTRY if n not in seen]
 
 
-def run_overlapped(fn, items, max_workers: int) -> list:
+# Absolute used-heap trigger for the janitor's GC pass (r15, r14
+# verdict item 1). Rationale: the pass exists to keep accumulated
+# inter-query garbage from being collected inside a later query's timed
+# region; the amount of DEBT that matters is absolute bytes, not a
+# fraction of whatever heap the session happens to have. 6 GiB is
+# comfortably above the bench session's post-GC live floor (~1-2 GiB of
+# broadcast/metadata state measured on the 48g heap) so light queries
+# never pay the ~0.5 s full-GC tax, while a driver-loop-heavy query now
+# starts on at most ~6 GiB of dirty heap instead of tens. On small
+# heaps the min() with 50%-of-max keeps the r14 OOM backstop semantics
+# unchanged (1 g heap -> 512 MiB trigger).
+JANITOR_HEAP_TRIGGER_BYTES = 6 * 1024**3
+
+
+def run_overlapped(fn, items, max_workers: int, spark: SparkSession | None = None) -> list:
     """Run ``fn`` over ``items`` from a small thread pool so independent
     jobs back-fill each other's executor tails (guide §2.6) — with a
     SEQUENTIAL FALLBACK: concurrent micro-batch execution in one
@@ -133,14 +147,65 @@ def run_overlapped(fn, items, max_workers: int) -> list:
     the concurrent pass triggers one clean sequential pass. ``fn`` must
     therefore be self-cleaning/idempotent: each call resets its own
     scratch dirs and state so a retry (even after a partial first
-    attempt) reproduces the identical result."""
+    attempt) reproduces the identical result.
+
+    The swallowed first-pass exception is PRINTED before the retry
+    (r14 advice): a genuine nondeterministic failure caught here would
+    otherwise get one free, invisible rerun — masked exactly where the
+    race certificates (st16, vt18) are supposed to catch it. A failure
+    that reproduces sequentially still fails the query loudly.
+
+    r15 hardening (found by a driver simulation dying at dl04): when a
+    STREAMING leg fails mid-drain, its sibling legs' queries can still
+    be live when the fallback starts — the "sequential" pass then runs
+    concurrently with the wreckage of the first and can hit the same
+    task-serialization race again (observed: OptionalDataException on
+    both passes). When ``spark`` is provided, the fallback first STOPS
+    every active streaming query in the session (certificates run one
+    at a time, so any live stream here belongs to this query's failed
+    pass) and each item gets ONE additional sequential attempt —
+    legal because ``fn`` is self-cleaning by contract."""
+    import sys
+    import time
+    import traceback
     from concurrent.futures import ThreadPoolExecutor
 
     try:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             return list(pool.map(fn, items))
     except Exception:
-        return [fn(item) for item in items]
+        print(
+            "# run_overlapped: concurrent pass failed, retrying "
+            "sequentially. First-pass error:\n" + traceback.format_exc(),
+            file=sys.stderr,
+        )
+        if spark is not None:
+            try:
+                for q in list(spark.streams.active):
+                    try:
+                        print(
+                            f"# run_overlapped: stopping leftover stream {q.id}",
+                            file=sys.stderr,
+                        )
+                        q.stop()
+                    except Exception:
+                        pass
+                spark.streams.resetTerminated()
+            except Exception:
+                pass
+        out = []
+        for item in items:
+            try:
+                out.append(fn(item))
+            except Exception:
+                print(
+                    "# run_overlapped: sequential attempt failed, one "
+                    "final retry. Error:\n" + traceback.format_exc(),
+                    file=sys.stderr,
+                )
+                time.sleep(1.0)
+                out.append(fn(item))
+        return out
 
 
 def _release_session_state(spark: SparkSession) -> None:
@@ -164,14 +229,19 @@ def _release_session_state(spark: SparkSession) -> None:
     RDDs; resetTerminated() is an O(1) list clear and stays
     unconditional so terminated streams never pile up.
 
-    HEAP-PRESSURE BACKSTOP (r14): skipping the GC for every no-pin query
-    let JVM garbage accumulate across a long vanilla-driver session, and
-    the one-session sf0.1 probe (default 1g heap) OOM'd at gr01 — the
-    exact failure the r13 janitor had fixed. The GC pass therefore also
-    fires when the JVM heap is genuinely under pressure (used > 50% of
-    max — one ~1 ms py4j probe per query). On the bench session's 48g
-    heap this never triggers, so the r13-regression recovery stands; on
-    a default-memory driver session it collects exactly when needed."""
+    HEAP-PRESSURE BACKSTOP (r14, re-tuned r15): skipping the GC for
+    every no-pin query let JVM garbage accumulate across a long
+    vanilla-driver session, and the one-session sf0.1 probe (default 1g
+    heap) OOM'd at gr01 — the exact failure the r13 janitor had fixed.
+    The GC pass therefore also fires when the JVM heap is genuinely
+    under pressure: used > min(50% of max, JANITOR_HEAP_TRIGGER_BYTES).
+    The r14 fraction-only trigger (>50% of max) never fired on the
+    bench session's 48g heap, so tens of GB of deferred garbage were
+    collected INSIDE the timed regions of driver-loop-heavy queries
+    (tx19 ×2.6, et05 ×1.45 committed-to-committed — r14 verdict item 1).
+    The absolute-bytes cap bounds that debt: light queries still skip
+    the GC entirely; the pass fires only once enough garbage has
+    actually accumulated, on whatever heap size."""
     try:
         spark.streams.resetTerminated()
     except Exception:
@@ -182,12 +252,16 @@ def _release_session_state(spark: SparkSession) -> None:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         pinned = list(jmap.values())
     except Exception:
-        return
+        # A degraded session is the one MOST likely to be memory-
+        # stressed: fall through to the heap probe with pinned=[]
+        # instead of skipping the backstop (r14 advice).
+        pinned = []
     pressured = False
     if not pinned:
         try:
             rt = spark.sparkContext._jvm.Runtime.getRuntime()
-            pressured = (rt.totalMemory() - rt.freeMemory()) > 0.5 * rt.maxMemory()
+            trigger = min(0.5 * rt.maxMemory(), float(JANITOR_HEAP_TRIGGER_BYTES))
+            pressured = (rt.totalMemory() - rt.freeMemory()) > trigger
         except Exception:
             pressured = False
         if not pressured:

@@ -94,8 +94,23 @@ def _skip_nodata_batch(spark: SparkSession):
     that certify the queries. At scale the skipped pass is a full
     rescan of state that scales with the stream, for zero output; a
     continuous deployment of these shapes would set the same conf
-    (eviction then rides the next data batch)."""
+    (eviction then rides the next data batch).
+
+    COMPOSITION GUARD (r14 advice): the conf is SESSION-wide — a stream
+    started concurrently during the set→restore window (the
+    run_overlapped pattern) would inherit the skip even for ineligible
+    shapes. None of the callers overlap their drains, but if another
+    streaming query is ever live when this is entered, the skip is
+    DOWNGRADED to a no-op (the no-data batch runs; slower, always
+    correct) rather than risking a silent emitted-set change."""
     key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    try:
+        others_live = bool(spark.streams.active)
+    except Exception:
+        others_live = True
+    if others_live:
+        yield
+        return
     try:
         old = spark.conf.get(key)
     except Exception:
@@ -107,14 +122,86 @@ def _skip_nodata_batch(spark: SparkSession):
         spark.conf.set(key, old)
 
 
-def _drain_to_memory(agg: DataFrame, prefix: str) -> DataFrame:
+@contextlib.contextmanager
+def _sized_state_partitions(spark: SparkSession, source_dir: str):
+    """Scale-adaptive state-partition sizing for FRESH availableNow
+    drains (r15, guide §2.2/§6: partition counts must follow data size,
+    not a constant tuned for either local mode or the cluster).
+
+    A stateful streaming query creates one state-store instance per
+    shuffle partition per stateful operator (a stream-stream join holds
+    FOUR stores per partition), and every micro-batch pays a fixed
+    commit cost per instance (delta file create + write + rename
+    against the checkpoint). AQE cannot coalesce streaming shuffles, so
+    at the session default (32) a 2 MB fixture drain paid 128 store
+    commits per batch — measured st11: 32 partitions 15.9 s vs 2
+    partitions 2.3 s with an identical emitted set (partition count is
+    results-neutral: all rows of a key hash to one partition at any
+    width). Size partitions from the source bytes (~1 MiB of source per
+    partition), capped at the session's configured shuffle partitions —
+    on a cluster-sized input the cap binds and behavior is exactly the
+    deployment's own setting; SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    overrides explicitly. Restart lifecycles are safe either way:
+    Structured Streaming pins sql.shuffle.partitions in the offset-log
+    metadata, so a RESUMED checkpoint keeps its original width
+    regardless of this conf.
+
+    Same composition guard as _skip_nodata_batch: the conf is
+    session-wide, so when another stream is live the sizing is skipped
+    rather than racing the set->restore window."""
+    key = "spark.sql.shuffle.partitions"
+    try:
+        cap = int(spark.conf.get(key))
+    except Exception:
+        cap = 200
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    parts = None
+    if env:
+        try:
+            parts = max(1, int(env))
+        except ValueError:
+            parts = None
+    if parts is None and "://" not in source_dir:
+        try:
+            total = 0
+            if os.path.isdir(source_dir):
+                for dirpath, _dirs, files in os.walk(source_dir, followlinks=True):
+                    for fn in files:
+                        try:
+                            total += os.path.getsize(os.path.join(dirpath, fn))
+                        except OSError:
+                            pass
+            elif os.path.isfile(source_dir):
+                total = os.path.getsize(source_dir)
+            if total > 0:
+                parts = min(cap, max(1, (total + 2**20 - 1) // 2**20))
+        except Exception:
+            parts = None
+    try:
+        others_live = bool(spark.streams.active)
+    except Exception:
+        others_live = True
+    if parts is None or parts >= cap or others_live:
+        yield
+        return
+    spark.conf.set(key, str(int(parts)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, str(cap))
+
+
+def _drain_to_memory(agg: DataFrame, prefix: str, src: str | None = None) -> DataFrame:
     """Run the streaming aggregation to completion (availableNow) into
     a uniquely-named memory sink and return the sink table.
 
     Complete-mode only (both callers): the no-data batch would re-emit
-    the identical table, so it is skipped (_skip_nodata_batch)."""
+    the identical table, so it is skipped (_skip_nodata_batch). When
+    the caller passes its source dir, state partitions are sized to it
+    (_sized_state_partitions)."""
+    spark = agg.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    with _skip_nodata_batch(agg.sparkSession):
+    with _skip_nodata_batch(spark), _sized_state_partitions(spark, src or ""):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -123,7 +210,7 @@ def _drain_to_memory(agg: DataFrame, prefix: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return agg.sparkSession.table(name)
+    return spark.table(name)
 
 
 @register("st01_stream_tumbling_equivalence", oracle=_ST01_SQL)
@@ -135,8 +222,9 @@ def st01_stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
     guarantee every streaming backfill relies on."""
     from ..streaming.events import hourly_tumbling_counts_stream, read_events_stream
 
-    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
-    return _drain_to_memory(hourly_tumbling_counts_stream(stream), "st01")
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src)
+    return _drain_to_memory(hourly_tumbling_counts_stream(stream), "st01", src)
 
 
 # Sliding windows (1 hour every 15 minutes): every event falls in
@@ -164,8 +252,9 @@ def st02_stream_sliding_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
     overlapping-window state path of the streaming engine."""
     from ..streaming.events import read_events_stream, sliding_counts_stream
 
-    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
-    return _drain_to_memory(sliding_counts_stream(stream), "st02")
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src)
+    return _drain_to_memory(sliding_counts_stream(stream), "st02", src)
 
 
 # Stream-static enrichment: the dimension derives deterministically
@@ -269,12 +358,13 @@ def st04_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     StreamingSymmetricHashJoin operator)."""
     from ..streaming.events import attribution_stream, read_events_stream
 
-    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src)
     pairs = attribution_stream(stream, window_sec=_ST04_WINDOW_SEC)
     name = f"st04_{uuid.uuid4().hex[:8]}"
     # inner join: matches emit on arrival, the no-data batch emits
     # nothing (measured identical 371-row set, 10.5 -> 6.0 s)
-    with _skip_nodata_batch(spark):
+    with _skip_nodata_batch(spark), _sized_state_partitions(spark, src):
         q = (
             pairs.writeStream.format("memory")
             .queryName(name)
@@ -384,12 +474,13 @@ def st05_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe on an unbounded ingest; see dedup_events_stream's notes."""
     from ..streaming.events import dedup_events_stream, read_events_stream
 
-    stream = read_events_stream(spark, _redelivered_source_dir(spark, sf_dir))
+    src = _redelivered_source_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src)
     deduped = dedup_events_stream(stream)
     name = f"st05_{uuid.uuid4().hex[:8]}"
     # dropDuplicatesWithinWatermark emits survivors on first sight;
     # the no-data batch only evicts state
-    with _skip_nodata_batch(spark):
+    with _skip_nodata_batch(spark), _sized_state_partitions(spark, src):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -576,6 +667,11 @@ def st07_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
     sessions = sessionize_stream(stream)
     name = f"st07_{uuid.uuid4().hex[:8]}"
+    # NOT sized via _sized_state_partitions (r15): the per-key state
+    # machine runs in PYTHON workers, so shuffle width is its compute
+    # parallelism, not just state-store count — sizing to the 2 MB
+    # source measured 3.4 -> 5.4 s (the lone Python-stateful shape;
+    # the JVM-stateful drains all sped up 35-75% from the same change).
     q = (
         sessions.writeStream.format("memory")
         .queryName(name)
@@ -856,19 +952,21 @@ def st11_stream_leftouter_interval_join(
     while keeping both state stores watermark-bounded."""
     from ..streaming.events import attribution_stream, read_events_stream
 
-    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src)
     pairs = attribution_stream(
         stream, window_sec=_ST04_WINDOW_SEC, how="leftOuter"
     )
     name = f"st11_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state_partitions(spark, src):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "purchase_id",
         "user_id",
@@ -951,19 +1049,21 @@ def st12_stream_fullouter_interval_join(
     emitted exactly once (matched or null-extended)."""
     from ..streaming.events import attribution_stream, read_events_stream
 
-    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src)
     pairs = attribution_stream(
         stream, window_sec=_ST04_WINDOW_SEC, how="fullOuter"
     )
     name = f"st12_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state_partitions(spark, src):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "purchase_id",
         "user_id",
@@ -1034,7 +1134,8 @@ def st13_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     costs one per-row expression before the merge, nothing in state."""
     from ..streaming.events import read_events_stream
 
-    stream = read_events_stream(spark, _stream_source_dir(spark, sf_dir))
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src)
     gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
         F.lit("10 minutes")
     )
@@ -1050,14 +1151,15 @@ def st13_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     name = f"st13_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state_partitions(spark, src):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1122,15 +1224,18 @@ def st14_stateful_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFr
                 "n_events",
             )
         )
-        q = (
-            agg.writeStream.foreachBatch(
-                lambda b, _i: b.write.mode("append").parquet(target)
+        # run 1 plans with the sized width; run 2 RESUMES the checkpoint
+        # and keeps run 1's pinned width from the offset-log metadata
+        with _sized_state_partitions(spark, src):
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda b, _i: b.write.mode("append").parquet(target)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
     _stage_single_file(events.filter(us <= cutoff), src, "early.parquet")
     _drain_once()  # run 1: drains the early half, checkpoints, STOPS
@@ -1440,7 +1545,7 @@ def st16_stream_sink_vs_compactor(spark: SparkSession, sf_dir: str) -> DataFrame
             .select(F.lit(label).alias("backend"), "*")
         )
 
-    legs = run_overlapped(_run_leg, ("local", "hadoopfs", "condput"), 3)
+    legs = run_overlapped(_run_leg, ("local", "hadoopfs", "condput"), 3, spark=spark)
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)

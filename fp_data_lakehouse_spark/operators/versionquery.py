@@ -1762,7 +1762,7 @@ def vt18_manifest_diff_change_feed(spark: SparkSession, sf_dir: str) -> DataFram
                            full_scan=True)
         checks.append((pruned.exceptAll(full), f"pruned ⊄ full v{lo}->v{hi}"))
         checks.append((full.exceptAll(pruned), f"full ⊄ pruned v{lo}->v{hi}"))
-    counts = run_overlapped(lambda df_msg: df_msg[0].count(), checks, 4)
+    counts = run_overlapped(lambda df_msg: df_msg[0].count(), checks, 4, spark=spark)
     for n, (_, msg) in zip(counts, checks):
         assert n == 0, msg
     # plan certificate: no carried data file is even PLANNED for a scan

@@ -422,3 +422,74 @@ def test_run_overlapped_falls_back_sequentially_on_failure():
     assert run_overlapped(fn, [1, 2, 3], 2) == [11, 12, 13]
     assert calls["concurrent"] >= 1
     assert calls["sequential"] == 3
+
+
+def test_run_overlapped_sequential_item_gets_final_retry():
+    import threading
+
+    from fp_data_lakehouse_spark.operators.registry import run_overlapped
+
+    main = threading.main_thread()
+    state = {"seq_attempts": 0}
+
+    def fn(x):
+        if threading.current_thread() is not main:
+            raise RuntimeError("injected concurrency race")
+        if x == 2:
+            state["seq_attempts"] += 1
+            if state["seq_attempts"] == 1:
+                # first sequential attempt of item 2 also fails (the
+                # r15 dl04 finding: the race can straddle the fallback)
+                raise RuntimeError("injected sequential race")
+        return x + 10
+
+    assert run_overlapped(fn, [1, 2, 3], 2) == [11, 12, 13]
+    assert state["seq_attempts"] == 2
+
+
+# ---------------------------------------------------------------------------
+# _sized_state_partitions (r15): scale-adaptive streaming state width
+# ---------------------------------------------------------------------------
+
+
+def test_sized_state_partitions_sizes_caps_and_restores(spark, tmp_path):
+    from fp_data_lakehouse_spark.operators.streamquery import (
+        _sized_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    # ~3 MiB source -> 3 partitions at the 1 MiB/partition target
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.parquet").write_bytes(b"x" * (3 * 2**20))
+    with _sized_state_partitions(spark, str(src)):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+
+    # a source larger than cap x 1 MiB leaves the session conf alone
+    big = tmp_path / "big"
+    big.mkdir()
+    (big / "a.parquet").write_bytes(b"x" * (int(before) + 2) * 2**20)
+    with _sized_state_partitions(spark, str(big)):
+        assert spark.conf.get(key) == before
+
+    # empty/unknown source: no-op
+    with _sized_state_partitions(spark, str(tmp_path / "missing")):
+        assert spark.conf.get(key) == before
+
+
+def test_sized_state_partitions_env_override(spark, tmp_path, monkeypatch):
+    from fp_data_lakehouse_spark.operators.streamquery import (
+        _sized_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    src = tmp_path / "s"
+    src.mkdir()
+    (src / "a.parquet").write_bytes(b"x" * 2**20)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
+    with _sized_state_partitions(spark, str(src)):
+        assert spark.conf.get(key) == "2"
+    assert spark.conf.get(key) == before
